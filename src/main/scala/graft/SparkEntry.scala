@@ -1,13 +1,123 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Pricing(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"   -> q(Analytics.q1Pricing),
+    "q3_shipping"  -> q(Analytics.q3Shipping),
+    "q5_volume"    -> q(Analytics.q5Volume),
+    "win_running"  -> q(Analytics.winRunning),
+    "agg_distinct" -> q(Analytics.aggDistinct),
+    "cube_rollup"  -> q(Analytics.cubeRollup),
+    "semi_anti"    -> q(Analytics.semiAnti),
+    "topn_group"   -> q(Analytics.topnGroup),
+    "pivot_events" -> q(Analytics.pivotEvents),
+    "percentiles"  -> q(Analytics.percentiles),
+    "range_join"   -> q(Analytics.rangeJoin)
+  )
+
+  /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
+    * rounding, same ORDER BY — see SURVEY.md §6).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q3_shipping" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         WHERE c_mktsegment='BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_volume" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+         JOIN nation ON s_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, rn""",
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "cube_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice),2) AS total, count(*) AS n
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "semi_anti" ->
+      """SELECT c_custkey,
+         CAST(CASE WHEN EXISTS(SELECT 1 FROM orders
+           WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT') THEN 1 ELSE 0 END AS BIGINT) AS has_urgent
+         FROM customer ORDER BY c_custkey""",
+    "topn_group" ->
+      """SELECT c_mktsegment, rk, c_custkey, acctbal FROM (
+           SELECT c_mktsegment,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk,
+             c_custkey, round(c_acctbal,2) AS acctbal
+           FROM customer) sub
+         WHERE rk <= 3 ORDER BY c_mktsegment, rk""",
+    "pivot_events" ->
+      """SELECT user_id,
+         count(*) FILTER (WHERE event_type='click') AS n_click,
+         round(coalesce(sum(value) FILTER (WHERE event_type='click'),0),2) AS v_click,
+         count(*) FILTER (WHERE event_type='view') AS n_view,
+         round(coalesce(sum(value) FILTER (WHERE event_type='view'),0),2) AS v_view,
+         count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
+         round(coalesce(sum(value) FILTER (WHERE event_type='purchase'),0),2) AS v_purchase,
+         count(*) FILTER (WHERE event_type='signup') AS n_signup,
+         round(coalesce(sum(value) FILTER (WHERE event_type='signup'),0),2) AS v_signup,
+         count(*) FILTER (WHERE event_type='error') AS n_error,
+         round(coalesce(sum(value) FILTER (WHERE event_type='error'),0),2) AS v_error
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "percentiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5),4) AS p50_price,
+         round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
+         round(quantile_cont(l_quantity, 0.5),4) AS p50_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "range_join" ->
+      """SELECT band, count(*) AS n_parts, round(avg(p_retailprice),4) AS avg_price
+         FROM part JOIN (VALUES (0.0,905.0,'low'),(905.0,912.0,'mid'),(912.0,1e9,'high')) b(lo,hi,band)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY 1 ORDER BY 1"""
+  )
 }
