@@ -25,7 +25,17 @@ object SparkEntry {
     "topn_group"   -> q(Analytics.topnGroup),
     "pivot_events" -> q(Analytics.pivotEvents),
     "percentiles"  -> q(Analytics.percentiles),
-    "range_join"   -> q(Analytics.rangeJoin)
+    "range_join"   -> q(Analytics.rangeJoin),
+    "ts_calibrate"     -> q(TimeSeries.calibrate(_)),
+    "ts_expand"        -> q(TimeSeries.tsExpand(_)),
+    "ts_gap_chunks"    -> q(TimeSeries.tsGapChunks(_)),
+    "ts_channel_stats" -> q(TimeSeries.tsChannelStats),
+    "ts_resample"      -> q(TimeSeries.tsResample(_)),
+    "ts_spike"         -> q(TimeSeries.tsSpike(_)),
+    "ts_asof"          -> q(TimeSeries.tsAsof),
+    "ts_annotations"   -> q(TimeSeries.tsAnnotations(_)),
+    "channel_match"    -> q(TimeSeries.channelMatch),
+    "ts_chunker"       -> q(TimeSeries.tsChunker(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -118,6 +128,82 @@ object SparkEntry {
       """SELECT band, count(*) AS n_parts, round(avg(p_retailprice),4) AS avg_price
          FROM part JOIN (VALUES (0.0,905.0,'low'),(905.0,912.0,'mid'),(912.0,1e9,'high')) b(lo,hi,band)
            ON p_retailprice >= lo AND p_retailprice < hi
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "ts_calibrate" ->
+      """SELECT event_id, digital, round(bit*(off+digital),6) AS physical FROM (
+           SELECT event_id, value AS digital,
+             (500.0 - (-500.0))/(32767.0 - (-32768.0)) AS bit,
+             500.0/((500.0 - (-500.0))/(32767.0 - (-32768.0))) - 32767.0 AS off
+           FROM events) sub ORDER BY event_id""",
+    "ts_expand" ->
+      """WITH ch AS (SELECT user_id, min(epoch_ns(ts)//1000) AS start_us, count(*) AS n
+                     FROM events GROUP BY 1),
+         ex AS (SELECT user_id, start_us, unnest(generate_series(0, n-1)) AS k FROM ch)
+         SELECT user_id, k, start_us + k*100000 AS ts_us FROM ex ORDER BY user_id, k""",
+    "ts_gap_chunks" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT event_type, event_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) > 7200000000
+                      THEN 1 ELSE 0 END AS is_new FROM e),
+         g AS (SELECT event_type, us,
+                 CAST(sum(is_new) OVER (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id FROM f)
+         SELECT event_type, chunk_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_samples
+         FROM g GROUP BY 1,2 ORDER BY 1,2""",
+    "ts_channel_stats" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         s AS (SELECT event_type, min(us) AS start_us, max(us) AS end_us, count(*) AS num_values,
+                 round(avg(value),4) AS avg_value, round(stddev_samp(value),4) AS stddev_value
+               FROM e GROUP BY 1),
+         d AS (SELECT event_type,
+                 (us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id))//1000000 AS diff_s
+               FROM e),
+         c AS (SELECT event_type, diff_s, count(*) AS cnt FROM d
+               WHERE diff_s IS NOT NULL AND diff_s > 0 GROUP BY 1,2),
+         m AS (SELECT event_type, diff_s AS mode_period_s, round(1.0/diff_s, 6) AS rate_hz,
+                 row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, diff_s ASC) AS rk FROM c)
+         SELECT s.event_type, start_us, end_us, num_values, avg_value, stddev_value, mode_period_s, rate_hz
+         FROM s JOIN m ON s.event_type = m.event_type AND rk = 1 ORDER BY 1""",
+    "ts_resample" ->
+      """SELECT event_type, ((epoch_ns(ts)//1000)//3600000000)*3600000000 AS bucket_us,
+         count(*) AS n, round(avg(value),4) AS avg_value,
+         round(min(value),2) AS min_value, round(max(value),2) AS max_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "ts_spike" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT event_type, event_id, us, value,
+                 lag(value) OVER (PARTITION BY event_type ORDER BY us, event_id) AS prev_value FROM e)
+         SELECT event_type, event_id, us AS ts_us, value FROM f
+         WHERE prev_value < 180.0 AND value >= 180.0 ORDER BY event_type, ts_us""",
+    "ts_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS p_us, value FROM events
+                    WHERE event_type='purchase'),
+         c AS (SELECT user_id, epoch_ns(ts)//1000 AS c_us, value AS c_val FROM events
+               WHERE event_type='click')
+         SELECT p.event_id, p.user_id, p.p_us, p.value, c.c_us AS last_click_us, c.c_val AS last_click_val
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us
+         ORDER BY p.event_id""",
+    "ts_annotations" ->
+      """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k FROM (
+           SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) sub
+         WHERE k >= 50 GROUP BY 1 ORDER BY 1""",
+    "channel_match" ->
+      """WITH h0 AS (SELECT event_type, count(*) AS n, min(epoch_ns(ts)//1000) AS s,
+                       max(epoch_ns(ts)//1000) AS e FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+         h1 AS (SELECT event_type, count(*) AS n, min(epoch_ns(ts)//1000) AS s,
+                  max(epoch_ns(ts)//1000) AS e FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+         a AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_a FROM h0),
+         b AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_b FROM h1)
+         SELECT a.event_type, round(rate_a,6) AS rate_a, round(rate_b,6) AS rate_b
+         FROM a JOIN b ON a.event_type = b.event_type AND abs(1.0 - rate_a/rate_b) < 0.02
+         ORDER BY a.event_type""",
+    "ts_chunker" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us FROM events),
+         r AS (SELECT event_type, us,
+                 (row_number() OVER (PARTITION BY event_type ORDER BY us, event_id) - 1)//500 AS chunk_id
+               FROM e)
+         SELECT event_type, chunk_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_samples
+         FROM r GROUP BY 1,2 ORDER BY 1,2"""
   )
 }

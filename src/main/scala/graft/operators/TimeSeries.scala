@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series ETL operators (SURVEY.md §2 A3-A12) — the reference
+  * processor's semantics (Pennsieve/processor-EDF) re-expressed as
+  * distributed Spark plans over the `events` sample stream
+  * (channel ≈ event_type / user_id, sample ≈ (ts, value)).
+  *
+  * Time convention: `events.ts` arrives as int64 nanos
+  * (nanosAsLong=true); all operators work in integer µs-since-epoch
+  * (`ts div 1000`) — the reference's time unit
+  * (reference: processor/base_processor/timeseries/utils.py:64-74) —
+  * with integer arithmetic only, so results are bit-exact across engines.
+  *
+  * Scale notes: every per-channel operator is a single hash-partition by
+  * its channel key followed by in-partition window/aggregation work; at
+  * 100 TB the channel key would be (file_id, channel) with millions of
+  * groups, which partitions evenly. No driver-side loops or collects.
+  */
+object TimeSeries {
+
+  /** µs since epoch from the int64-ns ts column (integer division — no FP). */
+  private def tsUs: Column = expr("ts div 1000")
+
+  /** A3: digital→physical calibration.
+    *
+    * Exactly the reference transform (processor/edf_processor/edf.py:14-18):
+    * bit = (pmax-pmin)/(dmax-dmin); off = pmax/bit - dmax; phys = bit*(off+digital).
+    * Pure codegen'd Column arithmetic; constants fold at plan time.
+    */
+  def calibrate(t: Tables,
+                pmin: Double = -500.0, pmax: Double = 500.0,
+                dmin: Double = -32768.0, dmax: Double = 32767.0): DataFrame = {
+    val bit = (lit(pmax) - lit(pmin)) / (lit(dmax) - lit(dmin))
+    val off = lit(pmax) / bit - lit(dmax)
+    t.events
+      .select(col("event_id"), col("value").as("digital"),
+        round(bit * (off + col("value")), 6).as("physical"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A4: contiguous timestamp synthesis — the reference's linspace-per-chunk
+    * (base_processor/timeseries/base.py:357-372) as a distributed
+    * `sequence` + `explode`: each channel row expands to its sample
+    * timestamps with integer µs steps. No driver loop; expansion happens
+    * on executors and parallelizes by channel.
+    */
+  def tsExpand(t: Tables, periodUs: Long = 100000L): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .agg(min(tsUs).as("start_us"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("start_us"),
+        explode(sequence(lit(0L), col("n") - 1)).as("k"))
+      .select(col("user_id"), col("k"),
+        (col("start_us") + col("k") * periodUs).as("ts_us"))
+      .orderBy(col("user_id"), col("k"))
+
+  /** A5: gap sessionization → contiguous chunks, the reference's
+    * discontinuous_chunks (base.py:322-342): boundary where Δts exceeds
+    * the gap threshold (reference: 2× sampling period). One shuffle by
+    * channel; chunk ids via running sum of boundary flags.
+    */
+  def tsGapChunks(t: Tables, gapUs: Long = 2L * 3600 * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("event_type"), col("chunk_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
+      .orderBy(col("event_type"), col("chunk_id"))
+  }
+
+  /** A6: per-channel stats + rate inference.
+    *
+    * Rate inference is the reference's `1e6 / mode(Δts)`
+    * (timeseries/utils.py:14-32), with Δ bucketed to whole seconds and the
+    * mode tie-broken (count desc, Δ asc) so it is deterministic. Two
+    * aggregations + a broadcast-sized join on the channel key.
+    */
+  def tsChannelStats(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val base = t.events.select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+    val stats = base.groupBy(col("event_type")).agg(
+      min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+      count(lit(1)).as("num_values"),
+      round(avg(col("value")), 4).as("avg_value"),
+      round(stddev_samp(col("value")), 4).as("stddev_value"))
+    val diffs = base
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("diff_s", expr("(us - prev_us) div 1000000"))
+      .filter(col("diff_s") > 0)
+      .groupBy(col("event_type"), col("diff_s")).agg(count(lit(1)).as("cnt"))
+    val modeW = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("diff_s").asc)
+    val mode = diffs.withColumn("rk", row_number().over(modeW)).filter(col("rk") === 1)
+      .select(col("event_type"), col("diff_s").as("mode_period_s"),
+        round(lit(1.0) / col("diff_s"), 6).as("rate_hz"))
+    stats.join(mode, Seq("event_type")).orderBy(col("event_type"))
+  }
+
+  /** A7: downsampling resample to fixed buckets — partial aggregation
+    * happens map-side; bucket key is integer µs so results are exact.
+    */
+  def tsResample(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame =
+    t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"), round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"), col("bucket_us"))
+
+  /** A8: threshold-crossing spike detection (the reference's UNIT/spike
+    * surface, base.py:98-119): spike where prev < θ ≤ current, per channel.
+    */
+  def tsSpike(t: Tables, threshold: Double = 180.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value") < threshold && col("value") >= threshold)
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"))
+      .orderBy(col("event_type"), col("ts_us"))
+  }
+
+  /** A9: as-of join — each purchase gets the latest click at-or-before it
+    * per user. Implemented as union + single ordered window pass per key
+    * (no per-key collect, no range cross-product): clicks sort before
+    * purchases at equal timestamps (side 0 < 1), matching ASOF `>=`.
+    * One shuffle on user_id; scales as sort-within-partition.
+    */
+  def tsAsof(t: Tables): DataFrame = {
+    val base = t.events.select(col("event_type"), col("event_id"), col("user_id"), col("value"), tsUs.as("us"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("us").as("c_us"), col("value").as("c_val"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(1).as("side"),
+        col("event_id"), col("value"),
+        lit(null).cast("long").as("c_us"), lit(null).cast("double").as("c_val"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionAll(purchases)
+      .withColumn("last_click_us", last(col("c_us"), ignoreNulls = true).over(w))
+      .withColumn("last_click_val", last(col("c_val"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"), col("value"),
+        col("last_click_us"), col("last_click_val"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A10: typed annotation extraction from JSON props (the TAL-annotation
+    * analogue, reference edf.py:62-70) — codegen'd JSON path, no UDF.
+    */
+  def tsAnnotations(t: Tables, minK: Long = 50L): DataFrame =
+    t.events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= minK)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** A11: fuzzy channel matching — the reference's append-mode match
+    * (base.py:178-221): same name and rate within 2 %
+    * (`abs(1 - r1/r2) < 0.02`). Both sides aggregate to channel
+    * cardinality, so the join is broadcast-sized at any scale.
+    */
+  def channelMatch(t: Tables): DataFrame = {
+    def half(parity: Int) = t.events
+      .filter(col("event_id") % 2 === parity)
+      .groupBy(col("event_type"))
+      .agg(min(tsUs).as("start_us"), max(tsUs).as("end_us"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        (col("n") * lit(3600.0 * 1000000) / (col("end_us") - col("start_us"))).as("rate"))
+    val a = half(0).select(col("event_type"), col("rate").as("rate_a"))
+    val b = half(1).select(col("event_type").as("event_type_b"), col("rate").as("rate_b"))
+    a.join(broadcast(b),
+        col("event_type") === col("event_type_b") &&
+          abs(lit(1.0) - col("rate_a") / col("rate_b")) < 0.02)
+      .select(col("event_type"), round(col("rate_a"), 6).as("rate_a"), round(col("rate_b"), 6).as("rate_b"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A12: fixed-size chunking — the reference's 30 M-sample chunker
+    * (base.py:357-372) as row_number bucketing per channel.
+    */
+  def tsChunker(t: Tables, chunkSize: Long = 500L): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("chunk_id", expr(s"rn div ${chunkSize}L"))
+      .groupBy(col("event_type"), col("chunk_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
+      .orderBy(col("event_type"), col("chunk_id"))
+  }
+}
