@@ -35,7 +35,14 @@ object SparkEntry {
     "ts_asof"          -> q(TimeSeries.tsAsof),
     "ts_annotations"   -> q(TimeSeries.tsAnnotations(_)),
     "channel_match"    -> q(TimeSeries.channelMatch),
-    "ts_chunker"       -> q(TimeSeries.tsChunker(_))
+    "ts_chunker"       -> q(TimeSeries.tsChunker(_)),
+    "token_count"   -> q(TextAnalysis.tokenCount),
+    "quality_score" -> q(TextAnalysis.qualityScore),
+    "lang_id"       -> q(TextAnalysis.langId),
+    "fingerprint"   -> q(TextAnalysis.fingerprint),
+    "dedup_exact"   -> q(TextAnalysis.dedupExact),
+    "ann_topk"      -> q(Similarity.annTopK(_)),
+    "embed_neardup" -> q(Similarity.embedNearDup(_, threshold = 0.25))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -130,7 +137,7 @@ object SparkEntry {
            ON p_retailprice >= lo AND p_retailprice < hi
          GROUP BY 1 ORDER BY 1""",
     "ts_calibrate" ->
-      """SELECT event_id, digital, round(bit*(off+digital),6) AS physical FROM (
+      """SELECT event_id, digital, floor((bit*(off+digital))*1000000.0 + 0.5)/1000000.0 AS physical FROM (
            SELECT event_id, value AS digital,
              (500.0 - (-500.0))/(32767.0 - (-32768.0)) AS bit,
              500.0/((500.0 - (-500.0))/(32767.0 - (-32768.0))) - 32767.0 AS off
@@ -161,7 +168,7 @@ object SparkEntry {
                FROM e),
          c AS (SELECT event_type, diff_s, count(*) AS cnt FROM d
                WHERE diff_s IS NOT NULL AND diff_s > 0 GROUP BY 1,2),
-         m AS (SELECT event_type, diff_s AS mode_period_s, round(1.0/diff_s, 6) AS rate_hz,
+         m AS (SELECT event_type, diff_s AS mode_period_s, floor((1.0/diff_s)*1000000.0 + 0.5)/1000000.0 AS rate_hz,
                  row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, diff_s ASC) AS rk FROM c)
          SELECT s.event_type, start_us, end_us, num_values, avg_value, stddev_value, mode_period_s, rate_hz
          FROM s JOIN m ON s.event_type = m.event_type AND rk = 1 ORDER BY 1""",
@@ -195,7 +202,7 @@ object SparkEntry {
                   max(epoch_ns(ts)//1000) AS e FROM events WHERE event_id % 2 = 1 GROUP BY 1),
          a AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_a FROM h0),
          b AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_b FROM h1)
-         SELECT a.event_type, round(rate_a,6) AS rate_a, round(rate_b,6) AS rate_b
+         SELECT a.event_type, floor(rate_a*1000000.0 + 0.5)/1000000.0 AS rate_a, floor(rate_b*1000000.0 + 0.5)/1000000.0 AS rate_b
          FROM a JOIN b ON a.event_type = b.event_type AND abs(1.0 - rate_a/rate_b) < 0.02
          ORDER BY a.event_type""",
     "ts_chunker" ->
@@ -204,6 +211,66 @@ object SparkEntry {
                  (row_number() OVER (PARTITION BY event_type ORDER BY us, event_id) - 1)//500 AS chunk_id
                FROM e)
          SELECT event_type, chunk_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_samples
-         FROM r GROUP BY 1,2 ORDER BY 1,2"""
+         FROM r GROUP BY 1,2 ORDER BY 1,2""",
+    "token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+    "quality_score" ->
+      """WITH b AS (SELECT doc_id, length(text) AS n_chars,
+           CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_words,
+           length(regexp_replace(text,'\s','','g')) AS n_nonspace,
+           len(list_filter(regexp_split_to_array(trim(text),'\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(regexp_extract_all(text,'[.!?,;:]')) AS n_punct
+         FROM documents)
+         SELECT doc_id, n_chars, n_words,
+           CASE WHEN n_words=0 THEN 0.0 ELSE floor((CAST(n_nonspace AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 END AS avg_word_len,
+           CASE WHEN n_words=0 THEN 0.0 ELSE floor((CAST(n_stop AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 END AS stop_ratio,
+           CASE WHEN n_chars=0 THEN 0.0 ELSE floor((CAST(n_punct AS DOUBLE)/n_chars)*10000.0 + 0.5)/10000.0 END AS punct_ratio,
+           floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+             + 0.3*(CASE WHEN n_words=0 THEN 0.0 ELSE floor((CAST(n_stop AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 END)*5.0
+             + 0.3*(1.0 - CASE WHEN n_chars=0 THEN 0.0 ELSE floor((CAST(n_punct AS DOUBLE)/n_chars)*10000.0 + 0.5)/10000.0 END))*10000.0 + 0.5)/10000.0 AS quality
+         FROM b ORDER BY doc_id""",
+    "lang_id" ->
+      """SELECT doc_id, lang AS true_lang,
+         len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), w -> w IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), w -> w IN ('the','a','and','of','to'))) AS s_en,
+         len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), w -> w IN ('el','la','de','que','y'))) AS s_es,
+         len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), w -> w IN ('le','la','de','et','un'))) AS s_fr,
+         len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'), w -> w IN ('de5','shi4','bu4','le5','zai4'))) AS s_zh,
+         CASE WHEN s_de >= greatest(s_en,s_es,s_fr,s_zh) THEN 'de'
+              WHEN s_en >= greatest(s_es,s_fr,s_zh) THEN 'en'
+              WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
+              WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang
+         FROM documents ORDER BY doc_id""",
+    "fingerprint" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS norm FROM documents)
+         SELECT doc_id, md5(norm) AS md5_hash,
+           CASE WHEN length(norm)=0 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm,''), x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc*31 + x) % 1000000007) END AS poly_hash
+         FROM n ORDER BY doc_id""",
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash,
+         min(doc_id) AS keep_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, floor((
+           list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+         FROM embeddings, q WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "embed_neardup" ->
+      """WITH s AS (
+           SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b, floor((
+             list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b"""
   )
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.roundHalfUp
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2 C5-C7).
+  *
+  * Math is done in double precision with sequential folds (higher-order
+  * `aggregate` / `zip_with`) so the result is reproducible and
+  * oracle-comparable. Query vectors / centroids travel as broadcast-sized
+  * one-row plans, never collected per-row.
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential fold (codegen'd, no UDF). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm2(a: String): Column =
+    expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  /** C6: brute-force cosine top-k against one query vector (vec_id = 0).
+    *
+    * The query vector joins in as a broadcast single-row relation; the scan
+    * side computes dot + norms in one pass and top-k goes through
+    * TakeOrderedAndProject (bounded k, no global sort). At 100 TB this is
+    * the exact-scoring baseline; C7 (IVF) is the pruned path.
+    */
+  def annTopK(t: Tables, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val sim = roundHalfUp(
+      dot("embedding", "q_embedding") / (sqrt(norm2("embedding")) * sqrt(norm2("q_embedding"))), 4)
+    t.embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** C5: embedding near-duplicate pairs — cosine above threshold inside
+    * label blocks. Blocking bounds the pair count (n² within block, not
+    * global); at scale the block key would be an LSH bucket (see
+    * Dedup.minhash) or IVF cell instead of a label.
+    */
+  def embedNearDup(t: Tables, threshold: Double = 0.9): DataFrame = {
+    val a = t.embeddings.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = t.embeddings.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val sim = roundHalfUp(dot("ea", "eb") / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 4)
+    a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"), sim.as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  }
+
+  /** C7: IVF-style ANN — deterministic centroids (the first `nCells`
+    * vectors, a k-means|| seeding stand-in), assign every vector to its
+    * nearest cell, then search only the query's top-`nProbe` cells.
+    *
+    * Centroids are broadcast; assignment is one narrow pass; the probed
+    * search touches ~nProbe/nCells of the data — the 100 TB path where
+    * brute force (C6) is the correctness baseline.
+    */
+  def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
+    // assign: nearest centroid by cosine (broadcast nested-loop, narrow)
+    val simToCent = dot("embedding", "cent") / (sqrt(norm2("embedding")) * sqrt(norm2("cent")))
+    val assigned = t.embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell_id"), simToCent.as("cs"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cell_id"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val qCells = cents.crossJoin(broadcast(q))
+      .select(col("cell_id"), (dot("cent", "q_embedding") / (sqrt(norm2("cent")) * sqrt(norm2("q_embedding")))).as("qs"))
+      .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
+      .select(col("cell_id"))
+    val sim = round(dot("embedding", "q_embedding") / (sqrt(norm2("embedding")) * sqrt(norm2("q_embedding"))), 4)
+    assigned.join(broadcast(qCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

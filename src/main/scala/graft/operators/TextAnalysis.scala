@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.roundHalfUp
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2 C8-C11) over the `documents` table.
+  *
+  * All hot paths are codegen'd built-ins (split/regexp/higher-order
+  * array functions) — zero UDFs, so whole-stage codegen spans the full
+  * operator and the same semantics are expressible in the DuckDB oracle.
+  * Per-document work is embarrassingly parallel: no shuffle at all until
+  * an (optional) final aggregate.
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized, lowercased text (shared normalization step). */
+  private def norm: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  private def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** C10: token counting — whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCount(t: Tables): DataFrame =
+    t.documents
+      .select(
+        col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L)
+          .otherwise(size(wsTokens(col("text"))).cast("long")).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** C9: document quality scoring — length, word, punctuation and stopword
+    * ratios combined into one score (the classic heuristic pre-filter for
+    * LLM corpora). Pure column algebra; one pass over the text.
+    */
+  def qualityScore(t: Tables): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = wsTokens(col("text"))
+    val nWords = when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long"))
+    val nonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    val nStop = expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($sw)))").cast("long")
+    val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
+    t.documents
+      .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"),
+        nWords.as("n_words"), nonSpace.cast("long").as("n_nonspace"),
+        nStop.as("n_stop"), nPunct.as("n_punct"))
+      .withColumn("avg_word_len",
+        when(col("n_words") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_nonspace").cast("double") / col("n_words"), 4)))
+      .withColumn("stop_ratio",
+        when(col("n_words") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_stop").cast("double") / col("n_words"), 4)))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_punct").cast("double") / col("n_chars"), 4)))
+      .withColumn("quality",
+        roundHalfUp(lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * col("stop_ratio") * 5.0
+          + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4))
+      .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
+        col("stop_ratio"), col("punct_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4"))
+
+  /** C8: language identification — stopword-profile hit counts with a
+    * deterministic alphabetical tie-break. The profile table is a plan-time
+    * constant (broadcast-free: folded into the expression).
+    */
+  def langId(t: Tables): DataFrame = {
+    def hits(words: Seq[String]): Column = {
+      val set = words.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(trim(lower(text)), '\\\\s+'), w -> w IN ($set)))").cast("long")
+    }
+    val scored = t.documents.select(
+      (col("doc_id") +: col("lang").as("true_lang") +:
+        langProfiles.map { case (l, ws) => hits(ws).as(s"s_$l") }): _*)
+    val langs = langProfiles.map(_._1)
+    // argmax with alphabetical preference on ties
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) { case ((l, i), els) =>
+      val rest = langs.drop(i + 1).map(x => col(s"s_$x"))
+      when(col(s"s_$l") >= rest.reduceLeft((a, b) => greatest(a, b)), l).otherwise(els)
+    }
+    scored.withColumn("pred_lang", pred)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C11: document fingerprinting — md5 of normalized text plus a 64-bit
+    * polynomial rolling hash (base 31 mod 1e9+7) via the higher-order
+    * `aggregate` — sequential fold, deterministic, codegen-friendly.
+    */
+  def fingerprint(t: Tables): DataFrame =
+    t.documents
+      .withColumn("norm", norm)
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("md5_hash"),
+        when(length(col("norm")) === 0, 0L).otherwise(
+          expr("aggregate(split(norm, ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)"))
+          .as("poly_hash"))
+      .orderBy(col("doc_id"))
+
+  /** C1: exact deduplication — hash-groupBy on normalized text; keeps the
+    * lowest doc_id per group. One shuffle on the 128-bit hash; at 100 TB
+    * this is the standard map-side-combine dedup (hash is tiny vs text).
+    */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .withColumn("norm", norm)
+      .groupBy(md5(col("norm")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+}

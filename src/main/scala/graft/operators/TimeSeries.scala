@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.roundHalfUp
 
 /** Time-series ETL operators (SURVEY.md §2 A3-A12) — the reference
   * processor's semantics (Pennsieve/processor-EDF) re-expressed as
@@ -39,7 +40,7 @@ object TimeSeries {
     val off = lit(pmax) / bit - lit(dmax)
     t.events
       .select(col("event_id"), col("value").as("digital"),
-        round(bit * (off + col("value")), 6).as("physical"))
+        roundHalfUp(bit * (off + col("value")), 6).as("physical"))
       .orderBy(col("event_id"))
   }
 
@@ -101,7 +102,7 @@ object TimeSeries {
     val modeW = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("diff_s").asc)
     val mode = diffs.withColumn("rk", row_number().over(modeW)).filter(col("rk") === 1)
       .select(col("event_type"), col("diff_s").as("mode_period_s"),
-        round(lit(1.0) / col("diff_s"), 6).as("rate_hz"))
+        roundHalfUp(lit(1.0) / col("diff_s"), 6).as("rate_hz"))
     stats.join(mode, Seq("event_type")).orderBy(col("event_type"))
   }
 
@@ -185,7 +186,7 @@ object TimeSeries {
     a.join(broadcast(b),
         col("event_type") === col("event_type_b") &&
           abs(lit(1.0) - col("rate_a") / col("rate_b")) < 0.02)
-      .select(col("event_type"), round(col("rate_a"), 6).as("rate_a"), round(col("rate_b"), 6).as("rate_b"))
+      .select(col("event_type"), roundHalfUp(col("rate_a"), 6).as("rate_a"), roundHalfUp(col("rate_b"), 6).as("rate_b"))
       .orderBy(col("event_type"))
   }
 
