@@ -42,7 +42,12 @@ object SparkEntry {
     "fingerprint"   -> q(TextAnalysis.fingerprint),
     "dedup_exact"   -> q(TextAnalysis.dedupExact),
     "ann_topk"      -> q(Similarity.annTopK(_)),
-    "embed_neardup" -> q(Similarity.embedNearDup(_, threshold = 0.25))
+    "embed_neardup" -> q(Similarity.embedNearDup(_, threshold = 0.25)),
+    "minhash_sig"   -> q(Dedup.minhashSig(_)),
+    "dedup_minhash" -> q(Dedup.dedupMinhash(_)),
+    "simhash_sig"   -> q(Dedup.simhash(_)),
+    "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
+    "ngram_jaccard" -> q(Dedup.ngramJaccard(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -271,6 +276,65 @@ object SparkEntry {
              / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
                 * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-         SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b"""
+         SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b""",
+    "minhash_sig" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 7), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs)
+         SELECT doc_id, sig[1] AS sig_0, sig[2] AS sig_1, sig[3] AS sig_2, sig[4] AS sig_3, sig[5] AS sig_4, sig[6] AS sig_5, sig[7] AS sig_6, sig[8] AS sig_7 FROM sigs ORDER BY doc_id""",
+    "dedup_minhash" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+         FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "simhash_sig" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk)
+         SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,47), j ->
+             CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> j) & 1) - 1)) > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs ORDER BY doc_id""",
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,47), j ->
+             CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> j) & 1) - 1)) > 0
+                  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs),
+         bl AS (SELECT doc_id, simhash, block_idx, (simhash >> (12*block_idx)) & 4095 AS block_val
+                FROM sh, (SELECT unnest(generate_series(0,3)) AS block_idx) bi)
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM bl a JOIN bl b ON a.block_idx=b.block_idx AND a.block_val=b.block_val AND a.doc_id<b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY 1,2""",
+    "ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, lang, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS word FROM documents),
+         n AS (SELECT doc_id, count(*) AS nw FROM w GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM w a JOIN w b ON a.word=b.word AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2),
+         j AS (SELECT id_a, id_b, CAST(common AS DOUBLE)/(na.nw + nb.nw - common) AS jac
+               FROM p JOIN n na ON p.id_a=na.doc_id JOIN n nb ON p.id_b=nb.doc_id)
+         SELECT id_a, id_b, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
   )
 }
