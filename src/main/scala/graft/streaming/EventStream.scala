@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A13: Structured Streaming surface — the reference processor's
+  * incremental channel building (append mode, base.py:146-221) re-expressed
+  * as a watermarked streaming pipeline.
+  *
+  * At scale this is the live-ingest path: `readStream` over a file/queue
+  * source with the same schema, watermark bounds state, and the gap
+  * sessionizer carries exactly one open chunk per channel in state —
+  * state size is O(channels), not O(samples).
+  */
+object EventStream {
+
+  /** One sample event on the stream (ts = event time). */
+  final case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+                         eventType: String, value: Double)
+
+  /** A closed contiguous chunk (the streaming analogue of
+    * TimeSeries.tsGapChunks output).
+    */
+  final case class Chunk(channel: String, startUs: Long, endUs: Long, nSamples: Long)
+
+  /** Streaming state: the one open chunk per channel. */
+  final case class OpenChunk(startUs: Long, lastUs: Long, n: Long)
+
+  /** Watermarked windowed channel aggregation (downsample-on-ingest):
+    * the streaming twin of TimeSeries.tsResample. Late data beyond the
+    * watermark is dropped; state is bounded by (channels x open windows).
+    */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes",
+                  win: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), win).as("w"), col("eventType"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .select(col("w.start").as("bucket_start"), col("eventType"), col("n"),
+        col("avg_value"), col("min_value"), col("max_value"))
+
+  /** Stateful gap sessionization: one open chunk per channel lives in
+    * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
+    * discontinuous_chunks (reference base.py:322-342) incrementally.
+    */
+  def gapSessionize(events: Dataset[Event], gapUs: Long): Dataset[Chunk] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[OpenChunk, Chunk](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (channel: String, batch: Iterator[Event], state: GroupState[OpenChunk]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime) // per-channel per-microbatch, bounded
+          var open = state.getOption
+          val closed = Seq.newBuilder[Chunk]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            open match {
+              case Some(oc) if us - oc.lastUs > gapUs =>
+                closed += Chunk(channel, oc.startUs, oc.lastUs, oc.n)
+                open = Some(OpenChunk(us, us, 1))
+              case Some(oc) =>
+                open = Some(oc.copy(lastUs = us, n = oc.n + 1))
+              case None =>
+                open = Some(OpenChunk(us, us, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

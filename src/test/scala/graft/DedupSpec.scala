@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** C2-C4 behavioral tests with PLANTED near-duplicates (the synthetic
+  * corpus has none): near-dup pairs must be found, unrelated pairs must
+  * not collide.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  /** A fake Tables whose documents are the given (id, text, lang) rows. */
+  private def docs(rows: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and dreams of fish"
+  private val nearDup = base.replace("warm fire", "cold stove") // small edit
+  private val unrelated =
+    "completely different content about spark distributed query engines processing massive parquet datasets every day"
+
+  test("minhash LSH surfaces planted near-dup, not unrelated pair") {
+    val t = docs(Seq((1L, base, "en"), (2L, nearDup, "en"), (3L, unrelated, "en")))
+    val pairs = Dedup.dedupMinhash(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair found by LSH banding")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)), "unrelated not a candidate")
+  }
+
+  test("simhash hamming distance separates near-dup from unrelated") {
+    val t = docs(Seq((1L, base, "en"), (2L, nearDup, "en"), (3L, unrelated, "en")))
+    val sims = Dedup.simhash(t).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) < hamming(sims(1L), sims(3L)),
+      "near-dup closer in hamming space than unrelated")
+  }
+
+  test("exact jaccard ranks near-dup above unrelated") {
+    val t = docs(Seq((1L, base, "en"), (2L, nearDup, "en"), (3L, unrelated, "en")))
+    val jac = Dedup.ngramJaccard(t, threshold = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((1L, 2L)) >= 0.8, s"planted pair jaccard ${jac((1L, 2L))} high")
+    assert(jac.getOrElse((1L, 3L), 0.0) < 0.1, "unrelated jaccard low")
+  }
+
+  test("identical docs collide on every minhash band") {
+    val t = docs(Seq((1L, base, "en"), (2L, base, "en")))
+    val pairs = Dedup.dedupMinhash(t).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(2) == 8L, "8 of 8 bands shared")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{EdfFile, EdfSink}
+
+/** A14: binary + manifest output contract vs the reference spec. */
+class EdfSinkSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("sink writes per-channel float64 binaries + schema-shaped manifest") {
+    val outDir = Files.createTempDirectory("edfsink").toString
+    val df = EdfFile.read(spark, Seq("/root/reference/sample_data/sin_wave.edf")).cache()
+    EdfSink.write(df, outDir)
+
+    val channels = df.select(col("channel")).distinct().collect().map(_.getString(0))
+    assert(channels.length == 2)
+    channels.foreach { ch =>
+      val safe = ch.replaceAll("[^A-Za-z0-9._-]", "_")
+      val bin = Paths.get(s"$outDir/$safe.ts.bin")
+      assert(Files.exists(bin), s"binary for $ch")
+      assert(Files.size(bin) == 12000L * 8, "12000 float64 samples")
+    }
+    // first value round-trips
+    val ch0 = channels.sorted.head
+    val expected = df.filter(col("channel") === ch0).orderBy(col("sample_idx"))
+      .select(col("value")).limit(1).collect()(0).getDouble(0)
+    val bytes = Files.readAllBytes(Paths.get(s"$outDir/${ch0.replaceAll("[^A-Za-z0-9._-]", "_")}.ts.bin"))
+    val got = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    assert(got == expected)
+
+    val manifest = new String(Files.readAllBytes(Paths.get(s"$outDir/channels.json")))
+    assert(manifest.contains("\"type\": \"CONTINUOUS\""))
+    assert(manifest.contains("\"contiguousChunks\""))
+    assert(manifest.contains("\"rate\": 800.0"))
+    assert(Files.exists(Paths.get(s"$outDir/channel.json")))
+    assert(Files.exists(Paths.get(s"$outDir/channel-00001.json")))
+    df.unpersist()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+import graft.operators.Multimodal.Media
+
+/** C12: multimodal binary-column plumbing (decode stubbed, plumbing real). */
+class MultimodalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def media: Seq[Media] = Seq(
+    Media(1, "image", Array.tabulate(64)(i => (i * 7).toByte), 8, 8, 0),
+    Media(2, "image", Array.tabulate(128)(i => (i * 3).toByte), 16, 8, 0),
+    Media(3, "audio", Array.tabulate(256)(i => (i % 97).toByte), 0, 0, 16000),
+    Media(4, "video", Array.tabulate(1024)(i => (i % 251).toByte), 64, 48, 0))
+
+  test("binary payloads round-trip through the Dataset with metadata") {
+    val ds = Multimodal.ingest(spark, media)
+    val back = ds.collect().sortBy(_.mediaId)
+    assert(back.length == 4)
+    assert(back(0).bytes.toSeq == media.head.bytes.toSeq)
+    assert(back(2).sampleRate == 16000)
+  }
+
+  test("decodeFeatures is deterministic and partition-parallel") {
+    val ds = Multimodal.ingest(spark, media).repartition(4)
+    val f1 = Multimodal.decodeFeatures(ds).collect().sortBy(_.mediaId)
+    val f2 = Multimodal.decodeFeatures(ds).collect().sortBy(_.mediaId)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq, "stable across runs")
+    assert(f1.forall(_.feature.length == 8))
+    assert(f1.map(_.nBytes).toSeq == Seq(64L, 128L, 256L, 1024L))
+  }
+
+  test("frameSample slices only video payloads at the stride") {
+    val ds = Multimodal.ingest(spark, media)
+    val frames = Multimodal.frameSample(ds, frameBytes = 128, everyN = 2).collect().sortBy(_.frameIdx)
+    assert(frames.forall(_.mediaId == 4))
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4, 6), "1024/128=8 frames, every 2nd")
+    assert(frames.forall(_.frameBytes.length == 128))
+  }
+
+  test("summarize aggregates by kind") {
+    val s = Multimodal.summarize(Multimodal.ingest(spark, media)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s == Map("audio" -> 256L, "image" -> 192L, "video" -> 1024L))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Chunk, Event}
+
+/** A13: Structured Streaming — windowed aggregation and stateful gap
+  * sessionization driven synchronously through MemoryStream.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("windowedAgg aggregates event-time windows under a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedAgg(mem.toDF(), watermark = "5 minutes", win = "10 minutes")
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    mem.addData(
+      Event(1, ts(1), 1, "click", 10.0), Event(2, ts(2), 1, "click", 20.0),
+      Event(3, ts(11), 1, "click", 30.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the first windows
+    mem.addData(Event(4, ts(59), 1, "click", 40.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM winagg ORDER BY bucket_start").collect()
+    q.stop()
+    assert(rows.length >= 2, "first two windows emitted")
+    assert(rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("avg_value") == 15.0)
+    assert(rows(1).getAs[Long]("n") == 1 && rows(1).getAs[Double]("avg_value") == 30.0)
+  }
+
+  test("gapSessionize closes chunks across microbatches via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.gapSessionize(mem.toDS(), gapUs = 5L * 60 * 1000000)
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    // batch 1: two events 1 min apart (same chunk)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: event 20 min later -> closes first chunk
+    mem.addData(Event(3, ts(21), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: another gap -> closes second chunk
+    mem.addData(Event(4, ts(59), 1, "click", 1.0))
+    q.processAllAvailable()
+    val chunks = spark.sql("SELECT * FROM chunks ORDER BY startUs").as[Chunk].collect()
+    q.stop()
+    assert(chunks.length == 2)
+    assert(chunks(0).nSamples == 2 && chunks(0).startUs == ts(0).getTime * 1000)
+    assert(chunks(1).nSamples == 1 && chunks(1).startUs == ts(21).getTime * 1000)
+  }
+}
