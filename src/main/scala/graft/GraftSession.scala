@@ -15,6 +15,7 @@ object GraftSession {
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

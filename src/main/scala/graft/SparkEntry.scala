@@ -47,7 +47,8 @@ object SparkEntry {
     "dedup_minhash" -> q(Dedup.dedupMinhash(_)),
     "simhash_sig"   -> q(Dedup.simhash(_)),
     "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
-    "ngram_jaccard" -> q(Dedup.ngramJaccard(_))
+    "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
+    "ann_ivf"       -> q(Similarity.annIvf(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -335,6 +336,18 @@ object SparkEntry {
                FROM w a JOIN w b ON a.word=b.word AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2),
          j AS (SELECT id_a, id_b, CAST(common AS DOUBLE)/(na.nw + nb.nw - common) AS jac
                FROM p JOIN n na ON p.id_a=na.doc_id JOIN n nb ON p.id_b=nb.doc_id)
-         SELECT id_a, id_b, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
+         SELECT id_a, id_b, floor(jac*10000.0 + 0.5)/10000.0 AS jaccard FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 16),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         assigned AS (SELECT vec_id, embedding, cell_id FROM (
+             SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY (list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))))) DESC, c.cell_id) AS rk
+             FROM embeddings e, cents c) s WHERE rk = 1),
+         qcells AS (SELECT cell_id FROM (SELECT c.cell_id, (list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))))) AS qs FROM cents c, q) s
+                    ORDER BY qs DESC, cell_id LIMIT 4)
+         SELECT vec_id, floor(((list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))))))*10000.0 + 0.5)/10000.0 AS sim
+         FROM assigned JOIN qcells USING (cell_id), q
+         WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"""
   )
 }

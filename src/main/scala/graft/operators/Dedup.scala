@@ -31,19 +31,20 @@ object Dedup {
         ELSE transform(sequence(0, size($toks)-$k), i -> $shingle) END"""
   }
 
-  /** array<long> of distinct shingle hashes (k word shingles). */
+  /** array<long> of distinct shingle hashes (k word shingles), via the
+    * native RollingHash64 expression (bit-identical to the HOF/oracle
+    * formulation `aggregate(split(s,''), 0L, (acc,x)->(acc*31+ascii(x))%P)`).
+    */
   private def shingleHashExpr(k: Int): String =
-    s"""array_distinct(transform(${shinglesExpr(k)},
-         s -> aggregate(split(s, ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % $P)))"""
+    s"""array_distinct(transform(${shinglesExpr(k)}, s -> graft_rolling_hash(s)))"""
 
   /** MinHash signature: sig[j] = min over shingle hashes x of
     * ((a_j·x) mod P + b_j) mod P with a_j = (2j+1)·777767 mod P,
-    * b_j = (31j+7)·999999937 mod P. All intermediates < 2^63.
+    * b_j = (31j+7)·999999937 mod P — the native MinHashSig expression
+    * (one fused loop; same values as the HOF/oracle formulation).
     */
   private def minhashSigExpr(k: Int, nPerms: Int): String =
-    s"""transform(sequence(0, ${nPerms - 1}), j ->
-          array_min(transform(hs, x ->
-            ((((2*j+1)*777767L) % $P * x) % $P + ((31*j+7)*999999937L) % $P) % $P)))"""
+    s"graft_minhash_sig(hs, $nPerms)"
 
   /** C2 (signature parity check): first `nPerms` MinHash signature values
     * per document as columns — a dense, non-empty oracle target proving
@@ -91,11 +92,7 @@ object Dedup {
     * ±1 vote sum over hash bit j is positive). 48 bits keeps every
     * intermediate comfortably inside signed-64 for both engines.
     */
-  private def simhashExpr: String =
-    """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, j) ->
-         acc + CASE WHEN aggregate(transform(hs, h -> 2 * (shiftright(h, j) & 1) - 1),
-                      CAST(0 AS BIGINT), (a, v) -> a + v) > 0
-                    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+  private def simhashExpr: String = "graft_simhash(hs, 48)"
 
   /** C3 (signature parity check): per-document 48-bit SimHash value. */
   def simhash(t: Tables, k: Int = 3): DataFrame =

@@ -14,12 +14,11 @@ import graft.functions.roundHalfUp
   */
 object Similarity {
 
-  /** dot(a, b) in double precision, sequential fold (codegen'd, no UDF). */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-
-  private def norm2(a: String): Column =
-    expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+  /** Cosine similarity via the native CosineSim expression (one fused
+    * JIT loop per row; sequential double fold — bit-identical to the
+    * zip_with/aggregate HOF formulation and the DuckDB oracle).
+    */
+  private def cos(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
 
   /** C6: brute-force cosine top-k against one query vector (vec_id = 0).
     *
@@ -31,8 +30,7 @@ object Similarity {
   def annTopK(t: Tables, queryVecId: Long = 0L, k: Int = 10): DataFrame = {
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    val sim = roundHalfUp(
-      dot("embedding", "q_embedding") / (sqrt(norm2("embedding")) * sqrt(norm2("q_embedding"))), 4)
+    val sim = roundHalfUp(cos("embedding", "q_embedding"), 4)
     t.embeddings.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), sim.as("sim"))
@@ -48,7 +46,7 @@ object Similarity {
   def embedNearDup(t: Tables, threshold: Double = 0.9): DataFrame = {
     val a = t.embeddings.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = t.embeddings.select(col("label").as("label_b"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val sim = roundHalfUp(dot("ea", "eb") / (sqrt(norm2("ea")) * sqrt(norm2("eb"))), 4)
+    val sim = roundHalfUp(cos("ea", "eb"), 4)
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"), sim.as("sim"))
       .filter(col("sim") >= threshold)
@@ -67,7 +65,7 @@ object Similarity {
     val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
     // assign: nearest centroid by cosine (broadcast nested-loop, narrow)
-    val simToCent = dot("embedding", "cent") / (sqrt(norm2("embedding")) * sqrt(norm2("cent")))
+    val simToCent = cos("embedding", "cent")
     val assigned = t.embeddings.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell_id"), simToCent.as("cs"))
       .withColumn("rk", row_number().over(
@@ -77,10 +75,10 @@ object Similarity {
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
     val qCells = cents.crossJoin(broadcast(q))
-      .select(col("cell_id"), (dot("cent", "q_embedding") / (sqrt(norm2("cent")) * sqrt(norm2("q_embedding")))).as("qs"))
+      .select(col("cell_id"), cos("cent", "q_embedding").as("qs"))
       .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
       .select(col("cell_id"))
-    val sim = round(dot("embedding", "q_embedding") / (sqrt(norm2("embedding")) * sqrt(norm2("q_embedding"))), 4)
+    val sim = roundHalfUp(cos("embedding", "q_embedding"), 4)
     assigned.join(broadcast(qCells), Seq("cell_id"))
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))

@@ -108,9 +108,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         md5(col("norm")).as("md5_hash"),
-        when(length(col("norm")) === 0, 0L).otherwise(
-          expr("aggregate(split(norm, ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)"))
-          .as("poly_hash"))
+        expr("graft_rolling_hash(norm)").as("poly_hash"))
       .orderBy(col("doc_id"))
 
   /** C1: exact deduplication — hash-groupBy on normalized text; keeps the

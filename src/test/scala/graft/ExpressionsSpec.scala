@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.native
+
+/** D3: native Catalyst expressions — values match the HOF formulations
+  * they replaced, codegen + interpreted paths agree, nulls propagate.
+  */
+class ExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("cosine_sim matches the HOF zip_with/aggregate fold exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(0.5f, -0.25f, 0.125f), Array(0.1f, 0.2f, 0.3f))).toDF("a", "b")
+    val got = df.select(native.cosine_sim(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val ref = df.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+        / (sqrt(expr("aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+          * sqrt(expr("aggregate(b, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))))
+      .collect().map(_.getDouble(0))
+    assert(got.toSeq == ref.toSeq, "bit-identical to HOF fold")
+  }
+
+  test("rolling_hash matches the per-char HOF fold and handles empties/nulls") {
+    import spark.implicits._
+    val df = Seq(Some("ab"), Some(""), Some("hello world"), None).toDF("s")
+    val got = df.select(native.rolling_hash(col("s"))).collect()
+    assert(got(0).getLong(0) == (97 * 31 + 98) % 1000000007L)
+    assert(got(1).getLong(0) == 0L)
+    assert(got(3).isNullAt(0), "null in, null out")
+    val ref = df.filter(col("s").isNotNull).select(
+      expr("aggregate(split(s, ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)"))
+      .collect().map(_.getLong(0))
+    assert(got.take(3).map(_.getLong(0)).toSeq == ref.toSeq)
+  }
+
+  test("minhash_sig and simhash48 match their HOF formulations") {
+    import spark.implicits._
+    val df = Seq(Array(17L, 9341L, 77777L, 123456789L)).toDF("hs")
+    val gotSig = df.select(native.minhash_sig(col("hs"), 8)).collect()(0).getSeq[Long](0)
+    val refSig = df.select(expr(
+      """transform(sequence(0, 7), j -> array_min(transform(hs, x ->
+         ((((2*j+1)*777767L) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937L) % 1000000007) % 1000000007)))"""))
+      .collect()(0).getSeq[Long](0)
+    assert(gotSig == refSig)
+    val gotSim = df.select(native.simhash48(col("hs"))).collect()(0).getLong(0)
+    val refSim = df.select(expr(
+      """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, j) ->
+         acc + CASE WHEN aggregate(transform(hs, h -> 2 * (shiftright(h, j) & 1) - 1),
+                      CAST(0 AS BIGINT), (a, v) -> a + v) > 0
+                    THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""))
+      .collect()(0).getLong(0)
+    assert(gotSim == refSim)
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val df = emb.select(native.cosine_sim(col("embedding"), col("embedding")).as("c"),
+      native.rolling_hash(col("vec_id").cast("string")).as("h"))
+    val hasCodegen = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasCodegen, s"expected codegen span in:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9), "self-cosine = 1")
+  }
+
+  test("IVF recall: probed search finds most of brute-force top-k") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val brute = graft.operators.Similarity.annTopK(t, k = 10).collect().map(_.getLong(0)).toSet
+    val ivf = graft.operators.Similarity.annIvf(t, nCells = 16, nProbe = 8, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall (probing half the cells)")
+  }
+}
