@@ -92,6 +92,83 @@ object Kernels {
     }
     res
   }
+
+  /** Tokenize → k-word shingles → rolling hash → distinct, in ONE pass.
+    *
+    * Matches `array_distinct(transform(<shingles of split(trim(lower(text)),
+    * '\s+')>, s -> rollingHash(s)))` exactly (same tokens, same space-joined
+    * shingle hashing — the joiner chars stream through the fold without
+    * materializing shingle strings). One kernel call per row replaces the
+    * expression-tree formulation whose per-element `element_at(split(...))`
+    * re-ran the regex split for every shingle element.
+    */
+  def shingleHashes(text: UTF8String, k: Int, base: Long, mod: Long): ArrayData = {
+    val toks = text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    def hashTokens(from: Int, until: Int): Long = {
+      var acc = 0L
+      var t = from
+      while (t < until) {
+        if (t > from) acc = (acc * base + ' '.toInt) % mod
+        val w = toks(t)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          acc = (acc * base + cp) % mod
+          i += Character.charCount(cp)
+        }
+        t += 1
+      }
+      acc
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < k) seen.add(hashTokens(0, toks.length))
+    else {
+      var i = 0
+      while (i + k <= toks.length) { seen.add(hashTokens(i, i + k)); i += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** LSH band hashes from the full MinHash pipeline in ONE pass: band i
+    * folds sig[r·i .. r·i+r-1] as h = (h·31 + s) mod P — the same fold as
+    * the SQL oracle. One kernel call per row avoids CollapseProject
+    * inlining the signature pipeline into every per-band lambda reference
+    * (HOF lambda bodies are invisible to codegen subexpression
+    * elimination). Returns nBands longs; band_idx = array position.
+    */
+  def minhashBands(hashes: ArrayData, nBands: Int, rowsPerBand: Int): ArrayData = {
+    val P = 1000000007L
+    val sig = minhashSig(hashes, nBands * rowsPerBand)
+    val out = new Array[Long](nBands)
+    var i = 0
+    while (i < nBands) {
+      var h = sig.getLong(rowsPerBand * i)
+      var o = 1
+      while (o < rowsPerBand) {
+        h = (h * 31 + sig.getLong(rowsPerBand * i + o)) % P
+        o += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Pigeonhole block values of the simhash in one pass:
+    * block b = (simhash >> blockBits·b) & mask.
+    */
+  def simhashBlocks(hashes: ArrayData, bits: Int, nBlocks: Int, blockBits: Int): ArrayData = {
+    val sh = simhash(hashes, bits)
+    val mask = (1L << blockBits) - 1
+    val out = new Array[Long](nBlocks)
+    var b = 0
+    while (b < nBlocks) { out(b) = (sh >> (blockBits * b)) & mask; b += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** D3: cosine similarity of two float vectors as a native expression —
@@ -143,6 +220,51 @@ case class MinHashSig(child: Expression, nPerms: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** D3: distinct k-word-shingle rolling hashes of a text column in one pass. */
+case class ShingleHashes(child: Expression, k: Int, base: Long = 31L, mod: Long = 1000000007L)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.shingleHashes(s.asInstanceOf[UTF8String], k, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleHashes($c, $k, ${base}L, ${mod}L)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** D3: LSH band hashes (array<long>, band_idx = position) from element hashes. */
+case class MinHashBands(child: Expression, nBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(h: Any): Any =
+    Kernels.minhashBands(h.asInstanceOf[ArrayData], nBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashBands($c, $nBands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+}
+
+/** D3: SimHash pigeonhole block values (array<long>, block_idx = position). */
+case class SimHashBlocks(child: Expression, bits: Int = 48, nBlocks: Int = 4, blockBits: Int = 12)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(h: Any): Any =
+    Kernels.simhashBlocks(h.asInstanceOf[ArrayData], bits, nBlocks, blockBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashBlocks($c, $bits, $nBlocks, $blockBits)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashBlocks = copy(child = c)
+}
+
 /** D3: SimHash (default 48 bits) from element hashes. */
 case class SimHash64(child: Expression, bits: Int = 48)
     extends UnaryExpression {
@@ -180,6 +302,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (es: Seq[Expression]) => SimHash64(es(0), litInt(es(1), "bits"))))
+    ext.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), litInt(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (es: Seq[Expression]) => MinHashBands(es(0), litInt(es(1), "nBands"), litInt(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
+      new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
+      (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))
   }
 }
 

@@ -21,22 +21,12 @@ object Dedup {
 
   private val P = 1000000007L
 
-  /** Word-k-shingle list per document; documents shorter than k tokens
-    * shingle their whole text as one entry.
-    */
-  private def shinglesExpr(k: Int): String = {
-    val toks = "split(trim(lower(text)), '\\\\s+')"
-    val shingle = (1 to k).map(o => s"element_at($toks, i+$o)").mkString("concat_ws(' ', ", ", ", ")")
-    s"""CASE WHEN size($toks) < $k THEN array(concat_ws(' ', $toks))
-        ELSE transform(sequence(0, size($toks)-$k), i -> $shingle) END"""
-  }
-
   /** array<long> of distinct shingle hashes (k word shingles), via the
-    * native RollingHash64 expression (bit-identical to the HOF/oracle
-    * formulation `aggregate(split(s,''), 0L, (acc,x)->(acc*31+ascii(x))%P)`).
+    * single-pass ShingleHashes kernel (bit-identical to
+    * `array_distinct(transform(<shingles>, s -> rollingHash(s)))` — the
+    * expression-tree form re-ran the tokenizing split per shingle element).
     */
-  private def shingleHashExpr(k: Int): String =
-    s"""array_distinct(transform(${shinglesExpr(k)}, s -> graft_rolling_hash(s)))"""
+  private def shingleHashExpr(k: Int): String = s"graft_shingle_hashes(text, $k)"
 
   /** MinHash signature: sig[j] = min over shingle hashes x of
     * ((a_j·x) mod P + b_j) mod P with a_j = (2j+1)·777767 mod P,
@@ -67,21 +57,15 @@ object Dedup {
     * domain (and would be salt-capped at extreme skew).
     */
   def dedupMinhash(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val nPerms = nBands * rowsPerBand
-    val bandHash = {
-      // fold rowsPerBand signature values into one band hash
-      (2 to rowsPerBand).foldLeft(s"element_at(sig, $rowsPerBand*i+1)") { (acc, o) =>
-        s"(($acc) * 31 + element_at(sig, $rowsPerBand*i+$o)) % $P"
-      }
-    }
     val bands = t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
-      .withColumn("sig", expr(minhashSigExpr(k, nPerms)))
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${nBands - 1}), i -> named_struct('band_idx', i, 'band_hash', $bandHash))")).as("b"))
-      .select(col("doc_id"), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
-    val a = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col("doc_id").as("id_b"))
+        posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)")).as(Seq("band_idx", "band_hash")))
+    // identical repartitioning on both sides -> Catalyst's ReuseExchange
+    // computes the signature pipeline once and reads it twice
+    val parted = bands.repartition(col("band_idx"), col("band_hash"))
+    val a = parted.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
+    val b = parted.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col("doc_id").as("id_b"))
     a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
@@ -109,40 +93,43 @@ object Dedup {
     * exact bit_count(xor) filter verifies.
     */
   def dedupSimhash(t: Tables, k: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sims = t.documents
+    val blocks = t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-    val blocks = sims.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), b -> named_struct('block_idx', b, 'block_val', shiftright(simhash, 12*b) & 4095))")).as("blk"))
-      .select(col("doc_id"), col("simhash"), col("blk.block_idx").as("block_idx"), col("blk.block_val").as("block_val"))
-    val a = blocks.select(col("block_idx"), col("block_val"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
-    val b = blocks.select(col("block_idx").as("bi"), col("block_val").as("bv"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"),
+        posexplode(expr("graft_simhash_blocks(hs, 48, 4, 12)")).as(Seq("block_idx", "block_val")))
+    val parted = blocks.repartition(col("block_idx"), col("block_val"))
+    val a = parted.select(col("block_idx"), col("block_val"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = parted.select(col("block_idx").as("bi"), col("block_val").as("bv"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
     a.join(b, col("block_idx") === col("bi") && col("block_val") === col("bv") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)  // before distinct: survivors only hit the shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** C4: exact word-set Jaccard similarity via inverted-index join inside
-    * language blocks (never a cross product: pairs materialize only for
-    * docs sharing a word). Output pairs with jaccard ≥ threshold.
+  /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
+    * candidates — the scalable two-phase near-dup pipeline: LSH bounds the
+    * pair space to O(n·bands) candidates, then the exact intersection runs
+    * only on survivors via an inverted-index join (never a cross product).
     */
-  def ngramJaccard(t: Tables, threshold: Double = 0.5): DataFrame = {
-    val words = t.documents
-      .select(col("doc_id"), col("lang"),
-        explode(expr("array_distinct(split(trim(lower(text)), '\\\\s+'))")).as("word"))
-    val counts = words.groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
-    val pairs = words.alias("a")
-      .join(words.alias("b"),
-        col("a.word") === col("b.word") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+  def ngramJaccard(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
+                   threshold: Double = 0.0): DataFrame = {
+    val cands = dedupMinhash(t, k, nBands, rowsPerBand).select(col("id_a"), col("id_b"))
+    val shingles = t.documents
+      .withColumn("hs", expr(shingleHashExpr(k)))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+    val common = cands
+      .join(shingles.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+      .join(shingles.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(counts.select(col("doc_id").as("id_a"), col("nw").as("nw_a")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("nw").as("nw_b")), Seq("id_b"))
-      .withColumn("jac", col("common").cast("double") / (col("nw_a") + col("nw_b") - col("common")))
+    cands
+      .join(common, Seq("id_a", "id_b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(counts.select(col("doc_id").as("id_a"), col("nh").as("nh_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("nh").as("nh_b")), Seq("id_b"))
+      .withColumn("jac", col("common").cast("double") / (col("nh_a") + col("nh_b") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), roundHalfUp(col("jac"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
