@@ -1,0 +1,47 @@
+package graft
+
+/** Dev-only: dump formatted physical plans for the headline queries and
+  * assert the plan properties the engine is designed around (pushdown,
+  * broadcast joins, bounded top-k). Run: sbt "runMain graft.PlanAudit".
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Seq[(String, String => Boolean, String)] = Seq(
+      ("q1_pricing", _.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+        "shipdate filter pushed to parquet scan"),
+      ("q1_pricing", p => !p.contains("l_comment"), "column pruning"),
+      ("q3_shipping", _.contains("BroadcastHashJoin"), "dims broadcast"),
+      ("q3_shipping", _.contains("TakeOrderedAndProject"), "bounded top-k, no global sort"),
+      ("q5_volume", p => "BroadcastHashJoin".r.findAllIn(p).size >= 4, "all dims broadcast (>=4 BHJ)"),
+      ("q5_volume", p => !p.contains("SortMergeJoin"), "no fact-fact shuffle join"),
+      ("ann_topk", _.contains("TakeOrderedAndProject"), "top-k bounded"),
+      ("ann_topk", _.contains("cosinesim"), "native cosine expression in plan"),
+      ("ts_gap_chunks", p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+        "single channel shuffle (+AQE read)"),
+      ("token_count", p => p.contains("WholeStageCodegen") || p.contains("*(1)"), "codegen"),
+      ("dedup_minhash", p => p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
+        "self-join avoids dual shuffle (reuse or AQE broadcast)"))
+
+    var failed = 0
+    val plans = scala.collection.mutable.Map[String, String]()
+    checks.foreach { case (q, pred, what) =>
+      val plan = plans.getOrElseUpdate(q, {
+        val df = SparkEntry.queries(q)(spark, sfDir)
+        // drive THIS QueryExecution so its adaptive plan finalizes
+        df.collect()
+        df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+          "\n" + df.queryExecution.executedPlan.toString
+      })
+      val ok = pred(plan)
+      if (!ok) failed += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
+    }
+    if (args.contains("--dump")) plans.foreach { case (q, p) => println(s"\n===== $q =====\n$p") }
+    println(s"[audit] ${checks.size - failed}/${checks.size} plan checks pass")
+    spark.stop()
+  }
+}
