@@ -48,7 +48,10 @@ object SparkEntry {
     "simhash_sig"   -> q(Dedup.simhash(_)),
     "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
     "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
-    "ann_ivf"       -> q(Similarity.annIvf(_))
+    "ann_ivf"       -> q(Similarity.annIvf(_)),
+    "skew_agg"           -> q(Analytics.skewAgg(_)),
+    "approx_stats"       -> q(Analytics.approxStats),  // rows-only: sketches have no exact oracle
+    "ts_spike_waveforms" -> q(TimeSeries.tsSpikeWaveforms(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -208,6 +211,17 @@ object SparkEntry {
          count(*) AS n, round(avg(value),4) AS avg_value,
          round(min(value),2) AS min_value, round(max(value),2) AS max_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "skew_agg" ->
+      """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "ts_spike_waveforms" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT event_type, event_id, us, value,
+                 lag(value, 1) OVER w AS w_m1, lag(value, 2) OVER w AS w_m2,
+                 lead(value, 1) OVER w AS w_p1, lead(value, 2) OVER w AS w_p2
+               FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id))
+         SELECT event_type, event_id, us AS ts_us, w_m2, w_m1, value AS w_0, w_p1, w_p2
+         FROM f WHERE w_m1 < 180.0 AND value >= 180.0 ORDER BY event_type, ts_us""",
     "ts_spike" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
          f AS (SELECT event_type, event_id, us, value,

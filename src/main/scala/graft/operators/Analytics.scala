@@ -142,6 +142,35 @@ object Analytics {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** B12: two-phase salted aggregation — the skew-mitigation pattern for
+    * heavy-hitter keys at scale: partial sums over (key, salt) spread a hot
+    * key across `salts` reducers, then a cheap final combine. Result is
+    * identical to a direct groupBy (and oracle-checked against one).
+    */
+  def skewAgg(t: Tables, salts: Int = 16): DataFrame =
+    t.events
+      .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value")).as("psum"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("psum")), 2).as("total_value"), sum(col("pn")).as("n"))
+      .orderBy(col("event_type"))
+
+  /** B13: approximate aggregates for interactive 100 TB profiling — HLL
+    * distinct counts and quantile sketches (single pass, mergeable, no
+    * exact-distinct expand). Rows-only driver check; accuracy bounds are
+    * asserted against exact values in AnalyticsSpec.
+    */
+  def approxStats(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("price_quantiles"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

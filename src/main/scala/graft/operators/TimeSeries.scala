@@ -131,6 +131,26 @@ object TimeSeries {
       .orderBy(col("event_type"), col("ts_us"))
   }
 
+  /** A8b: spike waveform extraction — the reference's UNIT spike payload
+    * (base.py:98-119: spike = timestamp + surrounding waveform): each
+    * threshold crossing carries the ±2 neighboring sample values, via the
+    * same ordered window (no second scan). Window edges yield nulls.
+    */
+  def tsSpikeWaveforms(t: Tables, threshold: Double = 180.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("w_m2", lag(col("value"), 2).over(w))
+      .withColumn("w_p1", lead(col("value"), 1).over(w))
+      .withColumn("w_p2", lead(col("value"), 2).over(w))
+      .filter(col("prev_value") < threshold && col("value") >= threshold)
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
+        col("w_m2"), col("prev_value").as("w_m1"), col("value").as("w_0"),
+        col("w_p1"), col("w_p2"))
+      .orderBy(col("event_type"), col("ts_us"))
+  }
+
   /** A9: as-of join — each purchase gets the latest click at-or-before it
     * per user. Implemented as union + single ordered window pass per key
     * (no per-key collect, no range cross-product): clicks sort before

@@ -41,6 +41,37 @@ object EventStream {
       .select(col("w.start").as("bucket_start"), col("eventType"), col("n"),
         col("avg_value"), col("min_value"), col("max_value"))
 
+  /** A spike detected on the stream (streaming twin of TimeSeries.tsSpike). */
+  final case class Spike(channel: String, tsUs: Long, value: Double)
+
+  /** Streaming state for spike detection: the last sample per channel. */
+  final case class LastSample(us: Long, value: Double)
+
+  /** Incremental threshold-crossing detection: state = last sample per
+    * channel, so crossings are detected across microbatch boundaries.
+    */
+  def spikeDetect(events: Dataset[Event], threshold: Double): Dataset[Spike] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[LastSample, Spike](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (channel: String, batch: Iterator[Event], state: GroupState[LastSample]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var last = state.getOption
+          val out = Seq.newBuilder[Spike]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            last.foreach { p =>
+              if (p.value < threshold && e.value >= threshold)
+                out += Spike(channel, us, e.value)
+            }
+            last = Some(LastSample(us, e.value))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

@@ -38,6 +38,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n") == 1 && rows(1).getAs[Double]("avg_value") == 30.0)
   }
 
+  test("spikeDetect finds crossings across microbatch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.spikeDetect(mem.toDS(), threshold = 100.0)
+      .writeStream.format("memory").queryName("spikes").outputMode("append").start()
+    mem.addData(Event(1, ts(0), 1, "c", 50.0), Event(2, ts(1), 1, "c", 120.0)) // crossing in-batch
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(2), 1, "c", 80.0))  // below
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(3), 1, "c", 150.0)) // crossing ACROSS batches (state)
+    q.processAllAvailable()
+    val spikes = spark.sql("SELECT * FROM spikes ORDER BY tsUs").collect()
+    q.stop()
+    assert(spikes.length == 2)
+    assert(spikes.map(_.getAs[Double]("value")).toSeq == Seq(120.0, 150.0))
+  }
+
   test("gapSessionize closes chunks across microbatches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
