@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{EdfFile, EdfSink}
+
+/** The reference processor's end-to-end task as one composed pipeline
+  * (reference: processor/edf_processor/processor.py:10-69): read EDF
+  * file(s) → calibrated, timestamped samples → per-channel binary dumps +
+  * channel JSON manifests with gap-derived contiguous chunks.
+  *
+  * A user of Pennsieve/processor-EDF runs `EdfPipeline.process(spark,
+  * files, outDir)` and gets the same output contract, computed
+  * distributively: header-only planning on the driver, record-range
+  * parallel parsing, one shuffle to group channels for the sink.
+  */
+object EdfPipeline {
+
+  /** Process EDF files into the reference output contract; returns the
+    * manifest path.
+    */
+  def process(spark: SparkSession, files: Seq[String], outDir: String): String = {
+    val samples = EdfFile.read(spark, files)
+    EdfSink.write(samples, outDir)
+  }
+
+  /** CLI: runMain graft.EdfPipeline <out_dir> <file.edf> [more.edf...] */
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: EdfPipeline <out_dir> <file.edf> [more...]")
+    val spark = GraftSession.getOrCreate()
+    val manifest = process(spark, args.drop(1).toSeq, args(0))
+    println(s"[edf-pipeline] wrote $manifest")
+    spark.stop()
+  }
+}
