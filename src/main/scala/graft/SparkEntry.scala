@@ -50,6 +50,9 @@ object SparkEntry {
     "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
     "ann_ivf"       -> q(Similarity.annIvf(_)),
     "skew_agg"           -> q(Analytics.skewAgg(_)),
+    "ts_moving"          -> q(TimeSeries.tsMoving(_)),
+    "ts_corr"            -> q(TimeSeries.tsCorr(_)),
+    "ts_interp"          -> q(TimeSeries.tsInterp(_)),
     "approx_stats"       -> q(Analytics.approxStats),  // rows-only: sketches have no exact oracle
     "ts_spike_waveforms" -> q(TimeSeries.tsSpikeWaveforms(_))
   )
@@ -214,6 +217,47 @@ object SparkEntry {
     "skew_agg" ->
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ts_moving" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events)
+         SELECT event_type, event_id, us AS ts_us,
+           round(avg(value) OVER w, 4) AS mov_avg,
+           min(value) OVER w AS mov_min,
+           max(value) OVER w AS mov_max
+         FROM e
+         WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, ts_us""",
+    "ts_corr" ->
+      """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
+                      avg(value) AS v
+                    FROM events GROUP BY 1,2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.v, b.v), 4) AS corr, count(*) AS n_buckets
+         FROM h a JOIN h b ON a.bucket_us = b.bucket_us AND a.event_type < b.event_type
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "ts_interp" ->
+      """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
+                      round(avg(value), 4) AS v
+                    FROM events GROUP BY 1,2),
+         g AS (SELECT event_type, unnest(generate_series(min(bucket_us), max(bucket_us), 3600000000)) AS bucket_us
+               FROM h GROUP BY event_type),
+         j AS (SELECT g.event_type, g.bucket_us, h.v FROM g LEFT JOIN h
+               ON g.event_type = h.event_type AND g.bucket_us = h.bucket_us),
+         f AS (SELECT event_type, bucket_us, v,
+                 last_value(v IGNORE NULLS) OVER wa AS prev_v,
+                 last_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS) OVER wa AS prev_b,
+                 first_value(v IGNORE NULLS) OVER wd AS next_v,
+                 first_value(CASE WHEN v IS NOT NULL THEN bucket_us END IGNORE NULLS) OVER wd AS next_b
+               FROM j
+               WINDOW wa AS (PARTITION BY event_type ORDER BY bucket_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wd AS (PARTITION BY event_type ORDER BY bucket_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_type, bucket_us,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE floor((prev_v + (next_v - prev_v) * (CAST(bucket_us - prev_b AS DOUBLE)/(next_b - prev_b)))*10000.0 + 0.5)/10000.0
+           END AS v_filled,
+           (v IS NULL) AS was_gap
+         FROM f ORDER BY event_type, bucket_us""",
     "ts_spike_waveforms" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
          f AS (SELECT event_type, event_id, us, value,

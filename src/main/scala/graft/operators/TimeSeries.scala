@@ -210,6 +210,77 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** A15: moving-window smoothing — rolling mean/min/max over the last
+    * `window` samples per channel (one ordered pass, no extra shuffle
+    * beyond the channel partition).
+    */
+  def tsMoving(t: Tables, window: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(window - 1), 0)
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("mov_avg", round(avg(col("value")).over(w), 4))
+      .withColumn("mov_min", min(col("value")).over(w))
+      .withColumn("mov_max", max(col("value")).over(w))
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
+        col("mov_avg"), col("mov_min"), col("mov_max"))
+      .orderBy(col("event_type"), col("ts_us"))
+  }
+
+  /** A16: cross-channel correlation — sample correlation of hourly means
+    * between every channel pair, via a bucket-aligned self-join (channel
+    * cardinality rows; never a sample-level cross product).
+    */
+  def tsCorr(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(avg(col("value")).as("v"))
+    val a = hourly.select(col("bucket_us"), col("event_type").as("type_a"), col("v").as("va"))
+    val b = hourly.select(col("bucket_us").as("bb"), col("event_type").as("type_b"), col("v").as("vb"))
+    a.join(b, col("bucket_us") === col("bb") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(round(corr(col("va"), col("vb")), 4).as("corr"), count(lit(1)).as("n_buckets"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** A17: gap-filling linear interpolation — resample to a dense hourly
+    * grid per channel and linearly interpolate missing buckets between
+    * the nearest observed neighbors (reference-domain gap repair).
+    * Grid synthesis is `sequence`+`explode` per channel; fills come from
+    * one ignore-nulls window pass in each direction.
+    */
+  def tsInterp(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(round(avg(col("value")), 4).as("v"))
+    val grid = hourly.groupBy(col("event_type"))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(bucketUs))).as("bucket_us"))
+    val wAsc = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid.join(hourly, Seq("event_type", "bucket_us"), "left")
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wAsc))
+      .withColumn("prev_b", last(when(col("v").isNotNull, col("bucket_us")), ignoreNulls = true).over(wAsc))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wDesc))
+      .withColumn("next_b", first(when(col("v").isNotNull, col("bucket_us")), ignoreNulls = true).over(wDesc))
+      .withColumn("v_filled", when(col("v").isNotNull, col("v"))
+        .when(col("prev_v").isNull, col("next_v"))
+        .when(col("next_v").isNull, col("prev_v"))
+        .otherwise(roundHalfUp(col("prev_v") +
+          (col("next_v") - col("prev_v")) *
+            ((col("bucket_us") - col("prev_b")).cast("double") / (col("next_b") - col("prev_b"))), 4)))
+      .withColumn("was_gap", col("v").isNull)
+      .select(col("event_type"), col("bucket_us"), col("v_filled"), col("was_gap"))
+      .orderBy(col("event_type"), col("bucket_us"))
+  }
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */
