@@ -24,7 +24,11 @@ object PlanAudit {
         "single channel shuffle (+AQE read)"),
       ("token_count", p => p.contains("WholeStageCodegen") || p.contains("*(1)"), "codegen"),
       ("dedup_minhash", p => p.contains("ReusedExchange") || p.contains("BroadcastHashJoin"),
-        "self-join avoids dual shuffle (reuse or AQE broadcast)"))
+        "self-join avoids dual shuffle (reuse or AQE broadcast)"),
+      ("ts_asof_native", _.contains("AsOfJoin"), "custom physical operator planned"),
+      ("ts_asof_native", p => "Exchange hashpartitioning".r
+        .findAllIn(p.split("== Initial Plan ==").head).size <= 2,
+        "one exchange per side in the final plan, merge without cross product"))
 
     var failed = 0
     val plans = scala.collection.mutable.Map[String, String]()

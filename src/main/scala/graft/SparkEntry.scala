@@ -33,6 +33,7 @@ object SparkEntry {
     "ts_resample"      -> q(TimeSeries.tsResample(_)),
     "ts_spike"         -> q(TimeSeries.tsSpike(_)),
     "ts_asof"          -> q(TimeSeries.tsAsof),
+    "ts_asof_native"   -> q(TimeSeries.tsAsofNative),
     "ts_annotations"   -> q(TimeSeries.tsAnnotations(_)),
     "channel_match"    -> q(TimeSeries.channelMatch),
     "ts_chunker"       -> q(TimeSeries.tsChunker(_)),
@@ -273,6 +274,14 @@ object SparkEntry {
          SELECT event_type, event_id, us AS ts_us, value FROM f
          WHERE prev_value < 180.0 AND value >= 180.0 ORDER BY event_type, ts_us""",
     "ts_asof" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS p_us, value FROM events
+                    WHERE event_type='purchase'),
+         c AS (SELECT user_id, epoch_ns(ts)//1000 AS c_us, value AS c_val FROM events
+               WHERE event_type='click')
+         SELECT p.event_id, p.user_id, p.p_us, p.value, c.c_us AS last_click_us, c.c_val AS last_click_val
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us
+         ORDER BY p.event_id""",
+    "ts_asof_native" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS p_us, value FROM events
                     WHERE event_type='purchase'),
          c AS (SELECT user_id, epoch_ns(ts)//1000 AS c_us, value AS c_val FROM events

@@ -311,6 +311,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
       new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
       (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
 

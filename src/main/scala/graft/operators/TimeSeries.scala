@@ -178,6 +178,23 @@ object TimeSeries {
       .orderBy(col("event_id"))
   }
 
+  /** A9 (native path): the same as-of join through the custom
+    * AsOfJoinPlan/AsOfJoinExec operator (graft.plans) — one exchange + sort
+    * per side, then a streaming O(1)-state merge per partition. Output and
+    * oracle identical to [[tsAsof]].
+    */
+  def tsAsofNative(t: Tables): DataFrame = {
+    val base = t.events.select(col("event_type"), col("event_id"), col("user_id"), col("value"), tsUs.as("us"))
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"), col("value"))
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user_id"), col("us").as("last_click_us"), col("value").as("last_click_val"))
+    graft.plans.AsOf.join(purchases, clicks, "user_id", "r_user_id", "p_us", "last_click_us")
+      .select(col("event_id"), col("user_id"), col("p_us"), col("value"),
+        col("last_click_us"), col("last_click_val"))
+      .orderBy(col("event_id"))
+  }
+
   /** A10: typed annotation extraction from JSON props (the TAL-annotation
     * analogue, reference edf.py:62-70) — codegen'd JSON path, no UDF.
     */
