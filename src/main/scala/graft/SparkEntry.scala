@@ -49,6 +49,7 @@ object SparkEntry {
     "simhash_sig"   -> q(Dedup.simhash(_)),
     "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
     "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
+    "dedup_apply"   -> q(Dedup.dedupApply(_)),
     "ann_ivf"       -> q(Similarity.annIvf(_)),
     "skew_agg"           -> q(Analytics.skewAgg(_)),
     "ts_moving"          -> q(TimeSeries.tsMoving(_)),
@@ -97,6 +98,38 @@ object SparkEntry {
                JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
          SELECT id_a, id_b, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
          FROM j ORDER BY id_a, id_b""",
+    "dedup_apply" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+                   GROUP BY 1,2),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cands c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+                GROUP BY 1,2),
+         j AS (SELECT c.id_a, c.id_b, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+               JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id),
+         drops AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text,'\s+',' ','g'))))) AS keep
+             FROM documents) x WHERE doc_id <> keep
+           UNION
+           SELECT id_b AS doc_id FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+         ORDER BY doc_id""",
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
          round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue

@@ -107,6 +107,29 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** C2c: apply the dedup decision — the corpus after dropping duplicates.
+    *
+    * Keep rule (greedy-by-id, the standard corpus-dedup policy): a doc is
+    * dropped if it is an exact duplicate of a lower doc_id, or appears as
+    * the higher id of a verified near-dup pair (LSH candidates with exact
+    * Jaccard ≥ threshold). Survivor set = documents anti-joined against
+    * the drop list; one broadcast-sized anti join at any corpus scale
+    * (drop list ≈ duplicate count, not corpus size).
+    */
+  def dedupApply(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val exactDrops = t.documents
+      .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+      .withColumn("keep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("norm")))))
+      .filter(col("doc_id") =!= col("keep"))
+      .select(col("doc_id"))
+    val nearDrops = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_b").as("doc_id"))
+    val drops = exactDrops.unionAll(nearDrops).distinct()
+    t.documents.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
     * candidates — the scalable two-phase near-dup pipeline: LSH bounds the
     * pair space to O(n·bands) candidates, then the exact intersection runs
