@@ -53,6 +53,7 @@ object SparkEntry {
     "ann_ivf"       -> q(Similarity.annIvf(_)),
     "skew_agg"           -> q(Analytics.skewAgg(_)),
     "ts_moving"          -> q(TimeSeries.tsMoving(_)),
+    "ts_session_window"  -> q(TimeSeries.tsSessionWindow(_)),
     "ts_corr"            -> q(TimeSeries.tsCorr(_)),
     "ts_interp"          -> q(TimeSeries.tsInterp(_)),
     "approx_stats"       -> q(Analytics.approxStats),  // rows-only: sketches have no exact oracle
@@ -251,6 +252,17 @@ object SparkEntry {
     "skew_agg" ->
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+    "ts_session_window" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT event_type, us,
+                 CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 7200000000
+                      THEN 1 ELSE 0 END AS is_new
+               FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us)),
+         g AS (SELECT event_type, us,
+                 CAST(sum(is_new) OVER (PARTITION BY event_type ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
+         SELECT event_type, min(us) AS start_us, max(us) + 7200000000 AS end_us, count(*) AS n
+         FROM g GROUP BY event_type, sid ORDER BY event_type, start_us""",
     "ts_moving" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events)
          SELECT event_type, event_id, us AS ts_us,

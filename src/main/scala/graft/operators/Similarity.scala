@@ -64,14 +64,23 @@ object Similarity {
   def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
     val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
-    // assign: nearest centroid by cosine (broadcast nested-loop, narrow)
-    val simToCent = cos("embedding", "cent")
-    val assigned = t.embeddings.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell_id"), simToCent.as("cs"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cell_id"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // centroids are broadcast-sized BY CONSTRUCTION (SURVEY §4): collect
+    // them once and fold the argmax into a narrow per-row expression —
+    // cell assignment becomes a map-only pass (no crossJoin, no window,
+    // no shuffle). First-max scan == (cs desc, cell_id asc) tie-break.
+    val centRows = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centArr = centRows.map { case (_, v) =>
+      v.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val cellIds = centRows.map(_._1).mkString("array(", ", ", ")")
+    val assignExpr =
+      s"""element_at($cellIds, CAST(aggregate(sequence(0, ${centRows.length - 1}),
+            named_struct('best', -1, 'bestSim', CAST(-2.0 AS DOUBLE)),
+            (acc, i) -> CASE WHEN graft_cosine(embedding, element_at($centArr, i + 1)) > acc.bestSim
+                             THEN named_struct('best', i, 'bestSim', graft_cosine(embedding, element_at($centArr, i + 1)))
+                             ELSE acc END).best AS INT) + 1)"""
+    val assigned = t.embeddings
+      .select(col("vec_id"), col("embedding"), expr(assignExpr).as("cell_id"))
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
     val qCells = cents.crossJoin(broadcast(q))

@@ -227,6 +227,23 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** A5b: the same sessionization through Spark's built-in
+    * `session_window` (merging-sessions aggregation — the engine-native
+    * path, also usable unchanged under Structured Streaming). Session end
+    * = last event + gap; a gap of exactly `gapUs` starts a new session.
+    */
+  def tsSessionWindow(t: Tables, gapUs: Long = 2L * 3600 * 1000000): DataFrame =
+    t.events
+      .select(col("event_type"), tsUs.as("us"))
+      .withColumn("tsx", expr("timestamp_micros(us)"))
+      .groupBy(session_window(col("tsx"), s"${gapUs / 1000000} seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n"))
+      .orderBy(col("event_type"), col("start_us"))
+
   /** A15: moving-window smoothing — rolling mean/min/max over the last
     * `window` samples per channel (one ordered pass, no extra shuffle
     * beyond the channel partition).
