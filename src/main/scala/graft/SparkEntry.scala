@@ -343,8 +343,8 @@ object SparkEntry {
                        max(epoch_ns(ts)//1000) AS e FROM events WHERE event_id % 2 = 0 GROUP BY 1),
          h1 AS (SELECT event_type, count(*) AS n, min(epoch_ns(ts)//1000) AS s,
                   max(epoch_ns(ts)//1000) AS e FROM events WHERE event_id % 2 = 1 GROUP BY 1),
-         a AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_a FROM h0),
-         b AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_b FROM h1)
+         a AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_a FROM h0 WHERE e > s),
+         b AS (SELECT event_type, n*3600000000.0/(e - s) AS rate_b FROM h1 WHERE e > s)
          SELECT a.event_type, floor(rate_a*1000000.0 + 0.5)/1000000.0 AS rate_a, floor(rate_b*1000000.0 + 0.5)/1000000.0 AS rate_b
          FROM a JOIN b ON a.event_type = b.event_type AND abs(1.0 - rate_a/rate_b) < 0.02
          ORDER BY a.event_type""",

@@ -103,7 +103,13 @@ object Kernels {
     * re-ran the regex split for every shingle element.
     */
   def shingleHashes(text: UTF8String, k: Int, base: Long, mod: Long): ArrayData = {
-    val toks = text.toString.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    // SQL trim strips SPACES only (Java String.trim also strips \t/\n and
+    // would diverge from the oracle on such inputs)
+    val raw = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0; var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = raw.substring(lo, hi).split("\\s+")
     def hashTokens(from: Int, until: Int): Long = {
       var acc = 0L
       var t = from

@@ -40,7 +40,7 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val li = t.lineitem.filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_orderpriority"))

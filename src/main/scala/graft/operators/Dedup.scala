@@ -33,7 +33,7 @@ object Dedup {
     * b_j = (31j+7)·999999937 mod P — the native MinHashSig expression
     * (one fused loop; same values as the HOF/oracle formulation).
     */
-  private def minhashSigExpr(k: Int, nPerms: Int): String =
+  private def minhashSigExpr(nPerms: Int): String =
     s"graft_minhash_sig(hs, $nPerms)"
 
   /** C2 (signature parity check): first `nPerms` MinHash signature values
@@ -44,7 +44,7 @@ object Dedup {
     val sigCols = (0 until nPerms).map(j => expr(s"element_at(sig, ${j + 1})").as(s"sig_$j"))
     t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
-      .withColumn("sig", expr(minhashSigExpr(k, nPerms)))
+      .withColumn("sig", expr(minhashSigExpr(nPerms)))
       .select((col("doc_id") +: sigCols): _*)
       .orderBy(col("doc_id"))
   }

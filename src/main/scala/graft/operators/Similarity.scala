@@ -69,8 +69,13 @@ object Similarity {
     // cell assignment becomes a map-only pass (no crossJoin, no window,
     // no shuffle). First-max scan == (cs desc, cell_id asc) tie-break.
     val centRows = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def fLit(x: Float): String =
+      if (x.isNaN) "CAST('NaN' AS FLOAT)"
+      else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
+      else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
+      else s"CAST($x AS FLOAT)"
     val centArr = centRows.map { case (_, v) =>
-      v.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+      v.map(fLit).mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
     val cellIds = centRows.map(_._1).mkString("array(", ", ", ")")
     val assignExpr =

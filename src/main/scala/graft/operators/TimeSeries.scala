@@ -216,6 +216,7 @@ object TimeSeries {
       .filter(col("event_id") % 2 === parity)
       .groupBy(col("event_type"))
       .agg(min(tsUs).as("start_us"), max(tsUs).as("end_us"), count(lit(1)).as("n"))
+      .filter(col("end_us") > col("start_us")) // rate undefined on zero span
       .select(col("event_type"),
         (col("n") * lit(3600.0 * 1000000) / (col("end_us") - col("start_us"))).as("rate"))
     val a = half(0).select(col("event_type"), col("rate").as("rate_a"))
@@ -236,7 +237,7 @@ object TimeSeries {
     t.events
       .select(col("event_type"), tsUs.as("us"))
       .withColumn("tsx", expr("timestamp_micros(us)"))
-      .groupBy(session_window(col("tsx"), s"${gapUs / 1000000} seconds"), col("event_type"))
+      .groupBy(session_window(col("tsx"), s"$gapUs microseconds"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type"),
         unix_micros(col("session_window.start")).as("start_us"),

@@ -75,23 +75,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var held: InternalRow = null     // latest right row with key == heldKey so far
 
       lIter.map { lRow =>
-        val k = lKey.eval(lRow).asInstanceOf[Long]
-        val ts = lTime.eval(lRow).asInstanceOf[Long]
-        // drop held row from an earlier key group
-        if (held != null && heldKey != k) held = null
-        // advance right while (rk, rt) <= (k, ts) in (key, time) order
-        var continue = rBuf.hasNext
-        while (continue) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          val ht = rTime.eval(head).asInstanceOf[Long]
-          if (hk < k || (hk == k && ht <= ts)) {
-            if (hk == k) { held = head.copy(); heldKey = k }
-            rBuf.next()
-            continue = rBuf.hasNext
-          } else continue = false
+        val kAny = lKey.eval(lRow)
+        val tsAny = lTime.eval(lRow)
+        if (kAny == null || tsAny == null) {
+          // null never equals any key: null-padded, no right advance needed
+          // (null-keyed left rows sort first, so the merge stays monotone)
+          project(joined(lRow, nullRight))
+        } else {
+          val k = kAny.asInstanceOf[Long]
+          val ts = tsAny.asInstanceOf[Long]
+          // drop held row from an earlier key group
+          if (held != null && heldKey != k) held = null
+          // advance right while (rk, rt) <= (k, ts) in (key, time) order
+          var continue = rBuf.hasNext
+          while (continue) {
+            val head = rBuf.head
+            val hkAny = rKey.eval(head)
+            val htAny = rTime.eval(head)
+            if (hkAny == null || htAny == null) {
+              rBuf.next() // null-keyed right rows can never match; discard
+              continue = rBuf.hasNext
+            } else {
+              val hk = hkAny.asInstanceOf[Long]
+              val ht = htAny.asInstanceOf[Long]
+              if (hk < k || (hk == k && ht <= ts)) {
+                if (hk == k) { held = head.copy(); heldKey = k }
+                rBuf.next()
+                continue = rBuf.hasNext
+              } else continue = false
+            }
+          }
+          project(joined(lRow, if (held != null && heldKey == k) held else nullRight))
         }
-        project(joined(lRow, if (held != null && heldKey == k) held else nullRight))
       }
     }
   }

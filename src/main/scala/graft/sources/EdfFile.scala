@@ -116,6 +116,23 @@ object EdfFile {
   /** One planned unit of parallel work: a contiguous record range. */
   final case class EdfSplit(path: String, recordLo: Int, recordHi: Int)
 
+  /** Hadoop Configuration is not serializable — capture the session's
+    * entries on the driver and rebuild executor-side, so cluster FS
+    * settings (object-store credentials, endpoints) reach the readers.
+    */
+  def captureConfEntries(spark: SparkSession): Seq[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = Seq.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.result()
+  }
+
+  def confFromEntries(entries: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   val sampleSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("channel_idx", IntegerType, nullable = false),
@@ -179,9 +196,10 @@ object EdfFile {
       }
     }
     val bHeaders = spark.sparkContext.broadcast(headers)
+    val confEntries = captureConfEntries(spark)
     val rdd = spark.sparkContext.parallelize(splits, math.max(1, splits.size)).flatMap { split =>
       val h = bHeaders.value(split.path)
-      readSplit(split, h)
+      readSplit(split, h, confEntries)
     }
     spark.createDataFrame(rdd, sampleSchema)
   }
@@ -194,15 +212,17 @@ object EdfFile {
       (0 until h.nbDataRec by 4096).map(lo => EdfSplit(p, lo, math.min(h.nbDataRec, lo + 4096)))
     }
     val bHeaders = spark.sparkContext.broadcast(headers)
+    val confEntries = captureConfEntries(spark)
     val rdd = spark.sparkContext.parallelize(splits, math.max(1, splits.size)).flatMap { split =>
       val h = bHeaders.value(split.path)
-      readAnnotations(split, h)
+      readAnnotations(split, h, confEntries)
     }
     spark.createDataFrame(rdd, annotationSchema)
   }
 
   /** Executor-side: parse one record range into sample rows (lazy iterator). */
-  private def readSplit(split: EdfSplit, h: EdfHeader): Iterator[Row] = {
+  private def readSplit(split: EdfSplit, h: EdfHeader,
+                        confEntries: Seq[(String, String)]): Iterator[Row] = {
     val recBytes = h.recordBytes
     val sigOffsets = h.signals.scanLeft(0L)((acc, s) => acc + s.nrSamples * 2L)
     val annIdx = h.signals.indexWhere(_.isAnnotation)
@@ -210,7 +230,7 @@ object EdfFile {
     val startUs = h.startUs
 
     val p = new Path(split.path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(confFromEntries(confEntries))
     val in = fs.open(p)
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
     val buf = new Array[Byte](recBytes.toInt)
@@ -246,13 +266,14 @@ object EdfFile {
   }
 
   /** Executor-side TAL parsing for one record range. */
-  private def readAnnotations(split: EdfSplit, h: EdfHeader): Iterator[Row] = {
+  private def readAnnotations(split: EdfSplit, h: EdfHeader,
+                              confEntries: Seq[(String, String)]): Iterator[Row] = {
     val annIdx = h.signals.indexWhere(_.isAnnotation)
     if (annIdx < 0) return Iterator.empty
     val recBytes = h.recordBytes
     val sigOffsets = h.signals.scanLeft(0L)((acc, s) => acc + s.nrSamples * 2L)
     val p = new Path(split.path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(confFromEntries(confEntries))
     val in = fs.open(p)
     Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
     val off = sigOffsets(annIdx).toInt

@@ -47,31 +47,47 @@ object EdfSink {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
 
+  /** Binary file name for a (file, channel): the reference's
+    * `<channel>.ts.bin` for single-file runs; prefixed with the source
+    * file stem when several files share channel labels (the normal
+    * session-split EDF case) so streams never interleave.
+    */
+  private def binName(file: String, channel: String, multiFile: Boolean): String = {
+    val safe = channel.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (!multiFile) s"$safe.ts.bin"
+    else {
+      val stem = file.split("/").last.replaceAll("\\.edf$", "").replaceAll("[^A-Za-z0-9._-]", "_")
+      s"${stem}__$safe.ts.bin"
+    }
+  }
+
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
     */
   def write(samples: DataFrame, outDir: String): String = {
     Files.createDirectories(Paths.get(outDir))
+    val multiFile = samples.select(col("file")).distinct().count() > 1
 
-    // 1. distributed binary dump: one partition stream per channel hash
+    // 1. distributed binary dump: streams keyed by (file, channel) — a
+    // channel label repeated across input files never interleaves
     samples
-      .select(col("channel"), col("sample_idx"), col("value"))
-      .repartition(col("channel"))
-      .sortWithinPartitions(col("channel"), col("sample_idx"))
+      .select(col("file"), col("channel"), col("sample_idx"), col("value"))
+      .repartition(col("file"), col("channel"))
+      .sortWithinPartitions(col("file"), col("channel"), col("sample_idx"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        var current: String = null
+        var current: (String, String) = null
         var out: BufferedOutputStream = null
         val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         try {
           rows.foreach { r =>
-            val ch = r.getString(0)
-            if (ch != current) {
+            val key = (r.getString(0), r.getString(1))
+            if (key != current) {
               if (out != null) out.close()
-              val safe = ch.replaceAll("[^A-Za-z0-9._-]", "_")
-              out = new BufferedOutputStream(new FileOutputStream(s"$outDir/$safe.ts.bin"))
-              current = ch
+              out = new BufferedOutputStream(
+                new FileOutputStream(s"$outDir/${binName(key._1, key._2, multiFile)}"))
+              current = key
             }
-            buf.clear(); buf.putDouble(r.getDouble(2))
+            buf.clear(); buf.putDouble(r.getDouble(3))
             out.write(buf.array())
           }
         } finally if (out != null) out.close()
@@ -79,8 +95,9 @@ object EdfSink {
 
     // 2. channel manifests from chunk metadata (small, driver-side assembly)
     val chunks = chunkPlan(samples).collect()
-      .groupBy(r => (r.getAs[String]("channel"), r.getAs[String]("unit"), r.getAs[Double]("rate")))
-    val manifests = chunks.toSeq.sortBy(_._1._1).map { case ((name, unit, rate), rs) =>
+      .groupBy(r => (r.getAs[String]("file"), r.getAs[String]("channel"),
+        r.getAs[String]("unit"), r.getAs[Double]("rate")))
+    val manifests = chunks.toSeq.sortBy(k => (k._1._1, k._1._2)).map { case ((_, name, unit, rate), rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("start_index"))
       // non-overlap invariant (reference base.py:87-95)
       sorted.sliding(2).foreach {

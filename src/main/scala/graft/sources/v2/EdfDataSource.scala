@@ -79,24 +79,29 @@ final class EdfScan(paths: Seq[String], required: StructType) extends Scan with 
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new EdfReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val entries = org.apache.spark.sql.SparkSession.active match {
+      case s => EdfFile.captureConfEntries(s)
+    }
+    new EdfReaderFactory(required.fieldNames, entries)
+  }
 }
 
 final case class EdfInputPartition(path: String, recordLo: Int, recordHi: Int) extends InputPartition
 
-final class EdfReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+final class EdfReaderFactory(fields: Array[String],
+    confEntries: Seq[(String, String)]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EdfInputPartition]
-    new EdfPartitionReader(p, fields)
+    new EdfPartitionReader(p, fields, confEntries)
   }
 }
 
 /** Streams one record-range; if `value` is not in the projection, rows are
   * synthesized from header arithmetic without reading sample bytes.
   */
-final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String])
-    extends PartitionReader[InternalRow] {
+final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
+    confEntries: Seq[(String, String)]) extends PartitionReader[InternalRow] {
 
   private val needsValue = fields.contains("value")
   private val h: EdfHeader = EdfFile.readHeader(part.path)
@@ -109,9 +114,11 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String])
   private val labels = h.signals.map(s => UTF8String.fromString(s.label))
   private val units = h.signals.map(s => UTF8String.fromString(s.physDim))
 
+  private var opened = false
   private lazy val in = {
     val pth = new Path(part.path)
-    pth.getFileSystem(new Configuration()).open(pth)
+    opened = true
+    pth.getFileSystem(EdfFile.confFromEntries(confEntries)).open(pth)
   }
   private val buf = new Array[Byte](recBytes.toInt)
 
@@ -170,5 +177,5 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String])
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = try in.close() catch { case _: Throwable => }
+  override def close(): Unit = if (opened) { try in.close() catch { case _: Throwable => } }
 }

@@ -27,6 +27,11 @@ object EventStream {
   /** Streaming state: the one open chunk per channel. */
   final case class OpenChunk(startUs: Long, lastUs: Long, n: Long)
 
+
+  /** Full-precision µs from a Timestamp (getTime alone is ms-granular). */
+  private def tsToUs(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+
   /** Watermarked windowed channel aggregation (downsample-on-ingest):
     * the streaming twin of TimeSeries.tsResample. Late data beyond the
     * watermark is dropped; state is bounded by (channels x open windows).
@@ -60,7 +65,7 @@ object EventStream {
           var last = state.getOption
           val out = Seq.newBuilder[Spike]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = tsToUs(e.ts)
             last.foreach { p =>
               if (p.value < threshold && e.value >= threshold)
                 out += Spike(channel, us, e.value)
@@ -86,7 +91,7 @@ object EventStream {
           var open = state.getOption
           val closed = Seq.newBuilder[Chunk]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000L
+            val us = tsToUs(e.ts)
             open match {
               case Some(oc) if us - oc.lastUs > gapUs =>
                 closed += Chunk(channel, oc.startUs, oc.lastUs, oc.n)

@@ -34,6 +34,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(2).isNullAt(out(2).fieldIndex("rv")))
   }
 
+  test("null keys never match key 0 and produce null-padded output") {
+    import spark.implicits._
+    val left = Seq((Some(0L), 100L, "zero-key"), (None, 100L, "null-key"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Some(0L), 50L, 7.0), (None, 1L, 99.0)).toDF("rk", "rt", "rv")
+    val out = AsOf.join(left, right, "k", "rk", "t", "rt").collect()
+      .map(r => Option(r.getAs[String]("tag")).get -> (if (r.isNullAt(r.fieldIndex("rv"))) None else Some(r.getDouble(r.fieldIndex("rv"))))).toMap
+    assert(out("zero-key") == Some(7.0), "key 0 matches only the key-0 right row")
+    assert(out("null-key") == None, "null key matches nothing")
+  }
+
   test("keys scattered across partitions still co-locate") {
     import spark.implicits._
     val left = (0L until 100L).map(i => (i % 7, i * 10, i)).toDF("k", "t", "id").repartition(5)

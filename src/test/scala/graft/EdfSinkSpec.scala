@@ -42,4 +42,19 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$outDir/channel-00001.json")))
     df.unpersist()
   }
+
+  test("multi-file inputs with shared channel labels never interleave") {
+    // same file twice under different paths = same channel labels twice
+    val tmp = Files.createTempDirectory("edfmulti")
+    val c1 = s"$tmp/night1.edf"; val c2 = s"$tmp/night2.edf"
+    Files.copy(Paths.get("/root/reference/sample_data/sin_wave.edf"), Paths.get(c1))
+    Files.copy(Paths.get("/root/reference/sample_data/sin_wave.edf"), Paths.get(c2))
+    val outDir = Files.createTempDirectory("edfsink2").toString
+    val df = EdfFile.read(spark, Seq(c1, c2))
+    EdfSink.write(df, outDir)
+    val bins = new java.io.File(outDir).listFiles().map(_.getName).filter(_.endsWith(".ts.bin")).sorted
+    assert(bins.length == 4, s"2 files x 2 channels, got ${bins.toSeq}")
+    assert(bins.forall(n => n.startsWith("night1__") || n.startsWith("night2__")))
+    bins.foreach { n => assert(Files.size(Paths.get(s"$outDir/$n")) == 12000L * 8) }
+  }
 }

@@ -59,6 +59,22 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(gotSim == refSim)
   }
 
+  test("shingle kernel matches the SQL-trim formulation on tab/newline edges") {
+    import spark.implicits._
+    val df = Seq("\tleading tab here now", "trail space ", "  mid  runs\nhere x y").toDF("text")
+    val kernel = df.select(expr("graft_shingle_hashes(text, 3)")).collect().map(_.getSeq[Long](0).toSet)
+    val hof = df.select(expr(
+      """array_distinct(transform(
+           CASE WHEN size(split(trim(lower(text)), '\\s+')) < 3
+                THEN array(concat_ws(' ', split(trim(lower(text)), '\\s+')))
+                ELSE transform(sequence(0, size(split(trim(lower(text)), '\\s+'))-3),
+                       i -> concat_ws(' ', element_at(split(trim(lower(text)), '\\s+'), i+1),
+                                           element_at(split(trim(lower(text)), '\\s+'), i+2),
+                                           element_at(split(trim(lower(text)), '\\s+'), i+3))) END,
+           s -> graft_rolling_hash(s)))""")).collect().map(_.getSeq[Long](0).toSet)
+    assert(kernel.toSeq == hof.toSeq, "kernel == SQL trim/split semantics incl. whitespace edges")
+  }
+
   test("native expressions run inside whole-stage codegen") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val df = emb.select(native.cosine_sim(col("embedding"), col("embedding")).as("c"),
