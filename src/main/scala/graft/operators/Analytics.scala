@@ -132,15 +132,52 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
-  /** B10: exact interpolated percentiles per group (Spark `percentile` ≡ DuckDB `quantile_cont`). */
-  def percentiles(t: Tables): DataFrame =
-    t.lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
-      .orderBy(col("l_returnflag"))
+  /** Exact interpolated quantiles via sort + rank selection (the scalable
+    * alternative to Spark's `percentile` aggregate, which materializes a
+    * value→count hashmap per group): one window sort per value column,
+    * then only the two bracketing ranks per (group, q) feed the final
+    * interpolation `v_lo + frac·(v_hi − v_lo)` — identical to
+    * `quantile_cont`/Spark `percentile` semantics.
+    */
+  private def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                             probs: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col(groupCol)).agg(max(col("rn")).as("n"))
+    val joined = ranked.join(broadcast(counts), Seq(groupCol))
+    val aggs = probs.flatMap { case (name, p) =>
+      val pos = (col("n") - 1).cast("double") * p
+      val lo = floor(pos).cast("long") + 1
+      val hi = least(lo + 1, col("n"))
+      val frac = pos - floor(pos)
+      Seq(
+        max(when(col("rn") === lo, col(valCol))).as(s"${name}_lo"),
+        max(when(col("rn") === hi, col(valCol))).as(s"${name}_hi"),
+        max(when(col("rn") === lo, frac)).as(s"${name}_frac"))
+    }
+    val out = probs.map { case (name, _) =>
+      round(col(s"${name}_lo") +
+        col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
+    }
+    joined
+      .filter(probs.map { case (_, p) =>
+        val pos = (col("n") - 1).cast("double") * p
+        val lo = floor(pos).cast("long") + 1
+        col("rn") === lo || col("rn") === least(lo + 1, col("n"))
+      }.reduce(_ || _))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col(groupCol) +: out): _*)
+  }
+
+  /** B10: exact interpolated percentiles per group (≡ DuckDB `quantile_cont`). */
+  def percentiles(t: Tables): DataFrame = {
+    val price = exactQuantiles(t.lineitem, "l_returnflag", "l_extendedprice",
+      Seq("p50_price" -> 0.5, "p90_price" -> 0.9))
+    val qty = exactQuantiles(t.lineitem, "l_returnflag", "l_quantity", Seq("p50_qty" -> 0.5))
+    price.join(qty, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
 
   /** B12: two-phase salted aggregation — the skew-mitigation pattern for
     * heavy-hitter keys at scale: partial sums over (key, salt) spread a hot
