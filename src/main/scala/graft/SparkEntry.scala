@@ -448,7 +448,7 @@ object SparkEntry {
              s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
            FROM tk)
          SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,47), j ->
-             CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> j) & 1) - 1)) > 0
+             CASE WHEN list_sum(list_transform(hs, h -> 2*((((h * 2654435761) % 281474976710656) >> j) & 1) - 1)) > 0
                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs ORDER BY doc_id""",
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -458,7 +458,7 @@ object SparkEntry {
              s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
            FROM tk),
          sh AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0,47), j ->
-             CASE WHEN list_sum(list_transform(hs, h -> 2*((h >> j) & 1) - 1)) > 0
+             CASE WHEN list_sum(list_transform(hs, h -> 2*((((h * 2654435761) % 281474976710656) >> j) & 1) - 1)) > 0
                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS simhash FROM hs),
          bl AS (SELECT doc_id, simhash, block_idx, (simhash >> (12*block_idx)) & 4095 AS block_val
                 FROM sh, (SELECT unnest(generate_series(0,3)) AS block_idx) bi)

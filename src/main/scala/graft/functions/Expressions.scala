@@ -75,16 +75,25 @@ object Kernels {
 
   /** SimHash over element hashes: bit j of the result is set when the ±1
     * vote sum across hashes' bit j is positive (bits 0 until `bits`).
+    *
+    * Element hashes arrive mod 1e9+7 (< 2^30), so they are first remixed
+    * into the full 48-bit domain (h·0x9E3779B1 mod 2^48 — the product
+    * stays < 2^62, overflow-free in any signed-64 engine). Without the
+    * remix, bits 30-47 are constant zero and pigeonhole blocks over that
+    * range are degenerate (every document lands in one bucket → O(n²)
+    * candidate pairs).
     */
   def simhash(hashes: ArrayData, bits: Int): Long = {
     val n = hashes.numElements()
+    val mask48 = (1L << 48) - 1
     var res = 0L
     var j = 0
     while (j < bits) {
       var vote = 0L
       var i = 0
       while (i < n) {
-        vote += 2L * ((hashes.getLong(i) >> j) & 1L) - 1L
+        val m = (hashes.getLong(i) * 2654435761L) & mask48
+        vote += 2L * ((m >> j) & 1L) - 1L
         i += 1
       }
       if (vote > 0) res |= 1L << j

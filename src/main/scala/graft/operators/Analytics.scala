@@ -49,14 +49,18 @@ object Analytics {
       .limit(10)
   }
 
-  /** B3: local-supplier volume — 5-way star join, every dim broadcast, single fact shuffle. */
+  /** B3: local-supplier volume — 5-way star join. The orders fact side
+    * shuffle-joins with lineitem (it is NOT broadcast: at scale it is
+    * fact-sized); all true dims (customer/supplier/nation/region) are
+    * broadcast, so the plan has exactly one fact-fact shuffle.
+    */
   def q5Volume(t: Tables): DataFrame = {
     val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val ord = t.orders
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       .select("o_orderkey", "o_custkey")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.customer.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
@@ -204,8 +208,13 @@ object Analytics {
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("price_quantiles"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)").as("pq"),
         count(lit(1)).as("n_rows"))
+      // scalar columns only (the driver's rows-only compare can't hash arrays)
+      .select(col("l_returnflag"), col("approx_orders"), col("approx_parts"),
+        round(element_at(col("pq"), 1), 2).as("approx_p50_price"),
+        round(element_at(col("pq"), 2), 2).as("approx_p90_price"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"))
 
   /** B11: non-equi range join against a broadcast band table. */

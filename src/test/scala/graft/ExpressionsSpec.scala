@@ -52,7 +52,7 @@ class ExpressionsSpec extends AnyFunSuite {
     val gotSim = df.select(native.simhash48(col("hs"))).collect()(0).getLong(0)
     val refSim = df.select(expr(
       """aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, j) ->
-         acc + CASE WHEN aggregate(transform(hs, h -> 2 * (shiftright(h, j) & 1) - 1),
+         acc + CASE WHEN aggregate(transform(hs, h -> 2 * (shiftright((h * 2654435761L) % 281474976710656L, j) & 1) - 1),
                       CAST(0 AS BIGINT), (a, v) -> a + v) > 0
                     THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""))
       .collect()(0).getLong(0)
