@@ -1,10 +1,11 @@
 package graft.sources
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,11 +19,21 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: sample data is hash-partitioned by channel and each task
   * streams whole channels to their files (a channel never splits across
-  * tasks); only channel-level METADATA (one row per contiguous chunk) is
-  * collected to the driver — bounded by channels x chunks, independent of
-  * sample volume. For single channels larger than one task should own,
-  * the natural extension is range-partitioning on (channel, sample_idx)
-  * with numbered part files.
+  * tasks); only channel-level METADATA (one row per contiguous chunk plus
+  * the distinct channel-name list) is collected to the driver — bounded
+  * by channels x chunks, independent of sample volume. For single
+  * channels larger than one task should own, the natural extension is
+  * range-partitioning on (channel, sample_idx) with numbered part files.
+  *
+  * Cluster-safe output protocol: all I/O goes through the Hadoop
+  * FileSystem API (the Hadoop conf is captured on the driver and rebuilt
+  * executor-side, so object-store credentials/endpoints reach the tasks
+  * and output lands in the shared filesystem, never a task-local disk).
+  * Each task writes to a task-attempt temp directory under outDir and
+  * commits each finished channel file by rename; if a speculative or
+  * retried attempt already committed the same channel, the loser detects
+  * the existing destination and discards its temp file, so concurrent
+  * attempts can never truncate or interleave a committed stream.
   */
 object EdfSink {
 
@@ -61,12 +72,53 @@ object EdfSink {
     }
   }
 
+  /** Distinct (file, channel) -> collision-free binary file name. Labels
+    * that differ only in sanitized-away characters ('C3 A' vs 'C3:A')
+    * would map to one name; such groups get a stable ordinal suffix.
+    * Uniqueness is asserted before any data is written.
+    */
+  private def planNames(keys: Seq[(String, String)], multiFile: Boolean): Map[(String, String), String] = {
+    val names = keys.groupBy(k => binName(k._1, k._2, multiFile)).flatMap {
+      case (name, Seq(only)) => Seq(only -> name)
+      case (name, clashed) =>
+        clashed.sorted.zipWithIndex.map { case (k, i) =>
+          k -> name.replaceAll("\\.ts\\.bin$", f"__c$i%02d.ts.bin")
+        }
+    }
+    require(names.values.toSet.size == names.size,
+      s"channel binary names not unique after disambiguation: ${names.values.toSeq.sorted}")
+    names
+  }
+
+  /** Commit a finished temp file: first attempt to rename wins; a loser
+    * (speculative/retried task that raced a committed copy) deletes its
+    * temp file and moves on — both attempts wrote identical content
+    * because a (file, channel) group is wholly owned by one partition.
+    */
+  private def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    if (!fs.rename(tmp, dest)) {
+      if (fs.exists(dest)) fs.delete(tmp, false)
+      else throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    }
+  }
+
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
     */
   def write(samples: DataFrame, outDir: String): String = {
-    Files.createDirectories(Paths.get(outDir))
-    val multiFile = samples.select(col("file")).distinct().count() > 1
+    val spark = samples.sparkSession
+    val confEntries = EdfFile.captureConfEntries(spark)
+    val outPath = new Path(outDir)
+    val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(outPath)
+
+    // channel-name plan: bounded by files x channels, never sample volume
+    val keys = samples.select(col("file"), col("channel")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val multiFile = keys.map(_._1).distinct.size > 1
+    val nameMap = planNames(keys, multiFile)
+    val bNames = spark.sparkContext.broadcast(nameMap)
+    val outDirStr = outPath.toString
 
     // 1. distributed binary dump: streams keyed by (file, channel) — a
     // channel label repeated across input files never interleaves
@@ -75,29 +127,42 @@ object EdfSink {
       .repartition(col("file"), col("channel"))
       .sortWithinPartitions(col("file"), col("channel"), col("sample_idx"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val tc = TaskContext.get()
+        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        val attemptDir = new Path(outDirStr,
+          s"_tmp-${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
         var current: (String, String) = null
+        var tmp: Path = null
         var out: BufferedOutputStream = null
         val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        def closeAndCommit(): Unit = if (out != null) {
+          out.close(); out = null
+          commit(fs, tmp, new Path(outDirStr, bNames.value(current)))
+        }
         try {
           rows.foreach { r =>
             val key = (r.getString(0), r.getString(1))
             if (key != current) {
-              if (out != null) out.close()
-              out = new BufferedOutputStream(
-                new FileOutputStream(s"$outDir/${binName(key._1, key._2, multiFile)}"))
+              closeAndCommit()
               current = key
+              tmp = new Path(attemptDir, bNames.value(key))
+              out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
             }
             buf.clear(); buf.putDouble(r.getDouble(3))
             out.write(buf.array())
           }
-        } finally if (out != null) out.close()
+          closeAndCommit()
+        } finally {
+          if (out != null) out.close()
+          fs.delete(attemptDir, true)
+        }
       }
 
     // 2. channel manifests from chunk metadata (small, driver-side assembly)
     val chunks = chunkPlan(samples).collect()
       .groupBy(r => (r.getAs[String]("file"), r.getAs[String]("channel"),
         r.getAs[String]("unit"), r.getAs[Double]("rate")))
-    val manifests = chunks.toSeq.sortBy(k => (k._1._1, k._1._2)).map { case ((_, name, unit, rate), rs) =>
+    val manifests = chunks.toSeq.sortBy(k => (k._1._1, k._1._2)).map { case ((file, name, unit, rate), rs) =>
       val sorted = rs.sortBy(_.getAs[Long]("start_index"))
       // non-overlap invariant (reference base.py:87-95)
       sorted.sliding(2).foreach {
@@ -111,17 +176,22 @@ object EdfSink {
       }.mkString("[", ", ", "]")
       val start = sorted.map(_.getAs[Long]("start_ts")).min
       val end = sorted.map(_.getAs[Long]("end_ts")).max
+      val bin = nameMap((file, name))
       s"""{"name": ${jsonStr(name)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
          | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
-         | "contiguousChunks": $chunkJson, "properties": []}""".stripMargin
+         | "contiguousChunks": $chunkJson, "properties": [{"key": "binaryFile", "value": ${jsonStr(bin)}}]}""".stripMargin
+    }
+    def writeFile(p: Path, content: String): Unit = {
+      val o = driverFs.create(p, true)
+      try o.write(content.getBytes(StandardCharsets.UTF_8)) finally o.close()
     }
     manifests.zipWithIndex.foreach { case (m, i) =>
       val suffix = if (i > 0) f"-$i%05d" else ""
-      Files.write(Paths.get(s"$outDir/channel$suffix.json"), m.getBytes(StandardCharsets.UTF_8))
+      writeFile(new Path(outPath, s"channel$suffix.json"), m)
     }
     val all = manifests.mkString("[", ",\n", "]")
-    val path = s"$outDir/channels.json"
-    Files.write(Paths.get(path), all.getBytes(StandardCharsets.UTF_8))
-    path
+    val path = new Path(outPath, "channels.json")
+    writeFile(path, all)
+    path.toString
   }
 }

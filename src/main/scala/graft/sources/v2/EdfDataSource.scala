@@ -27,11 +27,22 @@ import graft.sources.EdfFile.EdfHeader
 class EdfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "edf"
 
+  // accept user-specified schemas (validated in getTable below)
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** The `paths` option is the JSON string array DataFrameReader.load(…)
+    * encodes — parse it with a real JSON parser (paths may contain commas,
+    * quotes, escapes), never by splitting on ','.
+    */
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map { js =>
-      // minimal JSON string-array parse: ["a","b"]
-      js.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      require(node != null && node.isArray, s"'paths' option must be a JSON string array, got: $js")
+      (0 until node.size).map { i =>
+        val e = node.get(i)
+        require(e.isTextual, s"'paths' option must contain only strings, got element: $e")
+        e.asText
+      }
     }.getOrElse(Seq.empty)
     val single = Option(options.get("path")).toSeq
     (multi ++ single).distinct
@@ -39,23 +50,36 @@ class EdfDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = EdfFile.sampleSchema
 
+  /** A user-supplied schema is honored when it is a name/type-compatible
+    * subset of the sample schema (the reader materializes by field name,
+    * so any projection is cheap) and rejected loudly otherwise — rows must
+    * never be reinterpreted under a schema the scan doesn't produce.
+    */
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new EdfTable(paths(new CaseInsensitiveStringMap(properties)))
+                        properties: util.Map[String, String]): Table = {
+    val full = EdfFile.sampleSchema
+    schema.fields.foreach { f =>
+      val ref = full.fields.find(_.name == f.name).getOrElse(throw new IllegalArgumentException(
+        s"edf source has no column '${f.name}'; available: ${full.fieldNames.mkString(", ")}"))
+      require(ref.dataType == f.dataType,
+        s"edf column '${f.name}' is ${ref.dataType.simpleString}, user schema requests ${f.dataType.simpleString}")
+    }
+    new EdfTable(paths(new CaseInsensitiveStringMap(properties)), schema)
+  }
 }
 
-final class EdfTable(paths: Seq[String]) extends Table with SupportsRead {
+final class EdfTable(paths: Seq[String], tableSchema: StructType) extends Table with SupportsRead {
   override def name(): String = s"edf(${paths.mkString(",")})"
-  override def schema(): StructType = EdfFile.sampleSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdfScanBuilder(paths)
+    new EdfScanBuilder(paths, tableSchema)
 }
 
-final class EdfScanBuilder(paths: Seq[String])
+final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = EdfFile.sampleSchema
+  private var required: StructType = tableSchema
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 

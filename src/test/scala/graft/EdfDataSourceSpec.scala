@@ -25,6 +25,28 @@ class EdfDataSourceSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("multi-path load survives commas in file names (JSON paths option)") {
+    val tmp = java.nio.file.Files.createTempDirectory("edfcomma")
+    val withComma = s"$tmp/night,1.edf"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(sinEdf), java.nio.file.Paths.get(withComma))
+    val v2 = spark.read.format("edf").load(withComma, sinEdf)
+    assert(v2.count() == 2L * 2L * 12000L, "both files read despite comma in one path")
+  }
+
+  test("user schema: compatible subset honored, incompatible rejected") {
+    import org.apache.spark.sql.types._
+    val sub = StructType(Seq(StructField("channel", StringType), StructField("ts_us", LongType)))
+    val got = spark.read.schema(sub).format("edf").load(sinEdf)
+    assert(got.schema.fieldNames.toSeq == Seq("channel", "ts_us"))
+    assert(got.count() == 2L * 12000L)
+    val badType = StructType(Seq(StructField("ts_us", StringType)))
+    val e1 = intercept[Exception] { spark.read.schema(badType).format("edf").load(sinEdf) }
+    assert(e1.getMessage.contains("ts_us"))
+    val badName = StructType(Seq(StructField("nope", LongType)))
+    val e2 = intercept[Exception] { spark.read.schema(badName).format("edf").load(sinEdf) }
+    assert(e2.getMessage.contains("no column"))
+  }
+
   test("column pruning reaches the EDF scan") {
     val v2 = spark.read.format("edf").load(sinEdf).select(col("channel"), col("ts_us"))
     val scanDesc = v2.queryExecution.executedPlan.toString
