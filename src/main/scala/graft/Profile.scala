@@ -38,6 +38,45 @@ object Profile {
     time("full dedupMinhash") { Dedup.dedupMinhash(t).count() }
     time("full dedupSimhash") { Dedup.dedupSimhash(t).count() }
     time("full ngramJaccard") { Dedup.ngramJaccard(t).count() }
+
+    import org.apache.spark.sql.expressions.Window
+    val li = t.lineitem
+    time("pct: scan 2 cols") {
+      li.select(col("l_returnflag"), col("l_extendedprice")).agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    time("pct: stack+bits+bucket") {
+      li.select(col("l_returnflag").as("g"),
+          expr("stack(2, 'p', l_extendedprice, 'q', l_quantity) AS (m, v)"))
+        .withColumn("b", shiftright(expr("graft_sortable_bits(v)"), 44))
+        .agg(count(col("b"))).collect()(0).getLong(0)
+    }
+    time("pct: bcounts agg") {
+      li.select(col("l_returnflag").as("g"),
+          expr("stack(2, 'p', l_extendedprice, 'q', l_quantity) AS (m, v)"))
+        .withColumn("b", shiftright(expr("graft_sortable_bits(v)"), 44))
+        .groupBy(col("g"), col("m"), col("b")).agg(count(lit(1))).count()
+    }
+    time("pct: window rank full") {
+      val st = li.select(col("l_returnflag").as("g"),
+          expr("stack(2, 'p', l_extendedprice, 'q', l_quantity) AS (m, v)"))
+        .withColumn("b", shiftright(expr("graft_sortable_bits(v)"), 44))
+      st.withColumn("rn", row_number().over(Window.partitionBy(col("g"), col("m"), col("b")).orderBy(col("v"))))
+        .agg(max(col("rn"))).collect()(0).getInt(0).toLong
+    }
+    time("pct: full operator") { graft.operators.Analytics.percentiles(t).count() }
+    time("pct: full op 2nd run") { graft.operators.Analytics.percentiles(t).count() }
+    time("pct: full op noop") {
+      graft.operators.Analytics.percentiles(t).write.mode("overwrite").format("noop").save(); 0L
+    }
+    time("pct: tables reload") {
+      val t2 = Tables(spark, sfDir)
+      graft.operators.Analytics.percentiles(t2).count()
+    }
+    time("pct: builtin percentile") {
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))"), expr("percentile(l_quantity, 0.5)"))
+        .count()
+    }
     spark.stop()
   }
 }

@@ -173,6 +173,16 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Order-preserving double→long map (the Lucene sortable-bits trick):
+    * signed long order of the result equals IEEE754 order of the input,
+    * so any high-bit prefix is a monotone bucket function — the basis of
+    * bucketed exact-rank selection with NO min/max pre-pass.
+    */
+  def sortableBits(v: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(v)
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
   /** Pigeonhole block values of the simhash in one pass:
     * block b = (simhash >> blockBits·b) & mask.
     */
@@ -280,6 +290,20 @@ case class SimHashBlocks(child: Expression, bits: Int = 48, nBlocks: Int = 4, bl
   override protected def withNewChildInternal(c: Expression): SimHashBlocks = copy(child = c)
 }
 
+/** D3: order-preserving double→long bits (monotone bucketing basis). */
+case class SortableBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.sortableBits(v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.sortableBits($c)")
+
+  override protected def withNewChildInternal(c: Expression): SortableBits = copy(child = c)
+}
+
 /** D3: SimHash (default 48 bits) from element hashes. */
 case class SimHash64(child: Expression, bits: Int = 48)
     extends UnaryExpression {
@@ -323,6 +347,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBands(es(0), litInt(es(1), "nBands"), litInt(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
+      new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
+      (es: Seq[Expression]) => SortableBits(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
       new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
       (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,52 +136,89 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
-  /** Exact interpolated quantiles via sort + rank selection (the scalable
-    * alternative to Spark's `percentile` aggregate, which materializes a
-    * value→count hashmap per group): one window sort per value column,
-    * then only the two bracketing ranks per (group, q) feed the final
-    * interpolation `v_lo + frac·(v_hi − v_lo)` — identical to
-    * `quantile_cont`/Spark `percentile` semantics.
+  /** Exact interpolated quantiles via BUCKETED rank selection — the
+    * scalable alternative both to Spark's `percentile` aggregate (which
+    * materializes a value→count hashmap per group) and to a naive
+    * per-group window sort (whose parallelism is capped at the group
+    * count — 3 groups = 3 tasks no matter how many executors).
+    *
+    * Shape: all requested value columns are unpivoted into (group,
+    * metric, v) rows, so ONE pipeline serves every metric. Each row gets
+    * a bucket from the high bits of the order-preserving sortable-bits
+    * map of v (monotone in v with NO min/max pre-pass, so bucket-order
+    * concatenation of per-bucket sorts IS the global sort order). Scan 1
+    * counts rows per (group, metric, bucket) — a partial-agg-only pass
+    * whose result is bounded by distinct buckets; a tiny window turns the
+    * counts into cumulative offsets (broadcast). Scan 2 recomputes the
+    * bucket and gets global rank = offset + row_number within (group,
+    * metric, bucket). Before that second pass, the offsets table already
+    * tells which buckets CONTAIN a target rank (off < rank ≤ off + count)
+    * — so scan 2 keeps only those ~2 buckets per quantile via an inner
+    * broadcast join, and the only sort in the whole plan runs over a few
+    * bucket-sized slivers of data (the classic two-pass distributed
+    * selection / histogram-select algorithm). The two bracketing ranks
+    * per quantile then feed the final interpolation
+    * `v_lo + frac·(v_hi − v_lo)` — identical to `quantile_cont`/Spark
+    * `percentile` semantics.
     */
-  private def exactQuantiles(df: DataFrame, groupCol: String, valCol: String,
-                             probs: Seq[(String, Double)]): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
-    val ranked = df.select(col(groupCol), col(valCol))
-      .withColumn("rn", row_number().over(w).cast("long"))
-    val counts = ranked.groupBy(col(groupCol)).agg(max(col("rn")).as("n"))
-    val joined = ranked.join(broadcast(counts), Seq(groupCol))
-    val aggs = probs.flatMap { case (name, p) =>
-      val pos = (col("n") - 1).cast("double") * p
-      val lo = floor(pos).cast("long") + 1
-      val hi = least(lo + 1, col("n"))
-      val frac = pos - floor(pos)
-      Seq(
-        max(when(col("rn") === lo, col(valCol))).as(s"${name}_lo"),
-        max(when(col("rn") === hi, col(valCol))).as(s"${name}_hi"),
-        max(when(col("rn") === lo, frac)).as(s"${name}_frac"))
+  private def exactQuantiles(df: DataFrame, groupCol: String,
+                             specs: Seq[(String, Seq[(String, Double)])],
+                             bucketShift: Int = 44): DataFrame = {
+    val stackArgs = specs.map { case (vc, _) => s"'$vc', $vc" }.mkString(", ")
+    def stacked = df
+      .select(col(groupCol).as("g"), expr(s"stack(${specs.size}, $stackArgs) AS (m, v)"))
+      .filter(col("v").isNotNull)
+      .withColumn("b", shiftright(expr("graft_sortable_bits(v)"), bucketShift))
+    val bcounts = stacked.groupBy(col("g"), col("m"), col("b")).agg(count(lit(1)).as("bc"))
+    val woff = Window.partitionBy(col("g"), col("m")).orderBy(col("b"))
+    val offsets = bcounts
+      .withColumn("off",
+        coalesce(sum(col("bc")).over(woff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("bc")).over(Window.partitionBy(col("g"), col("m"))))
+    def loOf(p: Double) = floor((col("n") - 1).cast("double") * p).cast("long") + 1
+    def hiOf(p: Double) = least(loOf(p) + 1, col("n"))
+    def inBucket(r: Column) = r > col("off") && r <= col("off") + col("bc")
+    val targetBuckets = offsets.filter(
+      specs.map { case (vc, probs) =>
+        col("m") === vc && probs.map { case (_, p) =>
+          inBucket(loOf(p)) || inBucket(hiOf(p))
+        }.reduce(_ || _)
+      }.reduce(_ || _))
+    val ranked = stacked
+      .join(broadcast(targetBuckets.select(col("g"), col("m"), col("b"), col("off"), col("n"))),
+        Seq("g", "m", "b"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("g"), col("m"), col("b")).orderBy(col("v")))
+          .cast("long") + col("off"))
+    val wanted = specs.flatMap { case (vc, probs) =>
+      probs.map { case (_, p) => col("m") === vc && (col("rn") === loOf(p) || col("rn") === hiOf(p)) }
+    }.reduce(_ || _)
+    val aggs = specs.flatMap { case (vc, probs) =>
+      probs.flatMap { case (name, p) =>
+        val frac = (col("n") - 1).cast("double") * p - floor((col("n") - 1).cast("double") * p)
+        Seq(
+          max(when(col("m") === vc && col("rn") === loOf(p), col("v"))).as(s"${name}_lo"),
+          max(when(col("m") === vc && col("rn") === hiOf(p), col("v"))).as(s"${name}_hi"),
+          max(when(col("m") === vc && col("rn") === loOf(p), frac)).as(s"${name}_frac"))
+      }
     }
-    val out = probs.map { case (name, _) =>
+    val out = specs.flatMap(_._2).map { case (name, _) =>
       round(col(s"${name}_lo") +
         col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
     }
-    joined
-      .filter(probs.map { case (_, p) =>
-        val pos = (col("n") - 1).cast("double") * p
-        val lo = floor(pos).cast("long") + 1
-        col("rn") === lo || col("rn") === least(lo + 1, col("n"))
-      }.reduce(_ || _))
-      .groupBy(col(groupCol))
+    ranked.filter(wanted)
+      .groupBy(col("g").as(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .select((col(groupCol) +: out): _*)
   }
 
   /** B10: exact interpolated percentiles per group (≡ DuckDB `quantile_cont`). */
-  def percentiles(t: Tables): DataFrame = {
-    val price = exactQuantiles(t.lineitem, "l_returnflag", "l_extendedprice",
-      Seq("p50_price" -> 0.5, "p90_price" -> 0.9))
-    val qty = exactQuantiles(t.lineitem, "l_returnflag", "l_quantity", Seq("p50_qty" -> 0.5))
-    price.join(qty, Seq("l_returnflag")).orderBy(col("l_returnflag"))
-  }
+  def percentiles(t: Tables): DataFrame =
+    exactQuantiles(t.lineitem, "l_returnflag",
+      Seq(
+        "l_extendedprice" -> Seq("p50_price" -> 0.5, "p90_price" -> 0.9),
+        "l_quantity" -> Seq("p50_qty" -> 0.5)))
+      .orderBy(col("l_returnflag"))
 
   /** B12: two-phase salted aggregation — the skew-mitigation pattern for
     * heavy-hitter keys at scale: partial sums over (key, salt) spread a hot

@@ -40,6 +40,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.take(3).map(_.getLong(0)).toSeq == ref.toSeq)
   }
 
+  test("sortable_bits preserves double ordering") {
+    import spark.implicits._
+    val vs = Seq(Double.NegativeInfinity, -1e300, -2.0, -1.0, -1e-300, -0.0,
+      0.0, 1e-300, 1.0, 2.0, 1e300, Double.PositiveInfinity)
+    val got = vs.toDF("v").select(expr("graft_sortable_bits(v)")).collect().map(_.getLong(0))
+    assert(got.toSeq == got.sorted.toSeq, s"sortable bits must be monotone: ${got.toSeq}")
+    assert(got.distinct.length == vs.length, "distinct doubles map to distinct longs")
+  }
+
   test("minhash_sig and simhash48 match their HOF formulations") {
     import spark.implicits._
     val df = Seq(Array(17L, 9341L, 77777L, 123456789L)).toDF("hs")
