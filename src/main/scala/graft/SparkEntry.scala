@@ -57,7 +57,15 @@ object SparkEntry {
     "ts_corr"            -> q(TimeSeries.tsCorr(_)),
     "ts_interp"          -> q(TimeSeries.tsInterp(_)),
     "approx_stats"       -> q(Analytics.approxStats),  // rows-only: sketches have no exact oracle
-    "ts_spike_waveforms" -> q(TimeSeries.tsSpikeWaveforms(_))
+    "ts_spike_waveforms" -> q(TimeSeries.tsSpikeWaveforms(_)),
+    "ts_bandpower"       -> q(TimeSeries.tsBandpower(_)),
+    "ts_outlier"         -> q(TimeSeries.tsOutlier(_)),
+    "ts_histogram"       -> q(TimeSeries.tsHistogram(_)),
+    "text_repetition"    -> q(TextAnalysis.textRepetition(_)),
+    "tfidf_top"          -> q(TextAnalysis.tfidfTop),
+    "pii_count"          -> q(TextAnalysis.piiCount),
+    "sample_stratified"  -> q(Sampling.sampleStratified(_)),
+    "dedup_clusters"     -> q(Dedup.dedupClusters(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -131,6 +139,46 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM drops)
          ORDER BY doc_id""",
+    "sample_stratified" ->
+      """WITH r(lang, rate) AS (SELECT * FROM (VALUES ('en',500),('de',300),('es',200),('fr',100),('zh',50)) v(lang, rate))
+         SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 AS bucket, n_chars
+         FROM documents JOIN r USING (lang)
+         WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 < rate
+         ORDER BY doc_id""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+                   GROUP BY 1,2),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cands c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+                GROUP BY 1,2),
+         j AS (SELECT c.id_a, c.id_b, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+               JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id),
+         e AS (SELECT id_a AS a, id_b AS b FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8
+               UNION ALL
+               SELECT id_b, id_a FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8),
+         r AS (SELECT a AS node, a AS lbl FROM e
+               UNION
+               SELECT e.a, r.lbl FROM e JOIN r ON r.node = e.b),
+         cl AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY 1),
+         assigned AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node)
+         SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         FROM assigned ORDER BY doc_id""",
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
          round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
@@ -334,6 +382,28 @@ object SparkEntry {
          SELECT p.event_id, p.user_id, p.p_us, p.value, c.c_us AS last_click_us, c.c_val AS last_click_val
          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_us >= c.c_us
          ORDER BY p.event_id""",
+    "ts_bandpower" ->
+      """WITH s AS (SELECT event_type, min(epoch_ns(ts)//1000) AS start_us FROM events GROUP BY 1),
+         b AS (SELECT e.event_type, value,
+                 CAST(epoch_ns(ts)//1000 - start_us AS DOUBLE) / 1000000.0 AS tsec
+               FROM events e JOIN s ON e.event_type = s.event_type)
+         SELECT event_type, count(*) AS n,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1.0/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1.0/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_day,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1.0/3600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1.0/3600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_hour
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "ts_outlier" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+                    FROM events GROUP BY 1)
+         SELECT e.event_type, event_id, epoch_ns(ts)//1000 AS ts_us, value,
+           floor(((value - mu)/sigma)*1000.0 + 0.5)/1000.0 AS zscore
+         FROM events e JOIN s ON e.event_type = s.event_type
+         WHERE abs((value - mu)/sigma) >= 3.0
+         ORDER BY e.event_type, ts_us, event_id""",
+    "ts_histogram" ->
+      """SELECT event_type,
+           least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor((value - 0.0)/20.0) AS BIGINT))) AS bucket,
+           count(*) AS n, round(min(value),2) AS min_value, round(max(value),2) AS max_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "ts_annotations" ->
       """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k FROM (
            SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) sub
@@ -396,6 +466,43 @@ object SparkEntry {
                list_transform(string_split(norm,''), x -> CAST(ascii(x) AS BIGINT))),
                (acc, x) -> (acc*31 + x) % 1000000007) END AS poly_hash
          FROM n ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+             CASE WHEN length(trim(text))=0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) END AS n_toks,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         hs AS (SELECT doc_id, n_toks, list_distinct(list_transform(
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk)
+         SELECT doc_id, n_toks,
+           CASE WHEN n_toks < 2 THEN CAST(1 AS BIGINT) ELSE n_toks - 1 END AS n_grams,
+           CAST(len(hs) AS BIGINT) AS n_distinct,
+           floor((1.0 - CAST(len(hs) AS DOUBLE)/(CASE WHEN n_toks < 2 THEN 1 ELSE n_toks - 1 END))*10000.0 + 0.5)/10000.0 AS rep_ratio
+         FROM hs ORDER BY doc_id""",
+    "tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)),'\s+')) AS term
+                      FROM documents),
+         tok2 AS (SELECT doc_id, term FROM tok WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1,2),
+         df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok2) GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tf.term, tf, df,
+                  floor((tf * ln((n_docs + 1.0)/(df + 1.0)))*10000.0 + 0.5)/10000.0 AS score
+                FROM tf JOIN df ON tf.term = df.term, n),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk FROM sc)
+         SELECT doc_id, term, tf, df, score FROM rk WHERE rk = 1 ORDER BY doc_id""",
+    "pii_count" ->
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '\d{3}[-.]\d{3,4}[-.]\d{4}')) AS n_phones,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            + len(regexp_extract_all(text, 'https?://[^\s]+'))
+            + len(regexp_extract_all(text, '\d{3}[-.]\d{3,4}[-.]\d{4}'))) > 0 AS has_pii
+         FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -130,6 +130,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** C17: near-dup cluster assignment — connected components over the
+    * verified near-dup pair graph (LSH candidates with exact Jaccard ≥
+    * threshold), by iterative min-label propagation restricted to nodes
+    * that appear in a pair (duplicate-sized, not corpus-sized). Each
+    * round a node takes the min of its own and its neighbors' labels;
+    * convergence in O(cluster diameter) rounds is checked distributedly
+    * (an isEmpty on the changed-labels diff) and each round is
+    * localCheckpointed so lineage stays flat. Docs outside any pair are
+    * their own singleton cluster via the final left join.
+    */
+  def dedupClusters(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
+                    maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nb = edges.join(labels.withColumnRenamed("node", "id_b"), Seq("id_b"))
+        .groupBy(col("id_a")).agg(min(col("cluster")).as("nb_min"))
+        .withColumnRenamed("id_a", "node")
+      val next = labels.join(nb, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
+        .filter(col("cluster") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    val sized = t.documents.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))
+    sized
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
     * candidates — the scalable two-phase near-dup pipeline: LSH bounds the
     * pair space to O(n·bands) candidates, then the exact intersection runs

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-mixture sampling operators (SURVEY.md §2 C16).
+  *
+  * Everything is DETERMINISTIC hash-based sampling — no rand(): a row's
+  * keep/drop decision is a pure function of its id, so samples are
+  * reproducible across runs, engines and retries (speculative tasks
+  * cannot flip membership), and the operator stays a narrow map with no
+  * shuffle and no state.
+  */
+object Sampling {
+
+  private val P = 1000000007L
+
+  /** Per-mille sampling bucket from a multiplicative hash of the id:
+    * ((id mod P)·0x9E3779B1 mod P) mod 1000. The pre-reduction keeps the
+    * product inside signed-64 for any id, in every engine.
+    */
+  private def bucket1000 = expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L % 1000")
+
+  /** C16: stratified sampling for training mixtures — per-stratum
+    * per-mille rates (e.g. downsample dominant languages, keep the tail).
+    * Rates ship as a broadcast dimension table, so mixtures are data, not
+    * code; the sample itself is a broadcast-joined narrow filter.
+    */
+  def sampleStratified(t: Tables,
+                       ratesPerMille: Seq[(String, Int)] = Seq(
+                         "en" -> 500, "de" -> 300, "es" -> 200, "fr" -> 100, "zh" -> 50)): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val rates = ratesPerMille.toDF("lang", "rate")
+    t.documents
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", bucket1000)
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+}

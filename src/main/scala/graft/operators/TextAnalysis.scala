@@ -111,6 +111,62 @@ object TextAnalysis {
         expr("graft_rolling_hash(norm)").as("poly_hash"))
       .orderBy(col("doc_id"))
 
+  /** C13: repetition ratio — fraction of duplicate word k-grams per
+    * document (the Gopher-style repetition quality signal). Distinct
+    * k-gram counts reuse the single-pass ShingleHashes kernel (the same
+    * hash as the dedup pipeline), so the whole operator is one narrow
+    * codegen'd pass; ratio = 1 − distinct/total.
+    */
+  def textRepetition(t: Tables, k: Int = 2): DataFrame =
+    t.documents
+      .withColumn("n_toks",
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(wsTokens(col("text"))).cast("long")))
+      .withColumn("n_grams", when(col("n_toks") < k, 1L).otherwise(col("n_toks") - (k - 1)))
+      .withColumn("n_distinct", size(expr(s"graft_shingle_hashes(text, $k)")).cast("long"))
+      .select(col("doc_id"), col("n_toks"), col("n_grams"), col("n_distinct"),
+        roundHalfUp(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4).as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** C14: top tf-idf term per document — explode to (doc, term), tf via
+    * one shuffle on (doc, term), document frequency via a vocab-sized
+    * aggregate (shuffle-joined: vocab is NOT broadcast-safe at corpus
+    * scale), smoothed idf = ln((N+1)/(df+1)), and a top-1-per-doc window.
+    * Ranking uses the half-up-rounded score with an alphabetical
+    * tie-break so it is deterministic across engines.
+    */
+  def tfidfTop(t: Tables): DataFrame = {
+    val tokens = t.documents
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tokens.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        roundHalfUp(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C15: PII surface counts — emails / URLs / phone-shaped tokens via
+    * codegen'd regexp_count (patterns chosen to behave identically under
+    * Java regex and RE2). The redaction complement is `regexp_replace`
+    * with the same patterns; counts are the audit surface.
+    */
+  def piiCount(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit("\\d{3}[-.]\\d{3,4}[-.]\\d{4}")).cast("long").as("n_phones"))
+      .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
+      .orderBy(col("doc_id"))
+
   /** C1: exact deduplication — hash-groupBy on normalized text; keeps the
     * lowest doc_id per group. One shuffle on the 128-bit hash; at 100 TB
     * this is the standard map-side-combine dedup (hash is tiny vs text).

@@ -316,6 +316,72 @@ object TimeSeries {
       .orderBy(col("event_type"), col("bucket_us"))
   }
 
+  /** A18: spectral band power via single-bin DFT (Goertzel-style) — the
+    * band-power analytic of the reference's EEG domain, computed as two
+    * codegen'd trig aggregates per frequency: amplitude(f) =
+    * 2·√(C² + S²)/n with C = Σ v·cos(2πf·t), S = Σ v·sin(2πf·t), t
+    * relative to the channel start. Channel starts come from a
+    * channel-cardinality pre-aggregate joined back broadcast; the main
+    * pass is one map-side-combined aggregation — no window, no sort.
+    * Amplitude (not raw power) keeps the output O(signal) so cross-engine
+    * FP noise stays far below the rounding grain.
+    */
+  def tsBandpower(t: Tables,
+                  freqs: Seq[(String, Double)] = Seq("day" -> 1.0 / 86400, "hour" -> 1.0 / 3600)): DataFrame = {
+    val starts = t.events.groupBy(col("event_type")).agg(min(tsUs).as("start_us"))
+    val base = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .join(broadcast(starts), Seq("event_type"))
+      .withColumn("tsec", (col("us") - col("start_us")).cast("double") / 1e6)
+    val aggs = freqs.flatMap { case (name, f) =>
+      val omega = lit(2.0 * math.Pi * f)
+      Seq(
+        sum(col("value") * cos(omega * col("tsec"))).as(s"c_$name"),
+        sum(col("value") * sin(omega * col("tsec"))).as(s"s_$name"))
+    } :+ count(lit(1)).as("n")
+    val amps = freqs.map { case (name, _) =>
+      roundHalfUp(lit(2.0) * sqrt(col(s"c_$name") * col(s"c_$name") + col(s"s_$name") * col(s"s_$name"))
+        / col("n"), 4).as(s"amp_$name")
+    }
+    base.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("event_type") +: col("n") +: amps): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** A19: statistical outlier detection — |z-score| ≥ z against per-channel
+    * mean/stddev (the global-stats complement of the threshold spike
+    * detector A8). Stats aggregate to channel cardinality and join back
+    * broadcast; the scoring pass is narrow.
+    */
+  def tsOutlier(t: Tables, z: Double = 3.0): DataFrame = {
+    val stats = t.events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("zscore", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("zscore")) >= z)
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
+        roundHalfUp(col("zscore"), 3).as("zscore"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
+  /** A20: per-channel value histogram with fixed-width buckets (clamped to
+    * [0, nBuckets-1]) — the distribution profile behind calibration QC.
+    * Integer bucket arithmetic on identical expressions is bit-exact in
+    * any engine; one map-side-combined aggregation.
+    */
+  def tsHistogram(t: Tables, lo: Double = 0.0, width: Double = 20.0, nBuckets: Int = 20): DataFrame =
+    t.events
+      .select(col("event_type"), col("value"))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L), greatest(lit(0L), floor((col("value") - lo) / width).cast("long"))))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("min_value"), round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */

@@ -54,6 +54,26 @@ class DedupSpec extends AnyFunSuite {
       "unrelated pairs never reach the verify stage")
   }
 
+  test("cluster assignment is transitive: A~B~C chains into one cluster") {
+    // 50 tokens; B differs from A by one word, C from B by another — so
+    // jaccard(A,B) and (B,C) clear 0.8 but (A,C) does not: only
+    // transitive closure puts all three together.
+    val words = (0 until 50).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = words.updated(10, "xx").mkString(" ")
+    val c = words.updated(10, "xx").updated(30, "yy").mkString(" ")
+    val t = docs(Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"), (4L, unrelated, "en")))
+    val direct = Dedup.ngramJaccard(t, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct.contains((1L, 2L)) && direct.contains((2L, 3L)) && !direct.contains((1L, 3L)),
+      s"planted chain has exactly the A-B and B-C direct pairs: $direct")
+    val clusters = Dedup.dedupClusters(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters(1L) == ((1L, 3L)) && clusters(2L) == ((1L, 3L)) && clusters(3L) == ((1L, 3L)),
+      s"chain collapses to cluster 1 of size 3: $clusters")
+    assert(clusters(4L) == ((4L, 1L)), "unrelated doc is its own singleton cluster")
+  }
+
   test("identical docs collide on every minhash band") {
     val t = docs(Seq((1L, base, "en"), (2L, base, "en")))
     val pairs = Dedup.dedupMinhash(t).collect()

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** C13/C15 behavioral tests with PLANTED text (the synthetic corpus has
+  * no PII and word-soup repetition): exact expected counts and ratios.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def docs(rows: Seq[(Long, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("pii counts find planted email, url and phone; clean text is clean") {
+    val t = docs(Seq(
+      (1L, "contact alice@example.com or visit https://example.org/page and call 555-123-4567"),
+      (2L, "a perfectly clean sentence with no contact details at all")))
+    val got = TextAnalysis.piiCount(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, true)), s"planted PII counted once each: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, false)), "clean doc has zero counts")
+  }
+
+  test("repetition ratio: alternating 2-grams repeat, distinct text doesn't") {
+    val t = docs(Seq(
+      (1L, "a b a b a b"),          // 5 bigrams, 2 distinct -> ratio 0.6
+      (2L, "one two three four five six")))  // all distinct -> ratio 0.0
+    val got = TextAnalysis.textRepetition(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((6L, 5L, 2L, 0.6)), s"alternating text: ${got(1L)}")
+    assert(got(2L) == ((6L, 5L, 5L, 0.0)), s"distinct text: ${got(2L)}")
+  }
+}
