@@ -28,7 +28,14 @@ object PlanAudit {
       ("ts_asof_native", _.contains("AsOfJoin"), "custom physical operator planned"),
       ("ts_asof_native", p => "Exchange hashpartitioning".r
         .findAllIn(p.split("== Initial Plan ==").head).size <= 2,
-        "one exchange per side in the final plan, merge without cross product"))
+        "one exchange per side in the final plan, merge without cross product"),
+      ("percentiles", _.contains("BroadcastHashJoin"), "target buckets join broadcast"),
+      ("percentiles", p => !p.contains("SortMergeJoin"), "no shuffle join in selection path"),
+      ("sample_stratified", p => !p.contains("Exchange hashpartitioning"),
+        "sampling is a narrow map (broadcast rates, no hash shuffle)"),
+      ("ts_bandpower", p => !p.contains("Window"), "no window/sort: trig aggregates only"),
+      ("text_repetition", _.contains("shinglehashes"), "native kernel in plan"),
+      ("ts_outlier", _.contains("BroadcastHashJoin"), "channel stats broadcast back"))
 
     var failed = 0
     val plans = scala.collection.mutable.Map[String, String]()

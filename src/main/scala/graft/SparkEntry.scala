@@ -65,7 +65,9 @@ object SparkEntry {
     "tfidf_top"          -> q(TextAnalysis.tfidfTop),
     "pii_count"          -> q(TextAnalysis.piiCount),
     "sample_stratified"  -> q(Sampling.sampleStratified(_)),
-    "dedup_clusters"     -> q(Dedup.dedupClusters(_))
+    "dedup_clusters"     -> q(Dedup.dedupClusters(_)),
+    "mix_plan"           -> q(Sampling.mixPlan(_)),
+    "kmeans"             -> q(Similarity.kmeans(_))  // rows-only: iterative refinement has no SQL oracle
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -145,6 +147,19 @@ object SparkEntry {
          FROM documents JOIN r USING (lang)
          WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 < rate
          ORDER BY doc_id""",
+    "mix_plan" ->
+      """WITH w(lang, weight) AS (SELECT * FROM (VALUES ('en',0.4),('de',0.2),('es',0.2),('fr',0.1),('zh',0.1)) v(lang, weight)),
+         a AS (SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN length(trim(text))=0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),'\s+')) END) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+         j AS (SELECT a.lang, n_docs, n_tokens, weight,
+                 min(n_tokens / weight) OVER () AS budget
+               FROM a JOIN w ON a.lang = w.lang)
+         SELECT lang, n_docs, n_tokens, weight,
+           CAST(floor(weight * budget) AS BIGINT) AS take_tokens,
+           floor((weight * budget / n_tokens)*10000.0 + 0.5)/10000.0 AS rate
+         FROM j ORDER BY lang""",
     "dedup_clusters" ->
       """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.roundHalfUp
 
 /** Training-mixture sampling operators (SURVEY.md §2 C16).
   *
@@ -39,5 +41,35 @@ object Sampling {
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_chars"))
       .orderBy(col("doc_id"))
+  }
+
+  /** C19: training-mixture planning — given target weights per stratum,
+    * compute the largest token budget whose per-stratum takes respect
+    * both the weights and each stratum's available tokens:
+    * budget = min over strata of (available_l / weight_l);
+    * take_l = weight_l · budget; rate_l = take_l / available_l.
+    * Availability aggregates to stratum cardinality, so the window min
+    * and all arithmetic run on a broadcast-sized relation.
+    */
+  def mixPlan(t: Tables,
+              weights: Seq[(String, Double)] = Seq(
+                "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val wdf = weights.toDF("lang", "weight")
+    val nTokens = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val avail = t.documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
+    val all = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avail.join(broadcast(wdf), Seq("lang"))
+      .withColumn("budget", min(col("n_tokens") / col("weight")).over(all))
+      .withColumn("take_tokens", floor(col("weight") * col("budget")).cast("long"))
+      .withColumn("rate", roundHalfUp(col("weight") * col("budget") / col("n_tokens"), 4))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("take_tokens"), col("rate"))
+      .orderBy(col("lang"))
   }
 }

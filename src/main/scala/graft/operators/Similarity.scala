@@ -61,14 +61,12 @@ object Similarity {
     * search touches ~nProbe/nCells of the data — the 100 TB path where
     * brute force (C6) is the correctness baseline.
     */
-  def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
-    // centroids are broadcast-sized BY CONSTRUCTION (SURVEY §4): collect
-    // them once and fold the argmax into a narrow per-row expression —
-    // cell assignment becomes a map-only pass (no crossJoin, no window,
-    // no shuffle). First-max scan == (cs desc, cell_id asc) tie-break.
-    val centRows = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+  /** Fold a broadcast-sized centroid set into a narrow per-row argmax
+    * expression — cell assignment becomes a map-only pass (no crossJoin,
+    * no window, no shuffle). First-max scan == (sim desc, position asc)
+    * tie-break.
+    */
+  private def nearestCellExpr(centRows: Array[(Long, Seq[Float])], vecCol: String): String = {
     def fLit(x: Float): String =
       if (x.isNaN) "CAST('NaN' AS FLOAT)"
       else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
@@ -78,14 +76,20 @@ object Similarity {
       v.map(fLit).mkString("array(", ", ", ")")
     }.mkString("array(", ", ", ")")
     val cellIds = centRows.map(_._1).mkString("array(", ", ", ")")
-    val assignExpr =
-      s"""element_at($cellIds, CAST(aggregate(sequence(0, ${centRows.length - 1}),
-            named_struct('best', -1, 'bestSim', CAST(-2.0 AS DOUBLE)),
-            (acc, i) -> CASE WHEN graft_cosine(embedding, element_at($centArr, i + 1)) > acc.bestSim
-                             THEN named_struct('best', i, 'bestSim', graft_cosine(embedding, element_at($centArr, i + 1)))
-                             ELSE acc END).best AS INT) + 1)"""
+    s"""element_at($cellIds, CAST(aggregate(sequence(0, ${centRows.length - 1}),
+          named_struct('best', -1, 'bestSim', CAST(-2.0 AS DOUBLE)),
+          (acc, i) -> CASE WHEN graft_cosine($vecCol, element_at($centArr, i + 1)) > acc.bestSim
+                           THEN named_struct('best', i, 'bestSim', graft_cosine($vecCol, element_at($centArr, i + 1)))
+                           ELSE acc END).best AS INT) + 1)"""
+  }
+
+  def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
+    // centroids are broadcast-sized BY CONSTRUCTION (SURVEY §4)
+    val centRows = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     val assigned = t.embeddings
-      .select(col("vec_id"), col("embedding"), expr(assignExpr).as("cell_id"))
+      .select(col("vec_id"), col("embedding"), expr(nearestCellExpr(centRows, "embedding")).as("cell_id"))
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
     val qCells = cents.crossJoin(broadcast(q))
@@ -99,5 +103,57 @@ object Similarity {
       .select(col("vec_id"), sim.as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** C18: spherical k-means clustering of the embedding corpus (Lloyd's
+    * iterations, cosine assignment, elementwise-mean update) —
+    * deterministic init from the first k vectors, so results are
+    * reproducible run to run.
+    *
+    * Scale shape per iteration: assignment is a narrow map (centroids
+    * folded into the same argmax expression as IVF — zero shuffle);
+    * the update is one (cell, dim)-keyed aggregation whose result is
+    * k·d rows — broadcast-sized by definition, collected to rebuild the
+    * next centroid literal. Empty cells keep their previous centroid.
+    * Driver work is O(k·d·iters); data passes are maxIter + 1 scans.
+    */
+  def kmeans(t: Tables, k: Int = 8, maxIter: Int = 5): DataFrame = {
+    var centRows: Array[(Long, Seq[Float])] =
+      t.embeddings.orderBy(col("vec_id")).limit(k).select(col("embedding")).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+    for (_ <- 0 until maxIter) {
+      val assigned = t.embeddings
+        .select(col("embedding"),
+          expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+      val updated = assigned
+        .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0)).map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq)
+        }
+      centRows = centRows.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+    t.embeddings
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+      .withColumn("sim_to_centroid", roundHalfUp(
+        expr(nearestSimExpr(centRows, "embedding")), 4))
+      .select(col("vec_id"), col("label"), col("cell_id"), col("sim_to_centroid"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The max cosine against the centroid set (companion to nearestCellExpr). */
+  private def nearestSimExpr(centRows: Array[(Long, Seq[Float])], vecCol: String): String = {
+    def fLit(x: Float): String =
+      if (x.isNaN) "CAST('NaN' AS FLOAT)"
+      else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
+      else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
+      else s"CAST($x AS FLOAT)"
+    val centArr = centRows.map { case (_, v) =>
+      v.map(fLit).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    s"""aggregate(sequence(0, ${centRows.length - 1}), CAST(-2.0 AS DOUBLE),
+          (acc, i) -> greatest(acc, graft_cosine($vecCol, element_at($centArr, i + 1))))"""
   }
 }

@@ -77,6 +77,46 @@ object EventStream {
       }
   }
 
+  /** A document arriving on the ingest stream. */
+  final case class Doc(docId: Long, text: String)
+
+  /** A first-seen document surviving streaming dedup. */
+  final case class Kept(docId: Long, contentHash: String)
+
+  /** The same whitespace-lowercase normalization + md5 as the batch
+    * dedup (TextAnalysis.dedupExact), computed executor-side.
+    */
+  private def contentHash(text: String): String = {
+    val norm = text.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Streaming exact dedup: state = first-seen doc id per content hash,
+    * so a duplicate arriving in ANY later microbatch is dropped (the
+    * incremental twin of TextAnalysis.dedupExact; same normalization,
+    * same lowest-id-wins keep rule within a batch). State is keyed by
+    * the 128-bit hash — O(distinct documents), the same bound as
+    * Spark's own streaming dropDuplicates; bound it further with a
+    * watermarked key expiry when the dedup horizon is finite.
+    */
+  def streamingDedup(docs: Dataset[Doc]): Dataset[Kept] = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d => (d.docId, contentHash(d.text)))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, Kept](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, batch: Iterator[(Long, String)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = batch.map(_._1).min
+            state.update(first)
+            Iterator(Kept(first, hash))
+          }
+      }
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

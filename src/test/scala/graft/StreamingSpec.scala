@@ -56,6 +56,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(spikes.map(_.getAs[Double]("value")).toSeq == Seq(120.0, 150.0))
   }
 
+  test("streamingDedup drops duplicates across microbatches via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.streamingDedup(mem.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    // batch 1: two distinct docs + an in-batch duplicate (whitespace noise)
+    mem.addData(
+      EventStream.Doc(3, "Hello  World"), EventStream.Doc(1, "hello world"),
+      EventStream.Doc(2, "something else"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate + one fresh doc
+    mem.addData(EventStream.Doc(4, " HELLO   world "), EventStream.Doc(5, "brand new"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT docId FROM dedup ORDER BY docId").collect().map(_.getLong(0))
+    q.stop()
+    assert(kept.toSeq == Seq(1L, 2L, 5L),
+      s"lowest-id first-seen survives, later duplicates dropped: ${kept.toSeq}")
+  }
+
   test("gapSessionize closes chunks across microbatches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
