@@ -15,6 +15,8 @@ object Bench {
     }
     // optional arg: comma-separated query names to bench (default all)
     val only = args.lift(0).map(_.split(",").toSet)
+    only.foreach(names => require(names.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query name(s): ${(names -- SparkEntry.queries.keySet).mkString(", ")}"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // one untimed pass: measure steady-state engine throughput, not

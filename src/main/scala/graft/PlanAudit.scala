@@ -16,8 +16,9 @@ object PlanAudit {
       ("q1_pricing", p => !p.contains("l_comment"), "column pruning"),
       ("q3_shipping", _.contains("BroadcastHashJoin"), "dims broadcast"),
       ("q3_shipping", _.contains("TakeOrderedAndProject"), "bounded top-k, no global sort"),
+      // the lineitem-orders fact join legitimately shuffles at scale (no
+      // !SortMergeJoin assertion — it's SF-dependent); dims must broadcast
       ("q5_volume", p => "BroadcastHashJoin".r.findAllIn(p).size >= 4, "all dims broadcast (>=4 BHJ)"),
-      ("q5_volume", p => !p.contains("SortMergeJoin"), "no fact-fact shuffle join"),
       ("ann_topk", _.contains("TakeOrderedAndProject"), "top-k bounded"),
       ("ann_topk", _.contains("cosinesim"), "native cosine expression in plan"),
       ("ts_gap_chunks", p => "Exchange hashpartitioning".r.findAllIn(p).size <= 2,

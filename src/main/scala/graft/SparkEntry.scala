@@ -408,12 +408,13 @@ object SparkEntry {
          FROM b GROUP BY 1 ORDER BY 1""",
     "ts_outlier" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
-                    FROM events GROUP BY 1)
-         SELECT e.event_type, event_id, epoch_ns(ts)//1000 AS ts_us, value,
-           floor(((value - mu)/sigma)*1000.0 + 0.5)/1000.0 AS zscore
-         FROM events e JOIN s ON e.event_type = s.event_type
-         WHERE abs((value - mu)/sigma) >= 3.0
-         ORDER BY e.event_type, ts_us, event_id""",
+                    FROM events GROUP BY 1),
+         z AS (SELECT e.event_type, event_id, epoch_ns(ts)//1000 AS ts_us, value,
+                 floor(((value - mu)/sigma)*1000.0 + 0.5)/1000.0 AS zscore
+               FROM events e JOIN s ON e.event_type = s.event_type)
+         SELECT event_type, event_id, ts_us, value, zscore
+         FROM z WHERE abs(zscore) >= 3.0
+         ORDER BY event_type, ts_us, event_id""",
     "ts_histogram" ->
       """SELECT event_type,
            least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor((value - 0.0)/20.0) AS BIGINT))) AS bucket,

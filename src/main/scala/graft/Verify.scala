@@ -8,6 +8,8 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names to dump (default all)
     val only = args.lift(2).map(_.split(",").toSet)
+    only.foreach(names => require(names.subsetOf(SparkEntry.queries.keySet),
+      s"unknown query name(s): ${(names -- SparkEntry.queries.keySet).mkString(", ")}"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

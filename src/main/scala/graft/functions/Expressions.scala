@@ -118,7 +118,11 @@ object Kernels {
     var lo = 0; var hi = raw.length
     while (lo < hi && raw.charAt(lo) == ' ') lo += 1
     while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
-    val toks = raw.substring(lo, hi).split("\\s+")
+    // limit -1 keeps trailing empty tokens — Spark's split() and DuckDB's
+    // regexp_split_to_array both do; Java's default limit 0 drops them and
+    // would silently diverge on text whose space-trimmed form ends in
+    // non-space whitespace (e.g. a trailing newline)
+    val toks = raw.substring(lo, hi).split("\\s+", -1)
     def hashTokens(from: Int, until: Int): Long = {
       var acc = 0L
       var t = from

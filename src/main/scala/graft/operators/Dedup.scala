@@ -155,9 +155,14 @@ object Dedup {
       val nb = edges.join(labels.withColumnRenamed("node", "id_b"), Seq("id_b"))
         .groupBy(col("id_a")).agg(min(col("cluster")).as("nb_min"))
         .withColumnRenamed("id_a", "node")
-      val next = labels.join(nb, Seq("node"), "left")
+      val prop = labels.join(nb, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
+      // pointer jumping (label ← label's label): halves the remaining path
+      // each round, so convergence is O(log diameter), not O(diameter)
+      val next = prop
+        .join(prop.select(col("node").as("cluster"), col("cluster").as("cc")), Seq("cluster"), "left")
+        .select(col("node"), least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
         .localCheckpoint()
       converged = next
         .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
@@ -166,6 +171,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // partially-merged clusters must never be returned silently
+    require(converged,
+      s"dedupClusters did not converge in $maxIter rounds (pathological chain?); raise maxIter")
     val sized = t.documents.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))

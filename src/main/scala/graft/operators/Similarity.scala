@@ -61,23 +61,29 @@ object Similarity {
     * search touches ~nProbe/nCells of the data — the 100 TB path where
     * brute force (C6) is the correctness baseline.
     */
+  private def fLit(x: Float): String =
+    if (x.isNaN) "CAST('NaN' AS FLOAT)"
+    else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
+    else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
+    else s"CAST($x AS FLOAT)"
+
+  /** SQL array-of-arrays literal of the centroid vectors. */
+  private def centArrLit(centRows: Array[(Long, Seq[Float])]): String =
+    centRows.map { case (_, v) => v.map(fLit).mkString("array(", ", ", ")") }
+      .mkString("array(", ", ", ")")
+
   /** Fold a broadcast-sized centroid set into a narrow per-row argmax
     * expression — cell assignment becomes a map-only pass (no crossJoin,
     * no window, no shuffle). First-max scan == (sim desc, position asc)
-    * tie-break.
+    * tie-break. The fold starts at centroid 0 with -Infinity, so a row
+    * whose cosines are ALL NaN (zero-norm/NaN vector) still gets a
+    * deterministic cell instead of an out-of-range element_at.
     */
   private def nearestCellExpr(centRows: Array[(Long, Seq[Float])], vecCol: String): String = {
-    def fLit(x: Float): String =
-      if (x.isNaN) "CAST('NaN' AS FLOAT)"
-      else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
-      else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
-      else s"CAST($x AS FLOAT)"
-    val centArr = centRows.map { case (_, v) =>
-      v.map(fLit).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
+    val centArr = centArrLit(centRows)
     val cellIds = centRows.map(_._1).mkString("array(", ", ", ")")
     s"""element_at($cellIds, CAST(aggregate(sequence(0, ${centRows.length - 1}),
-          named_struct('best', -1, 'bestSim', CAST(-2.0 AS DOUBLE)),
+          named_struct('best', 0, 'bestSim', CAST('-Infinity' AS DOUBLE)),
           (acc, i) -> CASE WHEN graft_cosine($vecCol, element_at($centArr, i + 1)) > acc.bestSim
                            THEN named_struct('best', i, 'bestSim', graft_cosine($vecCol, element_at($centArr, i + 1)))
                            ELSE acc END).best AS INT) + 1)"""
@@ -134,26 +140,14 @@ object Similarity {
         }
       centRows = centRows.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    // sim recomputes ONE cosine against the chosen centroid (cell ids are
+    // 0..k-1 = array position), not a second k-wide argmax scan
     t.embeddings
       .select(col("vec_id"), col("label"), col("embedding"),
         expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
       .withColumn("sim_to_centroid", roundHalfUp(
-        expr(nearestSimExpr(centRows, "embedding")), 4))
+        expr(s"graft_cosine(embedding, element_at(${centArrLit(centRows)}, CAST(cell_id AS INT) + 1))"), 4))
       .select(col("vec_id"), col("label"), col("cell_id"), col("sim_to_centroid"))
       .orderBy(col("vec_id"))
-  }
-
-  /** The max cosine against the centroid set (companion to nearestCellExpr). */
-  private def nearestSimExpr(centRows: Array[(Long, Seq[Float])], vecCol: String): String = {
-    def fLit(x: Float): String =
-      if (x.isNaN) "CAST('NaN' AS FLOAT)"
-      else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
-      else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
-      else s"CAST($x AS FLOAT)"
-    val centArr = centRows.map { case (_, v) =>
-      v.map(fLit).mkString("array(", ", ", ")")
-    }.mkString("array(", ", ", ")")
-    s"""aggregate(sequence(0, ${centRows.length - 1}), CAST(-2.0 AS DOUBLE),
-          (acc, i) -> greatest(acc, graft_cosine($vecCol, element_at($centArr, i + 1))))"""
   }
 }

@@ -360,10 +360,14 @@ object TimeSeries {
     t.events
       .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
       .join(broadcast(stats), Seq("event_type"))
-      .withColumn("zscore", (col("value") - col("mu")) / col("sigma"))
+      // select on the ROUNDED z — mu/sigma summation order is
+      // engine-dependent, so an unrounded >= threshold could flip
+      // boundary rows between engines; the displayed value and the
+      // selection predicate must agree
+      .withColumn("zscore", roundHalfUp((col("value") - col("mu")) / col("sigma"), 3))
       .filter(abs(col("zscore")) >= z)
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
-        roundHalfUp(col("zscore"), 3).as("zscore"))
+        col("zscore"))
       .orderBy(col("event_type"), col("ts_us"), col("event_id"))
   }
 

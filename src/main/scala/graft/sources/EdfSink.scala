@@ -94,6 +94,10 @@ object EdfSink {
     * (speculative/retried task that raced a committed copy) deletes its
     * temp file and moves on — both attempts wrote identical content
     * because a (file, channel) group is wholly owned by one partition.
+    * An existing destination can ONLY be a racing attempt from this run:
+    * write() pre-deletes every planned destination (and sweeps stale
+    * task-attempt temp dirs) before any task starts, so a re-run into a
+    * non-empty outDir can never silently keep a previous run's bytes.
     */
   private def commit(fs: FileSystem, tmp: Path, dest: Path): Unit = {
     if (!fs.rename(tmp, dest)) {
@@ -117,6 +121,11 @@ object EdfSink {
       .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     val multiFile = keys.map(_._1).distinct.size > 1
     val nameMap = planNames(keys, multiFile)
+    // pre-clean: planned destinations from any previous run, and temp dirs
+    // orphaned by killed executors (their finally blocks never ran)
+    nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
+    driverFs.globStatus(new Path(outPath, "_tmp-*"))
+      .foreach(s => driverFs.delete(s.getPath, true))
     val bNames = spark.sparkContext.broadcast(nameMap)
     val outDirStr = outPath.toString
 

@@ -74,6 +74,23 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(4L) == ((4L, 1L)), "unrelated doc is its own singleton cluster")
   }
 
+  test("cluster propagation converges on a 25-doc chain (pointer jumping)") {
+    // d_i and d_{i+1} differ by one word (jaccard ~0.88 >= 0.8); graph
+    // diameter 24 — one-hop-per-round propagation would need 24 rounds,
+    // pointer jumping converges in O(log n)
+    // doc d carries the first d cumulative single-word edits: consecutive
+    // docs differ at exactly one (spaced) position, non-consecutive at 2+
+    val chain = (0 until 25).map { d =>
+      val text = (0 until 50)
+        .map(j => if (j % 2 == 0 && j / 2 < d) s"x${j / 2}" else s"w$j").mkString(" ")
+      (d.toLong + 1, text, "en")
+    }
+    val t = docs(chain)
+    val clusters = Dedup.dedupClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet == Set(1L), s"whole chain collapses to cluster 1: $clusters")
+  }
+
   test("identical docs collide on every minhash band") {
     val t = docs(Seq((1L, base, "en"), (2L, base, "en")))
     val pairs = Dedup.dedupMinhash(t).collect()

@@ -43,6 +43,20 @@ class EdfSinkSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("re-running into a non-empty outDir replaces binaries (no stale bytes)") {
+    val outDir = Files.createTempDirectory("edfrerun").toString
+    val df = EdfFile.read(spark, Seq("/root/reference/sample_data/sin_wave.edf"))
+    EdfSink.write(df, outDir)
+    // plant a stale orphaned temp dir + corrupt one committed binary
+    val bins = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".ts.bin"))
+    Files.write(Paths.get(bins.head.getPath), Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(s"$outDir/_tmp-9-9-attempt-9"))
+    Files.write(Paths.get(s"$outDir/_tmp-9-9-attempt-9/junk.ts.bin"), Array[Byte](9))
+    EdfSink.write(df, outDir)
+    bins.foreach { b => assert(Files.size(b.toPath) == 12000L * 8, s"${b.getName} rewritten") }
+    assert(!Files.exists(Paths.get(s"$outDir/_tmp-9-9-attempt-9")), "stale temp dirs swept")
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")

@@ -40,6 +40,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.take(3).map(_.getLong(0)).toSeq == ref.toSeq)
   }
 
+  test("shingle hashes keep trailing empty tokens like Spark/DuckDB split") {
+    import spark.implicits._
+    // space-trim leaves the trailing \n; split must yield [hello, world, '']
+    val df = Seq("hello world\n", "\nhello world", "hello world").toDF("text")
+    val got = df.select(expr("graft_shingle_hashes(text, 2)")).collect().map(_.getSeq[Long](0))
+    val ref = df.select(expr(
+      """array_distinct(transform(
+           CASE WHEN size(split(trim(lower(text)), '\\s+')) < 2
+                THEN array(array_join(split(trim(lower(text)), '\\s+'), ' '))
+                ELSE transform(sequence(0, size(split(trim(lower(text)), '\\s+')) - 2),
+                  i -> concat(element_at(split(trim(lower(text)), '\\s+'), i + 1), ' ',
+                              element_at(split(trim(lower(text)), '\\s+'), i + 2)))
+           END,
+           s -> aggregate(split(s, ''), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % 1000000007)))"""))
+      .collect().map(_.getSeq[Long](0))
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g == r, s"row $i: kernel $g vs HOF $r")
+    }
+    assert(got(0) != got(2), "trailing newline changes the shingle set (extra empty token)")
+  }
+
   test("sortable_bits preserves double ordering") {
     import spark.implicits._
     val vs = Seq(Double.NegativeInfinity, -1e300, -2.0, -1.0, -1e-300, -0.0,
