@@ -54,16 +54,30 @@ object Dedup {
     * nPerms = nBands · rowsPerBand. Pairs sharing ≥1 band bucket are
     * candidates; output carries how many bands agreed. One shuffle on
     * (band_idx, band_hash); hot buckets are bounded by the band hash
-    * domain (and would be salt-capped at extreme skew).
+    * domain.
+    *
+    * `maxBucket > 0` drops LSH buckets with more members than the cap
+    * before the self-join — the hot-bucket guard at corpus scale: a
+    * bucket with thousands of members is a degenerate hash (boilerplate,
+    * empty docs) whose m² candidate pairs are noise; the drop-list is
+    * hot-bucket-sized (tiny) and anti-joined broadcast. 0 = exact LSH
+    * (the oracle-checked default).
     */
-  def dedupMinhash(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  def dedupMinhash(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
+                   maxBucket: Int = 0): DataFrame = {
     val bands = t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
       .select(col("doc_id"),
         posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)")).as(Seq("band_idx", "band_hash")))
     // identical repartitioning on both sides -> Catalyst's ReuseExchange
     // computes the signature pipeline once and reads it twice
-    val parted = bands.repartition(col("band_idx"), col("band_hash"))
+    val all = bands.repartition(col("band_idx"), col("band_hash"))
+    val parted = if (maxBucket <= 0) all else {
+      val hot = all.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") > maxBucket)
+        .select(col("band_idx"), col("band_hash"))
+      all.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+    }
     val a = parted.select(col("band_idx"), col("band_hash"), col("doc_id").as("id_a"))
     val b = parted.select(col("band_idx").as("bi"), col("band_hash").as("bh"), col("doc_id").as("id_b"))
     a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") && col("id_a") < col("id_b"))

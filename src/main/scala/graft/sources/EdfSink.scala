@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions._
   * unit, rate, type, group, lastAnnotation, contiguousChunks, properties;
   * reference base.py:47-65).
   *
-  * Scale shape: sample data is hash-partitioned by channel and each task
-  * streams whole channels to their files (a channel never splits across
-  * tasks); only channel-level METADATA (one row per contiguous chunk plus
-  * the distinct channel-name list) is collected to the driver — bounded
-  * by channels x chunks, independent of sample volume. For single
-  * channels larger than one task should own, the natural extension is
-  * range-partitioning on (channel, sample_idx) with numbered part files.
+  * Scale shape: sample data is hash-partitioned by (channel, part) and
+  * each task streams whole parts to their files (a part never splits
+  * across tasks); only channel-level METADATA (one row per contiguous
+  * chunk plus the distinct channel-name list) is collected to the driver
+  * — bounded by channels x chunks, independent of sample volume. Single
+  * channels larger than one task should own are range-partitioned on
+  * sample_idx into numbered part files via `maxSamplesPerFile`.
   *
   * Cluster-safe output protocol: all I/O goes through the Hadoop
   * FileSystem API (the Hadoop conf is captured on the driver and rebuilt
@@ -108,8 +108,16 @@ object EdfSink {
 
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
+    *
+    * `maxSamplesPerFile` bounds how much of one channel a single task
+    * owns: channels larger than the bound are range-partitioned on
+    * sample_idx into numbered part files (`<name>-part00001.ts.bin` …),
+    * so a 30 M-sample reference chunk — or a 100 GB channel — writes with
+    * full parallelism instead of through one task. Concatenating the
+    * parts in order reproduces the single-file byte stream.
     */
-  def write(samples: DataFrame, outDir: String): String = {
+  def write(samples: DataFrame, outDir: String,
+            maxSamplesPerFile: Long = Long.MaxValue): String = {
     val spark = samples.sparkSession
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
@@ -117,10 +125,23 @@ object EdfSink {
     driverFs.mkdirs(outPath)
 
     // channel-name plan: bounded by files x channels, never sample volume
-    val keys = samples.select(col("file"), col("channel")).distinct().collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val chanRows = samples.groupBy(col("file"), col("channel"))
+      .agg(max(col("sample_idx")).as("max_idx")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2) / maxSamplesPerFile + 1))
+      .toSeq.sortBy(_._1)
+    val keys = chanRows.map(_._1)
+    val nParts = chanRows.toMap
     val multiFile = keys.map(_._1).distinct.size > 1
-    val nameMap = planNames(keys, multiFile)
+    val baseNames = planNames(keys, multiFile)
+    // (file, channel, part) -> final name; single-part channels keep the
+    // reference's plain <channel>.ts.bin
+    val nameMap: Map[(String, String, Long), String] = chanRows.flatMap { case (k, np) =>
+      (0L until np).map { p =>
+        val base = baseNames(k)
+        (k._1, k._2, p) ->
+          (if (np == 1) base else base.replaceAll("\\.ts\\.bin$", f"-part$p%05d.ts.bin"))
+      }
+    }.toMap
     // pre-clean: planned destinations from any previous run, and temp dirs
     // orphaned by killed executors (their finally blocks never ran)
     nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
@@ -129,18 +150,21 @@ object EdfSink {
     val bNames = spark.sparkContext.broadcast(nameMap)
     val outDirStr = outPath.toString
 
-    // 1. distributed binary dump: streams keyed by (file, channel) — a
-    // channel label repeated across input files never interleaves
+    // 1. distributed binary dump: streams keyed by (file, channel, part) —
+    // a channel label repeated across input files never interleaves, and
+    // oversized channels split into independently-written parts
     samples
-      .select(col("file"), col("channel"), col("sample_idx"), col("value"))
-      .repartition(col("file"), col("channel"))
-      .sortWithinPartitions(col("file"), col("channel"), col("sample_idx"))
+      .select(col("file"), col("channel"),
+        (col("sample_idx") / maxSamplesPerFile).cast("long").as("part_idx"),
+        col("sample_idx"), col("value"))
+      .repartition(col("file"), col("channel"), col("part_idx"))
+      .sortWithinPartitions(col("file"), col("channel"), col("part_idx"), col("sample_idx"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val tc = TaskContext.get()
         val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
         val attemptDir = new Path(outDirStr,
           s"_tmp-${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
-        var current: (String, String) = null
+        var current: (String, String, Long) = null
         var tmp: Path = null
         var out: BufferedOutputStream = null
         val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
@@ -150,14 +174,14 @@ object EdfSink {
         }
         try {
           rows.foreach { r =>
-            val key = (r.getString(0), r.getString(1))
+            val key = (r.getString(0), r.getString(1), r.getLong(2))
             if (key != current) {
               closeAndCommit()
               current = key
               tmp = new Path(attemptDir, bNames.value(key))
               out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
             }
-            buf.clear(); buf.putDouble(r.getDouble(3))
+            buf.clear(); buf.putDouble(r.getDouble(4))
             out.write(buf.array())
           }
           closeAndCommit()
@@ -185,10 +209,11 @@ object EdfSink {
       }.mkString("[", ", ", "]")
       val start = sorted.map(_.getAs[Long]("start_ts")).min
       val end = sorted.map(_.getAs[Long]("end_ts")).max
-      val bin = nameMap((file, name))
+      val bins = (0L until nParts((file, name)))
+        .map(p => jsonStr(nameMap((file, name, p)))).mkString("[", ", ", "]")
       s"""{"name": ${jsonStr(name)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
          | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
-         | "contiguousChunks": $chunkJson, "properties": [{"key": "binaryFile", "value": ${jsonStr(bin)}}]}""".stripMargin
+         | "contiguousChunks": $chunkJson, "properties": [{"key": "binaryFiles", "value": $bins}]}""".stripMargin
     }
     def writeFile(p: Path, content: String): Unit = {
       val o = driverFs.create(p, true)

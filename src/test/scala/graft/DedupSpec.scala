@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(4L) == ((4L, 1L)), "unrelated doc is its own singleton cluster")
   }
 
+  test("maxBucket drops degenerate hot buckets, keeps honest near-dups") {
+    // 40 identical boilerplate docs form a hot bucket in every band;
+    // the planted near-dup pair lives in its own buckets
+    val boiler = (10L until 50L).map(i => (i, "identical boilerplate text repeated across the corpus " * 3, "en"))
+    val t = docs(Seq((1L, base, "en"), (2L, nearDup, "en")) ++ boiler)
+    val capped = Dedup.dedupMinhash(t, maxBucket = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)), "honest near-dup pair survives the cap")
+    assert(!capped.exists { case (a, b) => a >= 10 && b >= 10 },
+      s"no pairs from the capped hot bucket: $capped")
+    val uncapped = Dedup.dedupMinhash(t).collect().length
+    assert(uncapped > capped.size, "cap actually pruned the degenerate pairs")
+  }
+
   test("cluster propagation converges on a 25-doc chain (pointer jumping)") {
     // d_i and d_{i+1} differ by one word (jaccard ~0.88 >= 0.8); graph
     // diameter 24 — one-hop-per-round propagation would need 24 rounds,

@@ -57,6 +57,25 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"$outDir/_tmp-9-9-attempt-9")), "stale temp dirs swept")
   }
 
+  test("oversized channels range-partition into ordered part files") {
+    val outDir = Files.createTempDirectory("edfparts").toString
+    val df = EdfFile.read(spark, Seq("/root/reference/sample_data/sin_wave.edf")).cache()
+    EdfSink.write(df, outDir, maxSamplesPerFile = 5000L)
+    val ch0 = df.select(col("channel")).distinct().collect().map(_.getString(0)).sorted.head
+    val safe = ch0.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sizes = (0 until 3).map(p => Files.size(Paths.get(f"$outDir/$safe-part$p%05d.ts.bin")))
+    assert(sizes == Seq(5000L * 8, 5000L * 8, 2000L * 8), s"12000 samples split 5000/5000/2000: $sizes")
+    // part 1 starts at global sample 5000
+    val expected = df.filter(col("channel") === ch0).orderBy(col("sample_idx"))
+      .select(col("value")).limit(5001).collect().last.getDouble(0)
+    val bytes = Files.readAllBytes(Paths.get(f"$outDir/$safe-part${1}%05d.ts.bin"))
+    val got = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+    assert(got == expected, "parts concatenate to the single-file stream")
+    assert(new String(Files.readAllBytes(Paths.get(s"$outDir/channels.json")))
+      .contains(s"$safe-part00002.ts.bin"), "manifest lists every part")
+    df.unpersist()
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")
