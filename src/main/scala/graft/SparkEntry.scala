@@ -296,7 +296,8 @@ object SparkEntry {
     "ts_channel_stats" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
          s AS (SELECT event_type, min(us) AS start_us, max(us) AS end_us, count(*) AS num_values,
-                 round(avg(value),4) AS avg_value, round(stddev_samp(value),4) AS stddev_value
+                 floor(avg(value)*10000.0 + 0.5)/10000.0 AS avg_value,
+                 floor(stddev_samp(value)*10000.0 + 0.5)/10000.0 AS stddev_value
                FROM e GROUP BY 1),
          d AS (SELECT event_type,
                  (us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id))//1000000 AS diff_s
@@ -309,8 +310,8 @@ object SparkEntry {
          FROM s JOIN m ON s.event_type = m.event_type AND rk = 1 ORDER BY 1""",
     "ts_resample" ->
       """SELECT event_type, ((epoch_ns(ts)//1000)//3600000000)*3600000000 AS bucket_us,
-         count(*) AS n, round(avg(value),4) AS avg_value,
-         round(min(value),2) AS min_value, round(max(value),2) AS max_value
+         count(*) AS n, floor(avg(value)*10000.0 + 0.5)/10000.0 AS avg_value,
+         floor(min(value)*100.0 + 0.5)/100.0 AS min_value, floor(max(value)*100.0 + 0.5)/100.0 AS max_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "skew_agg" ->
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
@@ -329,7 +330,7 @@ object SparkEntry {
     "ts_moving" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events)
          SELECT event_type, event_id, us AS ts_us,
-           round(avg(value) OVER w, 4) AS mov_avg,
+           floor((avg(value) OVER w)*10000.0 + 0.5)/10000.0 AS mov_avg,
            min(value) OVER w AS mov_min,
            max(value) OVER w AS mov_max
          FROM e
@@ -345,7 +346,7 @@ object SparkEntry {
          GROUP BY 1,2 ORDER BY 1,2""",
     "ts_interp" ->
       """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
-                      round(avg(value), 4) AS v
+                      floor(avg(value)*10000.0 + 0.5)/10000.0 AS v
                     FROM events GROUP BY 1,2),
          g AS (SELECT event_type, unnest(generate_series(min(bucket_us), max(bucket_us), 3600000000)) AS bucket_us
                FROM h GROUP BY event_type),
@@ -418,7 +419,7 @@ object SparkEntry {
     "ts_histogram" ->
       """SELECT event_type,
            least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT), CAST(floor((value - 0.0)/20.0) AS BIGINT))) AS bucket,
-           count(*) AS n, round(min(value),2) AS min_value, round(max(value),2) AS max_value
+           count(*) AS n, floor(min(value)*100.0 + 0.5)/100.0 AS min_value, floor(max(value)*100.0 + 0.5)/100.0 AS max_value
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "ts_annotations" ->
       """SELECT event_type, count(*) AS n, min(k) AS min_k, max(k) AS max_k FROM (

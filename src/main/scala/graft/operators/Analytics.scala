@@ -161,9 +161,9 @@ object Analytics {
     * `v_lo + frac·(v_hi − v_lo)` — identical to `quantile_cont`/Spark
     * `percentile` semantics.
     */
-  private def exactQuantiles(df: DataFrame, groupCol: String,
-                             specs: Seq[(String, Seq[(String, Double)])],
-                             bucketShift: Int = 44): DataFrame = {
+  def exactQuantiles(df: DataFrame, groupCol: String,
+                     specs: Seq[(String, Seq[(String, Double)])],
+                     bucketShift: Int = 44): DataFrame = {
     val stackArgs = specs.map { case (vc, _) => s"'$vc', $vc" }.mkString(", ")
     def stacked = df
       .select(col(groupCol).as("g"), expr(s"stack(${specs.size}, $stackArgs) AS (m, v)"))

@@ -91,8 +91,8 @@ object TimeSeries {
     val stats = base.groupBy(col("event_type")).agg(
       min(col("us")).as("start_us"), max(col("us")).as("end_us"),
       count(lit(1)).as("num_values"),
-      round(avg(col("value")), 4).as("avg_value"),
-      round(stddev_samp(col("value")), 4).as("stddev_value"))
+      roundHalfUp(avg(col("value")), 4).as("avg_value"),
+      roundHalfUp(stddev_samp(col("value")), 4).as("stddev_value"))
     val diffs = base
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .filter(col("prev_us").isNotNull)
@@ -114,8 +114,11 @@ object TimeSeries {
       .select(col("event_type"), col("value"), tsUs.as("us"))
       .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
       .groupBy(col("event_type"), col("bucket_us"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
-        round(min(col("value")), 2).as("min_value"), round(max(col("value")), 2).as("max_value"))
+      // half-up rounding on BOTH engines (SURVEY §6): the data's limited
+      // decimal precision makes exact .5 rounding boundaries common, and
+      // Spark round (HALF_UP) vs DuckDB round (half-even) disagree there
+      .agg(count(lit(1)).as("n"), roundHalfUp(avg(col("value")), 4).as("avg_value"),
+        roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"), col("bucket_us"))
 
   /** A8: threshold-crossing spike detection (the reference's UNIT/spike
@@ -254,7 +257,7 @@ object TimeSeries {
       .rowsBetween(-(window - 1), 0)
     t.events
       .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
-      .withColumn("mov_avg", round(avg(col("value")).over(w), 4))
+      .withColumn("mov_avg", roundHalfUp(avg(col("value")).over(w), 4))
       .withColumn("mov_min", min(col("value")).over(w))
       .withColumn("mov_max", max(col("value")).over(w))
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
@@ -291,7 +294,7 @@ object TimeSeries {
       .select(col("event_type"), col("value"), tsUs.as("us"))
       .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
       .groupBy(col("event_type"), col("bucket_us"))
-      .agg(round(avg(col("value")), 4).as("v"))
+      .agg(roundHalfUp(avg(col("value")), 4).as("v"))
     val grid = hourly.groupBy(col("event_type"))
       .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
       .select(col("event_type"),
@@ -383,7 +386,7 @@ object TimeSeries {
         least(lit(nBuckets - 1L), greatest(lit(0L), floor((col("value") - lo) / width).cast("long"))))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-        round(min(col("value")), 2).as("min_value"), round(max(col("value")), 2).as("max_value"))
+        roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"), col("bucket"))
 
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
