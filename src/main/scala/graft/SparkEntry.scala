@@ -67,7 +67,9 @@ object SparkEntry {
     "sample_stratified"  -> q(Sampling.sampleStratified(_)),
     "dedup_clusters"     -> q(Dedup.dedupClusters(_)),
     "mix_plan"           -> q(Sampling.mixPlan(_)),
-    "kmeans"             -> q(Similarity.kmeans(_))  // rows-only: iterative refinement has no SQL oracle
+    "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
+    "corpus_stats"       -> q(TextAnalysis.corpusStats),
+    "ann_batch"          -> q(Similarity.annBatch(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -147,6 +149,23 @@ object SparkEntry {
          FROM documents JOIN r USING (lang)
          WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 < rate
          ORDER BY doc_id""",
+    "corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "ann_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, floor((
+             list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM embeddings, q WHERE vec_id <> q_id),
+         r AS (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+               FROM s)
+         SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
     "mix_plan" ->
       """WITH w(lang, weight) AS (SELECT * FROM (VALUES ('en',0.4),('de',0.2),('es',0.2),('fr',0.1),('zh',0.1)) v(lang, weight)),
          a AS (SELECT lang, count(*) AS n_docs,

@@ -111,6 +111,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
+    * training-dedup / batch-inference shape). Queries broadcast; scoring
+    * is one narrow pass. Top-k selection is TWO-LEVEL so parallelism is
+    * never capped at the query count: a first window over (query,
+    * vec-hash bucket) keeps each bucket's top k at query×64 parallelism,
+    * then the final window ranks only the 64·k survivors per query.
+    * Any global top-k row is in its bucket's top-k, so the two-level
+    * result is exact and partitioning-independent.
+    */
+  def annBatch(t: Tables, nQueries: Int = 5, k: Int = 5, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qs = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val scored = t.embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), roundHalfUp(cos("embedding", "qe"), 4).as("sim"))
+      .withColumn("b", pmod(col("vec_id"), lit(buckets.toLong)))
+    val local = Window.partitionBy(col("q_id"), col("b"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val global = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long")).filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** C18: spherical k-means clustering of the embedding corpus (Lloyd's
     * iterations, cosine assignment, elementwise-mean update) —
     * deterministic init from the first k vectors, so results are

@@ -167,6 +167,20 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
       .orderBy(col("doc_id"))
 
+  /** C21: corpus profile — per-stratum doc/char counts plus EXACT length
+    * quantiles through the histogram-select engine (Analytics
+    * .exactQuantiles as reusable API; counts and quantiles join at
+    * stratum cardinality, broadcast-sized).
+    */
+  def corpusStats(t: Tables): DataFrame = {
+    val counts = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars").cast("long")).as("total_chars"))
+    val quants = Analytics.exactQuantiles(
+      t.documents.select(col("lang"), col("n_chars").cast("double").as("nc")),
+      "lang", Seq("nc" -> Seq("p50_chars" -> 0.5, "p90_chars" -> 0.9)))
+    counts.join(broadcast(quants), Seq("lang")).orderBy(col("lang"))
+  }
+
   /** C1: exact deduplication — hash-groupBy on normalized text; keeps the
     * lowest doc_id per group. One shuffle on the 128-bit hash; at 100 TB
     * this is the standard map-side-combine dedup (hash is tiny vs text).
