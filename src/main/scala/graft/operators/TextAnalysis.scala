@@ -139,8 +139,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tokens.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf's key set IS the distinct (doc, term) pairs — df comes from it
+    // directly, sparing a second explode + distinct over the token stream
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term"))
       .crossJoin(broadcast(nDocs))
