@@ -131,10 +131,13 @@ object Dedup {
     * (drop list ≈ duplicate count, not corpus size).
     */
   def dedupApply(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
-    val exactDrops = t.documents
-      .withColumn("norm", lower(trim(regexp_replace(col("text"), "\\s+", " "))))
-      .withColumn("keep", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("norm")))))
+    // (doc_id, hash) pairs only — a window over md5 would drag the full
+    // document text through its exchange; this shuffles 48-byte rows
+    val hashes = t.documents
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+    val keeps = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
+    val exactDrops = hashes.join(keeps, Seq("h"))
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id"))
     val nearDrops = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_b").as("doc_id"))
