@@ -212,7 +212,10 @@ object Dedup {
     val shingles = t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
       .select(col("doc_id"), explode(col("hs")).as("h"))
-    val counts = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+    // per-doc distinct-shingle count is just the hs array size — a narrow
+    // projection, not an aggregate over the exploded shingle stream
+    val counts = t.documents
+      .select(col("doc_id"), size(expr(shingleHashExpr(k))).cast("long").as("nh"))
     val common = cands
       .join(shingles.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
       .join(shingles.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
