@@ -184,9 +184,12 @@ object Analytics {
           inBucket(loOf(p)) || inBucket(hiOf(p))
         }.reduce(_ || _)
       }.reduce(_ || _))
+    // null-safe on g: a NULL group key is a legitimate stratum (grouping
+    // keeps it; a USING join would silently drop it here)
     val ranked = stacked
-      .join(broadcast(targetBuckets.select(col("g"), col("m"), col("b"), col("off"), col("n"))),
-        Seq("g", "m", "b"))
+      .join(broadcast(targetBuckets.select(col("g").as("tg"), col("m").as("tm"),
+          col("b").as("tb"), col("off"), col("n"))),
+        col("g") <=> col("tg") && col("m") === col("tm") && col("b") === col("tb"))
       .withColumn("rn",
         row_number().over(Window.partitionBy(col("g"), col("m"), col("b")).orderBy(col("v")))
           .cast("long") + col("off"))

@@ -137,7 +137,10 @@ object Dedup {
       .select(col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
     val keeps = hashes.groupBy(col("h")).agg(min(col("doc_id")).as("keep"))
-    val exactDrops = hashes.join(keeps, Seq("h"))
+      .withColumnRenamed("h", "kh")
+    // null-safe join: null-text docs hash to NULL and must still dedup
+    // against each other (SQL window/group semantics put NULLs together)
+    val exactDrops = hashes.join(keeps, col("h") <=> col("kh"))
       .filter(col("doc_id") =!= col("keep"))
       .select(col("doc_id"))
     val nearDrops = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_b").as("doc_id"))

@@ -179,7 +179,13 @@ object TextAnalysis {
     val quants = Analytics.exactQuantiles(
       t.documents.select(col("lang"), col("n_chars").cast("double").as("nc")),
       "lang", Seq("nc" -> Seq("p50_chars" -> 0.5, "p90_chars" -> 0.9)))
-    counts.join(broadcast(quants), Seq("lang")).orderBy(col("lang"))
+      .withColumnRenamed("lang", "qlang")
+    // left + null-safe: a NULL-lang stratum (or one whose lengths are all
+    // NULL, so it has no quantiles) must still profile — matching the
+    // oracle's single GROUP BY, which keeps such groups
+    counts.join(broadcast(quants), col("lang") <=> col("qlang"), "left")
+      .select(col("lang"), col("n_docs"), col("total_chars"), col("p50_chars"), col("p90_chars"))
+      .orderBy(col("lang"))
   }
 
   /** C1: exact deduplication — hash-groupBy on normalized text; keeps the

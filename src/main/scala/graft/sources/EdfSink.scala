@@ -118,33 +118,46 @@ object EdfSink {
     */
   def write(samples: DataFrame, outDir: String,
             maxSamplesPerFile: Long = Long.MaxValue): String = {
+    require(maxSamplesPerFile > 0, s"maxSamplesPerFile must be positive, got $maxSamplesPerFile")
     val spark = samples.sparkSession
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(outPath)
 
-    // channel-name plan: bounded by files x channels, never sample volume
-    val chanRows = samples.groupBy(col("file"), col("channel"))
-      .agg(max(col("sample_idx")).as("max_idx")).collect()
-      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2) / maxSamplesPerFile + 1))
-      .toSeq.sortBy(_._1)
-    val keys = chanRows.map(_._1)
-    val nParts = chanRows.toMap
+    // channel-name plan from the parts that actually hold rows (integer
+    // `div`, the same arithmetic executors use) — sample_idx need not
+    // start at 0, and a planned-but-empty part must never reach the
+    // manifest; bounded by files x channels x parts, never sample volume
+    val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
+    val chanParts = samples.select(col("file"), col("channel"), partIdx.as("part")).distinct()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted.toSeq }
+    val keys = chanParts.keys.toSeq.sorted
     val multiFile = keys.map(_._1).distinct.size > 1
     val baseNames = planNames(keys, multiFile)
     // (file, channel, part) -> final name; single-part channels keep the
-    // reference's plain <channel>.ts.bin
-    val nameMap: Map[(String, String, Long), String] = chanRows.flatMap { case (k, np) =>
-      (0L until np).map { p =>
+    // reference's plain <channel>.ts.bin whatever their one part index is
+    val nameMap: Map[(String, String, Long), String] = chanParts.flatMap { case (k, parts) =>
+      parts.map { p =>
         val base = baseNames(k)
         (k._1, k._2, p) ->
-          (if (np == 1) base else base.replaceAll("\\.ts\\.bin$", f"-part$p%05d.ts.bin"))
+          (if (parts.size == 1) base else base.replaceAll("\\.ts\\.bin$", f"-part$p%05d.ts.bin"))
       }
     }.toMap
-    // pre-clean: planned destinations from any previous run, and temp dirs
-    // orphaned by killed executors (their finally blocks never ran)
+    // part suffixes could in principle collide with a sibling channel's
+    // sanitized name — uniqueness must hold over the FINAL names
+    require(nameMap.values.toSet.size == nameMap.size,
+      s"binary names not unique after part suffixing: ${nameMap.values.toSeq.sorted}")
+    // pre-clean: planned destinations AND any other part layout of the
+    // same base names from a previous run, plus temp dirs orphaned by
+    // killed executors (their finally blocks never ran)
     nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
+    baseNames.values.foreach { base =>
+      driverFs.delete(new Path(outPath, base), false)
+      driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
+        .foreach(s => driverFs.delete(s.getPath, false))
+    }
     driverFs.globStatus(new Path(outPath, "_tmp-*"))
       .foreach(s => driverFs.delete(s.getPath, true))
     val bNames = spark.sparkContext.broadcast(nameMap)
@@ -155,7 +168,7 @@ object EdfSink {
     // oversized channels split into independently-written parts
     samples
       .select(col("file"), col("channel"),
-        (col("sample_idx") / maxSamplesPerFile).cast("long").as("part_idx"),
+        expr(s"sample_idx div ${maxSamplesPerFile}L").as("part_idx"),
         col("sample_idx"), col("value"))
       .repartition(col("file"), col("channel"), col("part_idx"))
       .sortWithinPartitions(col("file"), col("channel"), col("part_idx"), col("sample_idx"))
@@ -209,11 +222,15 @@ object EdfSink {
       }.mkString("[", ", ", "]")
       val start = sorted.map(_.getAs[Long]("start_ts")).min
       val end = sorted.map(_.getAs[Long]("end_ts")).max
-      val bins = (0L until nParts((file, name)))
-        .map(p => jsonStr(nameMap((file, name, p)))).mkString("[", ", ", "]")
+      val partNames = chanParts((file, name)).map(p => nameMap((file, name, p)))
+      val bins = partNames.map(jsonStr).mkString("[", ", ", "]")
+      // "binaryFile" (round-1 contract, first part) kept alongside the
+      // part-aware "binaryFiles" array for existing consumers
       s"""{"name": ${jsonStr(name)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
          | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
-         | "contiguousChunks": $chunkJson, "properties": [{"key": "binaryFiles", "value": $bins}]}""".stripMargin
+         | "contiguousChunks": $chunkJson,
+         | "properties": [{"key": "binaryFile", "value": ${jsonStr(partNames.head)}},
+         |                {"key": "binaryFiles", "value": $bins}]}""".stripMargin
     }
     def writeFile(p: Path, content: String): Unit = {
       val o = driverFs.create(p, true)

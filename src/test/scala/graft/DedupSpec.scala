@@ -74,6 +74,12 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(4L) == ((4L, 1L)), "unrelated doc is its own singleton cluster")
   }
 
+  test("null-text documents dedup against each other (null-safe hash join)") {
+    val t = docs(Seq((1L, null, "en"), (2L, null, "en"), (3L, base, "en")))
+    val kept = Dedup.dedupApply(t).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"higher null-text duplicate dropped: $kept")
+  }
+
   test("maxBucket drops degenerate hot buckets, keeps honest near-dups") {
     // 40 identical boilerplate docs form a hot bucket in every band;
     // the planted near-dup pair lives in its own buckets

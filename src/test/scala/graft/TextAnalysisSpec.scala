@@ -33,6 +33,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, 0L, false)), "clean doc has zero counts")
   }
 
+  test("corpusStats keeps a NULL-lang stratum") {
+    import spark.implicits._
+    val df = Seq((1L, "short text", "en"), (2L, "other words here", null), (3L, "more", null))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.corpusStats(Tables(spark, dir)).collect()
+    assert(got.length == 2, s"en and NULL strata both present: ${got.toSeq}")
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 2L && !nullRow.isNullAt(3), "NULL stratum counted with quantiles")
+  }
+
   test("repetition ratio: alternating 2-grams repeat, distinct text doesn't") {
     val t = docs(Seq(
       (1L, "a b a b a b"),          // 5 bigrams, 2 distinct -> ratio 0.6
