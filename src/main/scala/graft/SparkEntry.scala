@@ -69,7 +69,8 @@ object SparkEntry {
     "mix_plan"           -> q(Sampling.mixPlan(_)),
     "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
-    "ann_batch"          -> q(Similarity.annBatch(_))
+    "ann_batch"          -> q(Similarity.annBatch(_)),
+    "decontaminate"      -> q(TextAnalysis.decontaminate(_))
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
@@ -539,6 +540,18 @@ object SparkEntry {
             + len(regexp_extract_all(text, 'https?://[^\s]+'))
             + len(regexp_extract_all(text, '\d{3}[-.]\d{3,4}[-.]\d{4}'))) > 0 AS has_pii
          FROM documents ORDER BY doc_id""",
+    "decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-5), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         bench AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id < 25),
+         corpus AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id >= 25)
+         SELECT c.doc_id, count(DISTINCT c.h) AS n_shared_grams
+         FROM corpus c JOIN bench b ON c.h = b.h
+         GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies

@@ -168,6 +168,26 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
       .orderBy(col("doc_id"))
 
+  /** C23: benchmark decontamination — flag corpus documents sharing any
+    * k-gram with a benchmark/eval set (the standard pre-training hygiene
+    * pass). The benchmark's distinct shingle hashes aggregate to a
+    * benchmark-sized relation; the corpus side explodes its shingles and
+    * semi-joins — at scale the benchmark set is broadcast, so the pass
+    * is one narrow scan of the corpus with zero corpus shuffle before
+    * the per-doc distinct count.
+    */
+  def decontaminate(t: Tables, benchMaxId: Long = 25L, k: Int = 5): DataFrame = {
+    val shingle = s"graft_shingle_hashes(text, $k)"
+    val benchHashes = t.documents.filter(col("doc_id") < benchMaxId)
+      .select(explode(expr(shingle)).as("h")).distinct()
+    val corpus = t.documents.filter(col("doc_id") >= benchMaxId)
+      .select(col("doc_id"), explode(expr(shingle)).as("h"))
+    corpus.join(broadcast(benchHashes), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C21: corpus profile — per-stratum doc/char counts plus EXACT length
     * quantiles through the histogram-select engine (Analytics
     * .exactQuantiles as reusable API; counts and quantiles join at

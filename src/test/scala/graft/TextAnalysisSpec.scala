@@ -33,6 +33,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, 0L, false)), "clean doc has zero counts")
   }
 
+  test("decontaminate flags docs sharing a benchmark 5-gram, not clean docs") {
+    val benchSentence = "the capital of france is paris and everyone knows it"
+    val t = docs(Seq(
+      (1L, benchSentence),                                                  // benchmark doc
+      (30L, s"some leaked training text says $benchSentence quite verbatim"), // contaminated
+      (31L, "a perfectly original document with entirely novel phrasing throughout")))
+    val got = TextAnalysis.decontaminate(t, benchMaxId = 25L, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.contains(30L) && got(30L) >= 6L, s"verbatim overlap flagged: $got")
+    assert(!got.contains(31L), "clean doc untouched")
+  }
+
   test("corpusStats keeps a NULL-lang stratum") {
     import spark.implicits._
     val df = Seq((1L, "short text", "en"), (2L, "other words here", null), (3L, "more", null))
