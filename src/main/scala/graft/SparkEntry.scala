@@ -70,6 +70,7 @@ object SparkEntry {
     "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
     "ann_batch"          -> q(Similarity.annBatch(_)),
+    "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_))
   )
 
@@ -157,6 +158,17 @@ object SparkEntry {
            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
     "ann_batch" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, floor((
+             list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM embeddings, q WHERE vec_id <> q_id),
+         r AS (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+               FROM s)
+         SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+    "ann_batch_agg" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          s AS (SELECT q_id, vec_id, floor((
              list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))

@@ -351,6 +351,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBands(es(0), litInt(es(1), "nBands"), litInt(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (es: Seq[Expression]) => TopKAgg(es(0), litInt(es(1), "k"))))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))

@@ -120,14 +120,21 @@ object Similarity {
     * Any global top-k row is in its bucket's top-k, so the two-level
     * result is exact and partitioning-independent.
     */
-  def annBatch(t: Tables, nQueries: Int = 5, k: Int = 5, buckets: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (q_id, vec_id, sim) for every (query, corpus vector) pair — queries
+    * broadcast, one narrow scoring pass.
+    */
+  private def batchScores(t: Tables, nQueries: Int): DataFrame = {
     val qs = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val scored = t.embeddings.select(col("vec_id"), col("embedding"))
+    t.embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), roundHalfUp(cos("embedding", "qe"), 4).as("sim"))
+  }
+
+  def annBatch(t: Tables, nQueries: Int = 5, k: Int = 5, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = batchScores(t, nQueries)
       .withColumn("b", pmod(col("vec_id"), lit(buckets.toLong)))
     val local = Window.partitionBy(col("q_id"), col("b"))
       .orderBy(col("sim").desc, col("vec_id"))
@@ -138,6 +145,23 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** C22b: the same batch top-k through the native `graft_topk` bounded
+    * aggregate (TypedImperativeAggregate) — every map task reduces its
+    * rows to a k-entry buffer BEFORE the exchange, so the whole selection
+    * is one shuffle of k-sized buffers per query: the optimal distributed
+    * top-k, no window sort anywhere. Same output and oracle as
+    * [[annBatch]]; ties broken identically ((sim desc, vec_id asc) is the
+    * aggregate's ranking order).
+    */
+  def annBatchAgg(t: Tables, nQueries: Int = 5, k: Int = 5): DataFrame =
+    batchScores(t, nQueries)
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(struct(sim, vec_id), $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("vec_id"), col("e.score").as("sim"))
+      .orderBy(col("q_id"), col("rk"))
 
   /** C18: spherical k-means clustering of the embedding corpus (Lloyd's
     * iterations, cosine assignment, elementwise-mean update) —

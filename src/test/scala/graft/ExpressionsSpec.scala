@@ -61,6 +61,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got(0) != got(2), "trailing newline changes the shingle set (extra empty token)")
   }
 
+  test("graft_topk aggregate: bounded, mergeable, deterministic ties") {
+    import spark.implicits._
+    // 1000 rows over 8 partitions forces partial-aggregate merges
+    val df = (0L until 1000L).map(i => (i % 3, (i % 97).toDouble, i)).toDF("g", "score", "id")
+      .repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(expr("graft_topk(struct(score, id), 4)").as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1)))).toMap
+    // ground truth: top 4 by (score desc, id asc) per group
+    val truth = (0L until 1000L).map(i => (i % 3, (i % 97).toDouble, i))
+      .groupBy(_._1).view.mapValues(_.toSeq
+        .sortBy { case (_, s, id) => (-s, id) }.take(4).map(t => (t._2, t._3))).toMap
+    (0L until 3L).foreach { g =>
+      assert(got(g) == truth(g), s"group $g: ${got(g)} vs ${truth(g)}")
+    }
+    // groups smaller than k return all rows
+    val small = Seq((1L, 5.0, 10L), (1L, 7.0, 11L)).toDF("g", "score", "id")
+      .groupBy(col("g")).agg(expr("graft_topk(struct(score, id), 4)").as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(small.map(e => (e.getDouble(0), e.getLong(1))) == Seq((7.0, 11L), (5.0, 10L)))
+  }
+
   test("sortable_bits preserves double ordering") {
     import spark.implicits._
     val vs = Seq(Double.NegativeInfinity, -1e300, -2.0, -1.0, -1e-300, -0.0,
