@@ -36,7 +36,10 @@ object PlanAudit {
         "sampling is a narrow map (broadcast rates, no hash shuffle)"),
       ("ts_bandpower", p => !p.contains("Window"), "no window/sort: trig aggregates only"),
       ("text_repetition", _.contains("shinglehashes"), "native kernel in plan"),
-      ("ts_outlier", _.contains("BroadcastHashJoin"), "channel stats broadcast back"))
+      ("ts_outlier", _.contains("BroadcastHashJoin"), "channel stats broadcast back"),
+      ("ann_batch_agg", p => p.contains("graft_topk") && p.contains("partial_graft_topk"),
+        "native bounded aggregate with map-side partial"),
+      ("ann_batch_agg", p => !p.contains("Window"), "no window sort in aggregate top-k"))
 
     var failed = 0
     val plans = scala.collection.mutable.Map[String, String]()
