@@ -37,8 +37,10 @@ object PlanAudit {
       ("ts_bandpower", p => !p.contains("Window"), "no window/sort: trig aggregates only"),
       ("text_repetition", _.contains("shinglehashes"), "native kernel in plan"),
       ("ts_outlier", _.contains("BroadcastHashJoin"), "channel stats broadcast back"),
-      ("ann_batch_agg", p => p.contains("graft_topk") && p.contains("partial_graft_topk"),
-        "native bounded aggregate with map-side partial"),
+      // >= 2 occurrences: "partial_graft_topk" contains "graft_topk" as a
+      // substring, so a bare contains() would never assert the final mode
+      ("ann_batch_agg", p => "graft_topk".r.findAllIn(p).size >= 2 && p.contains("partial_graft_topk"),
+        "native bounded aggregate with map-side partial AND final merge"),
       ("ann_batch_agg", p => !p.contains("Window"), "no window sort in aggregate top-k"))
 
     var failed = 0

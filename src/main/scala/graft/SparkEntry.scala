@@ -74,6 +74,21 @@ object SparkEntry {
     "decontaminate"      -> q(TextAnalysis.decontaminate(_))
   )
 
+  /** ann_batch and ann_batch_agg are documented oracle-identical — one
+    * shared string so they can never silently desynchronize.
+    */
+  private val annBatchOracle =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       s AS (SELECT q_id, vec_id, floor((
+           list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+         FROM embeddings, q WHERE vec_id <> q_id),
+       r AS (SELECT q_id, vec_id, sim,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+             FROM s)
+       SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
     * rounding, same ORDER BY — see SURVEY.md §6).
     */
@@ -157,28 +172,8 @@ object SparkEntry {
            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_chars,
            round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "ann_batch" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         s AS (SELECT q_id, vec_id, floor((
-             list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
-                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
-           FROM embeddings, q WHERE vec_id <> q_id),
-         r AS (SELECT q_id, vec_id, sim,
-                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
-               FROM s)
-         SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
-    "ann_batch_agg" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         s AS (SELECT q_id, vec_id, floor((
-             list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
-                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
-           FROM embeddings, q WHERE vec_id <> q_id),
-         r AS (SELECT q_id, vec_id, sim,
-                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
-               FROM s)
-         SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+    "ann_batch" -> annBatchOracle,
+    "ann_batch_agg" -> annBatchOracle,
     "mix_plan" ->
       """WITH w(lang, weight) AS (SELECT * FROM (VALUES ('en',0.4),('de',0.2),('es',0.2),('fr',0.1),('zh',0.1)) v(lang, weight)),
          a AS (SELECT lang, count(*) AS n_docs,

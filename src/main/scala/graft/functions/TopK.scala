@@ -18,9 +18,18 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  /** true when (s1, id1) ranks strictly better than (s2, id2). */
-  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** true when (s1, id1) ranks strictly better than (s2, id2). Scores
+    * compare under the SQL sort total order (Double.compare: NaN ranks
+    * above +Infinity, exactly like Spark's and DuckDB's ORDER BY DESC),
+    * with -0.0/0.0 treated as a tie — a plain `>` would make every NaN
+    * comparison false and let one NaN entry poison worst-slot selection.
+    */
+  @inline private def better(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    if (c > 0 && !(s1 == s2)) true
+    else if (c < 0 && !(s1 == s2)) false
+    else id1 < id2
+  }
 
   private def worstIdx: Int = {
     var w = 0
@@ -69,6 +78,18 @@ case class TopKAgg(child: Expression, k: Int,
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
     containsNull = false)
+
+  // update() reads the struct positionally as (double, long) — anything
+  // else must fail analysis, not read reinterpreted bytes at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StructType(fields) if fields.length == 2 &&
+          fields(0).dataType == DoubleType && fields(1).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_topk expects struct<double, bigint> input, got ${other.simpleString}")
+    }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

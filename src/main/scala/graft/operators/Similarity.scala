@@ -111,15 +111,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
-    * training-dedup / batch-inference shape). Queries broadcast; scoring
-    * is one narrow pass. Top-k selection is TWO-LEVEL so parallelism is
-    * never capped at the query count: a first window over (query,
-    * vec-hash bucket) keeps each bucket's top k at query×64 parallelism,
-    * then the final window ranks only the 64·k survivors per query.
-    * Any global top-k row is in its bucket's top-k, so the two-level
-    * result is exact and partitioning-independent.
-    */
   /** (q_id, vec_id, sim) for every (query, corpus vector) pair — queries
     * broadcast, one narrow scoring pass.
     */
@@ -132,6 +123,15 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), roundHalfUp(cos("embedding", "qe"), 4).as("sim"))
   }
 
+  /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
+    * training-dedup / batch-inference shape). Queries broadcast; scoring
+    * is one narrow pass. Top-k selection is TWO-LEVEL so parallelism is
+    * never capped at the query count: a first window over (query,
+    * vec-hash bucket) keeps each bucket's top k at query×64 parallelism,
+    * then the final window ranks only the 64·k survivors per query.
+    * Any global top-k row is in its bucket's top-k, so the two-level
+    * result is exact and partitioning-independent.
+    */
   def annBatch(t: Tables, nQueries: Int = 5, k: Int = 5, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = batchScores(t, nQueries)

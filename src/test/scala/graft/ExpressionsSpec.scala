@@ -82,6 +82,20 @@ class ExpressionsSpec extends AnyFunSuite {
       .groupBy(col("g")).agg(expr("graft_topk(struct(score, id), 4)").as("top"))
       .collect()(0).getSeq[org.apache.spark.sql.Row](1)
     assert(small.map(e => (e.getDouble(0), e.getLong(1))) == Seq((7.0, 11L), (5.0, 10L)))
+    // NaN ranks largest (SQL sort order) and never poisons the buffer
+    val withNaN = Seq((1L, Double.NaN, 1L), (1L, 1.0, 2L), (1L, 5.0, 3L), (1L, 3.0, 4L))
+      .toDF("g", "score", "id")
+      .groupBy(col("g")).agg(expr("graft_topk(struct(score, id), 2)").as("top"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getDouble(0), e.getLong(1)))
+    assert(withNaN.length == 2 && withNaN(0)._1.isNaN && withNaN(1) == ((5.0, 3L)),
+      s"NaN first, then the true best: $withNaN")
+    // wrong input type fails analysis, not execution
+    val e = intercept[Exception] {
+      Seq((1L, 1, 2)).toDF("g", "score", "id")
+        .groupBy(col("g")).agg(expr("graft_topk(struct(score, id), 2)")).collect()
+    }
+    assert(e.getMessage.contains("struct<double, bigint>"), e.getMessage)
   }
 
   test("sortable_bits preserves double ordering") {
