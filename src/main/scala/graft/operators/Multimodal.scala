@@ -57,6 +57,39 @@ object Multimodal {
     out.map(v => v / math.max(1, bytes.length / dim).toFloat)
   }
 
+  /** A decoded-and-resized image payload (stub pixels). */
+  final case class Resized(mediaId: Long, width: Int, height: Int, pixels: Array[Byte])
+
+  /** Resize image-kind payloads to (outW, outH): nearest-neighbor over
+    * the byte grid implied by the stored (width, height) metadata.
+    *
+    * STUB decode: bytes are treated as a row-major single-channel image
+    * (a real codec would decode first); the nearest-neighbor SAMPLING —
+    * coordinate mapping, bounds, partition shape — is the real, tested
+    * logic and is unchanged by swapping in a decoder.
+    */
+  def resize(media: Dataset[Media], outW: Int, outH: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.filter(m => m.kind == "image" && m.width > 0 && m.height > 0).mapPartitions { it =>
+      it.map { m =>
+        val out = new Array[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = math.min(m.height - 1, y * m.height / outH)
+          var x = 0
+          while (x < outW) {
+            val sx = math.min(m.width - 1, x * m.width / outW)
+            val src = sy * m.width + sx
+            out(y * outW + x) = if (src < m.bytes.length) m.bytes(src) else 0
+            x += 1
+          }
+          y += 1
+        }
+        Resized(m.mediaId, outW, outH, out)
+      }
+    }
+  }
+
   /** Frame sampling for video-kind payloads: every `frameBytes`-sized
     * stride emits one frame slice (deterministic; a codec would seek
     * keyframes instead). Explodes executor-side — no driver involvement.

@@ -42,6 +42,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.forall(_.frameBytes.length == 128))
   }
 
+  test("resize nearest-neighbor samples only image payloads") {
+    val ds = Multimodal.ingest(spark, media)
+    val r = Multimodal.resize(ds, outW = 4, outH = 4).collect().sortBy(_.mediaId)
+    assert(r.map(_.mediaId).toSeq == Seq(1L, 2L), "image kinds only")
+    assert(r.forall(x => x.width == 4 && x.height == 4 && x.pixels.length == 16))
+    // media 1 is 8x8 with pixel (y,x) = ((y*8+x)*7).toByte; out (y,x)
+    // samples source (2y, 2x)
+    val m1 = r(0).pixels
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(m1(y * 4 + x) == ((2 * y * 8 + 2 * x) * 7).toByte, s"pixel ($y,$x)")
+    // upscale: 8x8 -> 12x12 maps within bounds (no exception, right size)
+    val up = Multimodal.resize(ds, outW = 12, outH = 12).collect()
+    assert(up.forall(_.pixels.length == 144))
+  }
+
   test("summarize aggregates by kind") {
     val s = Multimodal.summarize(Multimodal.ingest(spark, media)).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
