@@ -170,7 +170,9 @@ object Dedup {
       .withColumn("cluster", col("node"))
       .localCheckpoint()
     var iter = 0
-    var converged = false
+    // no pairs -> every doc is a singleton; skip the loop (and its
+    // per-round jobs) on the common clean-corpus case
+    var converged = labels.isEmpty
     while (!converged && iter < maxIter) {
       val nb = edges.join(labels.withColumnRenamed("node", "id_b"), Seq("id_b"))
         .groupBy(col("id_a")).agg(min(col("cluster")).as("nb_min"))
