@@ -117,6 +117,29 @@ object EventStream {
       }
   }
 
+  /** A timestamped document on the ingest stream (event time drives the
+    * dedup horizon).
+    */
+  final case class TimedDoc(docId: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming dedup with a BOUNDED horizon: duplicates are dropped only
+    * within the watermark window, and Spark expires the per-hash state
+    * beyond it — the engine-native `dropDuplicatesWithinWatermark` path,
+    * for infinite streams where O(distinct docs) state (C20's exact
+    * variant) is not acceptable. Same content-hash key as the batch and
+    * exact-streaming dedups.
+    */
+  def streamingDedupWindowed(docs: Dataset[TimedDoc], watermark: String = "10 minutes"): DataFrame =
+    docs
+      .map(d => (d.docId, d.ts, contentHash(d.text)))(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.TIMESTAMP,
+          org.apache.spark.sql.Encoders.STRING))
+      .toDF("docId", "ts", "contentHash")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("contentHash")
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

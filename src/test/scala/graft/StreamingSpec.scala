@@ -76,6 +76,24 @@ class StreamingSpec extends AnyFunSuite {
       s"lowest-id first-seen survives, later duplicates dropped: ${kept.toSeq}")
   }
 
+  test("streamingDedupWindowed drops dups inside the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingDedupWindowed(mem.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("wdedup").outputMode("append").start()
+    mem.addData(
+      EventStream.TimedDoc(1, ts(0), "hello world"),
+      EventStream.TimedDoc(2, ts(1), "HELLO  world"))   // dup within horizon
+    q.processAllAvailable()
+    mem.addData(EventStream.TimedDoc(3, ts(2), "fresh content"))
+    q.processAllAvailable()
+    val kept = spark.sql("SELECT docId FROM wdedup ORDER BY docId").collect().map(_.getLong(0))
+    q.stop()
+    assert(kept.length == 2 && kept.contains(3L) && !(kept.contains(1L) && kept.contains(2L)),
+      s"one of the dup pair + the fresh doc survive: ${kept.toSeq}")
+  }
+
   test("gapSessionize closes chunks across microbatches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
