@@ -41,7 +41,10 @@ object PlanAudit {
       // substring, so a bare contains() would never assert the final mode
       ("ann_batch_agg", p => "graft_topk".r.findAllIn(p).size >= 2 && p.contains("partial_graft_topk"),
         "native bounded aggregate with map-side partial AND final merge"),
-      ("ann_batch_agg", p => !p.contains("Window"), "no window sort in aggregate top-k"))
+      ("ann_batch_agg", p => !p.contains("Window"), "no window sort in aggregate top-k"),
+      ("decontaminate", p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        "benchmark hashes broadcast; corpus side never shuffle-joins"),
+      ("corpus_stats", _.contains("BroadcastHashJoin"), "stratum-cardinality joins broadcast"))
 
     var failed = 0
     val plans = scala.collection.mutable.Map[String, String]()

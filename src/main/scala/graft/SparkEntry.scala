@@ -71,7 +71,8 @@ object SparkEntry {
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
     "ann_batch"          -> q(Similarity.annBatch(_)),
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
-    "decontaminate"      -> q(TextAnalysis.decontaminate(_))
+    "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
+    "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_))  // rows-only: learned centroids have no SQL oracle
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one

@@ -123,6 +123,38 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), roundHalfUp(cos("embedding", "qe"), 4).as("sim"))
   }
 
+  /** C7b: IVF probed search over LEARNED centroids — the kmeans (C18)
+    * refinement of annIvf's first-k seeding: cells actually partition
+    * the vector space, so the same nProbe budget recalls more of the
+    * true top-k. Rows-only driver check (iterative centroids have no
+    * SQL oracle); the recall gain is asserted in SimilaritySpec.
+    */
+  def annIvfKmeans(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4,
+                   k: Int = 10, trainIters: Int = 3): DataFrame = {
+    val centRows = kmeansCentroids(t, nCells, trainIters)
+    val assigned = t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val centDf = {
+      val spark = t.embeddings.sparkSession
+      import spark.implicits._
+      centRows.toSeq.toDF("cell_id", "cent")
+    }
+    val qCells = centDf.crossJoin(broadcast(q))
+      .select(col("cell_id"), cos("cent", "q_embedding").as("qs"))
+      .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
+      .select(col("cell_id"))
+    val sim = roundHalfUp(cos("embedding", "q_embedding"), 4)
+    assigned.join(broadcast(qCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), sim.as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
     * training-dedup / batch-inference shape). Queries broadcast; scoring
     * is one narrow pass. Top-k selection is TWO-LEVEL so parallelism is
@@ -175,7 +207,10 @@ object Similarity {
     * next centroid literal. Empty cells keep their previous centroid.
     * Driver work is O(k·d·iters); data passes are maxIter + 1 scans.
     */
-  def kmeans(t: Tables, k: Int = 8, maxIter: Int = 5): DataFrame = {
+  /** Lloyd's iterations → final centroid set (shared by kmeans and the
+    * learned-centroid IVF). Deterministic first-k init.
+    */
+  private def kmeansCentroids(t: Tables, k: Int, maxIter: Int): Array[(Long, Seq[Float])] = {
     var centRows: Array[(Long, Seq[Float])] =
       t.embeddings.orderBy(col("vec_id")).limit(k).select(col("embedding")).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
@@ -192,6 +227,11 @@ object Similarity {
         }
       centRows = centRows.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    centRows
+  }
+
+  def kmeans(t: Tables, k: Int = 8, maxIter: Int = 5): DataFrame = {
+    val centRows = kmeansCentroids(t, k, maxIter)
     // sim recomputes ONE cosine against the chosen centroid (cell ids are
     // 0..k-1 = array position), not a second k-wide argmax scan
     t.embeddings

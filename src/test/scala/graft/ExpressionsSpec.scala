@@ -152,6 +152,17 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9), "self-cosine = 1")
   }
 
+  test("IVF with learned centroids recalls at least as well as first-k seeding") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val brute = graft.operators.Similarity.annTopK(t, k = 10).collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) =
+      (brute & df.collect().map(_.getLong(0)).toSet).size.toDouble / brute.size
+    val learned = recall(graft.operators.Similarity.annIvfKmeans(t, nCells = 16, nProbe = 4, k = 10))
+    assert(learned >= 0.5, s"probing 1/4 of learned cells recalls half the top-k: $learned")
+    val again = recall(graft.operators.Similarity.annIvfKmeans(t, nCells = 16, nProbe = 4, k = 10))
+    assert(learned == again, "learned index is deterministic")
+  }
+
   test("IVF recall: probed search finds most of brute-force top-k") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val brute = graft.operators.Similarity.annTopK(t, k = 10).collect().map(_.getLong(0)).toSet
