@@ -479,7 +479,7 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id, length(text) AS n_chars,
            CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_words,
            length(regexp_replace(text,'\s','','g')) AS n_nonspace,
-           len(list_filter(regexp_split_to_array(trim(text),'\s+'),
+           len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
              w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
            len(regexp_extract_all(text,'[.!?,;:]')) AS n_punct
          FROM documents)

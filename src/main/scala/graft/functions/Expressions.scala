@@ -177,6 +177,44 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val profileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[java.util.HashSet[String]]]()
+
+  private def profilesOf(spec: String): Array[java.util.HashSet[String]] =
+    profileCache.computeIfAbsent(spec, s => s.split("\\|", -1).map { grp =>
+      val set = new java.util.HashSet[String]()
+      grp.split(",", -1).foreach(w => if (w.nonEmpty) set.add(w))
+      set
+    })
+
+  /** Per-profile stopword hit counts in ONE tokenizing pass.
+    *
+    * `spec` = profiles joined by '|', words by ',' (a plan-time literal;
+    * parsed once and cached). Tokenization matches the oracle formulation
+    * `filter(split(trim(lower(text)), '\s+'), w -> w IN (...))` exactly —
+    * the expression-tree form re-ran the split once per profile (HOF
+    * lambda bodies are invisible to codegen subexpression elimination).
+    */
+  def stopwordHits(text: UTF8String, spec: UTF8String): ArrayData = {
+    val profiles = profilesOf(spec.toString)
+    val raw = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0; var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val toks = raw.substring(lo, hi).split("\\s+", -1)
+    val out = new Array[Long](profiles.length)
+    var i = 0
+    while (i < toks.length) {
+      var p = 0
+      while (p < profiles.length) {
+        if (profiles(p).contains(toks(i))) out(p) += 1
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Order-preserving double→long map (the Lucene sortable-bits trick):
     * signed long order of the result equals IEEE754 order of the input,
     * so any high-bit prefix is a monotone bucket function — the basis of
@@ -294,6 +332,21 @@ case class SimHashBlocks(child: Expression, bits: Int = 48, nBlocks: Int = 4, bl
   override protected def withNewChildInternal(c: Expression): SimHashBlocks = copy(child = c)
 }
 
+/** D3: per-profile stopword hit counts (array<long>) in one pass. */
+case class StopwordHits(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(text: Any, spec: Any): Any =
+    Kernels.stopwordHits(text.asInstanceOf[UTF8String], spec.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.Kernels.stopwordHits($t, $s)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StopwordHits =
+    copy(left = l, right = r)
+}
+
 /** D3: order-preserving double→long bits (monotone bucketing basis). */
 case class SortableBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -351,6 +404,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBands(es(0), litInt(es(1), "nBands"), litInt(es(2), "rowsPerBand"))))
+    ext.injectFunction((FunctionIdentifier("graft_stopword_hits"),
+      new ExpressionInfo(classOf[StopwordHits].getName, "graft_stopword_hits"),
+      (es: Seq[Expression]) => StopwordHits(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (es: Seq[Expression]) => TopKAgg(es(0), litInt(es(1), "k"))))

@@ -41,11 +41,12 @@ object TextAnalysis {
     * LLM corpora). Pure column algebra; one pass over the text.
     */
   def qualityScore(t: Tables): DataFrame = {
-    val sw = stopwords.map(s => s"'$s'").mkString(", ")
     val toks = wsTokens(col("text"))
     val nWords = when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long"))
     val nonSpace = length(regexp_replace(col("text"), "\\s", ""))
-    val nStop = expr(s"size(filter(split(trim(text), '\\\\s+'), w -> w IN ($sw)))").cast("long")
+    // single-pass native kernel (stopwords are lowercase; tokens lowered
+    // inside the kernel — same membership as the HOF/oracle formulation)
+    val nStop = expr(s"element_at(graft_stopword_hits(text, '${stopwords.mkString(",")}'), 1)")
     val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
     t.documents
       .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("n_chars"),
@@ -81,13 +82,15 @@ object TextAnalysis {
     * constant (broadcast-free: folded into the expression).
     */
   def langId(t: Tables): DataFrame = {
-    def hits(words: Seq[String]): Column = {
-      val set = words.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(split(trim(lower(text)), '\\\\s+'), w -> w IN ($set)))").cast("long")
-    }
+    // ONE tokenizing pass scores every profile (the per-profile HOF form
+    // re-ran the split for each language); flat-projection references are
+    // inside codegen subexpression elimination's reach, unlike lambdas
+    val spec = langProfiles.map(_._2.mkString(",")).mkString("|")
     val scored = t.documents.select(
       (col("doc_id") +: col("lang").as("true_lang") +:
-        langProfiles.map { case (l, ws) => hits(ws).as(s"s_$l") }): _*)
+        langProfiles.zipWithIndex.map { case ((l, _), i) =>
+          expr(s"element_at(graft_stopword_hits(text, '$spec'), ${i + 1})").as(s"s_$l")
+        }): _*)
     val langs = langProfiles.map(_._1)
     // argmax with alphabetical preference on ties
     val pred = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) { case ((l, i), els) =>

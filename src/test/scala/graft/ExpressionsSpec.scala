@@ -40,6 +40,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.take(3).map(_.getLong(0)).toSeq == ref.toSeq)
   }
 
+  test("stopword_hits matches the per-profile HOF formulation, one pass") {
+    import spark.implicits._
+    val df = Seq("The quick the and a fox", "der und das ist", "", "  \n ").toDF("text")
+    val got = df.select(expr("graft_stopword_hits(text, 'the,a,of|der,die,und,das,ist')"))
+      .collect().map(_.getSeq[Long](0))
+    val ref = df.select(
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), w -> w IN ('the','a','of')))").cast("long"),
+      expr("size(filter(split(trim(lower(text)), '\\\\s+'), w -> w IN ('der','die','und','das','ist')))").cast("long"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1)))
+    got.map(_.toSeq).zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(g == r, s"row $i: kernel $g vs HOF $r")
+    }
+    assert(got(0).toSeq == Seq(3L, 0L), "case-insensitive: 'The'+'the'+'a' = 3 hits")
+  }
+
   test("shingle hashes keep trailing empty tokens like Spark/DuckDB split") {
     import spark.implicits._
     // space-trim leaves the trailing \n; split must yield [hello, world, '']
