@@ -27,21 +27,32 @@ object Bench {
       catch { case _: Throwable => }
     }
     var failed = List.empty[String]
-    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // .count() would let Catalyst prune the projections being measured
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() } catch { case e: Throwable =>
-        if (!failed.contains(name)) failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true } catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // two timed passes, keep the min: transient host noise (GC pause,
-    // noisy neighbor) on a single pass would otherwise masquerade as a
-    // query-level regression
+    // two timed passes, keep the min over SUCCESSFUL passes: transient
+    // host noise on a single pass would otherwise masquerade as a
+    // query-level regression — and a fast failure must never deflate the
+    // reported time of a slow success
     val results = selected.map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      val (d1, ok1) = timeOnce(name, fn)
+      val (d2, ok2) = timeOnce(name, fn)
+      val t = (ok1, ok2) match {
+        case (true, true)   => math.min(d1, d2)
+        case (true, false)  => d1
+        case (false, true)  => d2
+        case (false, false) => math.max(d1, d2)
+      }
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

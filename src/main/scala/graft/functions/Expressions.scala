@@ -385,6 +385,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  // non-literal specs would be parsed per row AND interned forever into
+  // the executor-wide profile cache — misuse must fail analysis
+  private def litStr(e: Expression, what: String): Expression = e match {
+    case l @ Literal(_: org.apache.spark.unsafe.types.UTF8String, StringType) => l
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
@@ -406,7 +413,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashBands(es(0), litInt(es(1), "nBands"), litInt(es(2), "rowsPerBand"))))
     ext.injectFunction((FunctionIdentifier("graft_stopword_hits"),
       new ExpressionInfo(classOf[StopwordHits].getName, "graft_stopword_hits"),
-      (es: Seq[Expression]) => StopwordHits(es(0), es(1))))
+      (es: Seq[Expression]) => StopwordHits(es(0), litStr(es(1), "profiles spec"))))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (es: Seq[Expression]) => TopKAgg(es(0), litInt(es(1), "k"))))

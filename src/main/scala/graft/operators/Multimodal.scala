@@ -75,12 +75,15 @@ object Multimodal {
         val out = new Array[Byte](outW * outH)
         var y = 0
         while (y < outH) {
-          val sy = math.min(m.height - 1, y * m.height / outH)
+          // Long arithmetic: y*height and sy*width overflow Int for large
+          // (unvalidated, ingested) metadata dims, and a wrapped-negative
+          // src would slip past the bounds guard below
+          val sy = math.min(m.height - 1L, y.toLong * m.height / outH)
           var x = 0
           while (x < outW) {
-            val sx = math.min(m.width - 1, x * m.width / outW)
+            val sx = math.min(m.width - 1L, x.toLong * m.width / outW)
             val src = sy * m.width + sx
-            out(y * outW + x) = if (src < m.bytes.length) m.bytes(src) else 0
+            out(y * outW + x) = if (src >= 0 && src < m.bytes.length) m.bytes(src.toInt) else 0
             x += 1
           }
           y += 1

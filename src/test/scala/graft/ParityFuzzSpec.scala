@@ -21,11 +21,14 @@ class ParityFuzzSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42L)
     (1 to 10).foreach { trial =>
       val n = rnd.nextInt(300) + 20
-      // coarse timestamp grid forces click-at-purchase-time collisions
+      // coarse timestamp grid forces click-at-purchase-time collisions,
+      // but at most ONE CLICK per (user, ts): two same-instant clicks
+      // would make last_click_val genuinely ambiguous (resolved only by
+      // physical row order, which neither implementation promises)
       val rows = (0 until n).map { i =>
         (i.toLong, (rnd.nextInt(40) * 1000000000L), rnd.nextInt(4).toLong,
           if (rnd.nextBoolean()) "click" else "purchase", rnd.nextInt(100).toDouble)
-      }
+      }.groupBy(r => (r._3, r._2, r._4)).values.map(_.head).toSeq
       val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
         .withColumn("props", lit("{}"))
       val dir = java.nio.file.Files.createTempDirectory("asof").toString
