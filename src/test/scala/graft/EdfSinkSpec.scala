@@ -76,6 +76,22 @@ class EdfSinkSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("multi-file AND multi-part combine: per-file stems, per-part suffixes") {
+    val tmp = Files.createTempDirectory("edfmp")
+    val c1 = s"$tmp/s1.edf"; val c2 = s"$tmp/s2.edf"
+    Files.copy(Paths.get("/root/reference/sample_data/sin_wave.edf"), Paths.get(c1))
+    Files.copy(Paths.get("/root/reference/sample_data/sin_wave.edf"), Paths.get(c2))
+    val outDir = Files.createTempDirectory("edfmpout").toString
+    EdfSink.write(EdfFile.read(spark, Seq(c1, c2)), outDir, maxSamplesPerFile = 5000L)
+    val bins = new java.io.File(outDir).listFiles().map(_.getName).filter(_.endsWith(".ts.bin")).sorted
+    assert(bins.length == 12, s"2 files x 2 channels x 3 parts: ${bins.toSeq}")
+    assert(bins.forall(n => (n.startsWith("s1__") || n.startsWith("s2__")) && n.contains("-part")),
+      s"stem and part suffix both present: ${bins.toSeq}")
+    val sizes = bins.map(n => Files.size(Paths.get(s"$outDir/$n"))).sorted
+    assert(sizes.toSeq == Seq.fill(4)(2000L * 8) ++ Seq.fill(8)(5000L * 8),
+      s"each channel splits 5000/5000/2000: ${sizes.toSeq}")
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")
