@@ -163,9 +163,9 @@ object SparkEntry {
          ORDER BY doc_id""",
     "sample_stratified" ->
       """WITH r(lang, rate) AS (SELECT * FROM (VALUES ('en',500),('de',300),('es',200),('fr',100),('zh',50)) v(lang, rate))
-         SELECT doc_id, lang, ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 AS bucket, n_chars
+         SELECT doc_id, lang, (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 1000 AS bucket, n_chars
          FROM documents JOIN r USING (lang)
-         WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000 < rate
+         WHERE (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 1000 < rate
          ORDER BY doc_id""",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,

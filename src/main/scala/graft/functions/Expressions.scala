@@ -86,14 +86,21 @@ object Kernels {
   def simhash(hashes: ArrayData, bits: Int): Long = {
     val n = hashes.numElements()
     val mask48 = (1L << 48) - 1
+    // remix once per hash, not once per (hash, bit) — the bit loop below
+    // reads each remixed value `bits` times
+    val mixed = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      mixed(i) = (hashes.getLong(i) * 2654435761L) & mask48
+      i += 1
+    }
     var res = 0L
     var j = 0
     while (j < bits) {
       var vote = 0L
-      var i = 0
+      i = 0
       while (i < n) {
-        val m = (hashes.getLong(i) * 2654435761L) & mask48
-        vote += 2L * ((m >> j) & 1L) - 1L
+        vote += 2L * ((mixed(i) >> j) & 1L) - 1L
         i += 1
       }
       if (vote > 0) res |= 1L << j
@@ -177,26 +184,29 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  private val profileCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[java.util.HashSet[String]]]()
-
-  private def profilesOf(spec: String): Array[java.util.HashSet[String]] =
-    profileCache.computeIfAbsent(spec, s => s.split("\\|", -1).map { grp =>
+  /** Parse a profile spec (profiles joined by '|', words by ',') into hash
+    * sets. Called once per StopwordHits expression instance at plan time —
+    * never per row.
+    */
+  def parseProfiles(spec: String): Array[java.util.HashSet[String]] =
+    spec.split("\\|", -1).map { grp =>
       val set = new java.util.HashSet[String]()
       grp.split(",", -1).foreach(w => if (w.nonEmpty) set.add(w))
       set
-    })
+    }
 
   /** Per-profile stopword hit counts in ONE tokenizing pass.
     *
-    * `spec` = profiles joined by '|', words by ',' (a plan-time literal;
-    * parsed once and cached). Tokenization matches the oracle formulation
+    * `profiles` arrive pre-parsed (the spec is analysis-enforced to be a
+    * string literal, so StopwordHits resolves it once per expression
+    * instance and codegen references the parsed array directly — no
+    * per-row spec stringification or cache lookup). Tokenization matches
+    * the oracle formulation
     * `filter(split(trim(lower(text)), '\s+'), w -> w IN (...))` exactly —
     * the expression-tree form re-ran the split once per profile (HOF
     * lambda bodies are invisible to codegen subexpression elimination).
     */
-  def stopwordHits(text: UTF8String, spec: UTF8String): ArrayData = {
-    val profiles = profilesOf(spec.toString)
+  def stopwordHits(text: UTF8String, profiles: Array[java.util.HashSet[String]]): ArrayData = {
     val raw = text.toString.toLowerCase(java.util.Locale.ROOT)
     var lo = 0; var hi = raw.length
     while (lo < hi && raw.charAt(lo) == ' ') lo += 1
@@ -332,16 +342,31 @@ case class SimHashBlocks(child: Expression, bits: Int = 48, nBlocks: Int = 4, bl
   override protected def withNewChildInternal(c: Expression): SimHashBlocks = copy(child = c)
 }
 
-/** D3: per-profile stopword hit counts (array<long>) in one pass. */
+/** D3: per-profile stopword hit counts (array<long>) in one pass.
+  *
+  * The spec child is analysis-enforced to be a string literal
+  * (GraftExtensions.litStr), so the profile hash sets are resolved ONCE
+  * per expression instance here; codegen embeds the parsed array as a
+  * plan reference object — rows never stringify the spec or look up a
+  * cache.
+  */
 case class StopwordHits(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
-  override protected def nullSafeEval(text: Any, spec: Any): Any =
-    Kernels.stopwordHits(text.asInstanceOf[UTF8String], spec.asInstanceOf[UTF8String])
+  @transient private lazy val profiles: Array[java.util.HashSet[String]] = right match {
+    case Literal(s: UTF8String, StringType) if s != null => Kernels.parseProfiles(s.toString)
+    case other => throw new IllegalStateException(
+      s"StopwordHits spec must be a string literal (enforced at analysis), got $other")
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (t, s) => s"graft.functions.Kernels.stopwordHits($t, $s)")
+  override protected def nullSafeEval(text: Any, spec: Any): Any =
+    Kernels.stopwordHits(text.asInstanceOf[UTF8String], profiles)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopwordProfiles", profiles, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, (t, _) => s"graft.functions.Kernels.stopwordHits($t, $ref)")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StopwordHits =
     copy(left = l, right = r)

@@ -19,10 +19,15 @@ object Sampling {
   private val P = 1000000007L
 
   /** Per-mille sampling bucket from a multiplicative hash of the id:
-    * ((id mod P)·0x9E3779B1 mod P) mod 1000. The pre-reduction keeps the
-    * product inside signed-64 for any id, in every engine.
+    * (pmod(id, P)·0x9E3779B1 mod P) mod 1000. The inner `(x % P + P) % P`
+    * is a portable pmod — both Spark's and DuckDB's `%` keep the
+    * dividend's sign, so a bare `id % P` on a negative id would yield a
+    * negative bucket that passes every `bucket < rate` filter (kept at
+    * 100 % regardless of stratum rate). The pmod result is in [0, P), so
+    * the product stays < P·0x9E3779B1 < 2^63 (signed-64-safe in every
+    * engine) and all later residues are non-negative.
     */
-  private def bucket1000 = expr(s"((doc_id % ${P}L) * 2654435761L) % ${P}L % 1000")
+  private def bucket1000 = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L % 1000")
 
   /** C16: stratified sampling for training mixtures — per-stratum
     * per-mille rates (e.g. downsample dominant languages, keep the tail).

@@ -54,17 +54,25 @@ class EdfDataSource extends TableProvider with DataSourceRegister {
     * subset of the sample schema (the reader materializes by field name,
     * so any projection is cheap) and rejected loudly otherwise — rows must
     * never be reinterpreted under a schema the scan doesn't produce.
+    *
+    * Name matching honors the session's resolver (`spark.sql.caseSensitive`,
+    * default case-insensitive) — `schema("CHANNEL string")` must be
+    * accepted wherever `select("CHANNEL")` resolves. Matched fields are
+    * canonicalized to the source's own casing so the by-name partition
+    * reader recognizes them.
     */
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val full = EdfFile.sampleSchema
-    schema.fields.foreach { f =>
-      val ref = full.fields.find(_.name == f.name).getOrElse(throw new IllegalArgumentException(
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    val canonical = schema.fields.map { f =>
+      val ref = full.fields.find(r => resolver(r.name, f.name)).getOrElse(throw new IllegalArgumentException(
         s"edf source has no column '${f.name}'; available: ${full.fieldNames.mkString(", ")}"))
       require(ref.dataType == f.dataType,
         s"edf column '${f.name}' is ${ref.dataType.simpleString}, user schema requests ${f.dataType.simpleString}")
+      f.copy(name = ref.name)
     }
-    new EdfTable(paths(new CaseInsensitiveStringMap(properties)), schema)
+    new EdfTable(paths(new CaseInsensitiveStringMap(properties)), StructType(canonical))
   }
 }
 
