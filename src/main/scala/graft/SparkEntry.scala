@@ -72,7 +72,15 @@ object SparkEntry {
     "ann_batch"          -> q(Similarity.annBatch(_)),
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
-    "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_))  // rows-only: learned centroids have no SQL oracle
+    "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
+    "funnel"             -> q(EventAnalytics.funnel(_)),
+    "retention"          -> q(EventAnalytics.retention),
+    "grouping_sets"      -> q(Analytics.groupingSets),
+    "mad_outlier"        -> q(TimeSeries.madOutlier(_)),
+    "ts_weighted"        -> q(TimeSeries.tsWeighted(_)),
+    "lttb"               -> q(TimeSeries.lttb(_)),
+    "vocab_topk"         -> q(TextAnalysis.vocabTopk(_)),
+    "paragraph_dedup"    -> q(TextAnalysis.paragraphDedup(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -641,6 +649,96 @@ object SparkEntry {
                     ORDER BY qs DESC, cell_id LIMIT 4)
          SELECT vec_id, floor(((list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))))))*10000.0 + 0.5)/10000.0 AS sim
          FROM assigned JOIN qcells USING (cell_id), q
-         WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10"""
+         WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10""",
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type='view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 ON e.user_id=s1.user_id AND e.us > s1.t
+                WHERE e.event_type='click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 ON e.user_id=s2.user_id AND e.us > s2.t
+                WHERE e.event_type='purchase' GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, count(*) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3) u
+         ORDER BY stage""",
+    "retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, (epoch_ns(ts)//1000)//86400000000 AS day FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+         SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_users
+         FROM d JOIN c USING (user_id) GROUP BY 1,2 ORDER BY 1,2""",
+    "grouping_sets" ->
+      """SELECT CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice),2) AS total, count(*) AS n
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),(o_orderpriority),())
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "mad_outlier" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         med AS (SELECT event_type, round(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS med FROM e GROUP BY 1),
+         dev AS (SELECT e.event_type, e.event_id, e.value, e.us, med.med, abs(e.value - med.med) AS adev
+                 FROM e JOIN med USING (event_type)),
+         mad AS (SELECT event_type, round(quantile_cont(CAST(adev AS DOUBLE), 0.5), 4) AS mad FROM dev GROUP BY 1)
+         SELECT event_type, event_id, us AS ts_us, value,
+           floor(0.6745*(value - med)/mad*1000 + 0.5)/1000.0 AS robust_z
+         FROM dev JOIN mad USING (event_type)
+         WHERE mad > 0 AND abs(floor(0.6745*(value - med)/mad*1000 + 0.5)/1000.0) >= 3.5
+         ORDER BY event_type, ts_us, event_id""",
+    "ts_weighted" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         c AS (SELECT *, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents FROM e),
+         w AS (SELECT event_type, event_id, us,
+                 count(*) OVER fr AS n_trailing,
+                 sum(cents) OVER fr AS s_cents
+               FROM c WINDOW fr AS (PARTITION BY event_type ORDER BY us
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW))
+         SELECT event_type, event_id, us AS ts_us, CAST(n_trailing AS BIGINT) AS n_trailing,
+           floor(CAST(s_cents AS DOUBLE)/(n_trailing*100.0)*10000 + 0.5)/10000.0 AS avg_trailing
+         FROM w ORDER BY event_type, ts_us, event_id""",
+    "lttb" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT *, CAST(floor(value*100+0.5) AS BIGINT) AS cents,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY us, event_id) AS BIGINT) - 1 AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n,
+                 min(us) OVER (PARTITION BY event_type) AS us0
+               FROM e),
+         bb AS (SELECT *, (rn * 20) // n AS bucket FROM b),
+         m AS (SELECT event_type, bucket,
+                 CAST(sum(us - us0) AS DOUBLE)/count(*) AS mx,
+                 CAST(sum(cents) AS DOUBLE)/(count(*)*100.0) AS my
+               FROM bb GROUP BY 1,2),
+         an AS (SELECT event_type, bucket,
+                 lag(mx) OVER wb AS px, lag(my) OVER wb AS py,
+                 lead(mx) OVER wb AS nx, lead(my) OVER wb AS ny
+                FROM m WINDOW wb AS (PARTITION BY event_type ORDER BY bucket)),
+         scored AS (SELECT bb.event_type, bb.bucket, bb.us, bb.event_id, bb.value, bb.rn,
+                 CAST(bb.us - bb.us0 AS DOUBLE) AS x, bb.cents/100.0 AS y,
+                 an.px, an.py, an.nx, an.ny
+               FROM bb JOIN an USING (event_type, bucket)),
+         pick AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket ORDER BY
+                 CASE WHEN px IS NULL THEN rn ELSE -1 END,
+                 CASE WHEN nx IS NULL THEN -rn ELSE -1 END,
+                 abs((px-nx)*(y-py) - (px-x)*(py-ny)) DESC, us, event_id) AS rk
+               FROM scored)
+         SELECT event_type, bucket, us AS ts_us, value FROM pick WHERE rk = 1
+         ORDER BY event_type, bucket""",
+    "vocab_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                      FROM documents)
+         SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM tok WHERE len(token) > 0 GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""",
+    "paragraph_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM documents),
+         px AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM p0),
+         k AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ps[i] AS para,
+                 md5(lower(trim(ps[i]))) AS h FROM px),
+         kept AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+                                 FROM k) r WHERE rk = 1),
+         reb AS (SELECT doc_id, count(*) AS n_kept, string_agg(para, chr(10) ORDER BY pos) AS kept_text
+                 FROM kept GROUP BY 1),
+         np AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras FROM documents)
+         SELECT np.doc_id, np.n_paras, coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(reb.kept_text, '') AS kept_text
+         FROM np LEFT JOIN reb ON np.doc_id = reb.doc_id ORDER BY np.doc_id"""
   )
 }

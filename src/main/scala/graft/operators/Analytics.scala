@@ -102,6 +102,22 @@ object Analytics {
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** B6b: GROUPING SETS — arbitrary grouping combinations in one pass (the
+    * generalization of rollup B6 that can skip levels or add disjoint
+    * ones; here (status, priority), (priority), and the grand total — a
+    * set rollup cannot express). Spark plans one Expand + one aggregate,
+    * exactly like rollup; `grouping_id()` disambiguates a genuinely NULL
+    * group value from a rolled-up level.
+    */
+  def groupingSets(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** B7: EXISTS / NOT EXISTS via semi/anti joins (never a full join + distinct). */
   def semiAnti(t: Tables): DataFrame = {
     val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")

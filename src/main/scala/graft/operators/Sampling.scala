@@ -67,10 +67,12 @@ object Sampling {
     val avail = t.documents
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(nTokens).as("n_tokens"))
-    val all = Window.orderBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    avail.join(broadcast(wdf), Seq("lang"))
-      .withColumn("budget", min(col("n_tokens") / col("weight")).over(all))
+    val weighted = avail.join(broadcast(wdf), Seq("lang"))
+    // global min as a 1-row aggregate cross-joined back (broadcast) — the
+    // unpartitioned-window formulation forces all rows onto one task,
+    // which is wrong in principle even on a broadcast-sized relation
+    val budget = weighted.agg(min(col("n_tokens") / col("weight")).as("budget"))
+    weighted.crossJoin(broadcast(budget))
       .withColumn("take_tokens", floor(col("weight") * col("budget")).cast("long"))
       .withColumn("rate", roundHalfUp(col("weight") * col("budget") / col("n_tokens"), 4))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.roundHalfUp
 
@@ -223,4 +224,58 @@ object TextAnalysis {
       .groupBy(md5(col("norm")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("content_hash"))
+
+  /** C26: corpus vocabulary profile — the `topK` most frequent tokens
+    * with term and document frequency (the Zipf-curve head every corpus
+    * audit starts from). The (token) aggregation is map-side combinable
+    * and the final top-k is TakeOrdered (bounded k, no global sort);
+    * document frequency counts distinct doc ids per token — the expand
+    * rewrite shuffles (token, doc_id) pairs, the same weight class as
+    * the tf shuffle itself.
+    */
+  def vocabTopk(t: Tables, topK: Int = 20): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topK)
+
+  /** C25: paragraph-level exact deduplication (the RefinedWeb/Dolma
+    * recipe): every paragraph is hashed on normalized content; only its
+    * FIRST occurrence corpus-wide (lowest doc_id, then earliest position)
+    * survives, and documents are reassembled from their surviving
+    * paragraphs in original order. Catches boilerplate (headers, footers,
+    * license blocks) that document-level dedup (C1) can never see.
+    *
+    * Shape: one shuffle keyed by paragraph hash for the first-occurrence
+    * window, one by doc_id for reassembly — both on (hash, ids) pairs
+    * plus the paragraph text, never repeated scans. Docs whose every
+    * paragraph is a duplicate stay in the output with empty text (the
+    * drop decision is a separate policy).
+    */
+  def paragraphDedup(t: Tables, sep: String = "\n"): DataFrame = {
+    val paras = t.documents
+      .select(col("doc_id"), posexplode(split(col("text"), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"),
+        md5(lower(trim(col("para")))).as("h"))
+    val firstWin = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val kept = paras
+      .withColumn("rk", row_number().over(firstWin))
+      .filter(col("rk") === 1)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), sep).as("kept_text"))
+    t.documents
+      .select(col("doc_id"),
+        size(split(col("text"), java.util.regex.Pattern.quote(sep))).cast("long").as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
 }

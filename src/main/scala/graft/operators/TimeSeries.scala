@@ -389,6 +389,121 @@ object TimeSeries {
         roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** A21: robust outlier detection via MAD (median absolute deviation) —
+    * the resistant complement of the z-score detector A19: median and MAD
+    * are unaffected by the very outliers being hunted, so a few extreme
+    * samples can't inflate sigma and mask each other.
+    *
+    * robust z = 0.6745·(v − median)/MAD (Iglewicz–Hoaglin); flag
+    * |z| ≥ cutoff (3.5 is their recommended default). Medians are EXACT,
+    * via the bucketed histogram-select pipeline (Analytics.exactQuantiles
+    * — two narrow passes, never a per-group sort), and both median
+    * relations are channel-cardinality broadcasts; the scoring pass is
+    * narrow. Selection happens on the ROUNDED score so boundary rows
+    * can't flip between engines.
+    */
+  def madOutlier(t: Tables, cutoff: Double = 3.5): DataFrame = {
+    val med = Analytics.exactQuantiles(
+      t.events.select(col("event_type"), col("value")), "event_type",
+      Seq("value" -> Seq("med" -> 0.5)))
+    val dev = t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = Analytics.exactQuantiles(
+      dev.select(col("event_type"), col("adev")), "event_type",
+      Seq("adev" -> Seq("mad" -> 0.5)))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0)
+      .withColumn("robust_z", roundHalfUp(lit(0.6745) * (col("value") - col("med")) / col("mad"), 3))
+      .filter(abs(col("robust_z")) >= cutoff)
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
+        col("robust_z"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
+  /** A22: trailing time-window aggregation — for every sample, the count
+    * and mean of all samples in the preceding `horizonUs` µs of the same
+    * channel (a RANGE window frame: the frame is defined by the TIME
+    * axis, not a row count, so irregular sampling is handled correctly).
+    *
+    * Determinism: a sliding-frame float sum is engine-dependent (Spark
+    * folds left-to-right; other engines use segment trees — different
+    * association, different last-ulp, and .5-boundary rounding flips).
+    * So the frame aggregates integer CENTS (`floor(value·100 + 0.5)` is
+    * bit-exact per row, and integer sums are order-independent); the
+    * single final division is then bit-identical everywhere. One shuffle
+    * by channel.
+    */
+  def tsWeighted(t: Tables, horizonUs: Long = 600L * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-horizonUs, 0)
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("avg_trailing",
+        roundHalfUp(sum(col("cents")).over(w) / (col("n_trailing") * 100.0), 4))
+      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
+        col("n_trailing"), col("avg_trailing"))
+      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+  }
+
+  /** A23: LTTB downsampling (largest-triangle-three-buckets) — the
+    * standard visualization decimator: keep, per bucket, the point that
+    * forms the largest triangle with its neighbor buckets, preserving
+    * visual extremes that plain bucket averaging (A7) flattens.
+    *
+    * This is the PARALLEL variant: triangle anchors are the neighbor
+    * buckets' MEANS (classic LTTB anchors on the previously SELECTED
+    * point, a sequential dependency that cannot distribute); first and
+    * last buckets keep their first/last points. Buckets are equal-count
+    * via row_number, so selection is rank-deterministic.
+    *
+    * Determinism: bucket means are computed from integer sums (µs
+    * rebased to the channel start so ~2^40-scale sums stay far inside
+    * double-exact range even with millions of samples per bucket, and
+    * value in cents) — order-independent, so the area comparison sees
+    * bit-identical doubles in every engine. Ties: max area, then
+    * earliest sample. Shape: one shuffle by channel for ranking, one
+    * channel×nBuckets-sized mean relation broadcast back, narrow scoring.
+    */
+  def lttb(t: Tables, nBuckets: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val base = t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("us0", min(col("us")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("bucket", expr(s"(rn * ${nBuckets}L) div n"))
+      .withColumn("x", (col("us") - col("us0")).cast("double"))
+      .withColumn("y", col("cents") / 100.0)
+    val means = base.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("us") - col("us0")).as("sx"), sum(col("cents")).as("sy"),
+        count(lit(1)).as("bn"))
+      .select(col("event_type"), col("bucket"),
+        (col("sx") / col("bn")).as("mx"), (col("sy") / (col("bn") * 100.0)).as("my"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val anchors = means
+      .withColumn("px", lag(col("mx"), 1).over(wb)).withColumn("py", lag(col("my"), 1).over(wb))
+      .withColumn("nx", lead(col("mx"), 1).over(wb)).withColumn("ny", lead(col("my"), 1).over(wb))
+      .select(col("event_type"), col("bucket"), col("px"), col("py"), col("nx"), col("ny"))
+    val area = abs((col("px") - col("nx")) * (col("y") - col("py")) -
+      (col("px") - col("x")) * (col("py") - col("ny")))
+    val pick = Window.partitionBy(col("event_type"), col("bucket")).orderBy(
+      // interior buckets: max triangle area; first/last buckets: the
+      // boundary point itself (area is null there — order by rank)
+      when(col("px").isNull, col("rn")).otherwise(-lit(1)).asc,
+      when(col("nx").isNull, -col("rn")).otherwise(-lit(1)).asc,
+      area.desc, col("us").asc, col("event_id").asc)
+    base.join(broadcast(anchors), Seq("event_type", "bucket"))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("bucket"), col("us").as("ts_us"), col("value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */

@@ -45,6 +45,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(31L), "clean doc untouched")
   }
 
+  test("paragraph dedup keeps first occurrence corpus-wide and rebuilds docs in order") {
+    val t = docs(Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "BETA \ndelta"),   // beta dups doc 1's (case/trim-insensitive)
+      (3L, "alpha\nalpha")))  // both paragraphs dup doc 1's alpha
+    val got = TextAnalysis.paragraphDedup(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3L, 3L, "alpha\nbeta\ngamma")), s"first doc untouched: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "delta")), s"duplicate paragraph dropped: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, "")), s"fully-duplicate doc goes empty: ${got(3L)}")
+  }
+
   test("corpusStats keeps a NULL-lang stratum") {
     import spark.implicits._
     val df = Seq((1L, "short text", "en"), (2L, "other words here", null), (3L, "more", null))

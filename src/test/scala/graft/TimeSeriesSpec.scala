@@ -45,6 +45,56 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(flatHour < 1.0, s"constant channel has no hour-band content, got $flatHour")
   }
 
+  test("MAD outliers survive the masking that defeats the z-score detector") {
+    // 20 % contamination at 500 inflates mean/stddev enough that the
+    // z-score of the outliers themselves drops near 2 — the classic
+    // masking failure. The median/MAD pair doesn't move, so the robust
+    // detector still flags every planted point and no normal one.
+    val normal = (0 until 200).map { i =>
+      (i.toLong, i * 1000000000L, 1L, "ch", 10.0 + (i % 7) * 0.5)
+    }
+    val planted = (0 until 40).map { i =>
+      (1000L + i, (500L + i) * 1000000000L, 1L, "ch", 500.0)
+    }
+    val t = events(normal ++ planted)
+    val zFlagged = TimeSeries.tsOutlier(t).collect().map(_.getLong(1)).toSet
+    assert(zFlagged.isEmpty, s"masked contamination defeats the z detector, got $zFlagged")
+    val madFlagged = TimeSeries.madOutlier(t).collect().map(_.getLong(1)).toSet
+    assert(madFlagged == planted.map(_._1).toSet,
+      s"MAD flags exactly the planted points, got ${madFlagged.size} of ${planted.size}")
+  }
+
+  test("trailing time-window aggregation counts by TIME, not rows") {
+    val rows = Seq(
+      (0L, 0L, 1L, "ch", 1.0),           // t = 0 s
+      (1L, 60L * 1000000000L, 1L, "ch", 2.0),   // t = 60 s
+      (2L, 120L * 1000000000L, 1L, "ch", 3.0),  // t = 120 s
+      (3L, 600L * 1000000000L, 1L, "ch", 4.0),  // t = 600 s: 0 s is on the horizon edge (inclusive)
+      (4L, 660L * 1000000000L, 1L, "ch", 5.0))  // t = 660 s: 0 s has aged out
+    val got = TimeSeries.tsWeighted(events(rows)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got(0L) == ((1L, 1.0)) && got(1L) == ((2L, 1.5)) && got(2L) == ((3L, 2.0)))
+    assert(got(3L) == ((4L, 2.5)), s"inclusive horizon edge: ${got(3L)}")
+    assert(got(4L) == ((4L, 3.5)), s"t=0 aged out: ${got(4L)}")
+  }
+
+  test("LTTB keeps the spike a bucket-mean resample would flatten") {
+    // 80 samples of a flat signal with one narrow spike; 4 buckets of 20.
+    // Resampling to 4 bucket means flattens the spike to ~14.5; LTTB must
+    // select the spike point itself for its bucket, plus the exact first
+    // and last points for the edge buckets.
+    val rows = (0 until 80).map { i =>
+      val v = if (i == 30) 100.0 else 10.0
+      (i.toLong, i * 60L * 1000000000L, 1L, "ch", v)
+    }
+    val got = TimeSeries.lttb(events(rows), nBuckets = 4).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.length == 4, s"one point per bucket: ${got.length}")
+    assert(got.head._1 == 0L * 60L * 1000000L, "first bucket keeps the first point")
+    assert(got.last._1 == 79L * 60L * 1000000L, "last bucket keeps the last point")
+    assert(got.map(_._2).contains(100.0), s"spike survives downsampling: ${got.toSeq}")
+  }
+
   test("z-score outlier detection flags exactly the planted anomaly") {
     val normal = (0 until 200).map { i =>
       (i.toLong, i * 1000000000L, 1L, "ch", 10.0 + (i % 7) * 0.5)
