@@ -80,7 +80,13 @@ object SparkEntry {
     "ts_weighted"        -> q(TimeSeries.tsWeighted(_)),
     "lttb"               -> q(TimeSeries.lttb(_)),
     "vocab_topk"         -> q(TextAnalysis.vocabTopk(_)),
-    "paragraph_dedup"    -> q(TextAnalysis.paragraphDedup(_))
+    "paragraph_dedup"    -> q(TextAnalysis.paragraphDedup(_)),
+    "user_sessions"      -> q(EventAnalytics.userSessions(_)),
+    "latest_state"       -> q(EventAnalytics.latestState),
+    "gopher_rules"       -> q(TextAnalysis.gopherRules(_)),
+    "heavy_hitters"      -> q(TextAnalysis.heavyHitters(_)),
+    "pack_sequences"     -> q(Sampling.packSequences(_)),
+    "corpus_shuffle"     -> q(Sampling.corpusShuffle(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -739,6 +745,67 @@ object SparkEntry {
          np AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_paras FROM documents)
          SELECT np.doc_id, np.n_paras, coalesce(reb.n_kept, 0) AS n_kept,
            coalesce(reb.kept_text, '') AS kept_text
-         FROM np LEFT JOIN reb ON np.doc_id = reb.doc_id ORDER BY np.doc_id"""
+         FROM np LEFT JOIN reb ON np.doc_id = reb.doc_id ORDER BY np.doc_id""",
+    "user_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id FROM f)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id, min(us) AS start_us,
+           max(us) AS end_us, count(*) AS n_events, count(DISTINCT event_type) AS n_types
+         FROM s GROUP BY 1,2 ORDER BY 1,2""",
+    "latest_state" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id, value FROM events),
+         m AS (SELECT user_id, event_type,
+                 max(struct_pack(us := us, event_id := event_id, value := value)) AS r,
+                 count(*) AS n_versions
+               FROM e GROUP BY 1,2)
+         SELECT user_id, event_type, r.us AS ts_us, r.event_id AS event_id, r.value AS value,
+           CAST(n_versions AS BIGINT) AS n_versions
+         FROM m ORDER BY user_id, event_type""",
+    "gopher_rules" ->
+      """WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_words,
+                 CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_nonspace,
+                 CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop_distinct,
+                 CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+               FROM b)
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_nonspace, n_stop_distinct,
+           n_alpha, n_distinct,
+           (n_words >= 25 AND n_words <= 80) AS word_count_ok,
+           (n_words > 0 AND 3*n_words <= n_nonspace AND n_nonspace <= 10*n_words) AS word_len_ok,
+           (n_stop_distinct >= 2) AS stop_ok,
+           (n_words > 0 AND 5*n_alpha >= 4*n_words) AS alpha_ok,
+           (n_words > 0 AND 2*n_distinct >= n_words) AS distinct_ok,
+           ((n_words >= 25 AND n_words <= 80) AND
+            (n_words > 0 AND 3*n_words <= n_nonspace AND n_nonspace <= 10*n_words) AND
+            (n_stop_distinct >= 2) AND
+            (n_words > 0 AND 5*n_alpha >= 4*n_words) AND
+            (n_words > 0 AND 2*n_distinct >= n_words)) AS pass
+         FROM m ORDER BY doc_id""",
+    "heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+                      FROM documents)
+         SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0
+         GROUP BY 1 ORDER BY cnt DESC, token""",
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+               FROM documents),
+         c AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM d)
+         SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS offset
+         FROM c ORDER BY doc_id""",
+    "corpus_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+                 (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS h
+               FROM documents)
+         SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id, h
+         FROM h ORDER BY rank"""
   )
 }

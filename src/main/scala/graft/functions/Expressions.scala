@@ -442,6 +442,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (es: Seq[Expression]) => TopKAgg(es(0), litInt(es(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
+      (es: Seq[Expression]) => HeavyHittersAgg(es(0), litInt(es(1), "capacity"))))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))

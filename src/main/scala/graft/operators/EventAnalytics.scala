@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream product analytics (SURVEY.md §2 B15-B16) — the classic
@@ -70,4 +71,49 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** B17: per-user sessionization — split each user's event stream at
+    * idle gaps > `gapUs` µs; one output row per session with its span,
+    * event count and distinct-type count. The behavioral twin of the
+    * channel sessionizer A5, keyed by user instead of channel.
+    *
+    * One shuffle by user_id: the gap-flag window, the running-sum window
+    * and the final aggregation all share that partitioning, so Catalyst
+    * plans a single Exchange for the whole pipeline.
+    */
+  def userSessions(t: Tables, gapUs: Long = 1800L * 1000000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs.as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_types"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** B18: changelog compaction (CDC latest-wins upsert) — reduce an
+    * append-only event log to the newest row per (user, type) key, with
+    * the version count per key.
+    *
+    * The latest row is `max(struct(us, event_id, value))` — struct
+    * comparison is lexicographic, (us, event_id) is unique per row, so
+    * value never participates in ordering; the aggregate is map-side
+    * combinable, so compaction costs ONE shuffle of key-cardinality
+    * partial states instead of the full-log window sort the row_number
+    * formulation would plan. At 100 TB that is the difference between
+    * shuffling keys and shuffling the entire changelog.
+    */
+  def latestState(t: Tables): DataFrame =
+    t.events
+      .select(col("user_id"), col("event_type"), tsUs.as("us"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("r"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"), col("r.us").as("ts_us"),
+        col("r.event_id").as("event_id"), col("r.value").as("value"), col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
 }

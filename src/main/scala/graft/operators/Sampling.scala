@@ -79,4 +79,75 @@ object Sampling {
         col("take_tokens"), col("rate"))
       .orderBy(col("lang"))
   }
+
+  /** C28: sequence packing for training — concatenate documents in
+    * doc_id order and chunk the token stream at `seqLen`: each document
+    * gets the training-sequence id and intra-sequence offset where it
+    * starts (the concat-then-chunk packing LLM data loaders use; a doc
+    * may straddle a boundary — the loader splits it there).
+    *
+    * The global running token count is a DISTRIBUTED PREFIX SUM, never a
+    * single-partition window over the corpus: docs prefix-sum WITHIN
+    * doc_id-range buckets in parallel (window partitioned by bucket),
+    * and only the bucket-cardinality totals relation — √N-sized by
+    * choosing bucketSize ≈ √N — runs the sequential prefix step, then
+    * broadcasts back. At 10^11 docs with bucketSize 10^6 the sequential
+    * step touches 10^5 rows; the corpus-sized passes stay parallel.
+    */
+  def packSequences(t: Tables, seqLen: Long = 512, bucketSize: Long = 1000): DataFrame = {
+    val nTokens = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val docs = t.documents
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        expr(s"doc_id div ${bucketSize}L").as("bkt"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // sequential prefix over the bucket-cardinality totals; partitioning
+    // by a constant states the single-group intent explicitly
+    val wBkt = Window.partitionBy(lit(0)).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bkt_total"))
+      .withColumn("bkt_offset", coalesce(sum(col("bkt_total")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("bkt_offset"))
+    docs
+      .withColumn("in_bkt", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("prev", col("bkt_offset") + col("in_bkt"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"prev div ${seqLen}L").as("seq_id"),
+        (col("prev") % seqLen).as("offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C29: deterministic corpus shuffle — a reproducible pseudo-random
+    * permutation of the corpus (the global shuffle every training run
+    * needs): rank documents by a multiplicative hash of doc_id. No
+    * rand(), so the permutation is stable across runs/engines/retries.
+    *
+    * The global rank reuses the distributed-prefix-sum shape: shard =
+    * high bits of the hash (`(h·K) div P` is monotone in h, so shard
+    * boundaries respect the global hash order), ranks are window-local
+    * within shards, and only the K-row shard-count relation is
+    * sequential. One shuffle by shard — which is exactly the data
+    * movement any global re-order costs (Spark's own orderBy range
+    * exchange), plus zero sampling passes because shard bounds are known
+    * in closed form.
+    */
+  def corpusShuffle(t: Tables, nShards: Int = 64): DataFrame = {
+    val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
+    val docs = t.documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", expr(s"(h * ${nShards}L) div ${P}L"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    val wShard = Window.partitionBy(lit(0)).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .withColumn("shard_offset", coalesce(sum(col("n")).over(wShard), lit(0L)))
+      .select(col("shard"), col("shard_offset"))
+    docs
+      .withColumn("in_shard", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("shard"))
+      .select((col("shard_offset") + col("in_shard")).as("rank"), col("doc_id"), col("h"))
+      .orderBy(col("rank"))
+  }
 }

@@ -242,6 +242,61 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
 
+  /** C30: frequent-token summary through the native `graft_heavy_hitters`
+    * Misra–Gries aggregate — the sketch answer to vocab_topk (C26): every
+    * map task reduces its token stream to a `capacity`-bounded summary
+    * BEFORE the exchange, so the shuffle carries O(capacity) buffers per
+    * task instead of the vocabulary. Counts are exact while the true
+    * distinct count fits in `capacity` (this corpus: 31 tokens ≪ 64, so
+    * the DuckDB exact-count oracle matches bit-for-bit); past capacity
+    * they degrade gracefully to lower bounds with error ≤ n/(capacity+1).
+    */
+  def heavyHitters(t: Tables, capacity: Int = 64): DataFrame =
+    t.documents
+      .select(explode(wsTokens(lower(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .agg(expr(s"graft_heavy_hitters(token, $capacity)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+
+  /** C27: Gopher-style quality-rule flags — the document-level pass/fail
+    * heuristics (Rae et al. 2021 §A1.1) every corpus filter starts from,
+    * adapted to this corpus's scale: word count within [minWords,
+    * maxWords], mean word length within [3, 10], ≥ 2 distinct stopwords,
+    * ≥ 80 % alphabetic words, and ≤ 50 % repeated words.
+    *
+    * Every rule is an INTEGER comparison (`3·n_words ≤ n_chars` instead
+    * of `n_chars/n_words ≥ 3.0`) — no float division ever happens, so no
+    * boundary row can flip between engines. One narrow pass, no shuffle;
+    * the summary a caller would layer on top is map-side combinable.
+    */
+  def gopherRules(t: Tables, minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val stopArr = array(stopwords.map(lit): _*)
+    t.documents
+      .select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long")).as("n_words"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_nonspace"),
+        size(array_intersect(toks, stopArr)).cast("long").as("n_stop_distinct"),
+        size(filter(toks, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("word_count_ok",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("word_len_ok",
+        col("n_words") > 0 &&
+          lit(3) * col("n_words") <= col("n_nonspace") &&
+          col("n_nonspace") <= lit(10) * col("n_words"))
+      .withColumn("stop_ok", col("n_stop_distinct") >= 2)
+      .withColumn("alpha_ok",
+        col("n_words") > 0 && lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("distinct_ok",
+        col("n_words") > 0 && lit(2) * col("n_distinct") >= col("n_words"))
+      .withColumn("pass", col("word_count_ok") && col("word_len_ok") &&
+        col("stop_ok") && col("alpha_ok") && col("distinct_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C25: paragraph-level exact deduplication (the RefinedWeb/Dolma
     * recipe): every paragraph is hashed on normalized content; only its
     * FIRST occurrence corpus-wide (lowest doc_id, then earliest position)

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.EventAnalytics
+
+/** B15–B18: behavioral tests with constructed user timelines — ordered
+  * funnels must require stage order (not mere co-occurrence), retention
+  * must count distinct activity days against the first-day cohort,
+  * sessionization must split exactly at the idle gap, and changelog
+  * compaction must keep precisely the newest version per key.
+  */
+class EventAnalyticsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  /** events rows: (event_id, ts_ns, user_id, event_type, value). */
+  private def events(rows: Seq[(Long, Long, Long, String, Double)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables(spark, dir)
+  }
+
+  private val S = 1000000000L // ns per second
+
+  test("funnel requires stage ORDER, not co-occurrence") {
+    val rows = Seq(
+      // user 1: view -> click -> purchase in order (counts at all 3)
+      (0L, 10L * S, 1L, "view", 0.0), (1L, 20L * S, 1L, "click", 0.0),
+      (2L, 30L * S, 1L, "purchase", 0.0),
+      // user 2: click BEFORE first view — has all types but never converts
+      (3L, 10L * S, 2L, "click", 0.0), (4L, 20L * S, 2L, "view", 0.0),
+      (5L, 5L * S, 2L, "purchase", 0.0),
+      // user 3: view then click, no purchase
+      (6L, 10L * S, 3L, "view", 0.0), (7L, 15L * S, 3L, "click", 0.0))
+    val got = EventAnalytics.funnel(events(rows)).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L), s"got $got")
+  }
+
+  test("retention counts distinct active days per cohort offset") {
+    val day = 86400L * S
+    val rows = Seq(
+      // user 1: active day 0 (twice — must count once) and day 2
+      (0L, 1L * S, 1L, "view", 0.0), (1L, 2L * S, 1L, "click", 0.0),
+      (2L, 2 * day + S, 1L, "view", 0.0),
+      // user 2: first active day 2, again day 3
+      (3L, 2 * day + S, 2L, "view", 0.0), (4L, 3 * day + S, 2L, "view", 0.0))
+    val got = EventAnalytics.retention(events(rows)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (2L, 0L) -> 1L, (2L, 1L) -> 1L),
+      s"got $got")
+  }
+
+  test("sessionization splits exactly past the idle gap") {
+    val gapUs = 1800L * 1000000 // 30 min
+    val rows = Seq(
+      (0L, 0L, 1L, "view", 0.0),
+      (1L, 1800L * S, 1L, "click", 0.0),       // exactly 30 min later: SAME session
+      (2L, 3601L * S, 1L, "view", 0.0),        // 1801 s after prev: NEW session
+      (3L, 0L, 2L, "view", 0.0))               // another user: own session
+    val got = EventAnalytics.userSessions(events(rows), gapUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got((1L, 1L)) == ((0L, 1800000000L, 2L, 2L)), s"session 1: ${got((1L, 1L))}")
+    assert(got((1L, 2L)) == ((3601000000L, 3601000000L, 1L, 1L)), s"session 2: ${got((1L, 2L))}")
+    assert(got((2L, 1L)) == ((0L, 0L, 1L, 1L)), s"user 2: ${got((2L, 1L))}")
+    assert(got.size == 3)
+  }
+
+  test("changelog compaction keeps the newest version per key, ties by event_id") {
+    val rows = Seq(
+      (0L, 10L * S, 1L, "cart", 1.0),
+      (1L, 30L * S, 1L, "cart", 3.0),   // newest for (1, cart)
+      (2L, 20L * S, 1L, "cart", 2.0),
+      (3L, 40L * S, 1L, "profile", 9.0),
+      (4L, 30L * S, 2L, "cart", 7.0),
+      (5L, 30L * S, 2L, "cart", 8.0))   // same ts: higher event_id wins
+    val got = EventAnalytics.latestState(events(rows)).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .toMap
+    assert(got((1L, "cart")) == ((30000000L, 1L, 3.0, 3L)), s"latest wins: ${got((1L, "cart"))}")
+    assert(got((1L, "profile")) == ((40000000L, 3L, 9.0, 1L)))
+    assert(got((2L, "cart")) == ((30000000L, 5L, 8.0, 2L)), s"ts tie → max event_id: ${got((2L, "cart"))}")
+  }
+}

@@ -40,4 +40,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(kept("en") - 200) < 60, s"en ~ 400*0.5: $kept")
     assert(math.abs(kept("zh") - 20) < 20, s"zh ~ 400*0.05: $kept")
   }
+
+  test("sequence packing reproduces the sequential concat-then-chunk layout") {
+    import spark.implicits._
+    // doc i has i+1 tokens; pack with seqLen=10 and a bucket size (3) that
+    // forces MANY buckets so cross-bucket offsets are actually exercised
+    val df = (0 until 20).map(i => (i.toLong, (0 to i).map(_ => "w").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Sampling.packSequences(Tables(spark, dir), seqLen = 10, bucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sequential reference: running prefix of (1, 2, ..., 20)
+    var prev = 0L
+    got.sortBy(_._1).foreach { case (id, n, seqId, off) =>
+      assert(n == id + 1, s"doc $id token count")
+      assert(seqId == prev / 10, s"doc $id seq_id: got $seqId, want ${prev / 10}")
+      assert(off == prev % 10, s"doc $id offset: got $off, want ${prev % 10}")
+      prev += n
+    }
+  }
+
+  test("corpus shuffle is a deterministic permutation with contiguous ranks") {
+    val t = docs(500)
+    val a = Sampling.corpusShuffle(t).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Sampling.corpusShuffle(t).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq, "identical permutation across runs")
+    assert(a.map(_._1).toSeq == (1L to 500L), "ranks are exactly 1..n")
+    assert(a.map(_._2).sorted.toSeq == (0L until 500L), "every doc appears exactly once")
+    // multiplicative hashing actually permutes: the identity order would
+    // keep doc_id monotone in rank
+    assert(a.map(_._2).toSeq != (0L until 500L).toSeq, "order differs from doc_id order")
+  }
 }

@@ -45,6 +45,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(31L), "clean doc untouched")
   }
 
+  test("gopher rules flag exactly the rule each pathological doc violates") {
+    val goodWords = (0 until 30).map(i => Seq("the", "of", "cat", "sat", "mat")(i % 5))
+    val t = docs(Seq(
+      (1L, goodWords.mkString(" ")),                        // passes everything
+      (2L, "the of short doc"),                             // too few words
+      (3L, (0 until 30).map(_ => "a").mkString(" ")),       // mean word len < 3, repetitive
+      (4L, goodWords.map(_.toUpperCase).filterNot(w => w == "THE" || w == "OF")
+        .padTo(30, "cat").mkString(" ")),                   // no 2nd distinct stopword
+      (5L, (0 until 30).map(i => s"${i}23456").mkString(" "))))  // numeric: alpha ratio 0
+    val got = TextAnalysis.gopherRules(t).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(got(1L) == ((true, true, true, true, true, true)), s"doc 1 passes: ${got(1L)}")
+    assert(!got(2L)._1 && !got(2L)._6, s"doc 2 fails word count: ${got(2L)}")
+    assert(!got(3L)._2 && !got(3L)._5 && !got(3L)._6, s"doc 3 fails word len + distinct: ${got(3L)}")
+    assert(!got(4L)._3 && !got(4L)._6, s"doc 4 fails stopwords: ${got(4L)}")
+    assert(!got(5L)._4 && !got(5L)._6, s"doc 5 fails alpha ratio: ${got(5L)}")
+  }
+
+  test("heavy hitters summary is exact when vocabulary fits capacity") {
+    val t = docs(Seq(
+      (1L, "x x x y y z"),
+      (2L, "x y w")))
+    val got = TextAnalysis.heavyHitters(t, capacity = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x", 4L), ("y", 3L), ("w", 1L), ("z", 1L)), s"got ${got.toSeq}")
+  }
+
   test("paragraph dedup keeps first occurrence corpus-wide and rebuilds docs in order") {
     val t = docs(Seq(
       (1L, "alpha\nbeta\ngamma"),
