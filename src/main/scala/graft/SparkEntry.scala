@@ -799,7 +799,8 @@ object SparkEntry {
                FROM documents),
          c AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM d)
-         SELECT doc_id, n_tokens, prev // 512 AS seq_id, prev % 512 AS offset
+         SELECT doc_id, n_tokens, CAST(prev // 512 AS BIGINT) AS seq_id,
+                CAST(prev % 512 AS BIGINT) AS offset
          FROM c ORDER BY doc_id""",
     "corpus_shuffle" ->
       """WITH h AS (SELECT doc_id,

@@ -46,7 +46,12 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 
   test("gopher rules flag exactly the rule each pathological doc violates") {
-    val goodWords = (0 until 30).map(i => Seq("the", "of", "cat", "sat", "mat")(i % 5))
+    // 30 words, 27 distinct, all-alpha, mean word length 159/30 = 5.3, and the
+    // ONLY stopwords present are "the"/"of" — so doc 4's THE/OF-stripped copy
+    // fails stop_ok and nothing else.
+    val goodWords = ("the quick brown fox jumped over the lazy dog while many curious " +
+      "students observed careful notes about strange patterns of light shining across " +
+      "distant hills during quiet evenings of autumn").split(" ").toSeq
     val t = docs(Seq(
       (1L, goodWords.mkString(" ")),                        // passes everything
       (2L, "the of short doc"),                             // too few words
