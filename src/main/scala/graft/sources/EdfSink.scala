@@ -19,20 +19,26 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: sample data is hash-partitioned by (channel, part) and
   * each task streams whole parts to their files (a part never splits
-  * across tasks); only channel-level METADATA (one row per contiguous
-  * chunk plus the distinct channel-name list) is collected to the driver
-  * — bounded by channels x chunks, independent of sample volume. Single
-  * channels larger than one task should own are range-partitioned on
-  * sample_idx into numbered part files via `maxSamplesPerFile`.
+  * across tasks). Channel MANIFESTS are also assembled distributedly:
+  * each channel's contiguous-chunk array is streamed to its manifest file
+  * by the executor that owns the channel's chunk rows (a gap-heavy 100 TB
+  * corpus can have millions of chunks per channel — they never visit the
+  * driver), and the driver only stream-concatenates the finished
+  * per-channel manifest files into `channels.json` (file-level I/O,
+  * memory O(copy buffer)). The only driver-side plan state is the
+  * (file, channel, part) name index — bounded by channels × parts,
+  * independent of both sample and chunk volume. Single channels larger
+  * than one task should own are range-partitioned on sample_idx into
+  * numbered part files via `maxSamplesPerFile`.
   *
   * Cluster-safe output protocol: all I/O goes through the Hadoop
   * FileSystem API (the Hadoop conf is captured on the driver and rebuilt
   * executor-side, so object-store credentials/endpoints reach the tasks
   * and output lands in the shared filesystem, never a task-local disk).
   * Each task writes to a task-attempt temp directory under outDir and
-  * commits each finished channel file by rename; if a speculative or
-  * retried attempt already committed the same channel, the loser detects
-  * the existing destination and discards its temp file, so concurrent
+  * commits each finished file by rename; if a speculative or retried
+  * attempt already committed the same file, the loser detects the
+  * existing destination and discards its temp file, so concurrent
   * attempts can never truncate or interleave a committed stream.
   */
 object EdfSink {
@@ -106,6 +112,23 @@ object EdfSink {
     }
   }
 
+  /** Stream-append src's bytes onto an open stream, then delete src. */
+  private def copyInto(fs: FileSystem, src: Path, out: java.io.OutputStream): Unit = {
+    val in = fs.open(src)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    fs.delete(src, false)
+  }
+
+  /** Manifest file name for the i-th channel in (file, channel) order —
+    * the round-1 contract: channel.json, channel-00001.json, …
+    */
+  private def manifestName(ord: Int): String =
+    if (ord == 0) "channel.json" else f"channel-$ord%05d.json"
+
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
     *
@@ -150,17 +173,25 @@ object EdfSink {
     require(nameMap.values.toSet.size == nameMap.size,
       s"binary names not unique after part suffixing: ${nameMap.values.toSeq.sorted}")
     // pre-clean: planned destinations AND any other part layout of the
-    // same base names from a previous run, plus temp dirs orphaned by
-    // killed executors (their finally blocks never ran)
+    // same base names from a previous run, old manifests, plus temp dirs
+    // orphaned by killed executors (their finally blocks never ran)
     nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
     baseNames.values.foreach { base =>
       driverFs.delete(new Path(outPath, base), false)
       driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
         .foreach(s => driverFs.delete(s.getPath, false))
     }
+    driverFs.globStatus(new Path(outPath, "channel*.json"))
+      .foreach(s => driverFs.delete(s.getPath, false))
     driverFs.globStatus(new Path(outPath, "_tmp-*"))
       .foreach(s => driverFs.delete(s.getPath, true))
     val bNames = spark.sparkContext.broadcast(nameMap)
+    // (file, channel) -> (manifest ordinal, ordered binary part names)
+    val manifestPlan: Map[(String, String), (Int, Seq[String])] =
+      keys.zipWithIndex.map { case (k, i) =>
+        k -> (i, chanParts(k).map(p => nameMap((k._1, k._2, p))))
+      }.toMap
+    val bManifest = spark.sparkContext.broadcast(manifestPlan)
     val outDirStr = outPath.toString
 
     // 1. distributed binary dump: streams keyed by (file, channel, part) —
@@ -204,45 +235,97 @@ object EdfSink {
         }
       }
 
-    // 2. channel manifests from chunk metadata (small, driver-side assembly)
-    val chunks = chunkPlan(samples).collect()
-      .groupBy(r => (r.getAs[String]("file"), r.getAs[String]("channel"),
-        r.getAs[String]("unit"), r.getAs[Double]("rate")))
-    val manifests = chunks.toSeq.sortBy(k => (k._1._1, k._1._2)).map { case ((file, name, unit, rate), rs) =>
-      val sorted = rs.sortBy(_.getAs[Long]("start_index"))
-      // non-overlap invariant (reference base.py:87-95)
-      sorted.sliding(2).foreach {
-        case Array(a, b) =>
-          require(b.getAs[Long]("start_ts") > a.getAs[Long]("end_ts"),
-            s"overlapping chunks in channel $name")
-        case _ =>
+    // 2. distributed manifest assembly: every channel's chunk rows land
+    // in one partition (hash on (file, channel)) pre-sorted by
+    // start_index; the owning task streams the chunk array to a temp
+    // file (never holding it in memory), then composes the final
+    // manifest — header fields are only known once the stream ends — by
+    // header + chunk-array copy + footer, and commits it by rename.
+    chunkPlan(samples)
+      .repartition(col("file"), col("channel"))
+      .sortWithinPartitions(col("file"), col("channel"), col("start_index"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val tc = TaskContext.get()
+        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        val attemptDir = new Path(outDirStr,
+          s"_tmp-m${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
+        var key: (String, String) = null
+        var unit: String = null
+        var rate: Double = 0.0
+        var start = Long.MaxValue; var end = Long.MinValue
+        var prevEnd = Long.MinValue; var nChunks = 0L; var nValues = 0L
+        var chunkTmp: Path = null
+        var chunkOut: BufferedOutputStream = null
+        def finishChannel(): Unit = if (key != null) {
+          chunkOut.write(']'.toInt); chunkOut.close(); chunkOut = null
+          val (ord, partNames) = bManifest.value(key)
+          val bins = partNames.map(jsonStr).mkString("[", ", ", "]")
+          val head =
+            s"""{"name": ${jsonStr(key._2)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
+               | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
+               | "contiguousChunks": """.stripMargin
+          val foot =
+            s""",
+               | "properties": [{"key": "binaryFile", "value": ${jsonStr(partNames.head)}},
+               |                {"key": "binaryFiles", "value": $bins},
+               |                {"key": "numValues", "value": "$nValues"}]}""".stripMargin
+          val tmp = new Path(attemptDir, f"manifest-$ord%05d")
+          val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          out.write(head.getBytes(StandardCharsets.UTF_8))
+          copyInto(fs, chunkTmp, out)
+          out.write(foot.getBytes(StandardCharsets.UTF_8))
+          out.close()
+          commit(fs, tmp, new Path(outDirStr, manifestName(ord)))
+          key = null
+        }
+        try {
+          rows.foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            if (k != key) {
+              finishChannel()
+              key = k; unit = r.getString(2); rate = r.getDouble(3)
+              start = Long.MaxValue; end = Long.MinValue; prevEnd = Long.MinValue
+              nChunks = 0L; nValues = 0L
+              chunkTmp = new Path(attemptDir, "chunks")
+              chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
+              chunkOut.write('['.toInt)
+            }
+            val startIdx = r.getLong(5); val startTs = r.getLong(6); val endTs = r.getLong(7)
+            // non-overlap invariant (reference base.py:87-95)
+            require(startTs > prevEnd, s"overlapping chunks in channel ${key._2}")
+            prevEnd = endTs
+            if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
+            chunkOut.write(s"""{"index": $startIdx, "start": $startTs}"""
+              .getBytes(StandardCharsets.UTF_8))
+            nChunks += 1; nValues += r.getLong(8)
+            if (startTs < start) start = startTs
+            if (endTs > end) end = endTs
+          }
+          finishChannel()
+        } finally {
+          if (chunkOut != null) chunkOut.close()
+          fs.delete(attemptDir, true)
+        }
       }
-      val chunkJson = sorted.map { r =>
-        s"""{"index": ${r.getAs[Long]("start_index")}, "start": ${r.getAs[Long]("start_ts")}}"""
-      }.mkString("[", ", ", "]")
-      val start = sorted.map(_.getAs[Long]("start_ts")).min
-      val end = sorted.map(_.getAs[Long]("end_ts")).max
-      val partNames = chanParts((file, name)).map(p => nameMap((file, name, p)))
-      val bins = partNames.map(jsonStr).mkString("[", ", ", "]")
-      // "binaryFile" (round-1 contract, first part) kept alongside the
-      // part-aware "binaryFiles" array for existing consumers
-      s"""{"name": ${jsonStr(name)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
-         | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
-         | "contiguousChunks": $chunkJson,
-         | "properties": [{"key": "binaryFile", "value": ${jsonStr(partNames.head)}},
-         |                {"key": "binaryFiles", "value": $bins}]}""".stripMargin
-    }
-    def writeFile(p: Path, content: String): Unit = {
-      val o = driverFs.create(p, true)
-      try o.write(content.getBytes(StandardCharsets.UTF_8)) finally o.close()
-    }
-    manifests.zipWithIndex.foreach { case (m, i) =>
-      val suffix = if (i > 0) f"-$i%05d" else ""
-      writeFile(new Path(outPath, s"channel$suffix.json"), m)
-    }
-    val all = manifests.mkString("[", ",\n", "]")
-    val path = new Path(outPath, "channels.json")
-    writeFile(path, all)
-    path.toString
+
+    // 3. driver-side index: stream-concatenate the committed per-channel
+    // manifests into channels.json — a bounded-buffer copy, never a
+    // parse or a collect
+    val idxPath = new Path(outPath, "channels.json")
+    val idxOut = new BufferedOutputStream(driverFs.create(idxPath, true), 1 << 16)
+    try {
+      idxOut.write('['.toInt)
+      keys.indices.foreach { i =>
+        if (i > 0) idxOut.write(",\n".getBytes(StandardCharsets.UTF_8))
+        val in = driverFs.open(new Path(outPath, manifestName(i)))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) idxOut.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+      idxOut.write(']'.toInt)
+    } finally idxOut.close()
+    idxPath.toString
   }
 }
