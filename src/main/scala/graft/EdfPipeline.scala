@@ -16,11 +16,15 @@ import graft.sources.{EdfFile, EdfSink}
 object EdfPipeline {
 
   /** Process EDF files into the reference output contract; returns the
-    * manifest path.
+    * manifest path. `mode = "append"` merges into an existing output —
+    * the reference's multi-run workflow (`inputs['mode']`,
+    * base.py:131-133): channels fuzzy-matched by name/type/rate get
+    * their new session appended; the rest are created.
     */
-  def process(spark: SparkSession, files: Seq[String], outDir: String): String = {
+  def process(spark: SparkSession, files: Seq[String], outDir: String,
+              mode: String = "overwrite"): String = {
     val samples = EdfFile.read(spark, files)
-    EdfSink.write(samples, outDir)
+    EdfSink.write(samples, outDir, mode = mode)
   }
 
   /** CLI: runMain graft.EdfPipeline <out_dir> <file.edf> [more.edf...] */

@@ -5,9 +5,10 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** A14: the reference processor's output contract as a distributed sink.
   *
@@ -30,6 +31,24 @@ import org.apache.spark.sql.functions._
   * independent of both sample and chunk volume. Single channels larger
   * than one task should own are range-partitioned on sample_idx into
   * numbered part files via `maxSamplesPerFile`.
+  *
+  * APPEND MODE (reference base.py:146-221 `get_or_create_channel` /
+  * `_get_platform_channel`): `mode = "append"` fuzzy-matches incoming
+  * channels against the destination's existing manifests — lowercase-
+  * trimmed name equality, same type, rate within 2 % (`abs(1 - r/r') <
+  * 0.02`), first match in manifest order wins. Matched channels APPEND:
+  * new samples land in new generation part files listed after the
+  * existing binaries (object stores have no byte-append — the reference's
+  * `open(file,'ab')` becomes "add a part and extend `binaryFiles`";
+  * concatenating the listed files in order reproduces the reference's
+  * appended byte stream), chunk indices continue the channel's value
+  * stream (offset by the existing `numValues`), and the merged manifest
+  * keeps the existing chunks followed by the new ones (non-overlap
+  * asserted: appended data must start after the channel's existing end,
+  * reference base.py:87-95). Unmatched incoming channels are created new,
+  * and untouched existing channels pass through with their manifests and
+  * binaries intact — like the reference, append never rewrites committed
+  * sample bytes.
   *
   * Cluster-safe output protocol: all I/O goes through the Hadoop
   * FileSystem API (the Hadoop conf is captured on the driver and rebuilt
@@ -123,11 +142,90 @@ object EdfSink {
     fs.delete(src, false)
   }
 
-  /** Manifest file name for the i-th channel in (file, channel) order —
-    * the round-1 contract: channel.json, channel-00001.json, …
+  /** Manifest file name for the i-th output channel — the round-1
+    * contract: channel.json, channel-00001.json, …
     */
   private def manifestName(ord: Int): String =
     if (ord == 0) "channel.json" else f"channel-$ord%05d.json"
+
+  /** One output channel's write plan, broadcast to the manifest tasks. */
+  private case class ChannelPlan(
+      ord: Int,
+      name: String,
+      unit: String,
+      rate: Double,
+      chanType: String,
+      binaryFiles: Seq[String],  // existing parts first, then new, concat order
+      exNumValues: Long,         // 0 for new channels
+      exStart: Option[Long],
+      exEnd: Option[Long])
+
+  /** An existing channel parsed (driver-side, chunk-free) from its
+    * committed manifest file.
+    */
+  private case class ExistingChannel(
+      ord: Int,
+      name: String,
+      unit: String,
+      rate: Double,
+      chanType: String,
+      start: Long,
+      end: Long,
+      binaryFiles: Seq[String],
+      numValues: Option[Long])
+
+  private val descSchema = StructType(Seq(
+    StructField("name", StringType), StructField("start", LongType),
+    StructField("end", LongType), StructField("unit", StringType),
+    StructField("rate", DoubleType), StructField("type", StringType),
+    StructField("properties", ArrayType(StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))))))
+
+  private val chunkArraySchema = StructType(Seq(
+    StructField("contiguousChunks", ArrayType(StructType(Seq(
+      StructField("index", LongType), StructField("start", LongType)))))))
+
+  /** Parse the destination's committed manifests (ordinal order) WITHOUT
+    * their chunk arrays — driver state stays channel-cardinality however
+    * chunk-heavy the history is. Returns Nil when the directory has no
+    * prior run.
+    */
+  private def readExisting(spark: SparkSession, fs: FileSystem, outPath: Path): Seq[ExistingChannel] = {
+    val paths = Iterator.from(0).map(i => new Path(outPath, manifestName(i)))
+      .takeWhile(fs.exists).toSeq
+    if (paths.isEmpty) return Nil
+    val rows = spark.read.schema(descSchema).option("multiLine", true)
+      .json(paths.map(_.toString): _*)
+      .withColumn("src", input_file_name())
+      .collect()
+    val byFile = rows.map(r => r.getAs[String]("src").split("/").last -> r).toMap
+    paths.zipWithIndex.map { case (p, i) =>
+      val r = byFile.getOrElse(p.getName,
+        throw new IllegalStateException(s"manifest ${p.getName} unreadable"))
+      val props = Option(r.getAs[Seq[org.apache.spark.sql.Row]]("properties")).getOrElse(Seq.empty)
+        .map(pr => pr.getAs[String]("key") -> pr.getAs[String]("value")).toMap
+      // "binaryFiles" is a JSON array rendered into a string property
+      val bins = props.get("binaryFiles")
+        .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        .orElse(props.get("binaryFile").map(Seq(_)))
+        .getOrElse(Seq.empty)
+      ExistingChannel(i, r.getAs[String]("name"), r.getAs[String]("unit"),
+        r.getAs[Double]("rate"), Option(r.getAs[String]("type")).getOrElse("CONTINUOUS"),
+        r.getAs[Long]("start"), r.getAs[Long]("end"), bins,
+        props.get("numValues").map(_.toLong))
+    }
+  }
+
+  /** The reference's fuzzy channel-match rule (base.py:186-200): name
+    * equal after lowercase+trim, same type, rate within 2 %; first
+    * manifest-order match wins.
+    */
+  private def matchExisting(existing: Seq[ExistingChannel], channel: String, rate: Double,
+                            chanType: String): Option[ExistingChannel] =
+    existing.find(ex =>
+      ex.name.toLowerCase.trim == channel.toLowerCase.trim &&
+        ex.chanType.toLowerCase.trim == chanType.toLowerCase.trim &&
+        math.abs(1.0 - rate / ex.rate) < 0.02)
 
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
@@ -138,66 +236,158 @@ object EdfSink {
     * so a 30 M-sample reference chunk — or a 100 GB channel — writes with
     * full parallelism instead of through one task. Concatenating the
     * parts in order reproduces the single-file byte stream.
+    *
+    * `mode` is "overwrite" (default; destination pre-cleaned) or
+    * "append" (reference append mode, see object doc).
     */
   def write(samples: DataFrame, outDir: String,
-            maxSamplesPerFile: Long = Long.MaxValue): String = {
+            maxSamplesPerFile: Long = Long.MaxValue,
+            mode: String = "overwrite"): String = {
     require(maxSamplesPerFile > 0, s"maxSamplesPerFile must be positive, got $maxSamplesPerFile")
+    require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append, got $mode")
     val spark = samples.sparkSession
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(outPath)
 
-    // channel-name plan from the parts that actually hold rows (integer
+    // recover manifests staged by a crashed append: a _prev copy with no
+    // committed destination is the surviving original — restore it; with
+    // a committed destination the crashed run had already merged — drop it
+    driverFs.globStatus(new Path(outPath, "staged-manifest-*.json")).foreach { s =>
+      val ord = s.getPath.getName.stripPrefix("staged-manifest-").stripSuffix(".json").toInt
+      val dest = new Path(outPath, manifestName(ord))
+      if (!driverFs.exists(dest)) driverFs.rename(s.getPath, dest)
+      else driverFs.delete(s.getPath, false)
+    }
+
+    val existing: Seq[ExistingChannel] =
+      if (mode == "append") readExisting(spark, driverFs, outPath) else Nil
+
+    // channel plan from the parts that actually hold rows (integer
     // `div`, the same arithmetic executors use) — sample_idx need not
     // start at 0, and a planned-but-empty part must never reach the
     // manifest; bounded by files x channels x parts, never sample volume
     val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
-    val chanParts = samples.select(col("file"), col("channel"), partIdx.as("part")).distinct()
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted.toSeq }
-    val keys = chanParts.keys.toSeq.sorted
+    val chanInfo: Map[(String, String), (Seq[Long], Double, String)] = samples
+      .select(col("file"), col("channel"), partIdx.as("part"), col("rate"), col("unit"))
+      .groupBy(col("file"), col("channel"), col("part"))
+      .agg(first(col("rate")).as("rate"), first(col("unit")).as("unit"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getString(4))))
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> (rows.map(_._2._1).sorted.toSeq, rows.head._2._2, rows.head._2._3)
+      }
+    val keys = chanInfo.keys.toSeq.sorted
     val multiFile = keys.map(_._1).distinct.size > 1
-    val baseNames = planNames(keys, multiFile)
-    // (file, channel, part) -> final name; single-part channels keep the
-    // reference's plain <channel>.ts.bin whatever their one part index is
-    val nameMap: Map[(String, String, Long), String] = chanParts.flatMap { case (k, parts) =>
-      parts.map { p =>
-        val base = baseNames(k)
-        (k._1, k._2, p) ->
-          (if (parts.size == 1) base else base.replaceAll("\\.ts\\.bin$", f"-part$p%05d.ts.bin"))
+
+    // append-mode match: incoming (file, channel) -> existing channel
+    val matched: Map[(String, String), ExistingChannel] = keys.flatMap { k =>
+      matchExisting(existing, k._2, chanInfo(k)._2, "CONTINUOUS").map(k -> _)
+    }.toMap
+    matched.groupBy(_._2.ord).foreach { case (_, ms) =>
+      require(ms.size == 1,
+        s"append mode: ${ms.size} incoming channels match existing '${ms.head._2.name}' — " +
+          s"append one session per channel at a time: ${ms.keys.toSeq.sorted}")
+    }
+    val newKeys = keys.filterNot(matched.contains)
+    val baseNames = planNames(newKeys, multiFile)
+
+    // sample_idx offset: appended samples continue the channel's value
+    // stream at the existing numValues (manifest property; fallback =
+    // committed binary sizes — channel-cardinality file stats)
+    val offsets: Map[(String, String), Long] = matched.map { case (k, ex) =>
+      k -> ex.numValues.getOrElse(
+        ex.binaryFiles.map(b => driverFs.getFileStatus(new Path(outPath, b)).getLen / 8).sum)
+    }
+
+    // (file, channel, part) -> final binary name. New channels follow the
+    // overwrite naming; matched channels continue as generation part
+    // files after the existing binaries (never overwriting them).
+    val nameMap: Map[(String, String, Long), String] = keys.flatMap { k =>
+      val parts = chanInfo(k)._1
+      matched.get(k) match {
+        case Some(ex) =>
+          val base = ex.binaryFiles.headOption.getOrElse(binName(k._1, k._2, multiFile = false))
+            .replaceAll("(-g\\d{2})?(-part\\d{5})?\\.ts\\.bin$", ".ts.bin")
+          val gen = ex.binaryFiles.size
+          parts.zipWithIndex.map { case (p, i) =>
+            (k._1, k._2, p) -> base.replaceAll("\\.ts\\.bin$", f"-g$gen%02d-part$i%05d.ts.bin")
+          }
+        case None =>
+          val base = baseNames(k)
+          parts.map { p =>
+            (k._1, k._2, p) ->
+              (if (parts.size == 1) base else base.replaceAll("\\.ts\\.bin$", f"-part$p%05d.ts.bin"))
+          }
       }
     }.toMap
     // part suffixes could in principle collide with a sibling channel's
-    // sanitized name — uniqueness must hold over the FINAL names
+    // sanitized name — uniqueness must hold over the FINAL names, and in
+    // append mode new names must also miss every committed binary
     require(nameMap.values.toSet.size == nameMap.size,
       s"binary names not unique after part suffixing: ${nameMap.values.toSeq.sorted}")
-    // pre-clean: planned destinations AND any other part layout of the
-    // same base names from a previous run, old manifests, plus temp dirs
-    // orphaned by killed executors (their finally blocks never ran)
+    val committedBins = existing.flatMap(_.binaryFiles).toSet
+    val clash = nameMap.values.toSeq.filter(committedBins.contains)
+    require(clash.isEmpty, s"append mode: planned binaries collide with committed ones: $clash " +
+      "(an unmatched incoming channel shares a sanitized name with an existing channel — rename it)")
+
+    // pre-clean. Overwrite: planned destinations, any other part layout
+    // of the same base names, old manifests, orphaned temp dirs. Append:
+    // only this run's planned NEW files, REWRITTEN manifests (matched +
+    // new ordinals), and temp dirs — committed binaries and untouched
+    // manifests stay.
     nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
-    baseNames.values.foreach { base =>
-      driverFs.delete(new Path(outPath, base), false)
-      driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
+    if (mode == "overwrite") {
+      baseNames.values.foreach { base =>
+        driverFs.delete(new Path(outPath, base), false)
+        driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
+          .foreach(s => driverFs.delete(s.getPath, false))
+      }
+      driverFs.globStatus(new Path(outPath, "channel*.json"))
         .foreach(s => driverFs.delete(s.getPath, false))
     }
-    driverFs.globStatus(new Path(outPath, "channel*.json"))
-      .foreach(s => driverFs.delete(s.getPath, false))
     driverFs.globStatus(new Path(outPath, "_tmp-*"))
       .foreach(s => driverFs.delete(s.getPath, true))
+
+    // output-channel plans: existing channels keep their ordinals (and,
+    // if matched, extend binaryFiles / numValues); new channels append
+    // after. Ordinals are the channels.json order.
+    val newOrdBase = existing.size
+    val plans: Seq[ChannelPlan] =
+      existing.map { ex =>
+        val hit = matched.find(_._2.ord == ex.ord).map(_._1)
+        val newParts = hit.toSeq.flatMap(k => chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))))
+        ChannelPlan(ex.ord, ex.name, ex.unit, ex.rate, ex.chanType,
+          ex.binaryFiles ++ newParts,
+          hit.map(offsets).getOrElse(0L),
+          Some(ex.start), Some(ex.end))
+      } ++ newKeys.zipWithIndex.map { case (k, i) =>
+        ChannelPlan(newOrdBase + i, k._2, chanInfo(k)._3, chanInfo(k)._2, "CONTINUOUS",
+          chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))), 0L, None, None)
+      }
+    // incoming key -> output ordinal (drives chunk routing)
+    val keyOrd: Map[(String, String), Int] =
+      matched.map { case (k, ex) => k -> ex.ord } ++
+        newKeys.zipWithIndex.map { case (k, i) => k -> (newOrdBase + i) }
+
     val bNames = spark.sparkContext.broadcast(nameMap)
-    // (file, channel) -> (manifest ordinal, ordered binary part names)
-    val manifestPlan: Map[(String, String), (Int, Seq[String])] =
-      keys.zipWithIndex.map { case (k, i) =>
-        k -> (i, chanParts(k).map(p => nameMap((k._1, k._2, p))))
-      }.toMap
-    val bManifest = spark.sparkContext.broadcast(manifestPlan)
+    val bPlans = spark.sparkContext.broadcast(plans.map(p => p.ord -> p).toMap)
     val outDirStr = outPath.toString
+
+    // matched channels' incoming sample_idx is shifted to continue the
+    // existing value stream — part indices and chunk indices both follow
+    val adjusted = if (offsets.isEmpty) samples else {
+      import spark.implicits._
+      val offDf = offsets.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "_off")
+      samples.join(broadcast(offDf), Seq("file", "channel"), "left")
+        .withColumn("sample_idx", col("sample_idx") + coalesce(col("_off"), lit(0L)))
+        .drop("_off")
+    }
 
     // 1. distributed binary dump: streams keyed by (file, channel, part) —
     // a channel label repeated across input files never interleaves, and
     // oversized channels split into independently-written parts
-    samples
+    adjusted
       .select(col("file"), col("channel"),
         expr(s"sample_idx div ${maxSamplesPerFile}L").as("part_idx"),
         col("sample_idx"), col("value"))
@@ -235,38 +425,82 @@ object EdfSink {
         }
       }
 
-    // 2. distributed manifest assembly: every channel's chunk rows land
-    // in one partition (hash on (file, channel)) pre-sorted by
-    // start_index; the owning task streams the chunk array to a temp
-    // file (never holding it in memory), then composes the final
-    // manifest — header fields are only known once the stream ends — by
-    // header + chunk-array copy + footer, and commits it by rename.
-    chunkPlan(samples)
-      .repartition(col("file"), col("channel"))
-      .sortWithinPartitions(col("file"), col("channel"), col("start_index"))
+    // 2. distributed manifest assembly: every output channel's chunk rows
+    // land in one partition (hash on ordinal) pre-sorted by start_index;
+    // the owning task streams the chunk array to a temp file (never
+    // holding it in memory), then composes the final manifest — header
+    // fields are only known once the stream ends — by header +
+    // chunk-array copy + footer, and commits it by rename. In append
+    // mode the matched channels' EXISTING chunks are parsed from their
+    // old manifest files executor-side and unioned in front of the new
+    // ones (their indices are value-stream positions, always below the
+    // appended offset, so the index sort interleaves correctly).
+    val rewriteOrds: Set[Int] =
+      if (mode == "overwrite") plans.map(_.ord).toSet
+      else (matched.values.map(_.ord) ++ newKeys.map(keyOrd)).toSet
+    // stage matched channels' manifests out of the way (driver rename):
+    // the assembly reads their chunk arrays from the _prev copies while
+    // the merged manifests commit to the now-free destinations — immune
+    // to stage retries re-reading a half-overwritten file, and
+    // recoverable (see the _prev sweep above) if this run dies mid-way
+    def prevName(o: Int): String = f"staged-manifest-$o%05d.json"
+    val matchedOrds = matched.values.map(_.ord).toSeq.sorted
+    matchedOrds.foreach { o =>
+      val dest = new Path(outPath, prevName(o))
+      driverFs.delete(dest, false)
+      require(driverFs.rename(new Path(outPath, manifestName(o)), dest),
+        s"failed to stage existing manifest ${manifestName(o)}")
+    }
+    import spark.implicits._
+    val ordDf = broadcast(keyOrd.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "ord"))
+    val newChunks = chunkPlan(adjusted)
+      .join(ordDf, Seq("file", "channel"))
+      .select(col("ord"), col("start_index"), col("start_ts"), col("end_ts"), col("n"),
+        lit(true).as("is_new"))
+    val exChunks: Option[DataFrame] = {
+      if (matchedOrds.isEmpty) None
+      else {
+        val paths = matchedOrds.map(o => new Path(outPath, prevName(o)).toString)
+        val byName = matchedOrds.map(o => prevName(o) -> o).toMap
+        val nameToOrd = typedLit(byName)
+        Some(spark.read.schema(chunkArraySchema).option("multiLine", true).json(paths: _*)
+          .withColumn("ord", element_at(nameToOrd,
+            element_at(split(input_file_name(), "/"), -1)))
+          .select(col("ord"), explode(col("contiguousChunks")).as("c"))
+          .select(col("ord"), col("c.index").as("start_index"), col("c.start").as("start_ts"),
+            lit(null).cast("long").as("end_ts"), lit(null).cast("long").as("n"),
+            lit(false).as("is_new")))
+      }
+    }
+    val allChunks = exChunks.map(newChunks.unionByName(_)).getOrElse(newChunks)
+
+    allChunks
+      .repartition(col("ord"))
+      .sortWithinPartitions(col("ord"), col("start_index"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val tc = TaskContext.get()
         val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
         val attemptDir = new Path(outDirStr,
           s"_tmp-m${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
-        var key: (String, String) = null
-        var unit: String = null
-        var rate: Double = 0.0
+        var ord = -1
         var start = Long.MaxValue; var end = Long.MinValue
-        var prevEnd = Long.MinValue; var nChunks = 0L; var nValues = 0L
+        var prevEnd = Long.MinValue; var nChunks = 0L; var newValues = 0L
         var chunkTmp: Path = null
         var chunkOut: BufferedOutputStream = null
-        def finishChannel(): Unit = if (key != null) {
+        def finishChannel(): Unit = if (ord >= 0) {
           chunkOut.write(']'.toInt); chunkOut.close(); chunkOut = null
-          val (ord, partNames) = bManifest.value(key)
-          val bins = partNames.map(jsonStr).mkString("[", ", ", "]")
+          val plan = bPlans.value(ord)
+          val bins = plan.binaryFiles.map(jsonStr).mkString("[", ", ", "]")
+          val chStart = math.min(start, plan.exStart.getOrElse(Long.MaxValue))
+          val chEnd = math.max(end, plan.exEnd.getOrElse(Long.MinValue))
+          val nValues = plan.exNumValues + newValues
           val head =
-            s"""{"name": ${jsonStr(key._2)}, "start": $start, "end": $end, "unit": ${jsonStr(unit)},
-               | "rate": $rate, "type": "CONTINUOUS", "group": "default", "lastAnnotation": 0,
+            s"""{"name": ${jsonStr(plan.name)}, "start": $chStart, "end": $chEnd, "unit": ${jsonStr(plan.unit)},
+               | "rate": ${plan.rate}, "type": "${plan.chanType}", "group": "default", "lastAnnotation": 0,
                | "contiguousChunks": """.stripMargin
           val foot =
             s""",
-               | "properties": [{"key": "binaryFile", "value": ${jsonStr(partNames.head)}},
+               | "properties": [{"key": "binaryFile", "value": ${jsonStr(plan.binaryFiles.head)}},
                |                {"key": "binaryFiles", "value": $bins},
                |                {"key": "numValues", "value": "$nValues"}]}""".stripMargin
           val tmp = new Path(attemptDir, f"manifest-$ord%05d")
@@ -276,30 +510,38 @@ object EdfSink {
           out.write(foot.getBytes(StandardCharsets.UTF_8))
           out.close()
           commit(fs, tmp, new Path(outDirStr, manifestName(ord)))
-          key = null
+          ord = -1
         }
         try {
           rows.foreach { r =>
-            val k = (r.getString(0), r.getString(1))
-            if (k != key) {
+            val o = r.getInt(0)
+            if (o != ord) {
               finishChannel()
-              key = k; unit = r.getString(2); rate = r.getDouble(3)
-              start = Long.MaxValue; end = Long.MinValue; prevEnd = Long.MinValue
-              nChunks = 0L; nValues = 0L
+              ord = o
+              start = Long.MaxValue; end = Long.MinValue
+              prevEnd = bPlans.value(ord).exEnd.getOrElse(Long.MinValue)
+              nChunks = 0L; newValues = 0L
               chunkTmp = new Path(attemptDir, "chunks")
               chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
               chunkOut.write('['.toInt)
             }
-            val startIdx = r.getLong(5); val startTs = r.getLong(6); val endTs = r.getLong(7)
-            // non-overlap invariant (reference base.py:87-95)
-            require(startTs > prevEnd, s"overlapping chunks in channel ${key._2}")
-            prevEnd = endTs
+            val startIdx = r.getLong(1); val startTs = r.getLong(2)
+            val isNew = r.getBoolean(5)
+            if (isNew) {
+              val endTs = r.getLong(3)
+              // non-overlap invariant (reference base.py:87-95): appended
+              // chunks start strictly after everything already committed
+              require(startTs > prevEnd,
+                s"overlapping chunks in channel ${bPlans.value(ord).name}")
+              prevEnd = endTs
+              newValues += r.getLong(4)
+              if (startTs < start) start = startTs
+              if (endTs > end) end = endTs
+            }
             if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
             chunkOut.write(s"""{"index": $startIdx, "start": $startTs}"""
               .getBytes(StandardCharsets.UTF_8))
-            nChunks += 1; nValues += r.getLong(8)
-            if (startTs < start) start = startTs
-            if (endTs > end) end = endTs
+            nChunks += 1
           }
           finishChannel()
         } finally {
@@ -308,6 +550,13 @@ object EdfSink {
         }
       }
 
+    // in append mode a matched-but-empty incoming channel can't occur
+    // (chanInfo only lists channels holding rows), but an UNTOUCHED
+    // existing channel writes no manifest above — its old file stands.
+    require(rewriteOrds.forall(o => driverFs.exists(new Path(outPath, manifestName(o)))),
+      "manifest assembly incomplete")
+    matchedOrds.foreach(o => driverFs.delete(new Path(outPath, prevName(o)), false))
+
     // 3. driver-side index: stream-concatenate the committed per-channel
     // manifests into channels.json — a bounded-buffer copy, never a
     // parse or a collect
@@ -315,9 +564,9 @@ object EdfSink {
     val idxOut = new BufferedOutputStream(driverFs.create(idxPath, true), 1 << 16)
     try {
       idxOut.write('['.toInt)
-      keys.indices.foreach { i =>
+      plans.map(_.ord).sorted.zipWithIndex.foreach { case (o, i) =>
         if (i > 0) idxOut.write(",\n".getBytes(StandardCharsets.UTF_8))
-        val in = driverFs.open(new Path(outPath, manifestName(i)))
+        val in = driverFs.open(new Path(outPath, manifestName(o)))
         try {
           val buf = new Array[Byte](1 << 16)
           var n = in.read(buf)

@@ -92,6 +92,100 @@ class EdfSinkSpec extends AnyFunSuite {
       s"each channel splits 5000/5000/2000: ${sizes.toSeq}")
   }
 
+  // contiguous EDF: `labels` signals, 3 records x 4 samples @1s records
+  // (4 Hz), digital values = record*4 + sample + channel offset
+  private def makeEdfC(path: String, startTime: String, labels: Seq[String]): Unit = {
+    def pad(s: String, n: Int): Array[Byte] = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      b ++ Array.fill(n - b.length)(' '.toByte)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val nSig = labels.size
+    out.write(pad("0", 8)); out.write(pad("patient", 80)); out.write(pad("rec", 80))
+    out.write(pad("01.01.20", 8)); out.write(pad(startTime, 8))
+    out.write(pad((256 + nSig * 256).toString, 8))
+    out.write(pad("", 44))
+    out.write(pad("3", 8)); out.write(pad("1", 8)); out.write(pad(nSig.toString, 4))
+    labels.foreach(l => out.write(pad(l, 16)))
+    labels.foreach(_ => out.write(pad("", 80)))
+    labels.foreach(_ => out.write(pad("uV", 8)))
+    labels.foreach(_ => out.write(pad("-100", 8)))
+    labels.foreach(_ => out.write(pad("100", 8)))
+    labels.foreach(_ => out.write(pad("-32768", 8)))
+    labels.foreach(_ => out.write(pad("32767", 8)))
+    labels.foreach(_ => out.write(pad("", 80)))
+    labels.foreach(_ => out.write(pad("4", 8)))
+    labels.foreach(_ => out.write(pad("", 32)))
+    (0 until 3).foreach { r =>
+      labels.indices.foreach { s =>
+        (0 until 4).foreach { i =>
+          val v = r * 4 + i + s * 100
+          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        }
+      }
+    }
+    val f = new java.io.FileOutputStream(path)
+    try f.write(out.toByteArray) finally f.close()
+  }
+
+  test("append mode merges a second session into an existing output (reference base.py:146-221)") {
+    val tmp = Files.createTempDirectory("edfappend")
+    val s1 = s"$tmp/session1.edf"; val s2 = s"$tmp/session2.edf"
+    makeEdfC(s1, "00.00.00", Seq("C3", "C4"))
+    makeEdfC(s2, "01.00.00", Seq("C3", "C4", "EMG"))  // 1h later + a new channel
+    val outDir = Files.createTempDirectory("edfappendout").toString
+
+    EdfSink.write(EdfFile.read(spark, Seq(s1)), outDir)
+    val before = Files.readAllBytes(Paths.get(s"$outDir/C3.ts.bin"))
+    assert(before.length == 12 * 8)
+
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append")
+
+    // committed session-1 bytes untouched; session 2 landed as a new generation part
+    assert(Files.readAllBytes(Paths.get(s"$outDir/C3.ts.bin")).toSeq == before.toSeq)
+    val gPart = Paths.get(s"$outDir/C3-g01-part00000.ts.bin")
+    assert(Files.exists(gPart), "appended generation part written")
+    assert(Files.size(gPart) == 12 * 8)
+    // appended bytes = session 2's own calibrated stream
+    val s2first = EdfFile.read(spark, Seq(s2)).filter(col("channel") === "C3")
+      .orderBy(col("sample_idx")).select(col("value")).limit(1).collect()(0).getDouble(0)
+    val gotFirst = ByteBuffer.wrap(Files.readAllBytes(gPart), 0, 8)
+      .order(ByteOrder.LITTLE_ENDIAN).getDouble
+    assert(gotFirst == s2first)
+
+    // merged manifest: same channel identity, both sessions' chunks, stream positions continue
+    val c3 = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    assert(c3.contains("\"name\": \"C3\""))
+    assert("\\{\"index\": ".r.findAllIn(c3).size == 2, s"two contiguous chunks: $c3")
+    assert(c3.contains("{\"index\": 12,"), s"appended chunk continues the value stream: $c3")
+    assert(c3.contains("\"numValues\", \"value\": \"24\""))
+    assert(c3.contains("C3.ts.bin") && c3.contains("C3-g01-part00000.ts.bin"))
+    // start stays at session 1, end extends to session 2 (3600s later)
+    val start = "\"start\": (\\d+)".r.findFirstMatchIn(c3).get.group(1).toLong
+    val end = "\"end\": (\\d+)".r.findFirstMatchIn(c3).get.group(1).toLong
+    assert(end - start == 3600L * 1000000L + 2750000L, s"end spans both sessions: $start..$end")
+
+    // the unmatched incoming channel was created, existing ones not duplicated
+    val all = new String(Files.readAllBytes(Paths.get(s"$outDir/channels.json")))
+    assert("\"name\"".r.findAllIn(all).size == 3, s"C3, C4, EMG: $all")
+    assert(all.contains("\"name\": \"EMG\""))
+    assert(Files.exists(Paths.get(s"$outDir/channel-00002.json")), "new channel manifest appended")
+  }
+
+  test("append refuses overlapping sessions (non-overlap invariant, reference base.py:87-95)") {
+    val tmp = Files.createTempDirectory("edfoverlap")
+    val s1 = s"$tmp/a.edf"; val s2 = s"$tmp/b.edf"
+    makeEdfC(s1, "00.00.00", Seq("C3"))
+    makeEdfC(s2, "00.00.01", Seq("C3"))  // starts INSIDE session 1 (0..2.75s)
+    val outDir = Files.createTempDirectory("edfoverlapout").toString
+    EdfSink.write(EdfFile.read(spark, Seq(s1)), outDir)
+    val e = intercept[org.apache.spark.SparkException] {
+      EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append")
+    }
+    assert(e.getMessage.contains("overlapping") ||
+      Option(e.getCause).exists(_.getMessage.contains("overlapping")))
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")
