@@ -561,12 +561,17 @@ object EdfSink {
     // manifests into channels.json — a bounded-buffer copy, never a
     // parse or a collect
     val idxPath = new Path(outPath, "channels.json")
-    val idxOut = new BufferedOutputStream(driverFs.create(idxPath, true), 1 << 16)
+    concatIndex(driverFs, idxPath, plans.map(_.ord).sorted.map(o => new Path(outPath, manifestName(o))))
+    idxPath.toString
+  }
+
+  private def concatIndex(fs: FileSystem, idxPath: Path, parts: Seq[Path]): Unit = {
+    val idxOut = new BufferedOutputStream(fs.create(idxPath, true), 1 << 16)
     try {
       idxOut.write('['.toInt)
-      plans.map(_.ord).sorted.zipWithIndex.foreach { case (o, i) =>
+      parts.zipWithIndex.foreach { case (p, i) =>
         if (i > 0) idxOut.write(",\n".getBytes(StandardCharsets.UTF_8))
-        val in = driverFs.open(new Path(outPath, manifestName(o)))
+        val in = fs.open(p)
         try {
           val buf = new Array[Byte](1 << 16)
           var n = in.read(buf)
@@ -575,6 +580,149 @@ object EdfSink {
       }
       idxOut.write(']'.toInt)
     } finally idxOut.close()
+  }
+
+  /** A8b sink: UNIT (spike) channel serialization in the reference's
+    * spike contract (base.py:223-263 `write_spike_data`). Input columns:
+    * `file, channel, ts_us (long), unit_id (int), waveform
+    * (array<double>)` — [[graft.operators.TimeSeries.tsSpikeWaveforms]]
+    * output reshapes to this with one `array(...)` select.
+    *
+    * Per (file, channel) binary layout, all little-endian:
+    * {{{
+    * waveform_offset int64   -- bytes of the spike-record region (9 * n)
+    * num_spikes      int64
+    * num_samples     int64   -- waveform samples per spike
+    * spike records:  timestamp int64 + unit uint8, each
+    * waveforms:      num_spikes x num_samples float64
+    * }}}
+    * One divergence, deliberate: the reference stacks waveforms by
+    * PREPENDING (`np.vstack((spike.waveforms, wf))`, base.py:248-251),
+    * which stores them in reverse spike order while the records are
+    * forward — a latent bug nothing in the reference reads back. We
+    * write waveforms in spike-record order.
+    *
+    * Scale shape mirrors the sample sink: one shuffle keyed by
+    * (file, channel), each owning task streams records and waveforms to
+    * two temp files (counts are only known at stream end — the header +
+    * record + waveform compose happens at commit, nothing buffers in
+    * memory), and writes the channel's UNIT manifest (type "UNIT",
+    * start/end from first/last spike, reference base.py:253-261).
+    * Manifests land as unit-channel[-NNNNN].json with a
+    * channels_unit.json index, keeping the continuous and spike
+    * namespaces disjoint in one outDir. Returns the index path.
+    */
+  def writeSpikes(spikes: DataFrame, outDir: String): String = {
+    val spark = spikes.sparkSession
+    val confEntries = EdfFile.captureConfEntries(spark)
+    val outPath = new Path(outDir)
+    val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(outPath)
+
+    val keys = spikes.select(col("file"), col("channel")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    val multiFile = keys.map(_._1).distinct.size > 1
+    val names: Map[(String, String), String] = planNames(keys, multiFile)
+      .map { case (k, n) => k -> n.replaceAll("\\.ts\\.bin$", ".spikes.bin") }
+    val ords: Map[(String, String), Int] = keys.zipWithIndex.toMap
+    def unitManifestName(o: Int): String =
+      if (o == 0) "unit-channel.json" else f"unit-channel-$o%05d.json"
+
+    names.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
+    driverFs.globStatus(new Path(outPath, "unit-channel*.json"))
+      .foreach(s => driverFs.delete(s.getPath, false))
+    driverFs.globStatus(new Path(outPath, "_tmp-s*"))
+      .foreach(s => driverFs.delete(s.getPath, true))
+    val bNames = spark.sparkContext.broadcast(names)
+    val bOrds = spark.sparkContext.broadcast(ords)
+    val outDirStr = outPath.toString
+
+    spikes
+      .select(col("file"), col("channel"), col("ts_us"), col("unit_id"), col("waveform"))
+      .repartition(col("file"), col("channel"))
+      .sortWithinPartitions(col("file"), col("channel"), col("ts_us"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val tc = TaskContext.get()
+        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        val attemptDir = new Path(outDirStr,
+          s"_tmp-s${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
+        var key: (String, String) = null
+        var recTmp: Path = null; var wfTmp: Path = null
+        var recOut: BufferedOutputStream = null; var wfOut: BufferedOutputStream = null
+        var nSpikes = 0L; var nSamples = -1L
+        var firstTs = 0L; var lastTs = 0L
+        val b8 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        def putLong(out: java.io.OutputStream, v: Long): Unit = {
+          b8.clear(); b8.putLong(v); out.write(b8.array())
+        }
+        def putDouble(out: java.io.OutputStream, v: Double): Unit = {
+          b8.clear(); b8.putDouble(v); out.write(b8.array())
+        }
+        def finishChannel(): Unit = if (key != null) {
+          recOut.close(); recOut = null
+          wfOut.close(); wfOut = null
+          val tmp = new Path(attemptDir, "composed")
+          val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          putLong(out, 9L * nSpikes)   // waveform_offset = len(spike record region)
+          putLong(out, nSpikes)
+          putLong(out, math.max(nSamples, 0L))
+          copyInto(fs, recTmp, out)
+          copyInto(fs, wfTmp, out)
+          out.close()
+          commit(fs, tmp, new Path(outDirStr, bNames.value(key)))
+          // UNIT channel manifest (reference base.py:253-261: channel
+          // start/end extend to the spike horizon)
+          val ord = bOrds.value(key)
+          val manifest =
+            s"""{"name": ${jsonStr(key._2)}, "start": $firstTs, "end": $lastTs, "unit": "uV",
+               | "rate": 0.0, "type": "UNIT", "group": "default", "lastAnnotation": 0,
+               | "contiguousChunks": [],
+               | "properties": [{"key": "binaryFile", "value": ${jsonStr(bNames.value(key))}},
+               |                {"key": "numSpikes", "value": "$nSpikes"},
+               |                {"key": "numSamples", "value": "${math.max(nSamples, 0L)}"}]}""".stripMargin
+          val mTmp = new Path(attemptDir, "manifest")
+          val mOut = fs.create(mTmp, true)
+          try mOut.write(manifest.getBytes(StandardCharsets.UTF_8)) finally mOut.close()
+          commit(fs, mTmp, new Path(outDirStr, unitManifestName(ord)))
+          key = null
+        }
+        try {
+          rows.foreach { r =>
+            val k = (r.getString(0), r.getString(1))
+            if (k != key) {
+              finishChannel()
+              key = k; nSpikes = 0L; nSamples = -1L
+              recTmp = new Path(attemptDir, "records"); wfTmp = new Path(attemptDir, "waveforms")
+              recOut = new BufferedOutputStream(fs.create(recTmp, true), 1 << 16)
+              wfOut = new BufferedOutputStream(fs.create(wfTmp, true), 1 << 16)
+            }
+            val ts = r.getLong(2)
+            if (nSpikes == 0L) firstTs = ts
+            lastTs = ts
+            putLong(recOut, ts)
+            recOut.write(r.getInt(3) & 0xff)
+            val wf = r.getSeq[Any](4)
+            if (nSamples < 0) nSamples = wf.size.toLong
+            require(wf.size.toLong == nSamples,
+              s"ragged waveforms in channel ${key._2}: ${wf.size} vs $nSamples")
+            wf.foreach {
+              case null => putDouble(wfOut, Double.NaN)
+              case d: Double => putDouble(wfOut, d)
+              case other => throw new IllegalArgumentException(s"waveform element $other")
+            }
+            nSpikes += 1
+          }
+          finishChannel()
+        } finally {
+          if (recOut != null) recOut.close()
+          if (wfOut != null) wfOut.close()
+          fs.delete(attemptDir, true)
+        }
+      }
+
+    val idxPath = new Path(outPath, "channels_unit.json")
+    concatIndex(driverFs, idxPath,
+      keys.indices.map(o => new Path(outPath, unitManifestName(o))))
     idxPath.toString
   }
 }

@@ -186,6 +186,63 @@ class EdfSinkSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("overlapping")))
   }
 
+  test("spike (UNIT) channels round-trip the reference spike contract (base.py:223-263)") {
+    import spark.implicits._
+    val spikes = Seq(
+      ("rec.edf", "unit1", 1000L, 0, Seq(0.5, 1.5, 2.5)),
+      ("rec.edf", "unit1", 2000L, 3, Seq(-1.0, 9.0, 4.25)),
+      ("rec.edf", "unit1", 3000L, 255, Seq(7.0, 8.0, 6.5)),
+      ("rec.edf", "unit2", 1500L, 1, Seq(2.0, 3.0)))
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val outDir = Files.createTempDirectory("edfspikes").toString
+    val idx = graft.sources.EdfSink.writeSpikes(spikes, outDir)
+
+    val bytes = Files.readAllBytes(Paths.get(s"$outDir/unit1.spikes.bin"))
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    // header: waveform_offset | num_spikes | num_samples
+    assert(bb.getLong == 9L * 3, "waveform offset = spike-record bytes")
+    assert(bb.getLong == 3L, "num_spikes")
+    assert(bb.getLong == 3L, "num_samples")
+    // spike records in ts order: int64 ts + uint8 unit
+    val got = (0 until 3).map(_ => (bb.getLong, bb.get() & 0xff))
+    assert(got == Seq((1000L, 0), (2000L, 3), (3000L, 255)), s"records: $got")
+    // waveforms float64, spike order
+    val wf = (0 until 9).map(_ => bb.getDouble)
+    assert(wf == Seq(0.5, 1.5, 2.5, -1.0, 9.0, 4.25, 7.0, 8.0, 6.5), s"waveforms: $wf")
+    assert(!bb.hasRemaining, "no trailing bytes")
+    assert(Files.size(Paths.get(s"$outDir/unit2.spikes.bin")) == 24 + 9 * 1 + 2 * 8)
+
+    val manifest = new String(Files.readAllBytes(Paths.get(idx)))
+    assert(manifest.contains("\"type\": \"UNIT\""))
+    assert(manifest.contains("\"name\": \"unit1\"") && manifest.contains("\"name\": \"unit2\""))
+    assert(manifest.contains("\"start\": 1000") && manifest.contains("\"end\": 3000"))
+    assert(manifest.contains("\"numSpikes\", \"value\": \"3\""))
+    assert(Files.exists(Paths.get(s"$outDir/unit-channel.json")))
+    assert(Files.exists(Paths.get(s"$outDir/unit-channel-00001.json")))
+  }
+
+  test("tsSpikeWaveforms output reshapes into the spike sink") {
+    val t = new Tables(spark, "/root/testdata/sf0.001")
+    val spikes = graft.operators.TimeSeries.tsSpikeWaveforms(t)
+      .filter(col("w_m2").isNotNull && col("w_p2").isNotNull)
+      .select(lit("events").as("file"), col("event_type").as("channel"),
+        col("ts_us"), lit(0).as("unit_id"),
+        array(col("w_m2"), col("w_m1"), col("w_0"), col("w_p1"), col("w_p2")).as("waveform"))
+    val outDir = Files.createTempDirectory("edfspikes2").toString
+    graft.sources.EdfSink.writeSpikes(spikes, outDir)
+    val n = spikes.count()
+    val chans = spikes.select(col("channel")).distinct().collect().map(_.getString(0))
+    val recBytes = chans.map { c =>
+      val b = Files.readAllBytes(Paths.get(s"$outDir/$c.spikes.bin"))
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val off = bb.getLong; val ns = bb.getLong; val nsamp = bb.getLong
+      assert(off == 9 * ns && nsamp == 5, s"channel $c header consistent")
+      assert(b.length == 24 + 9 * ns + ns * 5 * 8, s"channel $c sized exactly")
+      ns
+    }.sum
+    assert(recBytes == n, "every detected spike serialized")
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")
