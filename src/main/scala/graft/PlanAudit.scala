@@ -46,7 +46,25 @@ object PlanAudit {
         "benchmark hashes broadcast; corpus side never shuffle-joins"),
       ("corpus_stats", _.contains("BroadcastHashJoin"), "stratum-cardinality joins broadcast"))
 
+    // EDF DSv2 scan: channel + time predicates must reach the source
+    // (per-signal ranged reads + record-window partition pruning)
+    val edfDf = spark.read.format("edf").load("/root/reference/sample_data/sin_wave.edf")
+      .filter(org.apache.spark.sql.functions.col("channel") === "Sin 20Hz" &&
+        org.apache.spark.sql.functions.col("ts_us") < Long.MaxValue / 2)
+    edfDf.collect()
+    val edfScanDesc = edfDf.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description() }
+      .getOrElse("")
+    val edfChecks: Seq[(String, Boolean, String)] = Seq(
+      ("edf_scan", edfScanDesc.contains("EqualTo(channel,"), "channel predicate pushed to EDF scan"),
+      ("edf_scan", edfScanDesc.contains("LessThan(ts_us,"), "time predicate pushed to EDF scan"))
+
     var failed = 0
+    edfChecks.foreach { case (q, ok, what) =>
+      if (!ok) failed += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
+    }
     val plans = scala.collection.mutable.Map[String, String]()
     checks.foreach { case (q, pred, what) =>
       val plan = plans.getOrElseUpdate(q, {
@@ -61,7 +79,8 @@ object PlanAudit {
       println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
     }
     if (args.contains("--dump")) plans.foreach { case (q, p) => println(s"\n===== $q =====\n$p") }
-    println(s"[audit] ${checks.size - failed}/${checks.size} plan checks pass")
+    val total = checks.size + edfChecks.size
+    println(s"[audit] ${total - failed}/$total plan checks pass")
     spark.stop()
   }
 }

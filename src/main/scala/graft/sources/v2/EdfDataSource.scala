@@ -1,13 +1,12 @@
 package graft.sources.v2
 
 import java.util
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,11 +17,29 @@ import graft.sources.EdfFile.EdfHeader
   * .load(path)` (SURVEY.md §2 A1 as a first-class source).
   *
   * Scan planning mirrors EdfFile.read — header-only driver work, (file,
-  * record-range) input partitions — plus V2 column pruning: the reader
-  * materializes only requested fields, and when the `value` column is NOT
-  * requested the partition reader synthesizes rows from header arithmetic
-  * alone, never touching sample bytes (a count(*) over 100 TB of EDF reads
-  * ~KB of headers).
+  * record-range) input partitions — plus V2 column pruning AND filter
+  * pushdown:
+  *
+  *  - when the `value` column is NOT requested the partition reader
+  *    synthesizes rows from header arithmetic alone, never touching
+  *    sample bytes (a count(*) over 100 TB of EDF reads ~KB of headers);
+  *  - `channel` / `channel_idx` predicates restrict which signals are
+  *    DECODED: the reader seeks to each selected signal's slice inside
+  *    the record instead of reading the whole interleaved record (the
+  *    reference's ranged single-signal read, edf.py:120 `read_signal(i,
+  *    start, end)`) — a one-channel query over a 43-channel file reads
+  *    1/43rd of the sample bytes;
+  *  - `record_idx` / `ts_us` bounds prune whole records — and whole
+  *    input partitions at planning time — for contiguous files, where
+  *    `record -> time` is header arithmetic. EDF+D record onsets live in
+  *    per-record TALs, so time pruning is skipped there (record_idx
+  *    pruning still applies).
+  *
+  * Pushdown is PRUNING-ONLY (the parquet row-group model): every filter
+  * is returned to Spark for re-evaluation, so a half-covered record or a
+  * same-label signal can never leak wrong rows; `pushedFilters` reports
+  * what the scan used, and the scan description carries it into
+  * `.explain` output.
   */
 class EdfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "edf"
@@ -76,37 +93,145 @@ class EdfDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** The scan-relevant subset of the pushed filters: signal keep-sets and
+  * inclusive record/time bounds. Conjunction of everything present.
+  */
+final case class EdfPushdown(
+    channels: Option[Set[String]] = None,
+    channelIdx: Option[Set[Int]] = None,
+    recLo: Long = 0L,
+    recHi: Long = Long.MaxValue,
+    tsLo: Long = Long.MinValue,
+    tsHi: Long = Long.MaxValue) extends Serializable {
+
+  def isEmpty: Boolean = this == EdfPushdown()
+
+  def keepSignal(label: String, idx: Int): Boolean =
+    channels.forall(_.contains(label)) && channelIdx.forall(_.contains(idx))
+
+  /** Effective [lo, hi) record window for one file. Time bounds translate
+    * to records only for contiguous files (record r spans
+    * `[startUs + r·dur, startUs + (r+1)·dur)`); conservative by design —
+    * a boundary record is kept and Spark's re-filter trims it.
+    */
+  def recordWindow(h: EdfHeader, durUs: Long): (Int, Int) = {
+    var lo = math.max(0L, recLo)
+    var hi = math.min(h.nbDataRec.toLong, if (recHi == Long.MaxValue) Long.MaxValue else recHi + 1)
+    if (!h.isDiscontiguous && durUs > 0) {
+      if (tsLo != Long.MinValue && tsLo > h.startUs)
+        lo = math.max(lo, (tsLo - h.startUs) / durUs)
+      if (tsHi != Long.MaxValue)
+        hi = math.min(hi, math.max(0L, (tsHi - h.startUs) / durUs + 1))
+    }
+    (math.min(lo, h.nbDataRec.toLong).toInt, math.max(hi, math.min(lo, h.nbDataRec.toLong)).toInt)
+  }
+}
+
+object EdfPushdown {
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l); case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong); case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Split the pushed conjuncts into (used-for-pruning, everything) —
+    * the full input is always returned as residual for Spark to
+    * re-evaluate (pruning-only contract).
+    */
+  def from(filters: Array[Filter]): (EdfPushdown, Array[Filter]) = {
+    var pd = EdfPushdown()
+    val used = Array.newBuilder[Filter]
+    def keep(cur: Option[Set[String]], vs: Set[String]) =
+      Some(cur.map(_.intersect(vs)).getOrElse(vs))
+    def keepI(cur: Option[Set[Int]], vs: Set[Int]) =
+      Some(cur.map(_.intersect(vs)).getOrElse(vs))
+    filters.foreach {
+      case f @ EqualTo("channel", v: String) =>
+        pd = pd.copy(channels = keep(pd.channels, Set(v))); used += f
+      case f @ In("channel", vs) if vs.forall(v => v == null || v.isInstanceOf[String]) =>
+        pd = pd.copy(channels = keep(pd.channels,
+          vs.collect { case s: String => s }.toSet)); used += f
+      case f @ EqualTo("channel_idx", v) if asLong(v).isDefined =>
+        pd = pd.copy(channelIdx = keepI(pd.channelIdx, Set(asLong(v).get.toInt))); used += f
+      case f @ In("channel_idx", vs) if vs.forall(v => v == null || asLong(v).isDefined) =>
+        pd = pd.copy(channelIdx = keepI(pd.channelIdx,
+          vs.flatMap(asLong).map(_.toInt).toSet)); used += f
+      case f @ EqualTo("record_idx", v) if asLong(v).isDefined =>
+        val l = asLong(v).get
+        pd = pd.copy(recLo = math.max(pd.recLo, l), recHi = math.min(pd.recHi, l)); used += f
+      case f @ GreaterThan("record_idx", v) if asLong(v).isDefined =>
+        pd = pd.copy(recLo = math.max(pd.recLo, asLong(v).get + 1)); used += f
+      case f @ GreaterThanOrEqual("record_idx", v) if asLong(v).isDefined =>
+        pd = pd.copy(recLo = math.max(pd.recLo, asLong(v).get)); used += f
+      case f @ LessThan("record_idx", v) if asLong(v).isDefined =>
+        pd = pd.copy(recHi = math.min(pd.recHi, asLong(v).get - 1)); used += f
+      case f @ LessThanOrEqual("record_idx", v) if asLong(v).isDefined =>
+        pd = pd.copy(recHi = math.min(pd.recHi, asLong(v).get)); used += f
+      case f @ EqualTo("ts_us", v) if asLong(v).isDefined =>
+        val l = asLong(v).get
+        pd = pd.copy(tsLo = math.max(pd.tsLo, l), tsHi = math.min(pd.tsHi, l)); used += f
+      case f @ GreaterThan("ts_us", v) if asLong(v).isDefined =>
+        pd = pd.copy(tsLo = math.max(pd.tsLo, asLong(v).get + 1)); used += f
+      case f @ GreaterThanOrEqual("ts_us", v) if asLong(v).isDefined =>
+        pd = pd.copy(tsLo = math.max(pd.tsLo, asLong(v).get)); used += f
+      case f @ LessThan("ts_us", v) if asLong(v).isDefined =>
+        pd = pd.copy(tsHi = math.min(pd.tsHi, asLong(v).get - 1)); used += f
+      case f @ LessThanOrEqual("ts_us", v) if asLong(v).isDefined =>
+        pd = pd.copy(tsHi = math.min(pd.tsHi, asLong(v).get)); used += f
+      case _ => ()
+    }
+    (pd, used.result())
+  }
+}
+
 final class EdfTable(paths: Seq[String], tableSchema: StructType) extends Table with SupportsRead {
   override def name(): String = s"edf(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EdfScanBuilder(paths, tableSchema)
+    new EdfScanBuilder(paths, tableSchema,
+      Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(128L << 20))
 }
 
-final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType, targetSplitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var pushdown: EdfPushdown = EdfPushdown()
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new EdfScan(paths, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pd, used) = EdfPushdown.from(filters)
+    pushdown = pd
+    pushed = used
+    filters // pruning-only: Spark re-evaluates everything
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new EdfScan(paths, required, pushdown, pushed, targetSplitBytes)
 }
 
-final class EdfScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushdown,
+    pushed: Array[Filter], targetSplitBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"EdfScan(paths=${paths.size}, columns=[${required.fieldNames.mkString(",")}])"
+    s"EdfScan(paths=${paths.size}, columns=[${required.fieldNames.mkString(",")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val target = 128L << 20
+    val target = math.max(1L, targetSplitBytes)
     paths.flatMap { p =>
       val h = EdfFile.readHeader(p)
+      val durUs = (h.duration * 1e6).toLong
+      val (winLo, winHi) = pushdown.recordWindow(h, durUs)
       val recsPerSplit = math.max(1, (target / math.max(1L, h.recordBytes)).toInt)
-      (0 until h.nbDataRec by recsPerSplit).map { lo =>
-        EdfInputPartition(p, lo, math.min(h.nbDataRec, lo + recsPerSplit)): InputPartition
+      (winLo until winHi by recsPerSplit).map { lo =>
+        EdfInputPartition(p, lo, math.min(winHi, lo + recsPerSplit)): InputPartition
       }
     }.toArray
   }
@@ -115,25 +240,30 @@ final class EdfScan(paths: Seq[String], required: StructType) extends Scan with 
     val entries = org.apache.spark.sql.SparkSession.active match {
       case s => EdfFile.captureConfEntries(s)
     }
-    new EdfReaderFactory(required.fieldNames, entries)
+    new EdfReaderFactory(required.fieldNames, entries, pushdown)
   }
 }
 
 final case class EdfInputPartition(path: String, recordLo: Int, recordHi: Int) extends InputPartition
 
 final class EdfReaderFactory(fields: Array[String],
-    confEntries: Seq[(String, String)]) extends PartitionReaderFactory {
+    confEntries: Seq[(String, String)], pushdown: EdfPushdown) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EdfInputPartition]
-    new EdfPartitionReader(p, fields, confEntries)
+    new EdfPartitionReader(p, fields, confEntries, pushdown)
   }
 }
 
-/** Streams one record-range; if `value` is not in the projection, rows are
-  * synthesized from header arithmetic without reading sample bytes.
+/** Streams one record-range. If `value` is not in the projection, rows are
+  * synthesized from header arithmetic without reading sample bytes. With a
+  * channel keep-set pushed down, only the selected signals' byte slices
+  * are seek-read inside each record (plus the TAL slice for EDF+D) — the
+  * deselected signals' bytes are never transferred. With no keep-set the
+  * whole record reads in one call (fewer seeks beats sliced reads when
+  * every slice is needed anyway).
   */
 final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
-    confEntries: Seq[(String, String)]) extends PartitionReader[InternalRow] {
+    confEntries: Seq[(String, String)], pushdown: EdfPushdown) extends PartitionReader[InternalRow] {
 
   private val needsValue = fields.contains("value")
   private val h: EdfHeader = EdfFile.readHeader(part.path)
@@ -142,6 +272,8 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
   private val annIdx = h.signals.indexWhere(_.isAnnotation)
   private val durUs = (h.duration * 1e6).toLong
   private val dataSignals = h.signals.zipWithIndex.filterNot(_._1.isAnnotation)
+  private val selected = dataSignals.filter { case (s, i) => pushdown.keepSignal(s.label, i) }
+  private val sliced = selected.size < dataSignals.size
   private val fileUtf = UTF8String.fromString(part.path)
   private val labels = h.signals.map(s => UTF8String.fromString(s.label))
   private val units = h.signals.map(s => UTF8String.fromString(s.physDim))
@@ -152,10 +284,17 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
     opened = true
     pth.getFileSystem(EdfFile.confFromEntries(confEntries)).open(pth)
   }
-  private val buf = new Array[Byte](recBytes.toInt)
+  // whole-record buffer (unpruned path) vs per-selected-signal slices
+  private val buf = if (!sliced) new Array[Byte](recBytes.toInt) else null
+  private val sigBufs: Map[Int, Array[Byte]] =
+    if (sliced && needsValue) selected.map { case (s, i) => i -> new Array[Byte](s.nrSamples * 2) }.toMap
+    else Map.empty
+  private val annBuf =
+    if (sliced && h.isDiscontiguous && annIdx >= 0) new Array[Byte](h.signals(annIdx).nrSamples * 2)
+    else null
 
   private var rec = part.recordLo - 1
-  private var sigPos = 0      // index into dataSignals
+  private var sigPos = 0      // index into selected
   private var sampleIdx = 0
   private var recStartUs = 0L
   private var current: InternalRow = _
@@ -163,12 +302,21 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
   private def advanceRecord(): Boolean = {
     rec += 1
     if (rec >= part.recordHi) return false
-    if (needsValue || h.isDiscontiguous) in.readFully(h.headerBytes + rec * recBytes, buf)
+    val recBase = h.headerBytes + rec * recBytes
+    if (!sliced) {
+      if (needsValue || h.isDiscontiguous) in.readFully(recBase, buf)
+    } else {
+      if (needsValue) selected.foreach { case (_, i) =>
+        in.readFully(recBase + sigOffsets(i), sigBufs(i))
+      }
+      if (annBuf != null) in.readFully(recBase + sigOffsets(annIdx), annBuf)
+    }
     recStartUs =
       if (h.isDiscontiguous && annIdx >= 0) {
-        val off = sigOffsets(annIdx).toInt
+        val talBytes = if (sliced) annBuf else buf
+        val talOff = if (sliced) 0 else sigOffsets(annIdx).toInt
         val len = h.signals(annIdx).nrSamples * 2
-        val tal = new String(buf, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+        val tal = new String(talBytes, talOff, len, java.nio.charset.StandardCharsets.US_ASCII)
         h.startUs + (tal.split("\u0014\u0014", 2).head.toDouble * 1e6).toLong
       } else h.startUs + rec.toLong * durUs
     sigPos = 0
@@ -178,14 +326,14 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
 
   override def next(): Boolean = {
     if (rec < part.recordLo) { if (!advanceRecord()) return false }
-    while (sigPos < dataSignals.size && sampleIdx >= dataSignals(sigPos)._1.nrSamples) {
+    while (sigPos < selected.size && sampleIdx >= selected(sigPos)._1.nrSamples) {
       sigPos += 1; sampleIdx = 0
     }
-    if (sigPos >= dataSignals.size) {
+    if (sigPos >= selected.size) {
       if (!advanceRecord()) return false
       return next()
     }
-    val (sig, sIdx) = dataSignals(sigPos)
+    val (sig, sIdx) = selected(sigPos)
     val n = sig.nrSamples
     val i = sampleIdx
     val values: Array[Any] = fields.map {
@@ -198,9 +346,11 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
       case "sample_idx"  => rec.toLong * n + i
       case "ts_us"       => recStartUs + i.toLong * durUs / n
       case "value" =>
-        val base = sigOffsets(sIdx).toInt
-        val lo = buf(base + 2 * i) & 0xff
-        val hi = buf(base + 2 * i + 1)
+        val (bytes, base) =
+          if (sliced) (sigBufs(sIdx), 0)
+          else (buf, sigOffsets(sIdx).toInt)
+        val lo = bytes(base + 2 * i) & 0xff
+        val hi = bytes(base + 2 * i + 1)
         sig.bitValue * (sig.offset + ((hi << 8) | lo).toDouble)
     }
     current = InternalRow.fromSeq(values.toIndexedSeq)

@@ -56,4 +56,65 @@ class EdfDataSourceSpec extends AnyFunSuite {
       .groupBy(col("channel")).agg(count(lit(1)).as("n")).collect()
     assert(n.forall(_.getAs[Long]("n") == 12000L))
   }
+
+  test("channel/ts filters are pushed and results match the unpruned read") {
+    val h = EdfFile.readHeader(sinEdf)
+    val ch = h.signals.filterNot(_.isAnnotation).head.label
+    val tsHi = h.startUs + 2000000L  // first 2s
+    val filtered = spark.read.format("edf").load(sinEdf)
+      .filter(col("channel") === ch && col("ts_us") < tsHi)
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan }
+      .getOrElse(fail("no BatchScanExec in plan"))
+    assert(scan.description().contains(s"EqualTo(channel,$ch)"), scan.description())
+    assert(scan.description().contains("LessThan(ts_us"), scan.description())
+    val expected = spark.read.format("edf").load(sinEdf)
+      .filter(col("channel") === ch && col("ts_us") < tsHi)
+      .orderBy(col("sample_idx")).select(col("ts_us"), col("value")).collect()
+    val got = filtered.orderBy(col("sample_idx")).select(col("ts_us"), col("value")).collect()
+    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+  }
+
+  test("ts_us bounds prune input partitions at planning time") {
+    val h = EdfFile.readHeader(sinEdf)
+    // one record per split; keep only the first ~10% of the time range
+    val all = spark.read.format("edf")
+      .option("targetSplitBytes", h.recordBytes.toString).load(sinEdf)
+    val nAll = all.rdd.getNumPartitions
+    val tsHi = h.startUs + (h.nbDataRec.toLong * (h.duration * 1e6).toLong) / 10
+    val pruned = spark.read.format("edf")
+      .option("targetSplitBytes", h.recordBytes.toString).load(sinEdf)
+      .filter(col("ts_us") < tsHi)
+    val nPruned = pruned.rdd.getNumPartitions
+    assert(nAll == h.nbDataRec, s"per-record splits: $nAll")
+    // ~10% of the records plus the conservatively-kept boundary record
+    assert(nPruned <= nAll / 8 + 1, s"time filter pruned splits: $nPruned of $nAll")
+    // pruning is conservative: row results identical to a post-filter
+    assert(pruned.count() ==
+      spark.read.format("edf").load(sinEdf).filter(col("ts_us") < tsHi).count())
+  }
+
+  test("a channel filter seek-reads only that signal's slices (per-signal ranged read)") {
+    // 2-signal file truncated INSIDE the last record: signal 0's slice
+    // survives, signal 1's is cut. A whole-record reader must fail; the
+    // pushed-down single-channel read never touches signal 1's bytes.
+    val tmp = java.nio.file.Files.createTempDirectory("edftrunc")
+    val path = s"$tmp/trunc.edf"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(sinEdf), java.nio.file.Paths.get(path))
+    val h = EdfFile.readHeader(path)
+    val sig0 = h.signals.head
+    val fullLen = h.headerBytes + h.nbDataRec.toLong * h.recordBytes
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(path)) == fullLen)
+    val cut = fullLen - h.recordBytes + sig0.nrSamples * 2  // keep sig0 of last record
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try raf.setLength(cut) finally raf.close()
+
+    val onlySig0 = spark.read.format("edf").load(path)
+      .filter(col("channel") === sig0.label)
+    assert(onlySig0.count() == 12000L, "selected signal fully readable")
+    val e = intercept[Exception] {
+      spark.read.format("edf").load(path).agg(sum(col("value"))).collect()
+    }
+    assert(e.getMessage != null, s"whole-record read fails on truncated file: $e")
+  }
 }
