@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_exact"   -> q(TextAnalysis.dedupExact),
     "ann_topk"      -> q(Similarity.annTopK(_)),
     "embed_neardup" -> q(Similarity.embedNearDup(_, threshold = 0.25)),
+    "embed_neardup_lsh" -> q(Similarity.embedNearDupLsh(_, threshold = 0.25)),
     "minhash_sig"   -> q(Dedup.minhashSig(_)),
     "dedup_minhash" -> q(Dedup.dedupMinhash(_)),
     "simhash_sig"   -> q(Dedup.simhash(_)),
@@ -593,6 +594,26 @@ object SparkEntry {
                 * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b""",
+    "embed_neardup_lsh" ->
+      """WITH pl AS (SELECT p, CAST(row_number() OVER (ORDER BY pid) - 1 AS INT) AS i FROM
+             (SELECT vec_id AS pid, embedding AS p FROM embeddings ORDER BY vec_id LIMIT 12)),
+         sig AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(pl.p[j] AS DOUBLE))) >= 0
+                  THEN CAST(1 AS BIGINT) << pl.i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
+         banded AS (SELECT vec_id, band, (sig >> CAST(band * 3 AS INT)) & 7 AS bval
+           FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         hot AS (SELECT band, bval FROM banded GROUP BY 1, 2 HAVING count(*) > 100000),
+         ok AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bval)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM ok a JOIN ok b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
+         s AS (SELECT id_a, id_b, floor((
+             list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM cand JOIN embeddings a ON a.vec_id = cand.id_a JOIN embeddings b ON b.vec_id = cand.id_b)
+         SELECT id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY id_a, id_b""",
     "minhash_sig" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

@@ -53,6 +53,62 @@ object Similarity {
       .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
+  /** C5b: the SCALE path for embedding near-dup — random-hyperplane LSH
+    * blocking instead of [[embedNearDup]]'s label blocks. Two vectors
+    * agree on hyperplane i's sign bit with probability 1 − θ/π (θ =
+    * their angle), so banding the `nPlanes`-bit signature into
+    * `nPlanes/bandBits` bands makes near-parallel vectors collide in
+    * some band with high probability (cos 0.95 → ≥99% at 12 planes ×
+    * 3-bit bands) while far pairs rarely do — candidate generation is
+    * O(n·bands) bucket joins, never n².
+    *
+    * Determinism/oracle: hyperplanes are the first `nPlanes` corpus
+    * vectors (broadcast as plan literals, like the IVF centroids), the
+    * sign uses the raw double dot product (cosine's NaN on zero-norm
+    * vectors would order differently across engines; the dot is 0 → one
+    * fixed side), and degenerate hot buckets (> `maxBucket` members) are
+    * dropped by a broadcast anti-join before the self-join — the same
+    * cap rule as MinHash LSH (Dedup.maxBucket).
+    *
+    * Shapes: signatures are one narrow pass (nPlanes folded dots per
+    * row); one shuffle keyed by (band, bucket); exact cosine runs only
+    * on deduplicated candidates.
+    */
+  def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 12,
+                      bandBits: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    require(nPlanes % bandBits == 0 && nPlanes <= 62, s"bad plane/band split: $nPlanes/$bandBits")
+    val nBands = nPlanes / bandBits
+    val planes = t.embeddings.orderBy(col("vec_id")).limit(nPlanes)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    def dot(vec: String, plane: Seq[Float]): String = {
+      val arr = plane.map(fLit).mkString("array(", ", ", ")")
+      s"""aggregate(zip_with($vec, $arr, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    }
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      when(expr(dot("embedding", p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val banded = t.embeddings
+      .select(col("vec_id"), col("embedding"), sig.as("sig"))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            expr(s"shiftright(sig, ${b * bandBits}) & ${(1 << bandBits) - 1}").as("bval"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val hot = banded.groupBy(col("band"), col("bval")).count()
+      .filter(col("count") > maxBucket).select(col("band"), col("bval"))
+    val ok = banded.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+    val a = ok.select(col("band"), col("bval"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = ok.select(col("band"), col("bval"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val sim = roundHalfUp(cos("ea", "eb"), 4)
+    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sim.as("sim"))
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("sim")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** C7: IVF-style ANN — deterministic centroids (the first `nCells`
     * vectors, a k-means|| seeding stand-in), assign every vector to its
     * nearest cell, then search only the query's top-`nProbe` cells.

@@ -48,4 +48,26 @@ class SimilaritySpec extends AnyFunSuite {
     val first = Similarity.kmeans(t, k = 3, maxIter = 5).collect().map(_.getLong(2)).toSeq
     assert(again == first, "deterministic across runs")
   }
+
+  test("LSH-blocked near-dup recalls planted pairs vs the all-pairs truth") {
+    // 60 deterministic pseudo-random 16-d vectors + 20 jittered copies
+    // (cos ≈ 0.999); one shared label makes embedNearDup the exact
+    // all-pairs brute force to measure recall against
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(d => ((seed * 31 + d) * 2654435761L % 1000L - 500L) / 500.0f)
+    val base = (0 until 60).map(i => (i.toLong, vec(i), "all"))
+    val dups = (0 until 20).map { i =>
+      val v = vec(i).zipWithIndex.map { case (x, d) => x + 0.02f * ((i + d) % 3 - 1) }
+      (100L + i, v, "all")
+    }
+    val t = embeddings(base ++ dups)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val truth = pairs(Similarity.embedNearDup(t, threshold = 0.9))
+    val lsh = pairs(Similarity.embedNearDupLsh(t, threshold = 0.9))
+    assert(truth.size >= 20, s"planted pairs present in truth: ${truth.size}")
+    assert(lsh.subsetOf(truth), s"exact verification admits no false pairs: ${lsh -- truth}")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${truth.size})")
+  }
 }
