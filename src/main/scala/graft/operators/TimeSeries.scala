@@ -398,24 +398,35 @@ object TimeSeries {
     * |z| ≥ cutoff (3.5 is their recommended default). Medians are EXACT,
     * via the bucketed histogram-select pipeline (Analytics.exactQuantiles
     * — two narrow passes, never a per-group sort), and both median
-    * relations are channel-cardinality broadcasts; the scoring pass is
-    * narrow. Selection happens on the ROUNDED score so boundary rows
-    * can't flip between engines.
+    * relations are channel-cardinality literals folded back into the row
+    * expressions; the scoring pass is a single narrow scan. Selection
+    * happens on the ROUNDED score so boundary rows can't flip between
+    * engines.
     */
   def madOutlier(t: Tables, cutoff: Double = 3.5): DataFrame = {
-    val med = Analytics.exactQuantiles(
+    // medians are CHANNEL-CARDINALITY — computed eagerly and folded back
+    // as literal CASE maps (the IVF-centroid pattern, Similarity.scala),
+    // so neither quantile pipeline nor the scoring pass carries a join:
+    // the MAD pipeline is a 2-column narrow scan and the final scoring
+    // pass is a single zero-shuffle codegen scan. Same 4 quantile scans
+    // as the join formulation, minus its three broadcast-exchange stages.
+    def litMap(rows: Array[(String, Double)], of: Column): Column =
+      rows.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+        when(of === k, lit(v)).otherwise(acc)
+      }
+    val med: Array[(String, Double)] = Analytics.exactQuantiles(
       t.events.select(col("event_type"), col("value")), "event_type",
       Seq("value" -> Seq("med" -> 0.5)))
-    val dev = t.events
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val medOf = litMap(med, col("event_type"))
+    val mad: Array[(String, Double)] = Analytics.exactQuantiles(
+      t.events.select(col("event_type"), abs(col("value") - medOf).as("adev")),
+      "event_type", Seq("adev" -> Seq("mad" -> 0.5)))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val madOf = litMap(mad.filter(_._2 > 0), col("event_type"))
+    t.events
       .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
-      .join(broadcast(med), Seq("event_type"))
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = Analytics.exactQuantiles(
-      dev.select(col("event_type"), col("adev")), "event_type",
-      Seq("adev" -> Seq("mad" -> 0.5)))
-    dev.join(broadcast(mad), Seq("event_type"))
-      .filter(col("mad") > 0)
-      .withColumn("robust_z", roundHalfUp(lit(0.6745) * (col("value") - col("med")) / col("mad"), 3))
+      .withColumn("robust_z", roundHalfUp(lit(0.6745) * (col("value") - medOf) / madOf, 3))
       .filter(abs(col("robust_z")) >= cutoff)
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
         col("robust_z"))
