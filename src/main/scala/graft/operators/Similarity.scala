@@ -71,8 +71,11 @@ object Similarity {
     * cap rule as MinHash LSH (Dedup.maxBucket).
     *
     * Shapes: signatures are one narrow pass (nPlanes folded dots per
-    * row); one shuffle keyed by (band, bucket); exact cosine runs only
-    * on deduplicated candidates.
+    * row); the band self-join shuffles (band, bucket, id) rows ONLY —
+    * embeddings never travel through the candidate join — and exact
+    * cosine runs once per DISTINCT candidate pair after re-joining the
+    * vectors by id (the ngramJaccard inverted-index shape): a pair
+    * colliding in all 4 bands still costs one cosine, not four.
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 12,
                       bandBits: Int = 3, maxBucket: Long = 100000L): DataFrame = {
@@ -89,22 +92,24 @@ object Similarity {
       when(expr(dot("embedding", p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val banded = t.embeddings
-      .select(col("vec_id"), col("embedding"), sig.as("sig"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), sig.as("sig"))
+      .select(col("vec_id"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
             expr(s"shiftright(sig, ${b * bandBits}) & ${(1 << bandBits) - 1}").as("bval"))
         }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val hot = banded.groupBy(col("band"), col("bval")).count()
       .filter(col("count") > maxBucket).select(col("band"), col("bval"))
     val ok = banded.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-    val a = ok.select(col("band"), col("bval"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = ok.select(col("band"), col("bval"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    val sim = roundHalfUp(cos("ea", "eb"), 4)
-    a.join(b, Seq("band", "bval")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), sim.as("sim"))
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("sim")).as("sim"))
+    val cand = ok.select(col("band"), col("bval"), col("vec_id").as("id_a"))
+      .join(ok.select(col("band"), col("bval"), col("vec_id").as("id_b")), Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val ea = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = t.embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), roundHalfUp(cos("ea", "eb"), 4).as("sim"))
       .filter(col("sim") >= threshold)
       .orderBy(col("id_a"), col("id_b"))
   }
