@@ -27,11 +27,13 @@ object EdfPipeline {
     EdfSink.write(samples, outDir, mode = mode)
   }
 
-  /** CLI: runMain graft.EdfPipeline <out_dir> <file.edf> [more.edf...] */
+  /** CLI: runMain graft.EdfPipeline [--append] <out_dir> <file.edf> [more.edf...] */
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: EdfPipeline <out_dir> <file.edf> [more...]")
+    val mode = if (args.contains("--append")) "append" else "overwrite"
+    val rest = args.filterNot(_ == "--append")
+    require(rest.length >= 2, "usage: EdfPipeline [--append] <out_dir> <file.edf> [more...]")
     val spark = GraftSession.getOrCreate()
-    val manifest = process(spark, args.drop(1).toSeq, args(0))
+    val manifest = process(spark, rest.drop(1).toSeq, rest(0), mode)
     println(s"[edf-pipeline] wrote $manifest")
     spark.stop()
   }
