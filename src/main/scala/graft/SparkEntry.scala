@@ -73,6 +73,8 @@ object SparkEntry {
     "ann_batch"          -> q(Similarity.annBatch(_)),
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
+    "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
+    "mix_apply"          -> q(Sampling.mixApply(_)),
     "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
     "funnel"             -> q(EventAnalytics.funnel(_)),
     "retention"          -> q(EventAnalytics.retention),
@@ -575,6 +577,34 @@ object SparkEntry {
          SELECT c.doc_id, count(DISTINCT c.h) AS n_shared_grams
          FROM corpus c JOIN bench b ON c.h = b.h
          GROUP BY 1 ORDER BY 1""",
+    // the bloom prefilter is exact after its confirm join — same oracle
+    "decontaminate_bloom" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-5), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         bench AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id < 25),
+         corpus AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id >= 25)
+         SELECT c.doc_id, count(DISTINCT c.h) AS n_shared_grams
+         FROM corpus c JOIN bench b ON c.h = b.h
+         GROUP BY 1 ORDER BY 1""",
+    "mix_apply" ->
+      """WITH w(lang, weight) AS (SELECT * FROM (VALUES ('en',0.4),('de',0.2),('es',0.2),('fr',0.1),('zh',0.1)) v(lang, weight)),
+         a AS (SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN length(trim(text))=0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),'\s+')) END) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY 1),
+         j AS (SELECT a.lang, n_tokens, weight,
+                 min(n_tokens / weight) OVER () AS budget
+               FROM a JOIN w ON a.lang = w.lang),
+         r AS (SELECT lang, floor((weight * budget / n_tokens)*10000.0 + 0.5)/10000.0 AS rate FROM j),
+         b AS (SELECT doc_id, lang,
+                 (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 % 1000 AS bucket
+               FROM documents)
+         SELECT b.doc_id, b.lang, b.bucket FROM b JOIN r ON b.lang = r.lang
+         WHERE b.bucket < r.rate * 1000 ORDER BY b.doc_id""",
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash,
          min(doc_id) AS keep_doc_id, count(*) AS n_copies

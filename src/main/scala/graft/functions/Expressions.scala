@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
@@ -451,6 +452,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
       new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
       (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))
+    // Spark's bloom sketch pair (BloomFilterAggregate builds the filter,
+    // BloomFilterMightContain probes it, both codegen-backed) exists only
+    // for the engine's internal runtime-filter rewrite — neither is in
+    // the public SQL registry. Expose both so plans can build and probe
+    // the sketch explicitly (C23b decontaminate_bloom).
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (es: Seq[Expression]) => new BloomFilterAggregate(es(0), es(1), es(2))))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

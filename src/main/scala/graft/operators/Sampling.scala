@@ -80,6 +80,26 @@ object Sampling {
       .orderBy(col("lang"))
   }
 
+  /** C19b: APPLY the mixture plan — the plan→corpus step a training run
+    * actually executes: [[mixPlan]]'s per-stratum sampling rate becomes
+    * a deterministic per-mille hash cutoff, and the sampled corpus is
+    * one broadcast-joined narrow filter over documents (rate·1000 vs the
+    * integer bucket — both exactly representable, so no boundary row can
+    * flip). Reproducible across runs, engines and speculative retries,
+    * like all sampling here.
+    */
+  def mixApply(t: Tables,
+               weights: Seq[(String, Double)] = Seq(
+                 "en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)): DataFrame = {
+    val rates = mixPlan(t, weights).select(col("lang"), col("rate"))
+    t.documents
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("bucket", bucket1000)
+      .filter(col("bucket") < col("rate") * 1000)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C28: sequence packing for training — concatenate documents in
     * doc_id order and chunk the token stream at `seqLen`: each document
     * gets the training-sequence id and intra-sequence offset where it

@@ -194,6 +194,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C23b: the SCALE path for decontamination — when the benchmark's
+    * k-gram hash set outgrows a broadcast array (a few hundred MB of
+    * hashes), [[decontaminate]]'s broadcast semi-join stops being an
+    * option. This variant compresses the set into a Bloom filter
+    * (Spark's own `bloom_filter_agg`, collected once — KBs-per-million
+    * grams at 1 % FP instead of 8 B/gram) and probes it with the
+    * engine's codegen'd `BloomFilterMightContain` (injected as
+    * `graft_might_contain`) in one narrow corpus pass; only the
+    * prefiltered survivors — true hits plus the FP trickle — pay the
+    * exact-confirmation shuffle join against the real hash relation, so
+    * the corpus-sized side of that join is ~hit-sized. Output is
+    * EXACT and identical to [[decontaminate]] (FPs die in the confirm
+    * join); same oracle.
+    */
+  def decontaminateBloom(t: Tables, benchMaxId: Long = 25L, k: Int = 5,
+                         fpBits: Long = 8L * 1024 * 1024): DataFrame = {
+    val shingle = s"graft_shingle_hashes(text, $k)"
+    val benchHashes = t.documents.filter(col("doc_id") < benchMaxId)
+      .select(explode(expr(shingle)).as("h")).distinct()
+    val bloom: Array[Byte] = benchHashes
+      .agg(expr(s"graft_bloom_agg(h, ${fpBits / 8}L, ${fpBits}L)").as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val corpus = t.documents.filter(col("doc_id") >= benchMaxId)
+      .select(col("doc_id"), explode(expr(shingle)).as("h"))
+      .filter(call_function("graft_might_contain", lit(bloom), col("h")))
+    corpus.join(benchHashes, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C21: corpus profile — per-stratum doc/char counts plus EXACT length
     * quantiles through the histogram-select engine (Analytics
     * .exactQuantiles as reusable API; counts and quantiles join at

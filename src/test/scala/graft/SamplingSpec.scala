@@ -62,6 +62,20 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("mix_apply materializes the plan's per-stratum fractions") {
+    val t = docs(2000)  // 400 docs x 5 langs, doc i has 2 tokens each
+    val got = Sampling.mixApply(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // equal availability per stratum -> budget = min(avail/weight) is set
+    // by the largest weight (en, 0.4): rate_en = 1.0, others = w/0.4
+    val kept = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(kept("en") == 400, s"binding stratum keeps everything: $kept")
+    assert(math.abs(kept("de") - 200) < 50, s"de ~ 400*(0.2/0.4): $kept")
+    assert(math.abs(kept("zh") - 100) < 30, s"zh ~ 400*(0.1/0.4): $kept")
+    val again = Sampling.mixApply(t).collect().map(_.getLong(0)).toSeq
+    assert(again == got.map(_._1).toSeq, "deterministic sample")
+  }
+
   test("corpus shuffle is a deterministic permutation with contiguous ranks") {
     val t = docs(500)
     val a = Sampling.corpusShuffle(t).collect().map(r => (r.getLong(0), r.getLong(1)))

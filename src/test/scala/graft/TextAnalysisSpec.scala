@@ -45,6 +45,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(31L), "clean doc untouched")
   }
 
+  test("bloom-prefiltered decontamination is exact (identical to the broadcast path)") {
+    val benchSentence = "the capital of france is paris and everyone knows it"
+    val t = docs(Seq(
+      (1L, benchSentence),
+      (30L, s"some leaked training text says $benchSentence quite verbatim"),
+      (31L, "a perfectly original document with entirely novel phrasing throughout")))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = toMap(TextAnalysis.decontaminate(t, benchMaxId = 25L, k = 5))
+    val bloom = toMap(TextAnalysis.decontaminateBloom(t, benchMaxId = 25L, k = 5))
+    assert(bloom == exact, s"bloom path exact: $bloom vs $exact")
+    assert(bloom.contains(30L) && !bloom.contains(31L))
+  }
+
   test("gopher rules flag exactly the rule each pathological doc violates") {
     // 30 words, 27 distinct, all-alpha, mean word length 159/30 = 5.3, and the
     // ONLY stopwords present are "the"/"of" — so doc 4's THE/OF-stripped copy
