@@ -74,6 +74,7 @@ object SparkEntry {
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
+    "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
     "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
     "funnel"             -> q(EventAnalytics.funnel(_)),
@@ -452,6 +453,26 @@ object SparkEntry {
            floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1.0/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1.0/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_day,
            floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1.0/3600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1.0/3600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_hour
          FROM b GROUP BY 1 ORDER BY 1""",
+    "ts_spectrum" ->
+      """WITH s AS (SELECT event_type, min(epoch_ns(ts)//1000) AS start_us FROM events GROUP BY 1),
+         b AS (SELECT e.event_type, value,
+                 CAST(epoch_ns(ts)//1000 - start_us AS DOUBLE) / 1000000.0 AS tsec
+               FROM events e JOIN s ON e.event_type = s.event_type),
+         agg AS (SELECT event_type, count(*) AS n,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_1,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(2/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(2/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_2,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(3/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(3/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_3,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(4/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(4/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_4,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(5/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(5/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_5,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(6/86400.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(6/86400.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_6
+           FROM b GROUP BY 1)
+         SELECT event_type, CAST(1 AS BIGINT) AS bin, n, amp_1 AS amp FROM agg
+         UNION ALL SELECT event_type, 2, n, amp_2 FROM agg
+         UNION ALL SELECT event_type, 3, n, amp_3 FROM agg
+         UNION ALL SELECT event_type, 4, n, amp_4 FROM agg
+         UNION ALL SELECT event_type, 5, n, amp_5 FROM agg
+         UNION ALL SELECT event_type, 6, n, amp_6 FROM agg
+         ORDER BY event_type, bin""",
     "ts_outlier" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
                     FROM events GROUP BY 1),

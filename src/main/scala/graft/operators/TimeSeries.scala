@@ -352,6 +352,40 @@ object TimeSeries {
       .orderBy(col("event_type"))
   }
 
+  /** A18b: k-bin harmonic spectrum — [[tsBandpower]] generalized to a
+    * ladder of `nBins` harmonics of one base period (f_k = k/periodS):
+    * all 2k trig sums run in the SAME single map-side-combined
+    * aggregation pass (adding a bin adds two sum buffers, not a scan),
+    * then unpivot to long (channel, bin, amp) — the featurization shape.
+    * ω is built as `(2·π)·(k/periodS)` in BOTH engines so the doubles
+    * are bit-identical and the 4-dp rounding can't straddle a boundary.
+    */
+  def tsSpectrum(t: Tables, periodS: Double = 86400.0, nBins: Int = 6): DataFrame = {
+    val starts = t.events.groupBy(col("event_type")).agg(min(tsUs).as("start_us"))
+    val base = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .join(broadcast(starts), Seq("event_type"))
+      .withColumn("tsec", (col("us") - col("start_us")).cast("double") / 1e6)
+    val aggs = (1 to nBins).flatMap { k =>
+      val omega = lit(2.0 * math.Pi * (k / periodS))
+      Seq(
+        sum(col("value") * cos(omega * col("tsec"))).as(s"c_$k"),
+        sum(col("value") * sin(omega * col("tsec"))).as(s"s_$k"))
+    } :+ count(lit(1)).as("n")
+    val amps = (1 to nBins).map { k =>
+      roundHalfUp(lit(2.0) * sqrt(col(s"c_$k") * col(s"c_$k") + col(s"s_$k") * col(s"s_$k"))
+        / col("n"), 4).as(s"amp_$k")
+    }
+    val stackArgs = (1 to nBins).map(k => s"${k}L, amp_$k").mkString(", ")
+    base.groupBy(col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("event_type") +: col("n") +: amps): _*)
+      .select(col("event_type"), col("n"),
+        expr(s"stack($nBins, $stackArgs) AS (bin, amp)"))
+      .select(col("event_type"), col("bin"), col("n"), col("amp"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   /** A19: statistical outlier detection — |z-score| ≥ z against per-channel
     * mean/stddev (the global-stats complement of the threshold spike
     * detector A8). Stats aggregate to channel cardinality and join back

@@ -45,6 +45,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(flatHour < 1.0, s"constant channel has no hour-band content, got $flatHour")
   }
 
+  test("spectrum isolates a planted harmonic in its own bin") {
+    // 100·sin(2π·3t/T) over exactly 3 periods of the 3rd harmonic
+    // (T = 10800 s, bins are harmonics of T): all energy in bin 3
+    val T = 10800.0
+    val sine = (0 until 180).map { i =>
+      val tSec = i * 60L
+      (i.toLong, tSec * 1000000000L, 1L, "h3",
+        100.0 * math.sin(2 * math.Pi * 3 * tSec / T))
+    }
+    val got = TimeSeries.tsSpectrum(events(sine), periodS = T, nBins = 6).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got.keySet == (1L to 6L).toSet, s"six bins: $got")
+    assert(math.abs(got(3L) - 100.0) < 2.0, s"3rd-harmonic bin ~100: $got")
+    (1L to 6L).filter(_ != 3L).foreach { k =>
+      assert(got(k) < 5.0, s"bin $k holds no planted energy: $got")
+    }
+  }
+
   test("MAD outliers survive the masking that defeats the z-score detector") {
     // 20 % contamination at 500 inflates mean/stddev enough that the
     // z-score of the outliers themselves drops near 2 — the classic
