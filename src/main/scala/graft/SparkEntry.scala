@@ -75,6 +75,7 @@ object SparkEntry {
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
+    "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
     "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
     "funnel"             -> q(EventAnalytics.funnel(_)),
@@ -390,6 +391,16 @@ object SparkEntry {
            round(corr(a.v, b.v), 4) AS corr, count(*) AS n_buckets
          FROM h a JOIN h b ON a.bucket_us = b.bucket_us AND a.event_type < b.event_type
          GROUP BY 1,2 ORDER BY 1,2""",
+    "ts_xcorr_lag" ->
+      """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
+                      avg(value) AS v
+                    FROM events GROUP BY 1,2),
+         l AS (SELECT unnest(generate_series(-3, 3)) AS lag)
+         SELECT a.event_type AS type_a, b.event_type AS type_b, CAST(l.lag AS BIGINT) AS lag,
+           floor(corr(a.v, b.v)*10000.0 + 0.5)/10000.0 AS xcorr, count(*) AS n_buckets
+         FROM h a CROSS JOIN l JOIN h b
+           ON a.bucket_us + l.lag * 3600000000 = b.bucket_us AND a.event_type < b.event_type
+         GROUP BY 1,2,3 ORDER BY 1,2,3""",
     "ts_interp" ->
       """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
                       floor(avg(value)*10000.0 + 0.5)/10000.0 AS v

@@ -283,6 +283,31 @@ object TimeSeries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** A16b: LAGGED cross-correlation — [[tsCorr]] swept over a window of
+    * bucket lags (does channel A lead or lag channel B, the classic
+    * lead-lag screen): corr(A(t), B(t + lag·bucket)) for every channel
+    * pair and lag in [-maxLag, maxLag]. One lag explode on the
+    * bucket-mean relation (channels × buckets rows, tiny vs the raw
+    * stream) and one shifted-key join — the raw events aggregate ONCE,
+    * never once per lag.
+    */
+  def tsXcorrLag(t: Tables, bucketUs: Long = 3600L * 1000000, maxLag: Int = 3): DataFrame = {
+    val hourly = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(avg(col("value")).as("v"))
+    val a = hourly.select(
+      explode(array((-maxLag to maxLag).map(l => lit(l.toLong)): _*)).as("lag"),
+      col("event_type").as("type_a"), col("bucket_us"), col("v").as("va"))
+    val b = hourly.select(col("bucket_us").as("bb"), col("event_type").as("type_b"), col("v").as("vb"))
+    a.join(b, col("bucket_us") + col("lag") * lit(bucketUs) === col("bb") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(roundHalfUp(corr(col("va"), col("vb")), 4).as("xcorr"), count(lit(1)).as("n_buckets"))
+      .orderBy(col("type_a"), col("type_b"), col("lag"))
+  }
+
   /** A17: gap-filling linear interpolation — resample to a dense hourly
     * grid per channel and linearly interpolate missing buckets between
     * the nearest observed neighbors (reference-domain gap repair).

@@ -63,6 +63,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("lagged cross-correlation finds the planted lead-lag offset") {
+    // channel bbb = channel aaa delayed by exactly 2 buckets (2 h):
+    // corr(A(t), B(t + lag)) must peak at lag = +2
+    val bucketNs = 3600L * 1000000000L
+    def wave(i: Int): Double = math.sin(2 * math.Pi * i / 12.0) * 10 + (i % 5)
+    val a = (0 until 48).map(i => (i.toLong, i * bucketNs + 1000L, 1L, "aaa", wave(i)))
+    val b = (0 until 48).map(i => (100L + i, i * bucketNs + 1000L, 1L, "bbb", wave(i - 2)))
+    val got = TimeSeries.tsXcorrLag(events(a ++ b)).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(got.keySet == (-3L to 3L).toSet, s"all lags present: $got")
+    assert(got(2L) > 0.999, s"perfect correlation at the planted lag: $got")
+    assert((-3L to 3L).filter(_ != 2L).forall(l => got(l) < got(2L)),
+      s"lag +2 is the unique peak: $got")
+  }
+
   test("MAD outliers survive the masking that defeats the z-score detector") {
     // 20 % contamination at 500 inflates mean/stddev enough that the
     // z-score of the outliers themselves drops near 2 — the classic
