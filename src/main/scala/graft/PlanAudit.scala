@@ -44,7 +44,15 @@ object PlanAudit {
       ("ann_batch_agg", p => !p.contains("Window"), "no window sort in aggregate top-k"),
       ("decontaminate", p => p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
         "benchmark hashes broadcast; corpus side never shuffle-joins"),
-      ("corpus_stats", _.contains("BroadcastHashJoin"), "stratum-cardinality joins broadcast"))
+      ("corpus_stats", _.contains("BroadcastHashJoin"), "stratum-cardinality joins broadcast"),
+      ("mad_outlier", p => !p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        "literal-median scoring pass carries no join at all"),
+      ("embed_neardup_lsh", p => !p.contains("CartesianProduct"),
+        "LSH candidate generation is a bucket join, never a cross product"),
+      ("decontaminate_bloom", _.contains("might_contain"),
+        "bloom prefilter reaches the corpus scan"),
+      ("ts_spectrum", p => !p.contains("Window"),
+        "all spectrum bins in aggregates, no window/sort"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

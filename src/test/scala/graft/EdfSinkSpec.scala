@@ -172,6 +172,26 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$outDir/channel-00002.json")), "new channel manifest appended")
   }
 
+  test("append merges a second sample_data file into an existing output dir") {
+    // test.edf's 11 channels share no labels with sin_wave.edf's 2 —
+    // the reference's "no match found -> create new channel" path
+    val outDir = Files.createTempDirectory("edfappend2").toString
+    EdfSink.write(EdfFile.read(spark, Seq("/root/reference/sample_data/sin_wave.edf")), outDir)
+    val sinBins = new java.io.File(outDir).listFiles().filter(_.getName.endsWith(".ts.bin"))
+      .map(f => f.getName -> Files.size(f.toPath)).toMap
+    EdfSink.write(EdfFile.read(spark, Seq("/root/reference/sample_data/test.edf")), outDir,
+      mode = "append")
+    val all = new String(Files.readAllBytes(Paths.get(s"$outDir/channels.json")))
+    assert("\"name\"".r.findAllIn(all).size == 13, "2 sin_wave + 11 test channels")
+    assert(all.contains("\"rate\": 800.0") && all.contains("\"rate\": 200.0"))
+    // the first run's binaries are byte-identical after the append
+    sinBins.foreach { case (name, size) =>
+      assert(Files.size(Paths.get(s"$outDir/$name")) == size, s"$name untouched")
+    }
+    val bins = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".ts.bin"))
+    assert(bins == 13, s"13 channel binaries, got $bins")
+  }
+
   test("append refuses overlapping sessions (non-overlap invariant, reference base.py:87-95)") {
     val tmp = Files.createTempDirectory("edfoverlap")
     val s1 = s"$tmp/a.edf"; val s2 = s"$tmp/b.edf"
