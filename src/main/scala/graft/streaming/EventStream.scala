@@ -140,6 +140,29 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("contentHash")
 
+  /** Streaming heavy hitters: the Misra–Gries token summary (C30's
+    * `graft_heavy_hitters` TypedImperativeAggregate) over tumbling
+    * event-time windows — a mergeable sketch is exactly what a
+    * streaming aggregation needs, so the SAME native aggregate serves
+    * batch and stream: partial buffers merge across microbatches in the
+    * window state (O(capacity) per window), and each window's final
+    * summary emits once its watermark passes. The per-window trending
+    * vocabulary a live ingest dashboard shows.
+    */
+  def streamingHeavyHitters(docs: Dataset[TimedDoc], capacity: Int = 64,
+                            windowLen: String = "10 minutes",
+                            watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(expr("split(trim(lower(text)), '\\\\s+')")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(expr(s"graft_heavy_hitters(token, $capacity)").as("top"))
+      .select(col("window.start").as("window_start"), explode(col("top")).as("e"))
+      .select(col("window_start"), col("e.item").as("token"), col("e.count").as("cnt"))
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

@@ -94,6 +94,28 @@ class StreamingSpec extends AnyFunSuite {
       s"one of the dup pair + the fresh doc survive: ${kept.toSeq}")
   }
 
+  test("streamingHeavyHitters merges the sketch across microbatches per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingHeavyHitters(mem.toDS(), capacity = 16,
+      windowLen = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hh").outputMode("append").start()
+    // two microbatches inside the SAME window — counts must merge
+    mem.addData(EventStream.TimedDoc(1, ts(0), "x x y"), EventStream.TimedDoc(2, ts(1), "x z"))
+    q.processAllAvailable()
+    mem.addData(EventStream.TimedDoc(3, ts(2), "x y"))
+    q.processAllAvailable()
+    // an event far past the window closes it (watermark advances)
+    mem.addData(EventStream.TimedDoc(4, ts(120), "later stuff"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT token, cnt FROM hh ORDER BY cnt DESC, token").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    assert(got.toSeq.take(3) == Seq(("x", 4L), ("y", 2L), ("z", 1L)),
+      s"cross-batch merged counts for the closed window: ${got.toSeq}")
+  }
+
   test("gapSessionize closes chunks across microbatches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
