@@ -92,9 +92,10 @@ class EdfSinkSpec extends AnyFunSuite {
       s"each channel splits 5000/5000/2000: ${sizes.toSeq}")
   }
 
-  // contiguous EDF: `labels` signals, 3 records x 4 samples @1s records
+  // contiguous EDF: `labels` signals, nRecords x 4 samples @1s records
   // (4 Hz), digital values = record*4 + sample + channel offset
-  private def makeEdfC(path: String, startTime: String, labels: Seq[String]): Unit = {
+  private def makeEdfC(path: String, startTime: String, labels: Seq[String],
+                       nRecords: Int = 3): Unit = {
     def pad(s: String, n: Int): Array[Byte] = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       b ++ Array.fill(n - b.length)(' '.toByte)
@@ -105,7 +106,7 @@ class EdfSinkSpec extends AnyFunSuite {
     out.write(pad("01.01.20", 8)); out.write(pad(startTime, 8))
     out.write(pad((256 + nSig * 256).toString, 8))
     out.write(pad("", 44))
-    out.write(pad("3", 8)); out.write(pad("1", 8)); out.write(pad(nSig.toString, 4))
+    out.write(pad(nRecords.toString, 8)); out.write(pad("1", 8)); out.write(pad(nSig.toString, 4))
     labels.foreach(l => out.write(pad(l, 16)))
     labels.foreach(_ => out.write(pad("", 80)))
     labels.foreach(_ => out.write(pad("uV", 8)))
@@ -116,7 +117,7 @@ class EdfSinkSpec extends AnyFunSuite {
     labels.foreach(_ => out.write(pad("", 80)))
     labels.foreach(_ => out.write(pad("4", 8)))
     labels.foreach(_ => out.write(pad("", 32)))
-    (0 until 3).foreach { r =>
+    (0 until nRecords).foreach { r =>
       labels.indices.foreach { s =>
         (0 until 4).foreach { i =>
           val v = r * 4 + i + s * 100
@@ -190,6 +191,44 @@ class EdfSinkSpec extends AnyFunSuite {
     }
     val bins = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".ts.bin"))
     assert(bins == 13, s"13 channel binaries, got $bins")
+  }
+
+  test("append property: N sessions appended sequentially concatenate to the full stream") {
+    // three sessions of DIFFERENT lengths, hours apart; after two appends
+    // each channel's listed binaries must concatenate to the sessions'
+    // streams in order, numValues must total, and each session must be
+    // its own contiguous chunk with value-stream-continuing indices
+    val tmp = Files.createTempDirectory("edfappendn")
+    val specs = Seq(("00.00.00", 3), ("02.00.00", 5), ("07.30.00", 2))
+    val paths = specs.zipWithIndex.map { case ((start, nRec), i) =>
+      val p = s"$tmp/s$i.edf"; makeEdfC(p, start, Seq("C3", "C4"), nRecords = nRec); p
+    }
+    val outDir = Files.createTempDirectory("edfappendnout").toString
+    EdfSink.write(EdfFile.read(spark, Seq(paths.head)), outDir)
+    paths.tail.foreach(p => EdfSink.write(EdfFile.read(spark, Seq(p)), outDir, mode = "append"))
+
+    Seq("C3", "C4").foreach { ch =>
+      // expected byte stream: each session's values in sample order
+      val expected = paths.flatMap { p =>
+        EdfFile.read(spark, Seq(p)).filter(col("channel") === ch)
+          .orderBy(col("sample_idx")).select(col("value")).collect().map(_.getDouble(0))
+      }
+      val manifest = new String(Files.readAllBytes(Paths.get(
+        s"$outDir/channel${if (ch == "C3") "" else "-00001"}.json")))
+      val bins = "\"binaryFiles\", \"value\": \\[([^\\]]+)\\]".r
+        .findFirstMatchIn(manifest).get.group(1)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      assert(bins.length == 3, s"$ch lists one binary per session: ${bins.toSeq}")
+      val gotBytes = bins.flatMap(b => Files.readAllBytes(Paths.get(s"$outDir/$b")))
+      val bb = ByteBuffer.wrap(gotBytes).order(ByteOrder.LITTLE_ENDIAN)
+      val got = (0 until gotBytes.length / 8).map(_ => bb.getDouble)
+      assert(got == expected, s"$ch concatenated stream matches (${got.length}/${expected.length})")
+      assert(manifest.contains(s""""numValues", "value": "${expected.length}""""),
+        s"$ch numValues totals: $manifest")
+      // one chunk per session, indices continuing the value stream: 0, 12, 32
+      val idxs = "\\{\"index\": (\\d+)".r.findAllMatchIn(manifest).map(_.group(1).toLong).toSeq
+      assert(idxs == Seq(0L, 12L, 32L), s"$ch chunk indices continue the stream: $idxs")
+    }
   }
 
   test("append refuses overlapping sessions (non-overlap invariant, reference base.py:87-95)") {
