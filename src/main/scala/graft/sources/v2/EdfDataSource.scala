@@ -32,8 +32,10 @@ import graft.sources.EdfFile.EdfHeader
   *  - `record_idx` / `ts_us` bounds prune whole records — and whole
   *    input partitions at planning time — for contiguous files, where
   *    `record -> time` is header arithmetic. EDF+D record onsets live in
-  *    per-record TALs, so time pruning is skipped there (record_idx
-  *    pruning still applies).
+  *    per-record TALs, so its time pruning happens in the READER: the
+  *    TAL slice is seek-read first and an out-of-range record's sample
+  *    bytes are never transferred (record_idx plan-time pruning still
+  *    applies).
   *
   * Pushdown is PRUNING-ONLY (the parquet row-group model): every filter
   * is returned to Spark for re-evaluation, so a half-covered record or a
@@ -289,8 +291,15 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
   private val sigBufs: Map[Int, Array[Byte]] =
     if (sliced && needsValue) selected.map { case (s, i) => i -> new Array[Byte](s.nrSamples * 2) }.toMap
     else Map.empty
-  private val annBuf =
-    if (sliced && h.isDiscontiguous && annIdx >= 0) new Array[Byte](h.signals(annIdx).nrSamples * 2)
+  private val hasTsBounds = pushdown.tsLo != Long.MinValue || pushdown.tsHi != Long.MaxValue
+  // EDF+D TAL slice buffer: needed whenever the whole record is NOT read
+  // anyway (sliced path), and also whenever time bounds were pushed --
+  // reading the TAL alone first lets out-of-range records be skipped
+  // without ever transferring their sample bytes (the EDF+D counterpart
+  // of the contiguous record-window pruning done at plan time)
+  private val talBuf =
+    if (h.isDiscontiguous && annIdx >= 0 && (sliced || hasTsBounds))
+      new Array[Byte](h.signals(annIdx).nrSamples * 2)
     else null
 
   private var rec = part.recordLo - 1
@@ -299,26 +308,47 @@ final class EdfPartitionReader(part: EdfInputPartition, fields: Array[String],
   private var recStartUs = 0L
   private var current: InternalRow = _
 
-  private def advanceRecord(): Boolean = {
-    rec += 1
-    if (rec >= part.recordHi) return false
-    val recBase = h.headerBytes + rec * recBytes
+  private def parseTal(bytes: Array[Byte], off: Int): Long = {
+    val len = h.signals(annIdx).nrSamples * 2
+    val tal = new String(bytes, off, len, java.nio.charset.StandardCharsets.US_ASCII)
+    h.startUs + (tal.split("\u0014\u0014", 2).head.toDouble * 1e6).toLong
+  }
+
+  private def readRecordData(recBase: Long): Unit =
     if (!sliced) {
-      if (needsValue || h.isDiscontiguous) in.readFully(recBase, buf)
-    } else {
-      if (needsValue) selected.foreach { case (_, i) =>
-        in.readFully(recBase + sigOffsets(i), sigBufs(i))
-      }
-      if (annBuf != null) in.readFully(recBase + sigOffsets(annIdx), annBuf)
+      if (needsValue) in.readFully(recBase, buf)
+    } else if (needsValue) {
+      selected.foreach { case (_, i) => in.readFully(recBase + sigOffsets(i), sigBufs(i)) }
     }
-    recStartUs =
-      if (h.isDiscontiguous && annIdx >= 0) {
-        val talBytes = if (sliced) annBuf else buf
-        val talOff = if (sliced) 0 else sigOffsets(annIdx).toInt
-        val len = h.signals(annIdx).nrSamples * 2
-        val tal = new String(talBytes, talOff, len, java.nio.charset.StandardCharsets.US_ASCII)
-        h.startUs + (tal.split("\u0014\u0014", 2).head.toDouble * 1e6).toLong
-      } else h.startUs + rec.toLong * durUs
+
+  private def advanceRecord(): Boolean = {
+    var found = false
+    while (!found) {
+      rec += 1
+      if (rec >= part.recordHi) return false
+      val recBase = h.headerBytes + rec * recBytes
+      if (talBuf != null) {
+        in.readFully(recBase + sigOffsets(annIdx), talBuf)
+        recStartUs = parseTal(talBuf, 0)
+        // conservative span check: a record whose [onset, onset + dur]
+        // misses the pushed bounds is skipped entirely
+        if (!hasTsBounds ||
+            (recStartUs <= pushdown.tsHi && recStartUs + durUs >= pushdown.tsLo)) {
+          readRecordData(recBase)
+          found = true
+        }
+      } else {
+        if (!sliced) {
+          if (needsValue || h.isDiscontiguous) in.readFully(recBase, buf)
+        } else if (needsValue) {
+          selected.foreach { case (_, i) => in.readFully(recBase + sigOffsets(i), sigBufs(i)) }
+        }
+        recStartUs =
+          if (h.isDiscontiguous && annIdx >= 0) parseTal(buf, sigOffsets(annIdx).toInt)
+          else h.startUs + rec.toLong * durUs
+        found = true
+      }
+    }
     sigPos = 0
     sampleIdx = 0
     true

@@ -94,6 +94,55 @@ class EdfDataSourceSpec extends AnyFunSuite {
       spark.read.format("edf").load(sinEdf).filter(col("ts_us") < tsHi).count())
   }
 
+  test("EDF+D time filters skip records via their TAL onsets") {
+    // 1 data signal (4 samples/record) + annotation signal, records at
+    // onsets 0 s, 10 s, 25 s (the EdfFileSpec synthetic layout)
+    def pad(s: String, n: Int): Array[Byte] = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      b ++ Array.fill(n - b.length)(' '.toByte)
+    }
+    val onsets = Seq(0.0, 10.0, 25.0)
+    val out = new java.io.ByteArrayOutputStream()
+    val annNr = 16
+    out.write(pad("0", 8)); out.write(pad("patient", 80)); out.write(pad("rec", 80))
+    out.write(pad("01.01.20", 8)); out.write(pad("00.00.00", 8))
+    out.write(pad((256 + 2 * 256).toString, 8)); out.write(pad("EDF+D", 44))
+    out.write(pad(onsets.size.toString, 8)); out.write(pad("1", 8)); out.write(pad("2", 4))
+    out.write(pad("sig1", 16)); out.write(pad("EDF Annotations", 16))
+    out.write(pad("", 80)); out.write(pad("", 80))
+    out.write(pad("uV", 8)); out.write(pad("", 8))
+    out.write(pad("-100", 8)); out.write(pad("-1", 8))
+    out.write(pad("100", 8)); out.write(pad("1", 8))
+    out.write(pad("-32768", 8)); out.write(pad("-32768", 8))
+    out.write(pad("32767", 8)); out.write(pad("32767", 8))
+    out.write(pad("", 80)); out.write(pad("", 80))
+    out.write(pad("4", 8)); out.write(pad(annNr.toString, 8))
+    out.write(pad("", 32)); out.write(pad("", 32))
+    onsets.zipWithIndex.foreach { case (onset, r) =>
+      (0 until 4).foreach { i => val v = r * 4 + i; out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      // TAL terminator 0x14 0x14 0x00, spelled as bytes (never raw literals)
+      val tal = ("+" + onset).getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        Array[Byte](0x14, 0x14, 0x00)
+      out.write(tal ++ Array.fill(annNr * 2 - tal.length)(0.toByte))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("edfdts")
+    val path = s"$tmp/disc.edf"
+    val f = new java.io.FileOutputStream(path); try f.write(out.toByteArray) finally f.close()
+
+    val h = EdfFile.readHeader(path)
+    // window around the middle record only (9 s .. 12 s after start)
+    val lo = h.startUs + 9000000L; val hi = h.startUs + 12000000L
+    val got = spark.read.format("edf").load(path)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi)
+      .orderBy(col("sample_idx")).select(col("value")).collect().map(_.getDouble(0))
+    val expected = spark.read.format("edf").load(path)
+      .orderBy(col("sample_idx")).collect()
+      .filter(r => { val t = r.getAs[Long]("ts_us"); t >= lo && t < hi })
+      .map(_.getAs[Double]("value"))
+    assert(got.length == 4, s"exactly the middle record survives: ${got.toSeq}")
+    assert(got.toSeq == expected.toSeq, "TAL-driven skip is row-exact")
+  }
+
   test("a channel filter seek-reads only that signal's slices (per-signal ranged read)") {
     // 2-signal file truncated INSIDE the last record: signal 0's slice
     // survives, signal 1's is cut. A whole-record reader must fail; the
