@@ -76,6 +76,13 @@ object Similarity {
     * cosine runs once per DISTINCT candidate pair after re-joining the
     * vectors by id (the ngramJaccard inverted-index shape): a pair
     * colliding in all 4 bands still costs one cosine, not four.
+    *
+    * Sizing at scale: bucket population ≈ n / 2^bandBits per band, so
+    * GROW bandBits (and nPlanes = bands·bandBits) with the corpus —
+    * e.g. 10^9 vectors want ~24-bit bands (nPlanes 96, 4 bands) to keep
+    * buckets ~60-member; the defaults here match the small oracle
+    * corpus. Recall per band is p^bandBits (p = 1 − θ/π), so add bands
+    * as bandBits grows to hold recall.
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 12,
                       bandBits: Int = 3, maxBucket: Long = 100000L): DataFrame = {

@@ -612,29 +612,90 @@ object EdfSink {
     * channels_unit.json index, keeping the continuous and spike
     * namespaces disjoint in one outDir. Returns the index path.
     */
-  def writeSpikes(spikes: DataFrame, outDir: String): String = {
+  def writeSpikes(spikes: DataFrame, outDir: String, mode: String = "overwrite"): String = {
+    require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append, got $mode")
     val spark = spikes.sparkSession
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(outPath)
 
+    // append mode (the reference's 'ab' open, base.py:258): existing UNIT
+    // channels parsed chunk-free at channel cardinality; match is
+    // name-only after lowercase+trim (UNIT channels carry no meaningful
+    // rate for the 2 % rule). Unlike the sample sink there is no staged
+    // read-back — manifests merge from these driver-side descriptors
+    // plus the stream stats, so rewritten destinations just pre-clean.
+    val existing: Seq[ExistingChannel] =
+      if (mode == "append") {
+        val paths = Iterator.from(0).map(i => new Path(outPath, unitManifestName(i)))
+          .takeWhile(driverFs.exists).toSeq
+        if (paths.isEmpty) Nil
+        else {
+          val rows = spark.read.schema(descSchema).option("multiLine", true)
+            .json(paths.map(_.toString): _*)
+            .withColumn("src", input_file_name()).collect()
+          val byFile = rows.map(r => r.getAs[String]("src").split("/").last -> r).toMap
+          paths.zipWithIndex.map { case (pth, i) =>
+            val r = byFile(pth.getName)
+            val props = Option(r.getAs[Seq[org.apache.spark.sql.Row]]("properties")).getOrElse(Seq.empty)
+              .map(pr => pr.getAs[String]("key") -> pr.getAs[String]("value")).toMap
+            val bins = props.get("binaryFiles")
+              .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+              .orElse(props.get("binaryFile").map(Seq(_)))
+              .getOrElse(Seq.empty)
+            ExistingChannel(i, r.getAs[String]("name"), r.getAs[String]("unit"),
+              0.0, "UNIT", r.getAs[Long]("start"), r.getAs[Long]("end"), bins,
+              props.get("numSpikes").map(_.toLong))
+          }
+        }
+      } else Nil
+
     val keys = spikes.select(col("file"), col("channel")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
     val multiFile = keys.map(_._1).distinct.size > 1
-    val names: Map[(String, String), String] = planNames(keys, multiFile)
-      .map { case (k, n) => k -> n.replaceAll("\\.ts\\.bin$", ".spikes.bin") }
-    val ords: Map[(String, String), Int] = keys.zipWithIndex.toMap
-    def unitManifestName(o: Int): String =
-      if (o == 0) "unit-channel.json" else f"unit-channel-$o%05d.json"
+    val matched: Map[(String, String), ExistingChannel] = keys.flatMap { k =>
+      existing.find(_.name.toLowerCase.trim == k._2.toLowerCase.trim).map(k -> _)
+    }.toMap
+    matched.groupBy(_._2.ord).foreach { case (_, ms) =>
+      require(ms.size == 1,
+        s"append mode: ${ms.size} incoming spike channels match existing '${ms.head._2.name}': " +
+          ms.keys.toSeq.sorted.toString)
+    }
+    val newKeys = keys.filterNot(matched.contains)
+    val names: Map[(String, String), String] =
+      planNames(newKeys, multiFile)
+        .map { case (k, n) => k -> n.replaceAll("\\.ts\\.bin$", ".spikes.bin") } ++
+      matched.map { case (k, ex) =>
+        val base = ex.binaryFiles.headOption.getOrElse("unnamed.spikes.bin")
+          .replaceAll("(-g\\d{2})?\\.spikes\\.bin$", ".spikes.bin")
+        k -> base.replaceAll("\\.spikes\\.bin$", f"-g${ex.binaryFiles.size}%02d.spikes.bin")
+      }
+    val committed = existing.flatMap(_.binaryFiles).toSet
+    val clash = names.values.toSeq.filter(committed.contains)
+    require(clash.isEmpty, s"append mode: planned spike binaries collide with committed: $clash")
+    val newOrdBase = existing.size
+    val ords: Map[(String, String), Int] =
+      matched.map { case (k, ex) => k -> ex.ord } ++
+        newKeys.zipWithIndex.map { case (k, i) => k -> (newOrdBase + i) }
+    // (ord, existing bins, exNumSpikes, exStart, exEnd) for the writer
+    val plans: Map[(String, String), (Seq[String], Long, Long, Long)] = keys.map { k =>
+      matched.get(k) match {
+        case Some(ex) => k -> (ex.binaryFiles, ex.numValues.getOrElse(0L), ex.start, ex.end)
+        case None     => k -> (Seq.empty[String], 0L, Long.MaxValue, Long.MinValue)
+      }
+    }.toMap
 
     names.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
-    driverFs.globStatus(new Path(outPath, "unit-channel*.json"))
-      .foreach(s => driverFs.delete(s.getPath, false))
+    if (mode == "overwrite")
+      driverFs.globStatus(new Path(outPath, "unit-channel*.json"))
+        .foreach(s => driverFs.delete(s.getPath, false))
+    else ords.values.foreach(o => driverFs.delete(new Path(outPath, unitManifestName(o)), false))
     driverFs.globStatus(new Path(outPath, "_tmp-s*"))
       .foreach(s => driverFs.delete(s.getPath, true))
     val bNames = spark.sparkContext.broadcast(names)
     val bOrds = spark.sparkContext.broadcast(ords)
+    val bPlans = spark.sparkContext.broadcast(plans)
     val outDirStr = outPath.toString
 
     spikes
@@ -671,14 +732,23 @@ object EdfSink {
           out.close()
           commit(fs, tmp, new Path(outDirStr, bNames.value(key)))
           // UNIT channel manifest (reference base.py:253-261: channel
-          // start/end extend to the spike horizon)
+          // start/end extend to the spike horizon; append merges the
+          // existing descriptor and lists every generation binary)
           val ord = bOrds.value(key)
+          val (exBins, exSpikes, exStart, exEnd) = bPlans.value(key)
+          require(exBins.isEmpty || firstTs > exEnd,
+            s"appended spikes must start after channel ${key._2}'s existing end")
+          val allBins = exBins :+ bNames.value(key)
+          val binsJson = allBins.map(jsonStr).mkString("[", ", ", "]")
+          val chStart = math.min(firstTs, exStart)
+          val chEnd = math.max(lastTs, exEnd)
           val manifest =
-            s"""{"name": ${jsonStr(key._2)}, "start": $firstTs, "end": $lastTs, "unit": "uV",
+            s"""{"name": ${jsonStr(key._2)}, "start": $chStart, "end": $chEnd, "unit": "uV",
                | "rate": 0.0, "type": "UNIT", "group": "default", "lastAnnotation": 0,
                | "contiguousChunks": [],
-               | "properties": [{"key": "binaryFile", "value": ${jsonStr(bNames.value(key))}},
-               |                {"key": "numSpikes", "value": "$nSpikes"},
+               | "properties": [{"key": "binaryFile", "value": ${jsonStr(allBins.head)}},
+               |                {"key": "binaryFiles", "value": $binsJson},
+               |                {"key": "numSpikes", "value": "${exSpikes + nSpikes}"},
                |                {"key": "numSamples", "value": "${math.max(nSamples, 0L)}"}]}""".stripMargin
           val mTmp = new Path(attemptDir, "manifest")
           val mOut = fs.create(mTmp, true)
@@ -721,8 +791,12 @@ object EdfSink {
       }
 
     val idxPath = new Path(outPath, "channels_unit.json")
+    val total = newOrdBase + newKeys.size
     concatIndex(driverFs, idxPath,
-      keys.indices.map(o => new Path(outPath, unitManifestName(o))))
+      (0 until total).map(o => new Path(outPath, unitManifestName(o))))
     idxPath.toString
   }
+
+  private def unitManifestName(o: Int): String =
+    if (o == 0) "unit-channel.json" else f"unit-channel-$o%05d.json"
 }

@@ -280,6 +280,33 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$outDir/unit-channel-00001.json")))
   }
 
+  test("spike append adds a generation binary and merges the UNIT manifest") {
+    import spark.implicits._
+    val s1 = Seq(("rec.edf", "unit1", 1000L, 0, Seq(1.0, 2.0)),
+                 ("rec.edf", "unit1", 2000L, 1, Seq(3.0, 4.0)))
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val s2 = Seq(("rec2.edf", "unit1", 9000L, 2, Seq(5.0, 6.0)),      // matches by name
+                 ("rec2.edf", "unitX", 9500L, 0, Seq(7.0, 8.0)))      // new UNIT channel
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val outDir = Files.createTempDirectory("edfspikeapp").toString
+    graft.sources.EdfSink.writeSpikes(s1, outDir)
+    val before = Files.readAllBytes(Paths.get(s"$outDir/unit1.spikes.bin"))
+    val idx = graft.sources.EdfSink.writeSpikes(s2, outDir, mode = "append")
+
+    assert(Files.readAllBytes(Paths.get(s"$outDir/unit1.spikes.bin")).toSeq == before.toSeq,
+      "committed spike block untouched")
+    val gen = Paths.get(s"$outDir/unit1-g01.spikes.bin")
+    assert(Files.exists(gen), "appended generation block written")
+    assert(Files.size(gen) == 24 + 9 * 1 + 2 * 8)
+    val m = new String(Files.readAllBytes(Paths.get(s"$outDir/unit-channel.json")))
+    assert(m.contains("\"numSpikes\", \"value\": \"3\""), s"2 + 1 spikes: $m")
+    assert(m.contains("unit1.spikes.bin") && m.contains("unit1-g01.spikes.bin"))
+    assert(m.contains("\"start\": 1000") && m.contains("\"end\": 9000"))
+    val all = new String(Files.readAllBytes(Paths.get(idx)))
+    assert("\"name\"".r.findAllIn(all).size == 2, s"unit1 merged + unitX created: $all")
+    assert(all.contains("\"name\": \"unitX\""))
+  }
+
   test("tsSpikeWaveforms output reshapes into the spike sink") {
     val t = new Tables(spark, "/root/testdata/sf0.001")
     val spikes = graft.operators.TimeSeries.tsSpikeWaveforms(t)
