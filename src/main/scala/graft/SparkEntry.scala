@@ -76,6 +76,7 @@ object SparkEntry {
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
+    "curate"             -> q(TextAnalysis.curate(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
     "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
     "funnel"             -> q(EventAnalytics.funnel(_)),
@@ -870,6 +871,50 @@ object SparkEntry {
             (n_words > 0 AND 5*n_alpha >= 4*n_words) AND
             (n_words > 0 AND 2*n_distinct >= n_words)) AS pass
          FROM m ORDER BY doc_id""",
+    "curate" ->
+      """WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+             CASE WHEN length(trim(text))=0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(len(regexp_split_to_array(trim(text),'\s+')) AS BIGINT) END AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text,'\s','','g')) AS BIGINT) AS n_nonspace
+           FROM documents),
+         m AS (SELECT doc_id, n_words, n_chars, n_nonspace,
+             len(list_filter(toks, w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+             len(regexp_extract_all(text,'[.!?,;:]')) AS n_punct,
+             CAST(len(list_intersect(toks, ['the','a','of','and','to','in','is','it'])) AS BIGINT) AS n_stop_distinct,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             len(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(toks, w -> w IN ('the','a','and','of','to'))) AS s_en,
+             len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS s_es,
+             len(list_filter(toks, w -> w IN ('le','la','de','et','un'))) AS s_fr,
+             len(list_filter(toks, w -> w IN ('de5','shi4','bu4','le5','zai4'))) AS s_zh,
+             CAST(len(list_distinct(list_transform(
+               CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(generate_series(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2]) END,
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007)))) AS BIGINT) AS n_distinct_grams
+           FROM b),
+         s AS (SELECT *,
+             CASE WHEN n_words=0 THEN 0.0 ELSE floor((CAST(n_stop AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 END AS stop_ratio,
+             CASE WHEN n_chars=0 THEN 0.0 ELSE floor((CAST(n_punct AS DOUBLE)/n_chars)*10000.0 + 0.5)/10000.0 END AS punct_ratio
+           FROM m),
+         f AS (SELECT doc_id,
+             CASE WHEN s_de >= greatest(s_en,s_es,s_fr,s_zh) THEN 'de'
+                  WHEN s_en >= greatest(s_es,s_fr,s_zh) THEN 'en'
+                  WHEN s_es >= greatest(s_fr,s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS pred_lang,
+             floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+               + 0.3*stop_ratio*5.0 + 0.3*(1.0 - punct_ratio))*10000.0 + 0.5)/10000.0 AS quality,
+             floor((1.0 - CAST(n_distinct_grams AS DOUBLE)/(CASE WHEN n_words < 2 THEN 1 ELSE n_words - 1 END))*10000.0 + 0.5)/10000.0 AS rep_ratio,
+             ((n_words >= 25 AND n_words <= 80) AND
+              (n_words > 0 AND 3*n_words <= n_nonspace AND n_nonspace <= 10*n_words) AND
+              (n_stop_distinct >= 2) AND
+              (n_words > 0 AND 5*n_alpha >= 4*n_words) AND
+              (n_words > 0 AND 2*n_distinct >= n_words)) AS gopher_pass
+           FROM s)
+         SELECT doc_id, pred_lang, quality, rep_ratio, gopher_pass,
+           (gopher_pass AND quality >= 0.5 AND rep_ratio <= 0.2) AS keep
+         FROM f ORDER BY doc_id""",
     "heavy_hitters" ->
       """WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
                       FROM documents)

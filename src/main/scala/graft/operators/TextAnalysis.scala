@@ -194,6 +194,74 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C24: the curation DECISION — every narrow quality signal (C8 lang
+    * ID, C9 quality score, C13 repetition ratio, C27 Gopher rules)
+    * evaluated in ONE codegen'd scan with a combined keep/drop verdict:
+    * the single pass a real corpus pipeline runs where running the four
+    * operators separately would scan (and in a naive join, shuffle) the
+    * corpus four times. Formulas are expression-identical to the
+    * individual operators, so each emitted signal matches its own
+    * oracle. Compose with the dedup pipeline (C2c `dedupApply`) for the
+    * full curate-then-dedup flow; this operator stays shuffle-free.
+    */
+  def curate(t: Tables, minQuality: Double = 0.5, maxRep: Double = 0.2,
+             minWords: Int = 25, maxWords: Int = 80): DataFrame = {
+    val toksLower = wsTokens(lower(col("text")))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nWords = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(wsTokens(col("text"))).cast("long"))
+    val nChars = length(col("text")).cast("long")
+    val nNonspace = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val nStop = expr(s"element_at(graft_stopword_hits(text, '${stopwords.mkString(",")}'), 1)")
+    val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
+    val langSpec = langProfiles.map(_._2.mkString(",")).mkString("|")
+    t.documents
+      .select(col("doc_id"), col("text"),
+        nWords.as("n_words"), nChars.as("n_chars"), nNonspace.as("n_nonspace"),
+        nStop.as("n_stop"), nPunct.as("n_punct"),
+        size(array_intersect(toksLower, stopArr)).cast("long").as("n_stop_distinct"),
+        size(filter(toksLower, w => w.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(array_distinct(toksLower)).cast("long").as("n_distinct"),
+        size(expr("graft_shingle_hashes(text, 2)")).cast("long").as("n_distinct_grams"))
+      .select((col("doc_id") +: col("n_words") +: col("n_chars") +: col("n_nonspace") +:
+        col("n_stop") +: col("n_punct") +: col("n_stop_distinct") +: col("n_alpha") +:
+        col("n_distinct") +: col("n_distinct_grams") +:
+        langProfiles.zipWithIndex.map { case ((l, _), i) =>
+          expr(s"element_at(graft_stopword_hits(text, '$langSpec'), ${i + 1})").as(s"s_$l")
+        }): _*)
+      .withColumn("quality", {
+        val stopRatio = when(col("n_words") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_stop").cast("double") / col("n_words"), 4))
+        val punctRatio = when(col("n_chars") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_punct").cast("double") / col("n_chars"), 4))
+        roundHalfUp(lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * stopRatio * 5.0 + lit(0.3) * (lit(1.0) - punctRatio), 4)
+      })
+      .withColumn("rep_ratio", {
+        val nGrams = when(col("n_words") < 2, 1L).otherwise(col("n_words") - 1)
+        roundHalfUp(lit(1.0) - col("n_distinct_grams").cast("double") / nGrams, 4)
+      })
+      .withColumn("pred_lang", {
+        val langs = langProfiles.map(_._1)
+        langs.init.zipWithIndex.foldRight(lit(langs.last): Column) { case ((l, i), els) =>
+          val rest = langs.drop(i + 1).map(x => col(s"s_$x"))
+          when(col(s"s_$l") >= rest.reduceLeft((a, b) => greatest(a, b)), l).otherwise(els)
+        }
+      })
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("n_words") > 0 && lit(3) * col("n_words") <= col("n_nonspace") &&
+          col("n_nonspace") <= lit(10) * col("n_words") &&
+          col("n_stop_distinct") >= 2 &&
+          lit(5) * col("n_alpha") >= lit(4) * col("n_words") &&
+          lit(2) * col("n_distinct") >= col("n_words"))
+      .withColumn("keep",
+        col("gopher_pass") && col("quality") >= minQuality && col("rep_ratio") <= maxRep)
+      .select(col("doc_id"), col("pred_lang"), col("quality"), col("rep_ratio"),
+        col("gopher_pass"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C23b: the SCALE path for decontamination — when the benchmark's
     * k-gram hash set outgrows a broadcast array (a few hundred MB of
     * hashes), [[decontaminate]]'s broadcast semi-join stops being an

@@ -83,6 +83,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got(5L)._4 && !got(5L)._6, s"doc 5 fails alpha ratio: ${got(5L)}")
   }
 
+  test("curate keeps a clean doc and drops on the signal that fails") {
+    val clean = ("the quick brown fox jumped over the lazy dog while many curious " +
+      "students observed careful notes about strange patterns of light shining across " +
+      "distant hills during quiet evenings of autumn")  // gopher-clean, varied
+    val t = docs(Seq(
+      (1L, clean),
+      (2L, (0 until 15).map(_ => "the cat").mkString(" ")),  // repetitive 2-grams
+      (3L, "too short of a doc")))                           // fails word count
+    val got = TextAnalysis.curate(t).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(1L) == ((true, true)), s"clean doc kept: ${got(1L)}")
+    assert(!got(2L)._2, s"repetitive doc dropped: ${got(2L)}")
+    assert(got(3L) == ((false, false)), s"short doc fails gopher and is dropped: ${got(3L)}")
+  }
+
   test("heavy hitters summary is exact when vocabulary fits capacity") {
     val t = docs(Seq(
       (1L, "x x x y y z"),
