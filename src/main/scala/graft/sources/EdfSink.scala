@@ -269,7 +269,7 @@ object EdfSink {
     // start at 0, and a planned-but-empty part must never reach the
     // manifest; bounded by files x channels x parts, never sample volume
     val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
-    val chanInfo: Map[(String, String), (Seq[Long], Double, String)] = samples
+    val chanInfo0: Map[(String, String), (Seq[Long], Double, String)] = samples
       .select(col("file"), col("channel"), partIdx.as("part"), col("rate"), col("unit"))
       .groupBy(col("file"), col("channel"), col("part"))
       .agg(first(col("rate")).as("rate"), first(col("unit")).as("unit"))
@@ -277,12 +277,12 @@ object EdfSink {
       .groupBy(_._1).map { case (k, rows) =>
         k -> (rows.map(_._2._1).sorted.toSeq, rows.head._2._2, rows.head._2._3)
       }
-    val keys = chanInfo.keys.toSeq.sorted
+    val keys = chanInfo0.keys.toSeq.sorted
     val multiFile = keys.map(_._1).distinct.size > 1
 
     // append-mode match: incoming (file, channel) -> existing channel
     val matched: Map[(String, String), ExistingChannel] = keys.flatMap { k =>
-      matchExisting(existing, k._2, chanInfo(k)._2, "CONTINUOUS").map(k -> _)
+      matchExisting(existing, k._2, chanInfo0(k)._2, "CONTINUOUS").map(k -> _)
     }.toMap
     matched.groupBy(_._2.ord).foreach { case (_, ms) =>
       require(ms.size == 1,
@@ -299,6 +299,36 @@ object EdfSink {
       k -> ex.numValues.getOrElse(
         ex.binaryFiles.map(b => driverFs.getFileStatus(new Path(outPath, b)).getLen / 8).sum)
     }
+
+    // matched channels' incoming sample_idx is shifted to continue the
+    // existing value stream — part indices and chunk indices both follow.
+    // Built BEFORE part planning: the plan's part indices must use the
+    // same shifted sample_idx basis the executors key on.
+    val adjusted = if (offsets.isEmpty) samples else {
+      import spark.implicits._
+      val offDf = offsets.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "_off")
+      samples.join(broadcast(offDf), Seq("file", "channel"), "left")
+        .withColumn("sample_idx", col("sample_idx") + coalesce(col("_off"), lit(0L)))
+        .drop("_off")
+    }
+    // a nonzero append offset can move samples across a maxSamplesPerFile
+    // boundary (and split one planned part into two), so matched channels'
+    // part sets are re-derived from the shifted sample_idx; unmatched
+    // channels have offset 0 and keep their first-pass parts
+    val chanInfo: Map[(String, String), (Seq[Long], Double, String)] =
+      if (offsets.isEmpty || maxSamplesPerFile == Long.MaxValue) chanInfo0
+      else {
+        import spark.implicits._
+        val matchedKeys = offsets.keys.toSeq.toDF("file", "channel")
+        val shiftedParts = adjusted.join(broadcast(matchedKeys), Seq("file", "channel"))
+          .select(col("file"), col("channel"), partIdx.as("part"))
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted.toSeq }
+        chanInfo0.map { case (k, (parts, rate, unit)) =>
+          k -> (shiftedParts.getOrElse(k, parts), rate, unit)
+        }
+      }
 
     // (file, channel, part) -> final binary name. New channels follow the
     // overwrite naming; matched channels continue as generation part
@@ -374,16 +404,6 @@ object EdfSink {
     val bPlans = spark.sparkContext.broadcast(plans.map(p => p.ord -> p).toMap)
     val outDirStr = outPath.toString
 
-    // matched channels' incoming sample_idx is shifted to continue the
-    // existing value stream — part indices and chunk indices both follow
-    val adjusted = if (offsets.isEmpty) samples else {
-      import spark.implicits._
-      val offDf = offsets.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "_off")
-      samples.join(broadcast(offDf), Seq("file", "channel"), "left")
-        .withColumn("sample_idx", col("sample_idx") + coalesce(col("_off"), lit(0L)))
-        .drop("_off")
-    }
-
     // 1. distributed binary dump: streams keyed by (file, channel, part) —
     // a channel label repeated across input files never interleaves, and
     // oversized channels split into independently-written parts
@@ -451,6 +471,11 @@ object EdfSink {
       require(driverFs.rename(new Path(outPath, manifestName(o)), dest),
         s"failed to stage existing manifest ${manifestName(o)}")
     }
+    // a NEW ordinal's destination can only hold stale output from a
+    // crashed run beyond the contiguous manifest sequence — pre-clean it
+    // so the executor-side commit rename can't silently lose to it
+    if (mode == "append")
+      newKeys.foreach(k => driverFs.delete(new Path(outPath, manifestName(keyOrd(k))), false))
     import spark.implicits._
     val ordDf = broadcast(keyOrd.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "ord"))
     val newChunks = chunkPlan(adjusted)
@@ -620,6 +645,18 @@ object EdfSink {
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(outPath)
 
+    // recover UNIT manifests staged by a crashed append (same protocol as
+    // the sample sink): a staged copy with no committed destination is the
+    // surviving original — restore it; with a committed destination the
+    // crashed run already merged — drop it. Keeps the ordinal sequence
+    // hole-free so the takeWhile scan below never silently drops channels.
+    driverFs.globStatus(new Path(outPath, "staged-unit-manifest-*.json")).foreach { s =>
+      val ord = s.getPath.getName.stripPrefix("staged-unit-manifest-").stripSuffix(".json").toInt
+      val dest = new Path(outPath, unitManifestName(ord))
+      if (!driverFs.exists(dest)) driverFs.rename(s.getPath, dest)
+      else driverFs.delete(s.getPath, false)
+    }
+
     // append mode (the reference's 'ab' open, base.py:258): existing UNIT
     // channels parsed chunk-free at channel cardinality; match is
     // name-only after lowercase+trim (UNIT channels carry no meaningful
@@ -687,10 +724,26 @@ object EdfSink {
     }.toMap
 
     names.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
+    def stagedUnitName(o: Int): String = f"staged-unit-manifest-$o%05d.json"
+    val matchedUnitOrds = matched.values.map(_.ord).toSeq.sorted
     if (mode == "overwrite")
       driverFs.globStatus(new Path(outPath, "unit-channel*.json"))
         .foreach(s => driverFs.delete(s.getPath, false))
-    else ords.values.foreach(o => driverFs.delete(new Path(outPath, unitManifestName(o)), false))
+    else {
+      // stage matched manifests out of the way (recoverable, see the
+      // sweep above) instead of pre-deleting: a crash between here and
+      // the executor-side manifest commit must not leave a hole in the
+      // unit-channel-NNNNN.json sequence
+      matchedUnitOrds.foreach { o =>
+        val dest = new Path(outPath, stagedUnitName(o))
+        driverFs.delete(dest, false)
+        require(driverFs.rename(new Path(outPath, unitManifestName(o)), dest),
+          s"failed to stage existing manifest ${unitManifestName(o)}")
+      }
+      // new ordinals can only hold stale output from a crashed run beyond
+      // the contiguous sequence — pre-clean so commit renames can't lose
+      newKeys.foreach(k => driverFs.delete(new Path(outPath, unitManifestName(ords(k))), false))
+    }
     driverFs.globStatus(new Path(outPath, "_tmp-s*"))
       .foreach(s => driverFs.delete(s.getPath, true))
     val bNames = spark.sparkContext.broadcast(names)
@@ -770,7 +823,12 @@ object EdfSink {
             if (nSpikes == 0L) firstTs = ts
             lastTs = ts
             putLong(recOut, ts)
-            recOut.write(r.getInt(3) & 0xff)
+            val unitId = r.getInt(3)
+            // uint8 on disk — out-of-range must fail loudly (the
+            // reference's bytearray([unit]) raises), never truncate
+            require(unitId >= 0 && unitId <= 255,
+              s"unit_id $unitId out of uint8 range in channel ${key._2}")
+            recOut.write(unitId)
             val wf = r.getSeq[Any](4)
             if (nSamples < 0) nSamples = wf.size.toLong
             require(wf.size.toLong == nSamples,
@@ -789,6 +847,10 @@ object EdfSink {
           fs.delete(attemptDir, true)
         }
       }
+
+    require(ords.values.forall(o => driverFs.exists(new Path(outPath, unitManifestName(o)))),
+      "unit manifest assembly incomplete")
+    matchedUnitOrds.foreach(o => driverFs.delete(new Path(outPath, stagedUnitName(o)), false))
 
     val idxPath = new Path(outPath, "channels_unit.json")
     val total = newOrdBase + newKeys.size

@@ -68,11 +68,16 @@ class EdfDataSourceSpec extends AnyFunSuite {
       .getOrElse(fail("no BatchScanExec in plan"))
     assert(scan.description().contains(s"EqualTo(channel,$ch)"), scan.description())
     assert(scan.description().contains("LessThan(ts_us"), scan.description())
+    // expected from a genuinely UNPRUNED read filtered in Scala — an
+    // identical filtered read would get the same pushdown and compare the
+    // pruned path to itself, hiding rows dropped by over-aggressive pruning
     val expected = spark.read.format("edf").load(sinEdf)
-      .filter(col("channel") === ch && col("ts_us") < tsHi)
-      .orderBy(col("sample_idx")).select(col("ts_us"), col("value")).collect()
+      .orderBy(col("sample_idx")).collect()
+      .filter(r => r.getAs[String]("channel") == ch && r.getAs[Long]("ts_us") < tsHi)
+      .map(r => (r.getAs[Long]("ts_us"), r.getAs[Double]("value"))).toSeq
     val got = filtered.orderBy(col("sample_idx")).select(col("ts_us"), col("value")).collect()
-    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected && got.nonEmpty)
   }
 
   test("ts_us bounds prune input partitions at planning time") {

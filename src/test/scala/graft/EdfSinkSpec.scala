@@ -231,6 +231,39 @@ class EdfSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("append + maxSamplesPerFile: part planning follows the shifted sample_idx") {
+    // session 2's 12 samples land at value-stream idx 12..23; with an
+    // 8-sample part bound that is parts {1, 2} — planning from the
+    // UNSHIFTED idx (parts {0, 1}) would make executors look up part
+    // keys absent from the broadcast name map and fail the job
+    val tmp = Files.createTempDirectory("edfappendmax")
+    val s1 = s"$tmp/s1.edf"; val s2 = s"$tmp/s2.edf"
+    makeEdfC(s1, "00.00.00", Seq("C3"))
+    makeEdfC(s2, "01.00.00", Seq("C3"))
+    val outDir = Files.createTempDirectory("edfappendmaxout").toString
+    EdfSink.write(EdfFile.read(spark, Seq(s1)), outDir, maxSamplesPerFile = 8L)
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, maxSamplesPerFile = 8L, mode = "append")
+
+    val manifest = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    val bins = "\"binaryFiles\", \"value\": \\[([^\\]]+)\\]".r
+      .findFirstMatchIn(manifest).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    assert(bins.length == 4, s"2 original parts + 2 appended: $bins")
+    // appended parts split at the SHIFTED boundary: idx 12..15, then 16..23
+    val sizes = bins.map(b => Files.size(Paths.get(s"$outDir/$b")))
+    assert(sizes == Seq(8L * 8, 4L * 8, 4L * 8, 8L * 8), s"part sizes: $sizes")
+    // concatenating the listed binaries reproduces both sessions' streams
+    val expected = Seq(s1, s2).flatMap { p =>
+      EdfFile.read(spark, Seq(p)).filter(col("channel") === "C3")
+        .orderBy(col("sample_idx")).select(col("value")).collect().map(_.getDouble(0))
+    }
+    val gotBytes = bins.flatMap(b => Files.readAllBytes(Paths.get(s"$outDir/$b")).toSeq).toArray
+    val bb = ByteBuffer.wrap(gotBytes).order(ByteOrder.LITTLE_ENDIAN)
+    val got = (0 until gotBytes.length / 8).map(_ => bb.getDouble)
+    assert(got == expected, s"concatenated stream matches (${got.length}/${expected.length})")
+    assert(manifest.contains("\"numValues\", \"value\": \"24\""))
+  }
+
   test("append refuses overlapping sessions (non-overlap invariant, reference base.py:87-95)") {
     val tmp = Files.createTempDirectory("edfoverlap")
     val s1 = s"$tmp/a.edf"; val s2 = s"$tmp/b.edf"
@@ -305,6 +338,47 @@ class EdfSinkSpec extends AnyFunSuite {
     val all = new String(Files.readAllBytes(Paths.get(idx)))
     assert("\"name\"".r.findAllIn(all).size == 2, s"unit1 merged + unitX created: $all")
     assert(all.contains("\"name\": \"unitX\""))
+  }
+
+  test("spike append recovers from a crash between staging and manifest commit") {
+    import spark.implicits._
+    val s1 = Seq(("rec.edf", "unit1", 1000L, 0, Seq(1.0, 2.0)))
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val outDir = Files.createTempDirectory("edfspikecrash").toString
+    graft.sources.EdfSink.writeSpikes(s1, outDir)
+    val before = Files.readAllBytes(Paths.get(s"$outDir/unit-channel.json"))
+
+    // simulate an append that died between staging the matched manifest
+    // and the executor-side commit: the destination is a hole
+    Files.move(Paths.get(s"$outDir/unit-channel.json"),
+      Paths.get(s"$outDir/staged-unit-manifest-00000.json"))
+
+    // the next run's sweep must restore unit1's manifest BEFORE the
+    // ordinal scan — otherwise unit2 would silently take ordinal 0
+    val s2 = Seq(("rec.edf", "unit2", 5000L, 1, Seq(3.0, 4.0)))
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val idx = graft.sources.EdfSink.writeSpikes(s2, outDir, mode = "append")
+
+    assert(Files.readAllBytes(Paths.get(s"$outDir/unit-channel.json")).toSeq == before.toSeq,
+      "crashed-run staged manifest restored intact at its ordinal")
+    val all = new String(Files.readAllBytes(Paths.get(idx)))
+    assert("\"name\"".r.findAllIn(all).size == 2, s"unit1 survived + unit2 created: $all")
+    assert(all.contains("\"name\": \"unit1\"") && all.contains("\"name\": \"unit2\""))
+    assert(new java.io.File(outDir).listFiles()
+      .forall(!_.getName.startsWith("staged-unit-manifest-")), "no staged leftovers")
+  }
+
+  test("spike unit_id outside uint8 range fails loudly instead of truncating") {
+    import spark.implicits._
+    val bad = Seq(("rec.edf", "unit1", 1000L, 256, Seq(1.0, 2.0)))
+      .toDF("file", "channel", "ts_us", "unit_id", "waveform")
+    val outDir = Files.createTempDirectory("edfspikebad").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.EdfSink.writeSpikes(bad, outDir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("out of uint8 range")), s"got: ${msgs(e)}")
   }
 
   test("tsSpikeWaveforms output reshapes into the spike sink") {
