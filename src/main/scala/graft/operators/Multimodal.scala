@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,11 +12,17 @@ import org.apache.spark.sql.functions._
   * over the typed Dataset so each task touches its partition's bytes once
   * (the Scala analogue of Python's mapInPandas batch shape).
   *
-  * NOTE: this container ships no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE (features derived from the byte
-  * stream itself). The Spark-side contract — schema, encoders, partition
-  * batching, null/metadata handling — is the real, tested part; swapping
-  * the stub body for a JNI/Java codec changes no plan shape.
+  * IMAGE payloads are decoded for real via JDK-builtin `javax.imageio`
+  * (PNG/JPEG/BMP/GIF/WBMP — zero external dependencies): pixels are
+  * luminance-converted executor-side and feed the histogram featurizer
+  * and the nearest-neighbor resize below. Byte streams that are NOT a
+  * decodable image (raw single-channel grids ingested with explicit
+  * width/height metadata) fall back to the metadata-implied grid.
+  *
+  * AUDIO/VIDEO codecs don't ship in the JDK, so those kinds keep a
+  * clearly-marked DETERMINISTIC byte-fold stand-in; the partition shape,
+  * schema, and null/metadata handling are identical, so swapping in a
+  * JNI codec changes no plan shape.
   */
 object Multimodal {
 
@@ -26,76 +34,131 @@ object Multimodal {
 
   final case class Frame(mediaId: Long, frameIdx: Int, offsetBytes: Long, frameBytes: Array[Byte])
 
+  /** A decoded image: real pixel dims + row-major luminance bytes. */
+  final case class DecodedImage(width: Int, height: Int, gray: Array[Byte])
+
   /** Build the canonical media DataFrame (binary payload + typed metadata). */
   def ingest(spark: SparkSession, rows: Seq[Media]): Dataset[Media] = {
     import spark.implicits._
     spark.createDataset(rows)
   }
 
+  /** Decode an image byte stream with `javax.imageio` and convert to
+    * row-major luminance (integer BT.601: (299R + 587G + 114B) / 1000 —
+    * fixed-point so results are bit-identical across JVMs/platforms).
+    * None when the stream is not a decodable image.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException | _: RuntimeException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          out(y * w + x) = lum.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(w, h, out))
+    }
+  }
+
   /** Decode + featurize each payload: one pass per partition, streaming.
     *
-    * STUB: features are a deterministic fold of the payload bytes standing
-    * in for a real decoder; replace the body of `featurize` with the codec
-    * call in production. Partition shape, schema and encoder are real.
+    * Image payloads decode for real (`javax.imageio`) and featurize as a
+    * `dim`-bucket normalized luminance histogram with a pixel-stream
+    * checksum. Non-image kinds — and image rows whose bytes aren't a
+    * decodable stream — use the deterministic byte-fold stand-in
+    * (STUB for audio/video: no JDK codec exists; swap the `else` branch
+    * for a codec call in production).
     */
   def decodeFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val checksum = m.bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-        val feature = featurize(m.bytes, dim)
-        MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, feature)
+        val decoded = if (m.kind == "image") decodeImage(m.bytes) else None
+        decoded match {
+          case Some(img) =>
+            var checksum = 0L
+            val hist = new Array[Float](dim)
+            var i = 0
+            while (i < img.gray.length) {
+              val v = img.gray(i) & 0xff
+              checksum = (checksum * 31 + v) % 1000000007L
+              hist((v * dim) >> 8) += 1.0f
+              i += 1
+            }
+            val n = math.max(1, img.gray.length).toFloat
+            MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, hist.map(_ / n))
+          case None =>
+            val checksum = m.bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+            MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, byteFold(m.bytes, dim))
+        }
       }
     }
   }
 
-  /** ??? real decoder goes here — deterministic stand-in for tests. */
-  private def featurize(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** Deterministic byte-fold stand-in for kinds with no JDK codec. */
+  private def byteFold(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var i = 0
     while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
     out.map(v => v / math.max(1, bytes.length / dim).toFloat)
   }
 
-  /** A decoded-and-resized image payload (stub pixels). */
+  /** A decoded-and-resized image payload (luminance pixels). */
   final case class Resized(mediaId: Long, width: Int, height: Int, pixels: Array[Byte])
 
-  /** Resize image-kind payloads to (outW, outH): nearest-neighbor over
-    * the byte grid implied by the stored (width, height) metadata.
+  /** Resize image-kind payloads to (outW, outH) by nearest-neighbor.
     *
-    * STUB decode: bytes are treated as a row-major single-channel image
-    * (a real codec would decode first); the nearest-neighbor SAMPLING —
-    * coordinate mapping, bounds, partition shape — is the real, tested
-    * logic and is unchanged by swapping in a decoder.
+    * The pixel grid comes from the REAL `javax.imageio` decode when the
+    * bytes are a decodable image (its dims override any metadata);
+    * otherwise the bytes are treated as a raw row-major single-channel
+    * grid shaped by the stored (width, height) metadata. Rows that are
+    * neither decodable nor carry positive metadata dims are dropped.
     */
   def resize(media: Dataset[Media], outW: Int, outH: Int): Dataset[Resized] = {
     import media.sparkSession.implicits._
-    media.filter(m => m.kind == "image" && m.width > 0 && m.height > 0).mapPartitions { it =>
-      it.map { m =>
-        val out = new Array[Byte](outW * outH)
-        var y = 0
-        while (y < outH) {
-          // Long arithmetic: y*height and sy*width overflow Int for large
-          // (unvalidated, ingested) metadata dims, and a wrapped-negative
-          // src would slip past the bounds guard below
-          val sy = math.min(m.height - 1L, y.toLong * m.height / outH)
-          var x = 0
-          while (x < outW) {
-            val sx = math.min(m.width - 1L, x.toLong * m.width / outW)
-            val src = sy * m.width + sx
-            out(y * outW + x) = if (src >= 0 && src < m.bytes.length) m.bytes(src.toInt) else 0
-            x += 1
-          }
-          y += 1
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        val grid = decodeImage(m.bytes).orElse {
+          if (m.width > 0 && m.height > 0) Some(DecodedImage(m.width, m.height, m.bytes)) else None
         }
-        Resized(m.mediaId, outW, outH, out)
+        grid.map { g =>
+          val out = new Array[Byte](outW * outH)
+          var y = 0
+          while (y < outH) {
+            // Long arithmetic: y*height and sy*width overflow Int for large
+            // (unvalidated, ingested) metadata dims, and a wrapped-negative
+            // src would slip past the bounds guard below
+            val sy = math.min(g.height - 1L, y.toLong * g.height / outH)
+            var x = 0
+            while (x < outW) {
+              val sx = math.min(g.width - 1L, x.toLong * g.width / outW)
+              val src = sy * g.width + sx
+              out(y * outW + x) = if (src >= 0 && src < g.gray.length) g.gray(src.toInt) else 0
+              x += 1
+            }
+            y += 1
+          }
+          Resized(m.mediaId, outW, outH, out)
+        }
       }
     }
   }
 
   /** Frame sampling for video-kind payloads: every `frameBytes`-sized
     * stride emits one frame slice (deterministic; a codec would seek
-    * keyframes instead). Explodes executor-side — no driver involvement.
+    * keyframes instead — STUB: no JDK video codec). Explodes
+    * executor-side — no driver involvement.
     */
   def frameSample(media: Dataset[Media], frameBytes: Int, everyN: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._

@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 import graft.operators.Multimodal.Media
 
-/** C12: multimodal binary-column plumbing (decode stubbed, plumbing real). */
+/** C12: multimodal binary columns — image decode REAL (javax.imageio),
+  * audio/video stand-ins deterministic, plumbing real throughout.
+  */
 class MultimodalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
@@ -55,6 +57,54 @@ class MultimodalSpec extends AnyFunSuite {
     // upscale: 8x8 -> 12x12 maps within bounds (no exception, right size)
     val up = Multimodal.resize(ds, outW = 12, outH = 12).collect()
     assert(up.forall(_.pixels.length == 144))
+  }
+
+  // a real encoded image: gray value at (x, y) = f(x, y), RGB channels
+  // equal so the BT.601 luminance is exactly that value
+  private def encoded(fmt: String, w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = f(x, y) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK has a $fmt writer")
+    bos.toByteArray
+  }
+
+  test("a real PNG decodes via javax.imageio: known pixels survive resize") {
+    // 8x8 gradient, gray(x, y) = (y*8 + x) * 4; metadata dims are
+    // deliberately WRONG (1x1) to prove the DECODED dims drive the grid
+    val png = Media(10, "image", encoded("png", 8, 8)((x, y) => (y * 8 + x) * 4), 1, 1, 0)
+    val ds = Multimodal.ingest(spark, Seq(png))
+    val r = Multimodal.resize(ds, outW = 4, outH = 4).collect()
+    assert(r.length == 1 && r.head.pixels.length == 16)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((r.head.pixels(y * 4 + x) & 0xff) == (2 * y * 8 + 2 * x) * 4,
+        s"decoded pixel ($y,$x): nearest-neighbor of the REAL 8x8 grid")
+  }
+
+  test("decodeFeatures histograms real decoded luminance") {
+    // 64 gray values 0,4,...,252 — exactly 8 per 32-wide bucket, so the
+    // 8-bin normalized histogram is uniform 0.125
+    val png = Media(11, "image", encoded("png", 8, 8)((x, y) => (y * 8 + x) * 4), 0, 0, 0)
+    val ds = Multimodal.ingest(spark, Seq(png)).repartition(2)
+    val f = Multimodal.decodeFeatures(ds).collect().head
+    assert(f.feature.toSeq == Seq.fill(8)(0.125f), s"uniform histogram: ${f.feature.toSeq}")
+    val f2 = Multimodal.decodeFeatures(ds).collect().head
+    assert(f.checksum == f2.checksum, "pixel-stream checksum deterministic")
+    // undecodable image-kind rows keep the documented byte-fold fallback
+    val raw = Multimodal.decodeFeatures(Multimodal.ingest(spark, media)).collect()
+      .sortBy(_.mediaId)
+    assert(raw.map(_.nBytes).toSeq == Seq(64L, 128L, 256L, 1024L))
+  }
+
+  test("a real JPEG decodes too (lossy: solid color within tolerance)") {
+    val jpg = Media(12, "image", encoded("jpg", 6, 4)((_, _) => 128), 0, 0, 0)
+    val r = Multimodal.resize(Multimodal.ingest(spark, Seq(jpg)), outW = 3, outH = 2).collect()
+    assert(r.length == 1 && r.head.width == 3 && r.head.height == 2)
+    assert(r.head.pixels.forall(p => math.abs((p & 0xff) - 128) <= 3),
+      s"JPEG round-trip of a solid gray: ${r.head.pixels.map(_ & 0xff).toSeq}")
   }
 
   test("summarize aggregates by kind") {
