@@ -19,40 +19,45 @@ object Bench {
       s"unknown query name(s): ${(names -- SparkEntry.queries.keySet).mkString(", ")}"))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // one untimed pass: measure steady-state engine throughput, not
-    // first-run planning + whole-stage-codegen JIT compilation (which
-    // dominates sub-second queries and never recurs in a live session)
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => }
-    }
-    var failed = List.empty[String]
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       // noop sink forces full evaluation of every output column —
       // .count() would let Catalyst prune the projections being measured
       val ok = try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true } catch {
         case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // two timed passes, keep the min over SUCCESSFUL passes: transient
-    // host noise on a single pass would otherwise masquerade as a
-    // query-level regression — and a fast failure must never deflate the
-    // reported time of a slow success
+    // warm pass: absorbs first-run planning + whole-stage-codegen JIT
+    // (which dominates sub-second queries and never recurs in a live
+    // session) — but TIMED, because it doubles as a contention sentinel
+    val warm: Map[String, (Double, Boolean)] =
+      selected.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    var failed = List.empty[String]
+    // contention defense (host noise poisoned two round artifacts):
+    //  - two timed passes; if they disagree >3x, OR the JIT-laden warm
+    //    pass still beat them both (contention spanning BOTH timed
+    //    passes — the case min-of-two cannot catch), a tie-breaking
+    //    third pass runs
+    //  - reported time = min over all successful observations (warm
+    //    included): each is a complete evaluation, so the min is the
+    //    tightest steady-state bound the host allowed this run
     val results = selected.map { case (name, fn) =>
       val (d1, ok1) = timeOnce(name, fn)
       val (d2, ok2) = timeOnce(name, fn)
-      val t = (ok1, ok2) match {
-        case (true, true)   => math.min(d1, d2)
-        case (true, false)  => d1
-        case (false, true)  => d2
-        case (false, false) => math.max(d1, d2)
+      val (w, okW) = warm(name)
+      var obs = Seq((d1, ok1), (d2, ok2), (w, okW)).filter(_._2).map(_._1)
+      val timedOk = Seq(d1, d2).zip(Seq(ok1, ok2)).filter(_._2).map(_._1)
+      val suspicious = timedOk.size == 2 &&
+        (timedOk.max > 3.0 * timedOk.min || (okW && w < 0.7 * timedOk.min))
+      if (suspicious) {
+        val (d3, ok3) = timeOnce(name, fn)
+        if (ok3) obs :+= d3
       }
-      name -> t
+      if (obs.isEmpty) failed ::= name
+      name -> (if (obs.isEmpty) math.max(d1, d2) else obs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
