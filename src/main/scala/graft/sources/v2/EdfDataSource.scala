@@ -191,7 +191,7 @@ final class EdfTable(paths: Seq[String], tableSchema: StructType) extends Table 
   override def name(): String = s"edf(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(paths, tableSchema,
       Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(128L << 20))
@@ -221,6 +221,10 @@ final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushd
     pushed: Array[Filter], targetSplitBytes: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new EdfMicroBatchStream(paths, required.fieldNames,
+      EdfFile.captureConfEntries(org.apache.spark.sql.SparkSession.active),
+      pushdown, targetSplitBytes)
   override def description(): String =
     s"EdfScan(paths=${paths.size}, columns=[${required.fieldNames.mkString(",")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}])"
@@ -254,6 +258,88 @@ final class EdfReaderFactory(fields: Array[String],
     val p = partition.asInstanceOf[EdfInputPartition]
     new EdfPartitionReader(p, fields, confEntries, pushdown)
   }
+}
+
+/** Offset for the EDF file stream: the set of files fully ingested so
+  * far, carried as a sorted JSON array. Self-contained — recovery from a
+  * checkpointed offset needs no side state. At directory scales where
+  * the listing itself is big, production would keep a compacted
+  * seen-file log under the checkpoint (the built-in FileStreamSource
+  * model) and carry only a log index here; the processing model below
+  * (new-files diff -> record-range splits) is unchanged by that swap.
+  */
+final case class EdfStreamOffset(files: Seq[String]) extends streaming.Offset {
+  override def json(): String =
+    new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(files.toArray)
+}
+
+object EdfStreamOffset {
+  def fromJson(json: String): EdfStreamOffset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node != null && node.isArray, s"bad EDF stream offset: $json")
+    EdfStreamOffset((0 until node.size).map(node.get(_).asText))
+  }
+}
+
+/** A13b: file-arrival-driven EDF ingest (the reference processor's
+  * trigger model — a processor run per landed file, base.py's CLI
+  * entry) as a Structured Streaming micro-batch source.
+  *
+  * Each micro-batch ingests the files that appeared in the watched
+  * path(s) since the last committed offset; a file is planned into the
+  * same (file, record-range) input partitions — and read by the same
+  * EdfPartitionReader, with the same column pruning and channel/time
+  * pushdown — as the batch scan, so a streamed read of N files is
+  * plan-identical to a batch read of the same N files. Hidden files
+  * (`.`/`_` prefixes, in-flight uploads by convention) are skipped;
+  * non-EDF names in a watched directory are ignored.
+  */
+final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
+    confEntries: Seq[(String, String)], pushdown: EdfPushdown,
+    targetSplitBytes: Long) extends streaming.MicroBatchStream {
+
+  private def discover(): Seq[String] = {
+    val conf = EdfFile.confFromEntries(confEntries)
+    roots.flatMap { r =>
+      val p = new Path(r)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Nil
+      else if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_") && n.toLowerCase.endsWith(".edf")
+          })
+          .map(_.getPath.toUri.getPath)
+      else Seq(fs.getFileStatus(p).getPath.toUri.getPath)
+    }.distinct.sorted
+  }
+
+  override def initialOffset(): streaming.Offset = EdfStreamOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset = EdfStreamOffset(discover())
+  override def deserializeOffset(json: String): streaming.Offset = EdfStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[EdfStreamOffset].files.toSet
+    val fresh = end.asInstanceOf[EdfStreamOffset].files.filterNot(seen)
+    val target = math.max(1L, targetSplitBytes)
+    fresh.flatMap { p =>
+      val h = EdfFile.readHeader(p)
+      val durUs = (h.duration * 1e6).toLong
+      val (winLo, winHi) = pushdown.recordWindow(h, durUs)
+      val recsPerSplit = math.max(1, (target / math.max(1L, h.recordBytes)).toInt)
+      (winLo until winHi by recsPerSplit).map { lo =>
+        EdfInputPartition(p, lo, math.min(winHi, lo + recsPerSplit)): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EdfReaderFactory(fields, confEntries, pushdown)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Streams one record-range. If `value` is not in the projection, rows are

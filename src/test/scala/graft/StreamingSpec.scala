@@ -137,4 +137,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(chunks(0).nSamples == 2 && chunks(0).startUs == ts(0).getTime * 1000)
     assert(chunks(1).nSamples == 1 && chunks(1).startUs == ts(21).getTime * 1000)
   }
+
+  // contiguous EDF: 3 records x 4 samples @1s records, values
+  // record*4 + sample + 100*channel (the EdfSinkSpec generator, trimmed)
+  private def makeEdfC(path: String, startTime: String, labels: Seq[String]): Unit = {
+    def pad(s: String, n: Int): Array[Byte] = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      b ++ Array.fill(n - b.length)(' '.toByte)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val nSig = labels.size
+    out.write(pad("0", 8)); out.write(pad("patient", 80)); out.write(pad("rec", 80))
+    out.write(pad("01.01.20", 8)); out.write(pad(startTime, 8))
+    out.write(pad((256 + nSig * 256).toString, 8)); out.write(pad("", 44))
+    out.write(pad("3", 8)); out.write(pad("1", 8)); out.write(pad(nSig.toString, 4))
+    labels.foreach(l => out.write(pad(l, 16)))
+    labels.foreach(_ => out.write(pad("", 80)))
+    labels.foreach(_ => out.write(pad("uV", 8)))
+    labels.foreach(_ => out.write(pad("-100", 8)))
+    labels.foreach(_ => out.write(pad("100", 8)))
+    labels.foreach(_ => out.write(pad("-32768", 8)))
+    labels.foreach(_ => out.write(pad("32767", 8)))
+    labels.foreach(_ => out.write(pad("", 80)))
+    labels.foreach(_ => out.write(pad("4", 8)))
+    labels.foreach(_ => out.write(pad("", 32)))
+    (0 until 3).foreach { r =>
+      labels.indices.foreach { s =>
+        (0 until 4).foreach { i =>
+          val v = r * 4 + i + s * 100
+          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+        }
+      }
+    }
+    val f = new java.io.FileOutputStream(path)
+    try f.write(out.toByteArray) finally f.close()
+  }
+
+  test("A13b: EDF files landing in a watched dir stream-ingest and append-match the batch path") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.{EdfFile, EdfSink}
+    val tmp = Files.createTempDirectory("edfstream")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    val ckpt = tmp.resolve("ckpt").toString
+    val outStream = tmp.resolve("outs").toString
+    val outBatch = tmp.resolve("outb").toString
+    val stage1 = s"$tmp/s1.edf"; val stage2 = s"$tmp/s2.edf"
+    makeEdfC(stage1, "00.00.00", Seq("C3", "C4"))
+    makeEdfC(stage2, "01.00.00", Seq("C3", "C4"))
+
+    // batch oracle: write session 1, then batch-append session 2
+    EdfSink.write(EdfFile.read(spark, Seq(stage1)), outBatch)
+    EdfSink.write(EdfFile.read(spark, Seq(stage2)), outBatch, mode = "append")
+
+    // in-flight/hidden files must be invisible to discovery
+    Files.write(watch.resolve("_inflight.edf"), Array[Byte](1, 2, 3))
+    Files.write(watch.resolve("notes.txt"), Array[Byte](4))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("edf").load(watch.toString)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!df.isEmpty) EdfSink.write(df, outStream, mode = "append"): Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.copy(Paths.get(stage1), watch.resolve("s1.edf"))
+    runOnce()
+    assert(Files.exists(Paths.get(s"$outStream/C3.ts.bin")), "first session ingested")
+    // session 2 lands mid-stream; the checkpointed offset must make the
+    // next run ingest ONLY the new file (re-reading s1 would be refused
+    // by the sink's overlap invariant and corrupt numValues)
+    Files.copy(Paths.get(stage2), watch.resolve("s2.edf"))
+    runOnce()
+    // a run with nothing new must be a no-op
+    runOnce()
+
+    // streamed appends == batch appends, byte for byte: per-channel
+    // manifests (chunks, numValues, generations) and binary streams
+    Seq("channel.json", "channel-00001.json").foreach { m =>
+      val a = new String(Files.readAllBytes(Paths.get(s"$outStream/$m")))
+      val b = new String(Files.readAllBytes(Paths.get(s"$outBatch/$m")))
+      assert(a == b, s"$m: streamed vs batch append\n$a\nvs\n$b")
+    }
+    Seq("C3", "C4").foreach { ch =>
+      Seq(s"$ch.ts.bin", s"$ch-g01-part00000.ts.bin").foreach { bin =>
+        assert(Files.readAllBytes(Paths.get(s"$outStream/$bin")).toSeq ==
+          Files.readAllBytes(Paths.get(s"$outBatch/$bin")).toSeq, s"$bin bytes")
+      }
+    }
+  }
 }
