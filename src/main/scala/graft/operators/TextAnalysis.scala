@@ -404,10 +404,15 @@ object TextAnalysis {
     * license blocks) that document-level dedup (C1) can never see.
     *
     * Shape: one shuffle keyed by paragraph hash for the first-occurrence
-    * window, one by doc_id for reassembly — both on (hash, ids) pairs
-    * plus the paragraph text, never repeated scans. Docs whose every
-    * paragraph is a duplicate stay in the output with empty text (the
-    * drop decision is a separate policy).
+    * pick, one by doc_id for reassembly — both on (hash, ids) pairs
+    * plus the paragraph text, never repeated scans. First-occurrence is
+    * min_by over (doc_id, pos) — a PARTIAL aggregate, so a boilerplate
+    * paragraph repeated 10^5 times corpus-wide collapses to one row per
+    * map task before the exchange (a row_number window on the hash key
+    * would funnel every hot instance through a single task — the classic
+    * corpus-skew failure; SkewStressSpec plants exactly that corpus).
+    * Docs whose every paragraph is a duplicate stay in the output with
+    * empty text (the drop decision is a separate policy).
     */
   def paragraphDedup(t: Tables, sep: String = "\n"): DataFrame = {
     val paras = t.documents
@@ -415,10 +420,11 @@ object TextAnalysis {
         .as(Seq("pos", "para")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"),
         md5(lower(trim(col("para")))).as("h"))
-    val firstWin = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
     val kept = paras
-      .withColumn("rk", row_number().over(firstWin))
-      .filter(col("rk") === 1)
+      .groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("pos"), col("para")),
+        struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("f.doc_id").as("doc_id"), col("f.pos").as("pos"), col("f.para").as("para"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
