@@ -229,18 +229,8 @@ final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushd
     s"EdfScan(paths=${paths.size}, columns=[${required.fieldNames.mkString(",")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}])"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val target = math.max(1L, targetSplitBytes)
-    paths.flatMap { p =>
-      val h = EdfFile.readHeader(p)
-      val durUs = (h.duration * 1e6).toLong
-      val (winLo, winHi) = pushdown.recordWindow(h, durUs)
-      val recsPerSplit = math.max(1, (target / math.max(1L, h.recordBytes)).toInt)
-      (winLo until winHi by recsPerSplit).map { lo =>
-        EdfInputPartition(p, lo, math.min(winHi, lo + recsPerSplit)): InputPartition
-      }
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val entries = org.apache.spark.sql.SparkSession.active match {
@@ -251,6 +241,51 @@ final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushd
 }
 
 final case class EdfInputPartition(path: String, recordLo: Int, recordHi: Int) extends InputPartition
+
+/** Shared split planning for the batch scan and the micro-batch stream:
+  * header-window pruning (contiguous files), then — for EDF+D files with
+  * time bounds pushed — onset-sidecar pruning: records whose
+  * `[onset, onset + duration)` span misses the pushed `[tsLo, tsHi]`
+  * window are dropped at PLANNING time, and splits are planned over the
+  * surviving record runs only (without the sidecar every EDF+D split is
+  * planned and the reader's TAL seek-skip does the pruning per record).
+  */
+private[v2] object EdfSplitPlanner {
+  def splitsFor(path: String, pushdown: EdfPushdown, targetSplitBytes: Long): Seq[InputPartition] = {
+    val h = EdfFile.readHeader(path)
+    val durUs = (h.duration * 1e6).toLong
+    val (winLo, winHi) = pushdown.recordWindow(h, durUs)
+    val recsPerSplit = math.max(1,
+      (math.max(1L, targetSplitBytes) / math.max(1L, h.recordBytes)).toInt)
+    val hasTsBounds = pushdown.tsLo != Long.MinValue || pushdown.tsHi != Long.MaxValue
+    val keep: Int => Boolean =
+      if (h.isDiscontiguous && hasTsBounds)
+        graft.sources.EdfOnsetIndex.read(path, h) match {
+          case Some(onsets) =>
+            val span = math.max(1L, durUs)
+            rec => {
+              val onset = onsets(rec)
+              (pushdown.tsHi == Long.MaxValue || onset <= pushdown.tsHi) &&
+                (pushdown.tsLo == Long.MinValue || onset + span > pushdown.tsLo)
+            }
+          case None => _ => true
+        }
+      else _ => true
+    // runs of kept records, each chunked at the split size
+    val splits = Seq.newBuilder[InputPartition]
+    var lo = winLo
+    while (lo < winHi) {
+      if (!keep(lo)) lo += 1
+      else {
+        var hi = lo + 1
+        while (hi < winHi && hi - lo < recsPerSplit && keep(hi)) hi += 1
+        splits += EdfInputPartition(path, lo, hi)
+        lo = hi
+      }
+    }
+    splits.result()
+  }
+}
 
 final class EdfReaderFactory(fields: Array[String],
     confEntries: Seq[(String, String)], pushdown: EdfPushdown) extends PartitionReaderFactory {
@@ -323,16 +358,7 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
                                    end: streaming.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[EdfStreamOffset].files.toSet
     val fresh = end.asInstanceOf[EdfStreamOffset].files.filterNot(seen)
-    val target = math.max(1L, targetSplitBytes)
-    fresh.flatMap { p =>
-      val h = EdfFile.readHeader(p)
-      val durUs = (h.duration * 1e6).toLong
-      val (winLo, winHi) = pushdown.recordWindow(h, durUs)
-      val recsPerSplit = math.max(1, (target / math.max(1L, h.recordBytes)).toInt)
-      (winLo until winHi by recsPerSplit).map { lo =>
-        EdfInputPartition(p, lo, math.min(winHi, lo + recsPerSplit)): InputPartition
-      }
-    }.toArray
+    fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -99,14 +99,13 @@ class EdfDataSourceSpec extends AnyFunSuite {
       spark.read.format("edf").load(sinEdf).filter(col("ts_us") < tsHi).count())
   }
 
-  test("EDF+D time filters skip records via their TAL onsets") {
-    // 1 data signal (4 samples/record) + annotation signal, records at
-    // onsets 0 s, 10 s, 25 s (the EdfFileSpec synthetic layout)
+  // 1 data signal (4 samples/record) + annotation signal, one record per
+  // TAL onset (the EdfFileSpec synthetic EDF+D layout)
+  private def makeEdfD(path: String, onsets: Seq[Double]): Unit = {
     def pad(s: String, n: Int): Array[Byte] = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       b ++ Array.fill(n - b.length)(' '.toByte)
     }
-    val onsets = Seq(0.0, 10.0, 25.0)
     val out = new java.io.ByteArrayOutputStream()
     val annNr = 16
     out.write(pad("0", 8)); out.write(pad("patient", 80)); out.write(pad("rec", 80))
@@ -130,9 +129,13 @@ class EdfDataSourceSpec extends AnyFunSuite {
         Array[Byte](0x14, 0x14, 0x00)
       out.write(tal ++ Array.fill(annNr * 2 - tal.length)(0.toByte))
     }
+    val f = new java.io.FileOutputStream(path); try f.write(out.toByteArray) finally f.close()
+  }
+
+  test("EDF+D time filters skip records via their TAL onsets") {
     val tmp = java.nio.file.Files.createTempDirectory("edfdts")
     val path = s"$tmp/disc.edf"
-    val f = new java.io.FileOutputStream(path); try f.write(out.toByteArray) finally f.close()
+    makeEdfD(path, Seq(0.0, 10.0, 25.0))
 
     val h = EdfFile.readHeader(path)
     // window around the middle record only (9 s .. 12 s after start)
@@ -146,6 +149,37 @@ class EdfDataSourceSpec extends AnyFunSuite {
       .map(_.getAs[Double]("value"))
     assert(got.length == 4, s"exactly the middle record survives: ${got.toSeq}")
     assert(got.toSeq == expected.toSeq, "TAL-driven skip is row-exact")
+  }
+
+  test("an onset sidecar prunes EDF+D input partitions at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("edfdsidecar")
+    val path = s"$tmp/disc.edf"
+    makeEdfD(path, Seq(0.0, 10.0, 25.0))
+    val h = EdfFile.readHeader(path)
+    val lo = h.startUs + 9000000L; val hi = h.startUs + 12000000L
+    def sliced = spark.read.format("edf")
+      .option("targetSplitBytes", h.recordBytes.toString).load(path)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi)
+
+    // without the sidecar every record is planned (reader-side TAL skip)
+    assert(sliced.rdd.getNumPartitions == 3, "no sidecar: all 3 per-record splits planned")
+
+    val side = graft.sources.EdfOnsetIndex.write(path)
+    assert(side.endsWith("disc.edf.onsets.json"))
+    // with it, only the record whose onset span intersects the window
+    assert(sliced.rdd.getNumPartitions == 1, "sidecar: 2 of 3 EDF+D splits dropped at plan time")
+    // pruning is conservative: rows identical to the unpruned read
+    val got = sliced.orderBy(col("sample_idx")).collect().map(_.getAs[Double]("value")).toSeq
+    val expected = spark.read.format("edf").load(path).orderBy(col("sample_idx")).collect()
+      .filter(r => { val t = r.getAs[Long]("ts_us"); t >= lo && t < hi })
+      .map(_.getAs[Double]("value")).toSeq
+    assert(got == expected && got.size == 4, s"middle record only: $got")
+
+    // a STALE sidecar (record count mismatch) must be ignored, not trusted
+    java.nio.file.Files.write(java.nio.file.Paths.get(side),
+      """{"nbDataRec": 2, "onsetsUs": [0, 1]}""".getBytes)
+    assert(sliced.rdd.getNumPartitions == 3, "stale sidecar falls back to the full plan")
+    assert(sliced.count() == 4, "and rows stay correct")
   }
 
   test("a channel filter seek-reads only that signal's slices (per-signal ranged read)") {
