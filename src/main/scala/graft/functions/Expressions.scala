@@ -418,6 +418,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
   }
 
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
@@ -464,6 +475,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+
+    // SQL-only entry points: flagship operators as table-valued
+    // functions — `SELECT * FROM graft_curate('/data/sf0.1')`. The plan
+    // injected at resolution is exactly the DataFrame API operator's
+    // logical plan, so SQL users get the identical optimized shape
+    // (scan fusion, broadcasts, native expressions). Args must be
+    // literals (they parameterize the PLAN, not a row expression).
+    def injectTvf(name: String)(build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftExtensions", name),
+        (es: Seq[Expression]) => build(es).queryExecution.logical))
+    def tablesAt(e: Expression): graft.Tables =
+      new graft.Tables(org.apache.spark.sql.SparkSession.active, litString(e, "table dir"))
+    injectTvf("graft_curate") { es =>
+      graft.operators.TextAnalysis.curate(tablesAt(es.head))
+    }
+    injectTvf("graft_lang_id") { es =>
+      graft.operators.TextAnalysis.langId(tablesAt(es.head))
+    }
+    injectTvf("graft_corpus_stats") { es =>
+      graft.operators.TextAnalysis.corpusStats(tablesAt(es.head))
+    }
+    injectTvf("graft_dedup_minhash") { es =>
+      graft.operators.Dedup.dedupMinhash(tablesAt(es.head))
+    }
+    injectTvf("graft_ann_topk") { es =>
+      val id = if (es.size > 1) litLong(es(1), "query_vec_id") else 0L
+      val k = if (es.size > 2) litLong(es(2), "k").toInt else 10
+      graft.operators.Similarity.annTopK(tablesAt(es.head), id, k)
+    }
   }
 }
 
