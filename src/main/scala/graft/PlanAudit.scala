@@ -52,7 +52,14 @@ object PlanAudit {
       ("decontaminate_bloom", _.contains("might_contain"),
         "bloom prefilter reaches the corpus scan"),
       ("ts_spectrum", p => !p.contains("Window"),
-        "all spectrum bins in aggregates, no window/sort"))
+        "all spectrum bins in aggregates, no window/sort"),
+      // the round-5 skew fix: first-occurrence via min_by partial agg —
+      // a Window here would funnel every hot-paragraph instance through
+      // one task (SkewStressSpec measures the record-level consequence)
+      ("paragraph_dedup", p => !p.contains("Window"),
+        "first-occurrence pick is a window-free aggregation"),
+      ("paragraph_dedup", _.contains("partial_min_by"),
+        "hot paragraph keys collapse map-side (partial min_by)"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness: derive a k-times larger copy of a testdata directory for
+  * at-scale evidence runs (`runMain graft.ScaleGen <src> <dst> [k]`).
+  *
+  * Each fact-table row is replicated k times with every join key shifted
+  * by `copy * KEY_SPAN`, so key relationships (orders->customer,
+  * lineitem->orders/part/supplier, events->user) keep their exact
+  * fanout — the scaled corpus is k disjoint replicas of the original
+  * graph, which makes aggregate invariants exactly checkable:
+  * a group-by over non-key columns must report k-times the source
+  * counts/sums. Dimension tables (region, nation) stay fixed, so
+  * dim-join fanout grows k-times like real growth would. Document texts
+  * get a per-copy suffix paragraph (near-dup clusters of size k, not
+  * exact dups); embeddings get a deterministic first-component nudge.
+  */
+object ScaleGen {
+
+  private val KeySpan = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcDir> <dstDir> [multiplier]")
+    val src = args(0); val dst = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String)(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scalegen] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+
+    // dims pass through unchanged
+    Seq("region", "nation").foreach(t => write(t)(read(t)))
+
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val copies = explode(sequence(lit(0), lit(k - 1))).as("copy")
+      val withCopy = df.select(col("*"), copies)
+      keyCols.foldLeft(withCopy) { (d, c) =>
+        d.withColumn(c, col(c) + col("copy") * KeySpan)
+      }
+    }
+
+    write("customer")(replicate(read("customer"), Seq("c_custkey")).drop("copy"))
+    write("supplier")(replicate(read("supplier"), Seq("s_suppkey")).drop("copy"))
+    write("part")(replicate(read("part"), Seq("p_partkey")).drop("copy"))
+    write("orders")(replicate(read("orders"), Seq("o_orderkey", "o_custkey")).drop("copy"))
+    write("lineitem")(replicate(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("copy"))
+    write("events")(replicate(read("events"), Seq("event_id", "user_id")).drop("copy"))
+
+    // near-dup clusters of size k (copy 0 keeps the original text)
+    write("documents")(
+      replicate(read("documents"), Seq("doc_id"))
+        .withColumn("text",
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit("\nreplica note "), col("copy"))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .drop("copy"))
+
+    // distinct-but-close vectors: nudge component 0 by copy * 0.01
+    write("embeddings")(
+      replicate(read("embeddings"), Seq("vec_id"))
+        .withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + col("copy").cast("float") * lit(0.01f)).otherwise(x)))
+        .drop("copy"))
+
+    spark.stop()
+  }
+}
