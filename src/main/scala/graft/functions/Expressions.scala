@@ -505,6 +505,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val k = if (es.size > 2) litLong(es(2), "k").toInt else 10
       graft.operators.Similarity.annTopK(tablesAt(es.head), id, k)
     }
+    // the WHOLE driver query surface, generically:
+    //   SELECT * FROM graft_q('q1_pricing', '/data/sf0.1')
+    // every SparkEntry.queries entry is reachable from pure SQL without
+    // a per-operator registration.
+    injectTvf("graft_q") { es =>
+      val name = litString(es(0), "query name")
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown graft query '$name'; available: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      fn(org.apache.spark.sql.SparkSession.active, litString(es(1), "table dir"))
+    }
   }
 }
 

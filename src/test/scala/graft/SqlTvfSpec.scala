@@ -41,6 +41,17 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("graft_q reaches the whole query surface from SQL") {
+    val sql = spark.sql(s"SELECT * FROM graft_q('q1_pricing', '$sf')").collect()
+    val api = SparkEntry.queries("q1_pricing")(spark, sf).collect()
+    assert(sql.nonEmpty && sql.toSeq == api.toSeq)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_q('no_such_query', '$sf')").collect()
+    }
+    assert(e.getMessage.contains("unknown graft query") && e.getMessage.contains("q1_pricing"),
+      s"unknown name lists the surface: ${e.getMessage.take(200)}")
+  }
+
   test("non-literal TVF args fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_curate(concat('a', 'b'))").collect()
