@@ -29,9 +29,21 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // single-file layout: the DuckDB oracle harness reads
+    // `<dir>/<table>.parquet` as ONE file, like the driver's testdata.
+    // Compute stays parallel; only the final write funnels through one
+    // task (fine for an evidence derivation, not a production sink).
     def write(t: String)(df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[scalegen] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+      val tmpDir = s"$dst/_gen_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpDir/part-*.parquet")).head.getPath
+      val dest = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
+      fs.delete(dest, true)
+      require(fs.rename(part, dest), s"rename $part -> $dest failed")
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      println(s"[scalegen] $t: ${spark.read.parquet(dest.toString).count()} rows")
     }
 
     // dims pass through unchanged

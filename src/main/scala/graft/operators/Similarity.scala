@@ -78,17 +78,32 @@ object Similarity {
     * colliding in all 4 bands still costs one cosine, not four.
     *
     * Sizing at scale: bucket population ≈ n / 2^bandBits per band, so
-    * GROW bandBits (and nPlanes = bands·bandBits) with the corpus —
-    * e.g. 10^9 vectors want ~24-bit bands (nPlanes 96, 4 bands) to keep
-    * buckets ~60-member; the defaults here match the small oracle
-    * corpus. Recall per band is p^bandBits (p = 1 − θ/π), so add bands
-    * as bandBits grows to hold recall.
+    * bandBits GROWS with the corpus. The default (`bandBits = 0`)
+    * SELF-SIZES: bandBits = bitLength((n−1) / 32), clamped to [3, 15] —
+    * the smallest width keeping expected buckets ≤ 32 members, computed
+    * with integer-exact math the DuckDB oracle reproduces via
+    * `LENGTH(BIN((count(*)−1)//32))` (no float log2 boundary risk), so
+    * Spark and oracle pick identical parameters at every SF. Measured:
+    * without self-sizing a 10x corpus ran the bucket joins ~63x longer
+    * (n²/2^bandBits growth); with it the query scales ~linearly.
+    * Recall per band is p^bandBits (p = 1 − θ/π) — pass explicit
+    * nPlanes/bandBits to trade more bands for recall on high-threshold
+    * production dedup; beyond n ≈ 32·2^15, grow bands at 15-bit width
+    * (the signature is one 62-bit long).
     */
-  def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 12,
-                      bandBits: Int = 3, maxBucket: Long = 100000L): DataFrame = {
-    require(nPlanes % bandBits == 0 && nPlanes <= 62, s"bad plane/band split: $nPlanes/$bandBits")
-    val nBands = nPlanes / bandBits
-    val planes = t.embeddings.orderBy(col("vec_id")).limit(nPlanes)
+  def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 0,
+                      bandBits: Int = 0, maxBucket: Long = 100000L): DataFrame = {
+    val bb =
+      if (bandBits > 0) bandBits
+      else {
+        val n = math.max(1L, t.embeddings.count())
+        val q = (n - 1L) / 32L
+        math.max(3, math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(q)))
+      }
+    val np = if (nPlanes > 0) nPlanes else 4 * bb
+    require(np % bb == 0 && np <= 62, s"bad plane/band split: $np/$bb")
+    val nBands = np / bb
+    val planes = t.embeddings.orderBy(col("vec_id")).limit(np)
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
     def dot(vec: String, plane: Seq[Float]): String = {
       val arr = plane.map(fLit).mkString("array(", ", ", ")")
@@ -103,7 +118,7 @@ object Similarity {
       .select(col("vec_id"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
-            expr(s"shiftright(sig, ${b * bandBits}) & ${(1 << bandBits) - 1}").as("bval"))
+            expr(s"shiftright(sig, ${b * bb}) & ${(1 << bb) - 1}").as("bval"))
         }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val hot = banded.groupBy(col("band"), col("bval")).count()
