@@ -63,7 +63,13 @@ object ScaleGen {
     write("orders")(replicate(read("orders"), Seq("o_orderkey", "o_custkey")).drop("copy"))
     write("lineitem")(replicate(read("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("copy"))
-    write("events")(replicate(read("events"), Seq("event_id", "user_id")).drop("copy"))
+    // ts arrives as int64 nanos (nanosAsLong); write it back as a real
+    // TIMESTAMP(MICROS) column so DuckDB-side oracles bind epoch_ns(ts)
+    // exactly like they do on the driver's TIMESTAMP(NANOS) testdata.
+    // Tables.events re-normalizes to long nanos on read.
+    write("events")(replicate(read("events"), Seq("event_id", "user_id"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .drop("copy"))
 
     // near-dup clusters of size k (copy 0 keeps the original text)
     write("documents")(
