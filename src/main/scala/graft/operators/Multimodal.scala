@@ -2,6 +2,7 @@ package graft.operators
 
 import java.io.ByteArrayInputStream
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,10 +20,14 @@ import org.apache.spark.sql.functions._
   * decodable image (raw single-channel grids ingested with explicit
   * width/height metadata) fall back to the metadata-implied grid.
   *
-  * AUDIO/VIDEO codecs don't ship in the JDK, so those kinds keep a
-  * clearly-marked DETERMINISTIC byte-fold stand-in; the partition shape,
-  * schema, and null/metadata handling are identical, so swapping in a
-  * JNI codec changes no plan shape.
+  * AUDIO payloads are decoded for real via JDK-builtin
+  * `javax.sound.sampled.AudioSystem` (PCM WAV/AIFF/AU — zero external
+  * dependencies): frames are mono-mixed and normalized to signed 16-bit
+  * executor-side and feed the same histogram featurizer. Only VIDEO has
+  * genuinely no JDK codec, so that kind keeps a clearly-marked
+  * DETERMINISTIC byte-fold stand-in; the partition shape, schema, and
+  * null/metadata handling are identical, so swapping in a JNI codec
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -71,22 +76,83 @@ object Multimodal {
     }
   }
 
+  /** A decoded audio clip: real sample rate/channel count + the frame
+    * stream mono-mixed and normalized to signed 16-bit samples.
+    */
+  final case class DecodedAudio(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  /** Decode an audio byte stream with JDK-builtin `javax.sound.sampled`
+    * (PCM WAV/AIFF/AU). Each frame is mono-mixed (integer mean across
+    * channels) and normalized to signed 16-bit regardless of the stored
+    * bit depth, so downstream featurization is bit-identical across
+    * containers. None when the stream is not a decodable PCM audio file.
+    */
+  private[graft] def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = {
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException | _: java.io.IOException => null }
+    if (ais == null) None
+    else {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      if ((enc != AudioFormat.Encoding.PCM_SIGNED && enc != AudioFormat.Encoding.PCM_UNSIGNED)
+        || bits < 8 || bits > 32) None
+      else {
+        val data = ais.readAllBytes()
+        val bytesPer = (bits + 7) / 8
+        val ch = math.max(1, fmt.getChannels)
+        val nFrames = data.length / (bytesPer * ch)
+        val mono = new Array[Int](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0L
+          var c = 0
+          while (c < ch) {
+            val off = (f * ch + c) * bytesPer
+            var raw = 0L
+            var b = 0
+            while (b < bytesPer) {
+              val idx = if (fmt.isBigEndian) off + b else off + (bytesPer - 1 - b)
+              raw = (raw << 8) | (data(idx) & 0xff)
+              b += 1
+            }
+            val signed =
+              if (enc == AudioFormat.Encoding.PCM_UNSIGNED) raw - (1L << (bits - 1))
+              else { val sh = 64 - bits; (raw << sh) >> sh } // sign-extend from `bits`
+            val s16 = if (bits >= 16) (signed >> (bits - 16)).toInt
+                      else (signed << (16 - bits)).toInt
+            acc += s16
+            c += 1
+          }
+          mono(f) = (acc / ch).toInt
+          f += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate.toInt, ch, mono))
+      }
+    }
+  }
+
   /** Decode + featurize each payload: one pass per partition, streaming.
     *
     * Image payloads decode for real (`javax.imageio`) and featurize as a
     * `dim`-bucket normalized luminance histogram with a pixel-stream
-    * checksum. Non-image kinds — and image rows whose bytes aren't a
-    * decodable stream — use the deterministic byte-fold stand-in
-    * (STUB for audio/video: no JDK codec exists; swap the `else` branch
-    * for a codec call in production).
+    * checksum. Audio payloads decode for real (`javax.sound.sampled`,
+    * PCM WAV/AIFF/AU) and featurize as a `dim`-bucket amplitude
+    * histogram over the mono-mixed 16-bit sample stream. Other kinds —
+    * and rows whose bytes aren't a decodable stream — use the
+    * deterministic byte-fold stand-in (STUB only for video: no JDK
+    * video codec exists; swap that branch for a codec call in
+    * production).
     */
   def decodeFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val decoded = if (m.kind == "image") decodeImage(m.bytes) else None
-        decoded match {
-          case Some(img) =>
+        val decodedImg = if (m.kind == "image") decodeImage(m.bytes) else None
+        val decodedAud = if (m.kind == "audio") decodeAudio(m.bytes) else None
+        (decodedImg, decodedAud) match {
+          case (Some(img), _) =>
             var checksum = 0L
             val hist = new Array[Float](dim)
             var i = 0
@@ -98,7 +164,19 @@ object Multimodal {
             }
             val n = math.max(1, img.gray.length).toFloat
             MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, hist.map(_ / n))
-          case None =>
+          case (_, Some(aud)) =>
+            var checksum = 0L
+            val hist = new Array[Float](dim)
+            var i = 0
+            while (i < aud.samples.length) {
+              val v = aud.samples(i) + 32768 // 0..65535
+              checksum = (checksum * 31 + v) % 1000000007L
+              hist((v * dim) >> 16) += 1.0f
+              i += 1
+            }
+            val n = math.max(1, aud.samples.length).toFloat
+            MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, hist.map(_ / n))
+          case _ =>
             val checksum = m.bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
             MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, byteFold(m.bytes, dim))
         }

@@ -6,7 +6,8 @@ import graft.operators.Multimodal
 import graft.operators.Multimodal.Media
 
 /** C12: multimodal binary columns — image decode REAL (javax.imageio),
-  * audio/video stand-ins deterministic, plumbing real throughout.
+  * audio decode REAL (javax.sound.sampled PCM), video stand-in
+  * deterministic, plumbing real throughout.
   */
 class MultimodalSpec extends AnyFunSuite {
 
@@ -105,6 +106,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.width == 3 && r.head.height == 2)
     assert(r.head.pixels.forall(p => math.abs((p & 0xff) - 128) <= 3),
       s"JPEG round-trip of a solid gray: ${r.head.pixels.map(_ & 0xff).toSeq}")
+  }
+
+  // a handcrafted RIFF/WAVE container around known PCM16LE samples
+  // (interleaved when channels > 1) — no codec involved in construction,
+  // so the decode path is tested against ground truth, not round-trip
+  private def wav(samples: Array[Short], sampleRate: Int = 16000, channels: Int = 1): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRate).putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("a real PCM WAV decodes via javax.sound.sampled: exact samples") {
+    val s = Array[Short](-32768, -16384, 0, 16383, 32767, 1000, -1000, 12345)
+    val d = Multimodal.decodeAudio(wav(s, 8000)).get
+    assert(d.sampleRate == 8000 && d.channels == 1)
+    assert(d.samples.toSeq == s.map(_.toInt).toSeq, "bit-exact PCM16 decode")
+  }
+
+  test("stereo WAV mono-mixes by integer mean; AIFF (big-endian) matches") {
+    val left = Array[Short](100, -200, 3000, -4000)
+    val right = Array[Short](300, -100, 1000, -2000)
+    val inter = left.zip(right).flatMap { case (l, r) => Seq(l, r) }
+    val d = Multimodal.decodeAudio(wav(inter, 16000, channels = 2)).get
+    assert(d.channels == 2)
+    assert(d.samples.toSeq == Seq(200, -150, 2000, -3000), "per-frame channel mean")
+    // same samples through the JDK's AIFF writer (big-endian container)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, true)
+    val raw = new Array[Byte](inter.length * 2)
+    java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.BIG_ENDIAN).asShortBuffer().put(inter)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, left.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val d2 = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(d2.samples.toSeq == d.samples.toSeq, "container-independent decode")
+  }
+
+  test("decodeFeatures histograms real decoded audio amplitude") {
+    // 16 samples covering each of the 8 amplitude buckets exactly twice
+    val s = (0 until 16).map(i => ((i % 8) * 8192 - 32768).toShort).toArray
+    val m = Media(20, "audio", wav(s), 0, 0, 16000)
+    val f = Multimodal.decodeFeatures(Multimodal.ingest(spark, Seq(m)).repartition(2))
+      .collect().head
+    assert(f.feature.toSeq == Seq.fill(8)(0.125f), s"uniform amplitude hist: ${f.feature.toSeq}")
+    val expect = s.foldLeft(0L)((a, v) => (a * 31 + (v + 32768)) % 1000000007L)
+    assert(f.checksum == expect, "checksum over the u16 sample stream")
+    // non-WAV audio bytes keep the documented byte-fold fallback
+    val junk = Multimodal.decodeFeatures(Multimodal.ingest(spark, Seq(media(2)))).collect().head
+    assert(junk.nBytes == 256L)
   }
 
   test("summarize aggregates by kind") {
