@@ -26,6 +26,10 @@ object GraftSession {
       // events.ts is TIMESTAMP(NANOS) parquet; read as int64 nanos (exact,
       // and oracle-comparable via epoch_ns) instead of failing the scan.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // propagate catalog row-count statistics (ANALYZE TABLE) into plan
+      // stats so self-sizing operators (Similarity.corpusRows) can answer
+      // cardinality from metadata instead of a plan-build-time scan
+      .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -20,6 +20,54 @@ class SimilaritySpec extends AnyFunSuite {
     Tables(spark, dir)
   }
 
+  test("embedNearDup refuses oversized corpora, pointing at the LSH path") {
+    val rows = (0L until 20L).map(i => (i, Seq.tabulate(4)(d => (i + d).toFloat), "x"))
+    val t = embeddings(rows)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedNearDup(t, threshold = 0.9, maxAllPairs = 10L)
+    }
+    assert(e.getMessage.contains("embedNearDupLsh"), s"refusal names the scale path: ${e.getMessage}")
+    // within the cap the baseline still plans and runs
+    Similarity.embedNearDup(t, threshold = 0.9, maxAllPairs = 100L).count()
+  }
+
+  test("corpusRows answers from catalog statistics without running a job") {
+    import spark.implicits._
+    // a prior JVM's warehouse dir survives the (in-memory) catalog —
+    // clear both or CREATE TABLE refuses the orphaned location
+    spark.sql("DROP TABLE IF EXISTS emb_stats")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, "emb_stats"))
+    (0L until 123L).map(i => (i, Seq.fill(4)(i.toFloat), "x"))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").saveAsTable("emb_stats")
+    spark.sql("ANALYZE TABLE emb_stats COMPUTE STATISTICS")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(Similarity.corpusRows(spark.table("emb_stats")) == 123L)
+      Thread.sleep(1500) // listener bus is async; drain before asserting
+      assert(jobs.get() == 0, "stats-backed cardinality must not scan")
+      // control: a stat-less source falls back to count() — a real job —
+      // proving the listener would have seen a scan above
+      val dir = java.nio.file.Files.createTempDirectory("embnostat").toString
+      spark.table("emb_stats").write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Thread.sleep(1500)
+      val afterWrite = jobs.get()
+      assert(Similarity.corpusRows(spark.read.parquet(s"$dir/embeddings.parquet")) == 123L)
+      Thread.sleep(1500)
+      assert(jobs.get() > afterWrite, "fallback path runs a count job")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("kmeans separates planted blobs and is deterministic") {
     // three orthogonal-ish directions in 8-d, 20 jittered members each;
     // ids arranged so the deterministic init picks one seed per blob
