@@ -194,10 +194,12 @@ final class EdfTable(paths: Seq[String], tableSchema: StructType) extends Table 
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EdfScanBuilder(paths, tableSchema,
-      Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(128L << 20))
+      Option(options.get("targetSplitBytes")).map(_.toLong).getOrElse(128L << 20),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(0))
 }
 
-final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType, targetSplitBytes: Long)
+final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType, targetSplitBytes: Long,
+    maxFilesPerTrigger: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
@@ -214,17 +216,19 @@ final class EdfScanBuilder(paths: Seq[String], tableSchema: StructType, targetSp
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EdfScan(paths, required, pushdown, pushed, targetSplitBytes)
+  override def build(): Scan =
+    new EdfScan(paths, required, pushdown, pushed, targetSplitBytes, maxFilesPerTrigger)
 }
 
 final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushdown,
-    pushed: Array[Filter], targetSplitBytes: Long) extends Scan with Batch {
+    pushed: Array[Filter], targetSplitBytes: Long, maxFilesPerTrigger: Int = 0)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new EdfMicroBatchStream(paths, required.fieldNames,
       EdfFile.captureConfEntries(org.apache.spark.sql.SparkSession.active),
-      pushdown, targetSplitBytes)
+      pushdown, targetSplitBytes, maxFilesPerTrigger)
   override def description(): String =
     s"EdfScan(paths=${paths.size}, columns=[${required.fieldNames.mkString(",")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}])"
@@ -328,10 +332,19 @@ object EdfStreamOffset {
   * plan-identical to a batch read of the same N files. Hidden files
   * (`.`/`_` prefixes, in-flight uploads by convention) are skipped;
   * non-EDF names in a watched directory are ignored.
+  *
+  * Backpressure: `maxFilesPerTrigger` (option; 0 = unbounded) caps the
+  * files admitted per micro-batch via Spark's admission-control
+  * interface — a 10k-file landing burst drains as bounded batches
+  * instead of one giant plan (the built-in FileStreamSource knob).
+  * Under Trigger.AvailableNow the file set is snapshotted up front
+  * (`prepareForTriggerAvailableNow`) so the drain terminates even if
+  * files keep landing.
   */
 final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
     confEntries: Seq[(String, String)], pushdown: EdfPushdown,
-    targetSplitBytes: Long) extends streaming.MicroBatchStream {
+    targetSplitBytes: Long, maxFilesPerTrigger: Int = 0)
+    extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
 
   private def discover(): Seq[String] = {
     val conf = EdfFile.confFromEntries(confEntries)
@@ -350,14 +363,60 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
     }.distinct.sorted
   }
 
+  /** Set under Trigger.AvailableNow: the drain processes exactly the
+    * files visible at start, in bounded batches, then stops.
+    */
+  @volatile private var availableNowCap: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(discover().toSet)
+
+  private def visible(): Seq[String] =
+    availableNowCap match {
+      case Some(cap) => discover().filter(cap)
+      case None      => discover()
+    }
+
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    if (maxFilesPerTrigger > 0) streaming.ReadLimit.maxFiles(maxFilesPerTrigger)
+    else streaming.ReadLimit.allAvailable()
+
   override def initialOffset(): streaming.Offset = EdfStreamOffset(Seq.empty)
-  override def latestOffset(): streaming.Offset = EdfStreamOffset(discover())
+
+  override def latestOffset(): streaming.Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: streaming.ReadLimit): streaming.Offset = {
+    val seen = start.asInstanceOf[EdfStreamOffset].files
+    val seenSet = seen.toSet
+    val fresh = visible().filterNot(seenSet)
+    val admitted = limit match {
+      case mf: streaming.ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _                          => fresh
+    }
+    EdfStreamOffset((seen ++ admitted).sorted)
+  }
+
+  override def reportLatestOffset(): streaming.Offset = EdfStreamOffset(visible())
+
   override def deserializeOffset(json: String): streaming.Offset = EdfStreamOffset.fromJson(json)
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[EdfStreamOffset].files.toSet
     val fresh = end.asInstanceOf[EdfStreamOffset].files.filterNot(seen)
+    // land-time indexing: newly-landed EDF+D files get their onset
+    // sidecar written before planning (best-effort — an unindexable file
+    // just plans unpruned), so this batch AND every later read prune at
+    // planning time; batch size is bounded by maxFilesPerTrigger
+    val conf = EdfFile.confFromEntries(confEntries)
+    fresh.foreach { f =>
+      try if (graft.sources.EdfOnsetIndex.needed(f, conf)) {
+        graft.sources.EdfOnsetIndex.write(f, conf); ()
+      } catch { case _: Exception => () }
+    }
     fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
   }
 

@@ -230,4 +230,32 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("A13b: maxFilesPerTrigger drains a file burst over bounded micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("edfburst")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    (1 to 5).foreach(i => makeEdfC(s"$watch/b$i.edf", s"0$i.00.00", Seq("C3", "C4")))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = spark.readStream.format("edf")
+      .option("maxFilesPerTrigger", "2").load(watch.toString)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) got.synchronized {
+          batches.incrementAndGet()
+          got ++= rows.map(_.mkString("|"))
+        }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(batches.get() >= 3, s"5 files at 2 per trigger need >= 3 batches, got ${batches.get()}")
+    // the bounded drain covers exactly the burst: row multiset == batch read
+    val expected = spark.read.format("edf")
+      .load((1 to 5).map(i => s"$watch/b$i.edf"): _*).collect().map(_.mkString("|"))
+    assert(got.sorted == expected.toSeq.sorted, "drained rows identical to a batch read")
+  }
 }
