@@ -23,6 +23,11 @@ object EdfPipeline {
     */
   def process(spark: SparkSession, files: Seq[String], outDir: String,
               mode: String = "overwrite"): String = {
+    // land-time indexing: EDF+D inputs get their onset sidecar written as
+    // part of processing (the reference processor materializes outputs at
+    // process time), so later time-bounded reads prune at PLANNING without
+    // any operator remembering to index first
+    graft.sources.EdfOnsetIndex.ensure(spark, files)
     val samples = EdfFile.read(spark, files)
     EdfSink.write(samples, outDir, mode = mode)
   }

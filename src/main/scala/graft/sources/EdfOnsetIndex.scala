@@ -63,6 +63,35 @@ object EdfOnsetIndex {
     out.toString
   }
 
+  /** True when `path` is an EDF+D file that needs (and can get) a
+    * sidecar it doesn't have yet: discontiguous, TAL-bearing, and no
+    * fresh sidecar present.
+    */
+  def needed(path: String, conf: Configuration): Boolean = {
+    val h = EdfFile.readHeader(path, conf)
+    h.isDiscontiguous && h.signals.exists(_.isAnnotation) && read(path, h, conf).isEmpty
+  }
+
+  /** Land-time indexing for a batch of landed files: ensure every EDF+D
+    * member has a fresh sidecar (no-op for contiguous files and
+    * already-indexed ones). Runs per-file in executor tasks — the
+    * driver never touches record bytes — and is BEST-EFFORT: a file
+    * that can't be indexed (corrupt header, read-only directory) is
+    * skipped, since planning without a sidecar is merely unpruned,
+    * never wrong.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession, files: Seq[String]): Unit =
+    if (files.nonEmpty) {
+      val entries = EdfFile.captureConfEntries(spark)
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size, 32)))
+        .foreach { f =>
+          val conf = EdfFile.confFromEntries(entries)
+          try if (needed(f, conf)) { write(f, conf); () }
+          catch { case _: Exception => () }
+        }
+    }
+
   /** Absolute record onsets (µs) from the sidecar, or None when it is
     * missing, unreadable, or stale (record count differs from the
     * header) — callers fall back to unpruned planning.
