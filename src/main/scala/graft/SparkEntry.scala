@@ -365,15 +365,21 @@ object SparkEntry {
       """SELECT event_type, round(sum(value),2) AS total_value, count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "ts_session_window" ->
-      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS us FROM events),
-         f AS (SELECT event_type, us,
+      // sessionize over DISTINCT timestamps (multiplicity summed at the
+      // end): duplicate (event_type, ts) rows — routine once ScaleGen
+      // replicates the corpus — would make the two window sorts order
+      // ties independently and split phantom sessions
+      """WITH e AS (SELECT event_type, epoch_ns(ts)//1000 AS us, count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         f AS (SELECT event_type, us, cnt,
                  CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 7200000000
                       THEN 1 ELSE 0 END AS is_new
                FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us)),
-         g AS (SELECT event_type, us,
+         g AS (SELECT event_type, us, cnt,
                  CAST(sum(is_new) OVER (PARTITION BY event_type ORDER BY us
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f)
-         SELECT event_type, min(us) AS start_us, max(us) + 7200000000 AS end_us, count(*) AS n
+         SELECT event_type, min(us) AS start_us, max(us) + 7200000000 AS end_us,
+           CAST(sum(cnt) AS BIGINT) AS n
          FROM g GROUP BY event_type, sid ORDER BY event_type, start_us""",
     "ts_moving" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events)
