@@ -22,9 +22,15 @@ object ScaleGen {
   private val KeySpan = 100000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcDir> <dstDir> [multiplier]")
+    require(args.length >= 2,
+      "usage: ScaleGen <srcDir> <dstDir> [multiplier] [tables]")
     val src = args(0); val dst = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
+    // optional table subset, e.g. "documents,embeddings" for a probe run
+    // that only needs the corpus tables at a big multiplier
+    val tables: String => Boolean =
+      args.lift(3).map(_.split(",").toSet).map(s => s: String => Boolean)
+        .getOrElse(_ => true)
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -33,7 +39,7 @@ object ScaleGen {
     // `<dir>/<table>.parquet` as ONE file, like the driver's testdata.
     // Compute stays parallel; only the final write funnels through one
     // task (fine for an evidence derivation, not a production sink).
-    def write(t: String)(df: DataFrame): Unit = {
+    def write(t: String)(df: => DataFrame): Unit = if (tables(t)) {
       val tmpDir = s"$dst/_gen_$t"
       df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
       val conf = spark.sparkContext.hadoopConfiguration
