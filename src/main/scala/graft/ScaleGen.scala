@@ -27,10 +27,25 @@ object ScaleGen {
     val src = args(0); val dst = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
     // optional table subset, e.g. "documents,embeddings" for a probe run
-    // that only needs the corpus tables at a big multiplier
-    val tables: String => Boolean =
-      args.lift(3).map(_.split(",").toSet).map(s => s: String => Boolean)
-        .getOrElse(_ => true)
+    // that only needs the corpus tables at a big multiplier. Names are
+    // trimmed and validated — a typo must fail loudly, not silently
+    // produce a partial directory.
+    val subset: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    subset.foreach { s =>
+      val unknown = s -- Tables.names.toSet
+      require(unknown.isEmpty,
+        s"unknown table(s): ${unknown.toSeq.sorted.mkString(", ")}; " +
+          s"known: ${Tables.names.mkString(", ")}")
+    }
+    val tables: String => Boolean = subset.map(s => s: String => Boolean).getOrElse(_ => true)
+    subset.foreach { s =>
+      val skipped = Tables.names.filterNot(s)
+      if (skipped.nonEmpty) println(
+        s"[scalegen] subset run — NOT regenerating: ${skipped.mkString(", ")} " +
+          "(any prior copies in dst keep their old multiplier; mixed-multiplier " +
+          "dirs are only safe for probes that touch the regenerated tables)")
+    }
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

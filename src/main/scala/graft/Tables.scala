@@ -11,7 +11,18 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * object-store URIs and nothing else changes.
   */
 final class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolve through the catalog when [[Tables.register]] has published
+    * this dir as stats-backed external tables — plan statistics then
+    * answer cardinality questions (Similarity.corpusRows bandBits /
+    * maxAllPairs sizing) with ZERO jobs at plan-build time. Bare paths
+    * fall back to a direct parquet scan (and self-sizing operators fall
+    * back to a `count()` job — correct, just not free).
+    */
+  private def t(name: String): DataFrame = {
+    val db = Tables.registered.get(dir)
+    if (db != null && spark.catalog.tableExists(s"$db.$name")) spark.table(s"$db.$name")
+    else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -45,4 +56,47 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** All driver-generated star-schema member names (TESTDATA.md). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** dir → database holding its registered external tables. JVM-wide so
+    * the SQL/TVF path (`graft_q('…', dir)` builds a fresh `Tables`)
+    * resolves through the catalog too; `tableExists` guards against a
+    * session that no longer carries the database.
+    */
+  private[graft] val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Publish `dir`'s parquet tables as EXTERNAL catalog tables with
+    * ANALYZE'd row counts under database `db`, so every later
+    * `Tables(spark, dir)` — including the ones TVFs build during SQL
+    * analysis — sees catalog statistics and self-sizing operators pay
+    * zero plan-build jobs (Similarity.corpusRows). The data never moves
+    * (LOCATION points at the existing files); ANALYZE reads footer
+    * metadata, not rows. Register once per landed IMMUTABLE snapshot;
+    * rewriting files under a registered dir requires re-running this
+    * (stale stats mis-size, they don't corrupt results).
+    */
+  def register(spark: SparkSession, dir: String, db: String = "graft"): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n.parquet")
+      if (p.getFileSystem(conf).exists(p)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`$n`")
+        spark.sql(s"CREATE TABLE `$db`.`$n` USING parquet LOCATION '$dir/$n.parquet'")
+        spark.sql(s"ANALYZE TABLE `$db`.`$n` COMPUTE STATISTICS")
+      }
+    }
+    registered.put(dir, db)
+    ()
+  }
+
+  /** Undo [[register]]'s dir→db mapping (catalog objects are the
+    * caller's to drop). Mainly for tests that must not leak resolution
+    * mode across suites.
+    */
+  def deregister(dir: String): Unit = { registered.remove(dir); () }
 }

@@ -31,6 +31,39 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Pluggable video-decode seam. The JDK ships no video codec, so the
+    * default implementation ([[ByteFoldVideoDecoder]]) is the documented
+    * deterministic stand-in; a production JNI/FFI codec implements this
+    * same trait and drops in via the `video` parameter of
+    * [[decodeFeatures]] / [[frameSample]] without touching partition
+    * shape, output schema, or plan — the decoder runs strictly inside
+    * `mapPartitions` tasks. Implementations must be serializable (they
+    * ship to executors) and deterministic per byte stream (results feed
+    * oracle-compared pipelines).
+    */
+  trait VideoDecoder extends Serializable {
+    /** `dim`-bucket feature vector for one video payload. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Sampled frames as (frameIdx, byteOffset, frameBytes) — a real
+      * codec seeks keyframes; the stand-in strides fixed-size slices.
+      */
+    def frames(bytes: Array[Byte], frameBytes: Int, everyN: Int): Iterator[(Int, Long, Array[Byte])]
+  }
+
+  /** Default [[VideoDecoder]]: the deterministic byte-fold/stride
+    * stand-in (STUB for real decode — no JDK video codec exists).
+    */
+  object ByteFoldVideoDecoder extends VideoDecoder {
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = byteFold(bytes, dim)
+    override def frames(bytes: Array[Byte], frameBytes: Int,
+                        everyN: Int): Iterator[(Int, Long, Array[Byte])] = {
+      val nFrames = bytes.length / frameBytes
+      (0 until nFrames by everyN).iterator.map { f =>
+        (f, f.toLong * frameBytes, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+      }
+    }
+  }
+
   final case class Media(mediaId: Long, kind: String, bytes: Array[Byte],
                          width: Int, height: Int, sampleRate: Int)
 
@@ -145,7 +178,8 @@ object Multimodal {
     * video codec exists; swap that branch for a codec call in
     * production).
     */
-  def decodeFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[Media], dim: Int = 8,
+                     video: VideoDecoder = ByteFoldVideoDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
@@ -178,7 +212,9 @@ object Multimodal {
             MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, hist.map(_ / n))
           case _ =>
             val checksum = m.bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
-            MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, byteFold(m.bytes, dim))
+            val feat = if (m.kind == "video") video.features(m.bytes, dim)
+                       else byteFold(m.bytes, dim)
+            MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong, checksum, feat)
         }
       }
     }
@@ -233,18 +269,17 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video-kind payloads: every `frameBytes`-sized
-    * stride emits one frame slice (deterministic; a codec would seek
-    * keyframes instead — STUB: no JDK video codec). Explodes
-    * executor-side — no driver involvement.
+  /** Frame sampling for video-kind payloads through the [[VideoDecoder]]
+    * seam — the default strides `frameBytes`-sized slices (deterministic;
+    * a production codec seeks keyframes instead). Explodes executor-side
+    * — no driver involvement.
     */
-  def frameSample(media: Dataset[Media], frameBytes: Int, everyN: Int): Dataset[Frame] = {
+  def frameSample(media: Dataset[Media], frameBytes: Int, everyN: Int,
+                  video: VideoDecoder = ByteFoldVideoDecoder): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val nFrames = m.bytes.length / frameBytes
-      (0 until nFrames by everyN).map { f =>
-        Frame(m.mediaId, f, f.toLong * frameBytes,
-          m.bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+      video.frames(m.bytes, frameBytes, everyN).map { case (idx, off, fb) =>
+        Frame(m.mediaId, idx, off, fb)
       }
     }
   }

@@ -60,9 +60,19 @@ object Similarity {
     * data vs LSH's 6.5x): `maxAllPairs` refuses corpora where the
     * quadratic blowup would silently burn a cluster — use
     * [[embedNearDupLsh]] past that size.
+    *
+    * Budget derivation for the 100k default: label blocking caps pairs
+    * at n²/2 in the worst (single-label) case, so 100k rows → ≤ 5×10⁹
+    * fused-cosine evaluations ≈ 500 core-seconds at ~10⁷ 64-dim
+    * cosines/core/s — under a minute on one 32-core executor, the most
+    * a "baseline to measure recall against" should ever cost. One more
+    * decade (1M rows) is 5×10¹¹ pairs ≈ 14 core-HOURS: that is a
+    * cluster-burning job nobody should trigger by default, so the guard
+    * trips first. Override explicitly when a recall study knowingly
+    * pays more.
     */
   def embedNearDup(t: Tables, threshold: Double = 0.9,
-                   maxAllPairs: Long = 1000000L): DataFrame = {
+                   maxAllPairs: Long = 100000L): DataFrame = {
     val n = corpusRows(t.embeddings)
     require(n <= maxAllPairs,
       s"embedNearDup is the all-pairs O(n^2) baseline: corpus has $n rows " +

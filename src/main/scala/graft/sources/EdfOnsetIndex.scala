@@ -81,15 +81,27 @@ object EdfOnsetIndex {
     * never wrong.
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, files: Seq[String]): Unit =
+    ensure(spark.sparkContext, EdfFile.captureConfEntries(spark), files)
+
+  /** Same, for callers that already hold captured conf entries (the
+    * streaming micro-batch planner). Task count tracks the cluster
+    * (`defaultParallelism`), not a fixed constant, so a 1000-executor
+    * fleet indexes a landing burst at fleet width.
+    */
+  def ensure(sc: org.apache.spark.SparkContext, entries: Seq[(String, String)],
+             files: Seq[String]): Unit =
     if (files.nonEmpty) {
-      val entries = EdfFile.captureConfEntries(spark)
-      spark.sparkContext
-        .parallelize(files, math.max(1, math.min(files.size, 32)))
+      // tag the job so the UI (and tests) can attribute the indexing
+      // work to this path rather than whatever query triggered it
+      val prev = sc.getLocalProperty("spark.job.description")
+      sc.setJobDescription(s"EdfOnsetIndex.ensure: land-time sidecar indexing of ${files.size} file(s)")
+      try sc.parallelize(files, math.max(1, math.min(files.size, sc.defaultParallelism)))
         .foreach { f =>
           val conf = EdfFile.confFromEntries(entries)
           try if (needed(f, conf)) { write(f, conf); () }
           catch { case _: Exception => () }
         }
+      finally sc.setJobDescription(prev)
     }
 
   /** Absolute record onsets (µs) from the sidecar, or None when it is

@@ -410,11 +410,12 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
     // land-time indexing: newly-landed EDF+D files get their onset
     // sidecar written before planning (best-effort — an unindexable file
     // just plans unpruned), so this batch AND every later read prune at
-    // planning time; batch size is bounded by maxFilesPerTrigger
-    val conf = EdfFile.confFromEntries(confEntries)
-    fresh.foreach { f =>
-      try if (graft.sources.EdfOnsetIndex.needed(f, conf)) {
-        graft.sources.EdfOnsetIndex.write(f, conf); ()
+    // planning time. The TAL seek-reads run as EXECUTOR tasks
+    // (EdfOnsetIndex.ensure — the driver never touches record bytes);
+    // batch size is bounded by maxFilesPerTrigger
+    if (fresh.nonEmpty) {
+      try org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        graft.sources.EdfOnsetIndex.ensure(s.sparkContext, confEntries, fresh)
       } catch { case _: Exception => () }
     }
     fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray

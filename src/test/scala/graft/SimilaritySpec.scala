@@ -29,6 +29,12 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("embedNearDupLsh"), s"refusal names the scale path: ${e.getMessage}")
     // within the cap the baseline still plans and runs
     Similarity.embedNearDup(t, threshold = 0.9, maxAllPairs = 100L).count()
+    // pin the default budget: 100k rows = ≤5e9 pairs ≈ 500 core-seconds,
+    // the documented ceiling for a recall baseline (see the Scaladoc
+    // derivation) — a silent bump back to 1M would be a 100x cost change
+    val dflt = Similarity.getClass.getMethod("embedNearDup$default$3")
+      .invoke(Similarity).asInstanceOf[Long]
+    assert(dflt == 100000L, s"default maxAllPairs budget changed: $dflt")
   }
 
   test("corpusRows answers from catalog statistics without running a job") {

@@ -52,6 +52,36 @@ class SqlTvfSpec extends AnyFunSuite {
       s"unknown name lists the surface: ${e.getMessage.take(200)}")
   }
 
+  test("Tables.register makes TVF plan-time sizing stats-backed: zero jobs") {
+    // without registration, graft_q('embed_neardup', dir) pays a count()
+    // job DURING SQL ANALYSIS (the maxAllPairs guard asks corpus
+    // cardinality; bare parquet has no stats). Registering the dir as
+    // ANALYZE'd external catalog tables makes the same SQL resolve with
+    // zero jobs — the 100 TB contract for SQL users.
+    Tables.register(spark, sf, db = "graft_sqltvf")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // spark.sql analyzes eagerly: the TVF builds the operator plan here
+      val df = spark.sql(s"SELECT * FROM graft_q('embed_neardup', '$sf')")
+      Thread.sleep(1500) // listener bus is async; drain before asserting
+      assert(jobs.get() == 0,
+        s"stats-backed registration must remove the plan-build cardinality scan, saw ${jobs.get()} job(s)")
+      assert(df.count() > 0, "and the registered plan still executes")
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      // leave no cross-suite catalog resolution surprises behind
+      Tables.names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS graft_sqltvf.`$n`"))
+      spark.sql("DROP DATABASE IF EXISTS graft_sqltvf")
+      Tables.deregister(sf)
+    }
+  }
+
   test("non-literal TVF args fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_curate(concat('a', 'b'))").collect()

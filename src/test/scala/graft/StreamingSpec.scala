@@ -231,6 +231,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("A13b: streamed EDF+D files get onset sidecars, written in executor tasks") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("edfdstream")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    val path = s"$watch/disc.edf"
+    EdfDFixtures.makeEdfD(path, Seq(0.0, 10.0, 25.0))
+    // the sidecar write must run as a Spark job (executor tasks), never
+    // driver-side record I/O: EdfOnsetIndex.ensure tags its job with a
+    // description the listener can attribute (stage names only carry the
+    // streaming query's call site)
+    val jobDescs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobDescs.synchronized {
+          jobDescs += String.valueOf(
+            Option(js.properties).map(_.getProperty("spark.job.description")).orNull)
+        }: Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = spark.readStream.format("edf").load(watch.toString)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmp.resolve("ckpt").toString)
+        .format("noop")
+        .start()
+      q.awaitTermination()
+      Thread.sleep(1500) // listener bus is async; drain before asserting
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val side = Paths.get(graft.sources.EdfOnsetIndex.sidecarPath(path))
+    assert(Files.exists(side), "streamed EDF+D file got its onset sidecar at land time")
+    assert(jobDescs.synchronized(jobDescs.exists(_.contains("EdfOnsetIndex.ensure"))),
+      s"sidecar written by an executor-side job (EdfOnsetIndex.ensure), " +
+        s"jobs seen: ${jobDescs.synchronized(jobDescs.toList)}")
+  }
+
   test("A13b: maxFilesPerTrigger drains a file burst over bounded micro-batches") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
