@@ -59,7 +59,13 @@ object PlanAudit {
       ("paragraph_dedup", p => !p.contains("Window"),
         "first-occurrence pick is a window-free aggregation"),
       ("paragraph_dedup", _.contains("partial_min_by"),
-        "hot paragraph keys collapse map-side (partial min_by)"))
+        "hot paragraph keys collapse map-side (partial min_by)"),
+      // the redaction pass must stay a narrow scan: no join, no
+      // hash-shuffle (the final orderBy is a range exchange, not hash)
+      ("pii_redact", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "redaction is one narrow scan pass (no join, no hash shuffle)"),
+      ("decontaminate_fuzzy", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
+        "benchmark bands broadcast; candidates never cross-product"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

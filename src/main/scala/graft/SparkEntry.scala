@@ -92,7 +92,9 @@ object SparkEntry {
     "gopher_rules"       -> q(TextAnalysis.gopherRules(_)),
     "heavy_hitters"      -> q(TextAnalysis.heavyHitters(_)),
     "pack_sequences"     -> q(Sampling.packSequences(_)),
-    "corpus_shuffle"     -> q(Sampling.corpusShuffle(_))
+    "corpus_shuffle"     -> q(Sampling.corpusShuffle(_)),
+    "pii_redact"         -> q(TextAnalysis.piiRedact),
+    "decontaminate_fuzzy" -> q(TextAnalysis.decontaminateFuzzy(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -604,6 +606,47 @@ object SparkEntry {
             + len(regexp_extract_all(text, 'https?://[^\s]+'))
             + len(regexp_extract_all(text, '\d{3}[-.]\d{3,4}[-.]\d{4}'))) > 0 AS has_pii
          FROM documents ORDER BY doc_id""",
+    "pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             'https?://[^\s]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\d{3}[-.]\d{3,4}[-.]\d{4}', '[PHONE]', 'g') AS redacted,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+           len(regexp_extract_all(regexp_replace(text,
+             'https?://[^\s]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(regexp_replace(regexp_replace(text,
+             'https?://[^\s]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\d{3}[-.]\d{3,4}[-.]\d{4}')) AS n_phones
+         FROM documents ORDER BY doc_id""",
+    "decontaminate_fuzzy" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         cands AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id
+                   FROM bands c JOIN bands b ON c.band_idx=b.band_idx AND c.band_hash=b.band_hash
+                     AND c.doc_id >= 25 AND b.doc_id < 25
+                   GROUP BY 1,2),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         cm AS (SELECT c.doc_id, c.bench_id, count(*) AS common
+                FROM cands c JOIN s sa ON sa.doc_id = c.doc_id JOIN s sb ON sb.doc_id = c.bench_id AND sb.h = sa.h
+                GROUP BY 1,2),
+         j AS (SELECT c.doc_id, c.bench_id, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM cands c LEFT JOIN cm ON c.doc_id = cm.doc_id AND c.bench_id = cm.bench_id
+               JOIN n na ON c.doc_id = na.doc_id JOIN n nb ON c.bench_id = nb.doc_id)
+         SELECT doc_id, bench_id, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.5 ORDER BY doc_id, bench_id""",
     "decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

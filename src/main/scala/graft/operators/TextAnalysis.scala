@@ -174,6 +174,31 @@ object TextAnalysis {
       .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
       .orderBy(col("doc_id"))
 
+  /** C15b: PII REDACTION — the action [[piiCount]] audits for. One
+    * codegen'd pass rewrites each detected span to a typed placeholder,
+    * in a fixed order mirrored by the oracle: URLs first (an
+    * email-shaped token inside a URL must redact as part of the URL),
+    * then emails, then phone-shaped tokens. Per-kind counts are taken
+    * against the text as it stood at that step, so they sum to the
+    * number of placeholders actually inserted. Pure `regexp_replace` /
+    * `regexp_count` — no UDFs, no shuffle, scan-shaped at any corpus
+    * size.
+    */
+  def piiRedact(t: Tables): DataFrame = {
+    val url = "https?://[^\\s]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}[-.]\\d{3,4}[-.]\\d{4}"
+    val t1 = regexp_replace(col("text"), url, "[URL]")
+    val t2 = regexp_replace(t1, email, "[EMAIL]")
+    val t3 = regexp_replace(t2, phone, "[PHONE]")
+    t.documents
+      .select(col("doc_id"), t3.as("redacted"),
+        regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+        regexp_count(t1, lit(email)).cast("long").as("n_emails"),
+        regexp_count(t2, lit(phone)).cast("long").as("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C23: benchmark decontamination — flag corpus documents sharing any
     * k-gram with a benchmark/eval set (the standard pre-training hygiene
     * pass). The benchmark's distinct shingle hashes aggregate to a
@@ -192,6 +217,52 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** C23c: FUZZY decontamination — [[decontaminate]]'s exact k-gram
+    * match misses paraphrased leaks (reworded benchmark items share few
+    * exact 5-grams). This variant flags corpus docs whose shingle-set
+    * Jaccard against ANY benchmark doc clears a threshold, using the
+    * same two-phase shape as the dedup pipeline: banded MinHash between
+    * corpus and benchmark for candidates (the benchmark band relation is
+    * broadcast — at 100 TB the corpus pays one narrow signature pass and
+    * zero shuffle before the survivors-only confirm), then exact Jaccard
+    * on candidates via the inverted-index join (never a cross product).
+    */
+  def decontaminateFuzzy(t: Tables, benchMaxId: Long = 25L, k: Int = 3,
+                         nBands: Int = 8, rowsPerBand: Int = 4,
+                         threshold: Double = 0.5): DataFrame = {
+    val shingle = s"graft_shingle_hashes(text, $k)"
+    val withBands = t.documents
+      .withColumn("hs", expr(shingle))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)"))
+          .as(Seq("band_idx", "band_hash")))
+    val bench = withBands.filter(col("doc_id") < benchMaxId)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
+    val corpus = withBands.filter(col("doc_id") >= benchMaxId)
+      .select(col("band_idx"), col("band_hash"), col("doc_id"))
+    val cands = corpus.join(broadcast(bench), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val shingles = t.documents
+      .withColumn("hs", expr(shingle))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val counts = t.documents
+      .select(col("doc_id"), size(expr(shingle)).cast("long").as("nh"))
+    val common = cands
+      .join(shingles, Seq("doc_id"))
+      .join(shingles.select(col("doc_id").as("bench_id"), col("h")), Seq("bench_id", "h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+    cands
+      .join(common, Seq("doc_id", "bench_id"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .join(counts, Seq("doc_id"))
+      .join(counts.select(col("doc_id").as("bench_id"), col("nh").as("nh_b")), Seq("bench_id"))
+      .withColumn("jac", col("common").cast("double") / (col("nh") + col("nh_b") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("bench_id"), roundHalfUp(col("jac"), 4).as("jaccard"))
+      .orderBy(col("doc_id"), col("bench_id"))
   }
 
   /** C24: the curation DECISION — every narrow quality signal (C8 lang

@@ -59,6 +59,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bloom.contains(30L) && !bloom.contains(31L))
   }
 
+  test("pii redact replaces spans with typed placeholders in URL-first order") {
+    val t = docs(Seq(
+      (1L, "mail alice@example.com or see https://a.example/x?u=bob@example.com then call 555-123-4567"),
+      (2L, "nothing sensitive here at all")))
+    val got = TextAnalysis.piiRedact(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // the email inside the URL redacts as part of the URL, not separately
+    assert(got(1L)._1 == "mail [EMAIL] or see [URL] then call [PHONE]", s"redacted: ${got(1L)._1}")
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) == ((1L, 1L, 1L)),
+      s"one placeholder per kind: ${got(1L)}")
+    assert(got(2L) == (("nothing sensitive here at all", 0L, 0L, 0L)), "clean doc unchanged")
+  }
+
+  test("fuzzy decontamination catches a paraphrased leak exact k-grams can miss") {
+    val benchSentence = "the quick brown fox jumps over the lazy dog every single morning " +
+      "before breakfast is served in the garden by the caretaker"
+    // paraphrase: a word swapped mid-sentence breaks many exact 5-grams
+    // but leaves shingle-set Jaccard high
+    val leaked = benchSentence.replace("lazy", "sleepy")
+    val t = docs(Seq(
+      (1L, benchSentence),                                             // benchmark doc
+      (30L, leaked),                                                   // paraphrased leak
+      (31L, "completely unrelated text about cooking pasta with fresh tomatoes and basil leaves")))
+    val got = TextAnalysis.decontaminateFuzzy(t, benchMaxId = 25L, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 30L && p._2 == 1L && p._3 >= 0.5),
+      s"paraphrased leak flagged vs its benchmark source: ${got.toSeq}")
+    assert(!got.exists(_._1 == 31L), "unrelated doc untouched")
+  }
+
   test("gopher rules flag exactly the rule each pathological doc violates") {
     // 30 words, 27 distinct, all-alpha, mean word length 159/30 = 5.3, and the
     // ONLY stopwords present are "the"/"of" — so doc 4's THE/OF-stripped copy
