@@ -140,6 +140,29 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("contentHash")
 
+  /** C20b: STREAM-STATIC decontamination — the live-ingest twin of
+    * TextAnalysis.decontaminate. Each arriving document's k-gram shingle
+    * hashes join against a STATIC benchmark hash relation (the classic
+    * Structured Streaming stream-static join: the static side is
+    * broadcast and needs no watermark or stream-stream state), emitting
+    * (docId, n_shared_grams) for contaminated arrivals in Update mode.
+    * The join is inner, so CLEAN documents never reach the aggregation:
+    * streaming state is O(flagged docs) — the contamination hit list
+    * itself, not the corpus. Same shingle kernel as the batch operator,
+    * so batch and stream flag identical documents.
+    */
+  def streamingDecontaminate(docs: Dataset[Doc], benchHashes: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .select(col("docId"), explode(expr(s"graft_shingle_hashes(text, $k)")).as("h"))
+      .join(broadcast(benchHashes.select(col("h")).distinct()), Seq("h"))
+      // the shingle kernel emits DISTINCT hashes per doc and the bench
+      // side is deduplicated, so joined (docId, h) pairs are unique —
+      // count(*) IS the distinct count (streaming forbids count_distinct)
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Streaming heavy hitters: the Misra–Gries token summary (C30's
     * `graft_heavy_hitters` TypedImperativeAggregate) over tumbling
     * event-time windows — a mergeable sketch is exactly what a

@@ -94,6 +94,46 @@ class StreamingSpec extends AnyFunSuite {
       s"one of the dup pair + the fresh doc survive: ${kept.toSeq}")
   }
 
+  test("streamingDecontaminate flags streamed docs against the static benchmark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchSentence = "the capital of france is paris and everyone knows it"
+    // static side: the benchmark's distinct 5-gram hashes (batch relation)
+    val bench = Seq(benchSentence).toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr("graft_shingle_hashes(text, 5)")).as("h"))
+      .distinct()
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.streamingDecontaminate(mem.toDS(), bench)
+      .writeStream.format("memory").queryName("decon").outputMode("update").start()
+    mem.addData(EventStream.Doc(30, s"leaked text says $benchSentence verbatim"))
+    q.processAllAvailable()
+    mem.addData(EventStream.Doc(31, "a perfectly original document with novel phrasing"))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT docId, n_shared_grams FROM decon").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got.contains(30L) && got(30L) >= 6L, s"contaminated arrival flagged: $got")
+    assert(!got.contains(31L), "clean arrival never enters state or output")
+    // batch parity: the same doc set through the batch operator flags
+    // the same docs with the same counts
+    val t = {
+      val df = Seq(
+        (1L, benchSentence),
+        (30L, s"leaked text says $benchSentence verbatim"),
+        (31L, "a perfectly original document with novel phrasing")).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      val dir = java.nio.file.Files.createTempDirectory("sdecon").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables(spark, dir)
+    }
+    val batch = graft.operators.TextAnalysis.decontaminate(t, benchMaxId = 25L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == got, s"stream == batch: $batch vs $got")
+  }
+
   test("streamingHeavyHitters merges the sketch across microbatches per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
