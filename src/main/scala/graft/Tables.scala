@@ -19,7 +19,7 @@ final class Tables(spark: SparkSession, dir: String) {
     * back to a `count()` job — correct, just not free).
     */
   private def t(name: String): DataFrame = {
-    val db = Tables.registered.get(dir)
+    val db = Tables.registered.get(Tables.dirKey(dir))
     if (db != null && spark.catalog.tableExists(s"$db.$name")) spark.table(s"$db.$name")
     else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -61,8 +61,16 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** dir → database holding its registered external tables. JVM-wide so
-    * the SQL/TVF path (`graft_q('…', dir)` builds a fresh `Tables`)
+  /** Normalized registry key: equivalent spellings of one dir (trailing
+    * slash, redundant separators) must hit the same registration, or
+    * the SQL user typing `graft_q('…', '/data/sf1/')` silently loses
+    * the stats-backed path.
+    */
+  private[graft] def dirKey(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toUri.toString
+
+  /** dirKey → database holding its registered external tables. JVM-wide
+    * so the SQL/TVF path (`graft_q('…', dir)` builds a fresh `Tables`)
     * resolves through the catalog too; `tableExists` guards against a
     * session that no longer carries the database.
     */
@@ -75,11 +83,18 @@ object Tables {
     * analysis — sees catalog statistics and self-sizing operators pay
     * zero plan-build jobs (Similarity.corpusRows). The data never moves
     * (LOCATION points at the existing files); ANALYZE reads footer
-    * metadata, not rows. Register once per landed IMMUTABLE snapshot;
-    * rewriting files under a registered dir requires re-running this
-    * (stale stats mis-size, they don't corrupt results).
+    * metadata, not rows. Register once per landed IMMUTABLE snapshot.
+    * REWRITING files under a registered dir requires re-running this:
+    * the catalog froze both the row stats AND the schema, so a rewrite
+    * with different columns/types would silently read through the stale
+    * stored schema (nulls for vanished columns) — re-register, don't
+    * mutate in place.
     */
   def register(spark: SparkSession, dir: String, db: String = "graft"): Unit = {
+    // both values are interpolated into SQL text: refuse anything that
+    // could break out of its quoting rather than escaping ad hoc
+    require(db.matches("[A-Za-z0-9_]+"), s"db must be [A-Za-z0-9_]+: '$db'")
+    require(!dir.contains("'"), s"dir must not contain a quote: '$dir'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     val conf = spark.sparkContext.hadoopConfiguration
     names.foreach { n =>
@@ -90,7 +105,7 @@ object Tables {
         spark.sql(s"ANALYZE TABLE `$db`.`$n` COMPUTE STATISTICS")
       }
     }
-    registered.put(dir, db)
+    registered.put(dirKey(dir), db)
     ()
   }
 
@@ -98,5 +113,5 @@ object Tables {
     * caller's to drop). Mainly for tests that must not leak resolution
     * mode across suites.
     */
-  def deregister(dir: String): Unit = { registered.remove(dir); () }
+  def deregister(dir: String): Unit = { registered.remove(dirKey(dir)); () }
 }

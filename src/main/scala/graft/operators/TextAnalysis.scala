@@ -232,33 +232,36 @@ object TextAnalysis {
   def decontaminateFuzzy(t: Tables, benchMaxId: Long = 25L, k: Int = 3,
                          nBands: Int = 8, rowsPerBand: Int = 4,
                          threshold: Double = 0.5): DataFrame = {
+    // every relation below carries its side's doc_id bound EXPLICITLY
+    // (pushed to the parquet scan) — correctness of the corpus/bench
+    // split must not depend on the optimizer's constraint propagation,
+    // and the bench-side branches scan 25 docs, not the corpus
     val shingle = s"graft_shingle_hashes(text, $k)"
-    val withBands = t.documents
-      .withColumn("hs", expr(shingle))
-      .select(col("doc_id"),
-        posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)"))
-          .as(Seq("band_idx", "band_hash")))
-    val bench = withBands.filter(col("doc_id") < benchMaxId)
-      .select(col("band_idx"), col("band_hash"), col("doc_id").as("bench_id"))
-    val corpus = withBands.filter(col("doc_id") >= benchMaxId)
-      .select(col("band_idx"), col("band_hash"), col("doc_id"))
-    val cands = corpus.join(broadcast(bench), Seq("band_idx", "band_hash"))
+    def hashed(side: Column => Column) = t.documents.filter(side(col("doc_id")))
+      .select(col("doc_id"), expr(shingle).as("hs"))
+    val corpusHashed = hashed(_ >= benchMaxId)
+    val benchHashed = hashed(_ < benchMaxId)
+    def bands(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)"))
+        .as(Seq("band_idx", "band_hash")))
+    val cands = bands(corpusHashed)
+      .join(broadcast(bands(benchHashed).withColumnRenamed("doc_id", "bench_id")),
+        Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("bench_id")).distinct()
-    val shingles = t.documents
-      .withColumn("hs", expr(shingle))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    val counts = t.documents
-      .select(col("doc_id"), size(expr(shingle)).cast("long").as("nh"))
+    // per-doc distinct-shingle count is the hs array size — same narrow
+    // scan branch as the explode, never a second kernel pass per side
+    def shingles(df: DataFrame) = df.select(col("doc_id"), explode(col("hs")).as("h"))
+    def counts(df: DataFrame) = df.select(col("doc_id"), size(col("hs")).cast("long").as("nh"))
     val common = cands
-      .join(shingles, Seq("doc_id"))
-      .join(shingles.select(col("doc_id").as("bench_id"), col("h")), Seq("bench_id", "h"))
+      .join(shingles(corpusHashed), Seq("doc_id"))
+      .join(shingles(benchHashed).toDF("bench_id", "h"), Seq("bench_id", "h"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("common"))
     cands
       .join(common, Seq("doc_id", "bench_id"), "left")
       .withColumn("common", coalesce(col("common"), lit(0L)))
-      .join(counts, Seq("doc_id"))
-      .join(counts.select(col("doc_id").as("bench_id"), col("nh").as("nh_b")), Seq("bench_id"))
+      .join(counts(corpusHashed), Seq("doc_id"))
+      .join(counts(benchHashed).toDF("bench_id", "nh_b"), Seq("bench_id"))
       .withColumn("jac", col("common").cast("double") / (col("nh") + col("nh_b") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("doc_id"), col("bench_id"), roundHalfUp(col("jac"), 4).as("jaccard"))

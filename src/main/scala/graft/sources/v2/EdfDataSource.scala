@@ -412,10 +412,22 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
     // just plans unpruned), so this batch AND every later read prune at
     // planning time. The TAL seek-reads run as EXECUTOR tasks
     // (EdfOnsetIndex.ensure — the driver never touches record bytes);
-    // batch size is bounded by maxFilesPerTrigger
+    // batch size is bounded by maxFilesPerTrigger. If no session is
+    // active on the planning thread (custom execution pools), fall back
+    // to the driver-side loop rather than silently skipping: unindexed
+    // EDF+D files would plan unpruned FOREVER, a permanent regression
+    // worse than one bounded batch of driver I/O.
     if (fresh.nonEmpty) {
-      try org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
-        graft.sources.EdfOnsetIndex.ensure(s.sparkContext, confEntries, fresh)
+      try org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) =>
+          graft.sources.EdfOnsetIndex.ensure(s.sparkContext, confEntries, fresh)
+        case None =>
+          val conf = EdfFile.confFromEntries(confEntries)
+          fresh.foreach { f =>
+            try if (graft.sources.EdfOnsetIndex.needed(f, conf)) {
+              graft.sources.EdfOnsetIndex.write(f, conf); ()
+            } catch { case _: Exception => () }
+          }
       } catch { case _: Exception => () }
     }
     fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray

@@ -148,12 +148,17 @@ object EventStream {
     * (docId, n_shared_grams) for contaminated arrivals in Update mode.
     * The join is inner, so CLEAN documents never reach the aggregation:
     * streaming state is O(flagged docs) — the contamination hit list
-    * itself, not the corpus. Same shingle kernel as the batch operator,
-    * so batch and stream flag identical documents.
+    * itself, not the corpus. Same shingle kernel AND same corpus
+    * boundary as the batch operator (benchmark members re-arriving on
+    * the stream — docId < benchMaxId — are excluded, exactly like the
+    * batch side's corpus filter), so batch and stream flag identical
+    * documents.
     */
-  def streamingDecontaminate(docs: Dataset[Doc], benchHashes: DataFrame, k: Int = 5): DataFrame = {
+  def streamingDecontaminate(docs: Dataset[Doc], benchHashes: DataFrame, k: Int = 5,
+                             benchMaxId: Long = 25L): DataFrame = {
     import org.apache.spark.sql.functions._
     docs.toDF()
+      .filter(col("docId") >= benchMaxId)
       .select(col("docId"), explode(expr(s"graft_shingle_hashes(text, $k)")).as("h"))
       .join(broadcast(benchHashes.select(col("h")).distinct()), Seq("h"))
       // the shingle kernel emits DISTINCT hashes per doc and the bench

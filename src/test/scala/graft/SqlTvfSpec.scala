@@ -59,6 +59,10 @@ class SqlTvfSpec extends AnyFunSuite {
     // ANALYZE'd external catalog tables makes the same SQL resolve with
     // zero jobs — the 100 TB contract for SQL users.
     Tables.register(spark, sf, db = "graft_sqltvf")
+    // register's ANALYZE jobs are still draining on the async listener
+    // bus; let them land BEFORE attaching the counter or they get
+    // delivered to it and fail the zero-jobs assertion spuriously
+    Thread.sleep(1500)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {

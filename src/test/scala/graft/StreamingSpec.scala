@@ -109,12 +109,16 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(EventStream.Doc(30, s"leaked text says $benchSentence verbatim"))
     q.processAllAvailable()
     mem.addData(EventStream.Doc(31, "a perfectly original document with novel phrasing"))
+    // a benchmark member re-arriving on the stream is NOT contamination
+    // (same corpus boundary as the batch operator's doc_id filter)
+    mem.addData(EventStream.Doc(1, benchSentence))
     q.processAllAvailable()
     val got = spark.sql("SELECT docId, n_shared_grams FROM decon").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     q.stop()
     assert(got.contains(30L) && got(30L) >= 6L, s"contaminated arrival flagged: $got")
     assert(!got.contains(31L), "clean arrival never enters state or output")
+    assert(!got.contains(1L), "benchmark member re-arrival excluded, like the batch corpus filter")
     // batch parity: the same doc set through the batch operator flags
     // the same docs with the same counts
     val t = {
