@@ -94,7 +94,8 @@ object SparkEntry {
     "pack_sequences"     -> q(Sampling.packSequences(_)),
     "corpus_shuffle"     -> q(Sampling.corpusShuffle(_)),
     "pii_redact"         -> q(TextAnalysis.piiRedact),
-    "decontaminate_fuzzy" -> q(TextAnalysis.decontaminateFuzzy(_))
+    "decontaminate_fuzzy" -> q(TextAnalysis.decontaminateFuzzy(_)),
+    "corpus_delta"       -> q(TextAnalysis.corpusDelta(_: graft.Tables))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -647,6 +648,23 @@ object SparkEntry {
                JOIN n na ON c.doc_id = na.doc_id JOIN n nb ON c.bench_id = nb.doc_id)
          SELECT doc_id, bench_id, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
          FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.5 ORDER BY doc_id, bench_id""",
+    "corpus_delta" ->
+      """WITH cur AS (SELECT doc_id, text FROM documents),
+         prev AS (
+           SELECT doc_id, CASE WHEN doc_id % 17 = 3 THEN text || ' [edited]' ELSE text END AS text
+           FROM documents WHERE doc_id % 13 != 5
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 2
+         ),
+         j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                 md5(c.text) AS h_cur, md5(p.text) AS h_prev
+               FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+         SELECT doc_id,
+           CASE WHEN h_prev IS NULL THEN 'added'
+                WHEN h_cur IS NULL THEN 'removed'
+                WHEN h_cur = h_prev THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM j ORDER BY doc_id""",
     "decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

@@ -367,6 +367,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** C32: corpus snapshot delta — content-hash change detection between
+    * the current corpus and the previous snapshot: every doc_id is
+    * classified added / removed / changed / unchanged. At 100 TB this
+    * is the operator that turns a full reprocess into an INCREMENTAL
+    * one — downstream stages (signatures, quality, embeddings) recompute
+    * only `added`+`changed`, and tombstone `removed`. One full-outer
+    * join co-shuffled on doc_id; 128-bit hashes travel, text never does.
+    */
+  def corpusDelta(cur: DataFrame, prev: DataFrame): DataFrame = {
+    def hashed(df: DataFrame, h: String) =
+      df.select(col("doc_id"), md5(col("text")).as(h))
+    hashed(cur, "h_cur")
+      .join(hashed(prev, "h_prev"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_prev").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(col("h_cur") === col("h_prev"), "unchanged")
+          .otherwise("changed"))
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C32 driver entry: the previous snapshot is SIMULATED
+    * deterministically from the current one (the testdata ships a
+    * single snapshot) — docs with `doc_id % 13 = 5` are new since prev
+    * (→ added), `% 17 = 3` carry an edit marker in prev (→ changed),
+    * and prev additionally held ids shifted by 1,000,000 for
+    * `% 19 = 2` (→ removed). The oracle mirrors the same derivation, so
+    * all four statuses are exercised at every SF.
+    */
+  def corpusDelta(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 19 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpusDelta(docs, prev)
+  }
+
   /** C21: corpus profile — per-stratum doc/char counts plus EXACT length
     * quantiles through the histogram-select engine (Analytics
     * .exactQuantiles as reusable API; counts and quantiles join at

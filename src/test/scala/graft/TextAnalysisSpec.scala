@@ -89,6 +89,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 31L), "unrelated doc untouched")
   }
 
+  test("corpusDelta classifies added / removed / changed / unchanged exactly") {
+    import spark.implicits._
+    val cur = Seq(
+      (1L, "same text"), (2L, "new version"), (4L, "brand new doc")).toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "same text"), (2L, "old version"), (3L, "deleted doc")).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusDelta(cur, prev).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"exact per-doc classification: $got")
+  }
+
   test("gopher rules flag exactly the rule each pathological doc violates") {
     // 30 words, 27 distinct, all-alpha, mean word length 159/30 = 5.3, and the
     // ONLY stopwords present are "the"/"of" — so doc 4's THE/OF-stripped copy
