@@ -92,9 +92,13 @@ object Tables {
     */
   def register(spark: SparkSession, dir: String, db: String = "graft"): Unit = {
     // both values are interpolated into SQL text: refuse anything that
-    // could break out of its quoting rather than escaping ad hoc
+    // could break out of its quoting rather than escaping ad hoc. Spark
+    // SQL string literals process backslash escapes, so a trailing '\'
+    // would swallow the closing quote — reject it alongside quotes and
+    // control characters instead of trying to escape.
     require(db.matches("[A-Za-z0-9_]+"), s"db must be [A-Za-z0-9_]+: '$db'")
-    require(!dir.contains("'"), s"dir must not contain a quote: '$dir'")
+    require(!dir.exists(c => c == '\'' || c == '\\' || c.isControl),
+      s"dir must not contain quotes, backslashes, or control chars: '$dir'")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
     val conf = spark.sparkContext.hadoopConfiguration
     names.foreach { n =>
@@ -105,7 +109,13 @@ object Tables {
         spark.sql(s"ANALYZE TABLE `$db`.`$n` COMPUTE STATISTICS")
       }
     }
-    registered.put(dirKey(dir), db)
+    // A db holds ONE dir's tables: re-registering a different dir under
+    // the same db just re-pointed the catalog at the new location, so any
+    // stale key still mapping to this db would silently resolve to the
+    // NEW dir's data. Evict those keys before publishing ours.
+    val key = dirKey(dir)
+    registered.entrySet().removeIf(e => e.getValue == db && e.getKey != key)
+    registered.put(key, db)
     ()
   }
 

@@ -399,6 +399,15 @@ object TextAnalysis {
     */
   def corpusDelta(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"), col("text"))
+    // The +1,000,000 shift is only collision-free while every real
+    // doc_id sits below it — past that the shifted "removed" ids would
+    // alias real docs and fan out the full-outer join. This is a test
+    // harness derivation (the oracle mirrors the same constant), so
+    // assert the ceiling rather than silently corrupting the simulation.
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"corpusDelta(t) simulated-prev shift assumes doc_id < 1,000,000 (saw $maxId); " +
+        "use corpusDelta(cur, prev) with a real previous snapshot at this scale")
     val prev = docs.filter(col("doc_id") % 13 =!= 5)
       .withColumn("text",
         when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [edited]")))

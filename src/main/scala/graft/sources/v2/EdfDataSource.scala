@@ -418,6 +418,11 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
     // EDF+D files would plan unpruned FOREVER, a permanent regression
     // worse than one bounded batch of driver I/O.
     if (fresh.nonEmpty) {
+      // best-effort stays the semantic (an unindexable file plans
+      // unpruned, correctly) — but a PERMANENTLY failing sidecar write
+      // must be visible, so every swallowed exception logs at WARN with
+      // the path it affects instead of vanishing.
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
       try org.apache.spark.sql.SparkSession.getActiveSession match {
         case Some(s) =>
           graft.sources.EdfOnsetIndex.ensure(s.sparkContext, confEntries, fresh)
@@ -426,9 +431,18 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
           fresh.foreach { f =>
             try if (graft.sources.EdfOnsetIndex.needed(f, conf)) {
               graft.sources.EdfOnsetIndex.write(f, conf); ()
-            } catch { case _: Exception => () }
+            } catch {
+              case e: Exception =>
+                log.warn(s"EDF onset sidecar write failed for $f " +
+                  s"(file will plan unpruned): ${e.getMessage}")
+            }
           }
-      } catch { case _: Exception => () }
+      } catch {
+        case e: Exception =>
+          log.warn(s"EDF onset sidecar indexing failed for batch of " +
+            s"${fresh.length} file(s), e.g. ${fresh.head} " +
+            s"(batch plans unpruned): ${e.getMessage}")
+      }
     }
     fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
   }

@@ -162,8 +162,15 @@ object EventStream {
       .select(col("docId"), explode(expr(s"graft_shingle_hashes(text, $k)")).as("h"))
       .join(broadcast(benchHashes.select(col("h")).distinct()), Seq("h"))
       // the shingle kernel emits DISTINCT hashes per doc and the bench
-      // side is deduplicated, so joined (docId, h) pairs are unique —
-      // count(*) IS the distinct count (streaming forbids count_distinct)
+      // side is deduplicated, so within ONE arrival the joined (docId, h)
+      // pairs are unique — but an at-least-once source can re-deliver a
+      // contaminated document in a later micro-batch, and Update-mode
+      // counts accumulate across batches. Dedup the flagged pairs before
+      // counting: redelivery becomes idempotent, and because this sits
+      // AFTER the inner join the dedup state is still O(flagged grams) —
+      // the contamination hit list, not the corpus. count(*) then IS the
+      // distinct count (streaming forbids count_distinct).
+      .dropDuplicates("docId", "h")
       .groupBy(col("docId"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }

@@ -14,6 +14,18 @@ class SqlTvfSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  /** Block until every event already posted to the async listener bus has
+    * been delivered. `LiveListenerBus.waitUntilEmpty` is private[spark]
+    * (public in bytecode), so reach it reflectively — deterministic,
+    * unlike a fixed sleep on a loaded machine.
+    */
+  private def drainListenerBus(): Unit = {
+    val sc = spark.sparkContext
+    val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+    bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    ()
+  }
+
   test("graft_curate runs from pure SQL and matches the DataFrame API") {
     val sql = spark.sql(s"SELECT * FROM graft_curate('$sf') ORDER BY doc_id").collect()
     val api = graft.operators.TextAnalysis.curate(new Tables(spark, sf))
@@ -61,8 +73,9 @@ class SqlTvfSpec extends AnyFunSuite {
     Tables.register(spark, sf, db = "graft_sqltvf")
     // register's ANALYZE jobs are still draining on the async listener
     // bus; let them land BEFORE attaching the counter or they get
-    // delivered to it and fail the zero-jobs assertion spuriously
-    Thread.sleep(1500)
+    // delivered to it and fail the zero-jobs assertion spuriously.
+    // waitUntilEmpty (vs a fixed sleep) is deterministic on loaded CI.
+    drainListenerBus()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val l = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -73,7 +86,7 @@ class SqlTvfSpec extends AnyFunSuite {
     try {
       // spark.sql analyzes eagerly: the TVF builds the operator plan here
       val df = spark.sql(s"SELECT * FROM graft_q('embed_neardup', '$sf')")
-      Thread.sleep(1500) // listener bus is async; drain before asserting
+      drainListenerBus() // listener bus is async; drain before asserting
       assert(jobs.get() == 0,
         s"stats-backed registration must remove the plan-build cardinality scan, saw ${jobs.get()} job(s)")
       assert(df.count() > 0, "and the registered plan still executes")
