@@ -81,8 +81,38 @@ object PlanAudit {
       ("edf_scan", edfScanDesc.contains("EqualTo(channel,"), "channel predicate pushed to EDF scan"),
       ("edf_scan", edfScanDesc.contains("LessThan(ts_us,"), "time predicate pushed to EDF scan"))
 
+    // Library-API sort-freedom: operator methods called DIRECTLY (not
+    // through SparkEntry.queries, which adds the oracle-determinism sort
+    // at the driver boundary) must not carry a global sort — at 100 TB a
+    // rangepartitioning exchange of the whole corpus would be the most
+    // expensive stage of an otherwise exchange-free plan. The narrow
+    // scan-shaped operators must in fact plan with ZERO exchanges.
+    val t = Tables(spark, sfDir)
+    def libPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+        "\n" + df.queryExecution.executedPlan.toString
+    }
+    val libChecks: Seq[(String, Boolean, String)] = Seq(
+      ("lib:pii_redact", !libPlan(operators.TextAnalysis.piiRedact(t)).contains("Exchange"),
+        "library redaction is a zero-exchange narrow scan (sort-free API)"),
+      ("lib:token_count", !libPlan(operators.TextAnalysis.tokenCount(t)).contains("Exchange"),
+        "library token counting is a zero-exchange narrow scan (sort-free API)"),
+      ("lib:gopher_rules", !libPlan(operators.TextAnalysis.gopherRules(t)).contains("Exchange"),
+        "library gopher rules are a zero-exchange narrow scan (sort-free API)"),
+      ("lib:fingerprint", !libPlan(operators.TextAnalysis.fingerprint(t)).contains("Exchange"),
+        "library fingerprinting is a zero-exchange narrow scan (sort-free API)"),
+      ("lib:curate", !libPlan(operators.TextAnalysis.curate(t)).contains("rangepartitioning"),
+        "library curation carries no global sort"),
+      ("lib:corpus_delta", !libPlan(operators.TextAnalysis.corpusDelta(t)).contains("rangepartitioning"),
+        "library snapshot delta carries no global sort (one co-partitioned hash join)"))
+
     var failed = 0
     edfChecks.foreach { case (q, ok, what) =>
+      if (!ok) failed += 1
+      println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
+    }
+    libChecks.foreach { case (q, ok, what) =>
       if (!ok) failed += 1
       println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
     }
@@ -100,7 +130,7 @@ object PlanAudit {
       println(s"[audit] ${if (ok) "PASS" else "FAIL"} $q: $what")
     }
     if (args.contains("--dump")) plans.foreach { case (q, p) => println(s"\n===== $q =====\n$p") }
-    val total = checks.size + edfChecks.size
+    val total = checks.size + edfChecks.size + libChecks.size
     println(s"[audit] ${total - failed}/$total plan checks pass")
     spark.stop()
   }

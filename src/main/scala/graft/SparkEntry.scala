@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see SURVEY.md §2 for the operator inventory. */
@@ -13,8 +14,108 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Oracle-determinism ordering, applied HERE — at the driver/verify
+    * boundary — not inside the operator APIs. The DuckDB hash-compare
+    * needs a total row order, but a library caller composing operators
+    * into a pipeline must not pay a full-corpus range exchange + sort
+    * for it (at 100 TB that sort would be the most expensive stage of
+    * an otherwise exchange-free plan). Keys mirror each oracle's ORDER
+    * BY exactly, so the compare output is byte-identical to when the
+    * sorts lived in the operators. Queries absent from this map either
+    * carry a SEMANTIC order (top-k: q3_shipping, ann_topk, ann_ivf,
+    * ann_ivf_kmeans, vocab_topk) or none.
+    */
+  private val detOrder: Map[String, Seq[Column]] = Map(
+    "q1_pricing"   -> Seq(col("l_returnflag"), col("l_linestatus")),
+    "q5_volume"    -> Seq(col("r_name"), col("n_name")),
+    "win_running"  -> Seq(col("o_custkey"), col("rn")),
+    "agg_distinct" -> Seq(col("l_returnflag")),
+    "cube_rollup"  -> Seq(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    "grouping_sets" -> Seq(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    "semi_anti"    -> Seq(col("c_custkey")),
+    "topn_group"   -> Seq(col("c_mktsegment"), col("rk")),
+    "pivot_events" -> Seq(col("user_id")),
+    "percentiles"  -> Seq(col("l_returnflag")),
+    "skew_agg"     -> Seq(col("event_type")),
+    "approx_stats" -> Seq(col("l_returnflag")),
+    "range_join"   -> Seq(col("band")),
+    "ts_calibrate"     -> Seq(col("event_id")),
+    "ts_expand"        -> Seq(col("user_id"), col("k")),
+    "ts_gap_chunks"    -> Seq(col("event_type"), col("chunk_id")),
+    "ts_channel_stats" -> Seq(col("event_type")),
+    "ts_resample"      -> Seq(col("event_type"), col("bucket_us")),
+    "ts_spike"         -> Seq(col("event_type"), col("ts_us")),
+    "ts_spike_waveforms" -> Seq(col("event_type"), col("ts_us")),
+    "ts_asof"          -> Seq(col("event_id")),
+    "ts_asof_native"   -> Seq(col("event_id")),
+    "ts_annotations"   -> Seq(col("event_type")),
+    "channel_match"    -> Seq(col("event_type")),
+    "ts_session_window" -> Seq(col("event_type"), col("start_us")),
+    "ts_moving"        -> Seq(col("event_type"), col("ts_us")),
+    "ts_corr"          -> Seq(col("type_a"), col("type_b")),
+    "ts_xcorr_lag"     -> Seq(col("type_a"), col("type_b"), col("lag")),
+    "ts_interp"        -> Seq(col("event_type"), col("bucket_us")),
+    "ts_bandpower"     -> Seq(col("event_type")),
+    "ts_spectrum"      -> Seq(col("event_type"), col("bin")),
+    "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
+    "ts_histogram"     -> Seq(col("event_type"), col("bucket")),
+    "mad_outlier"      -> Seq(col("event_type"), col("ts_us"), col("event_id")),
+    "ts_weighted"      -> Seq(col("event_type"), col("ts_us"), col("event_id")),
+    "lttb"             -> Seq(col("event_type"), col("bucket")),
+    "ts_chunker"       -> Seq(col("event_type"), col("chunk_id")),
+    "token_count"     -> Seq(col("doc_id")),
+    "quality_score"   -> Seq(col("doc_id")),
+    "lang_id"         -> Seq(col("doc_id")),
+    "fingerprint"     -> Seq(col("doc_id")),
+    "text_repetition" -> Seq(col("doc_id")),
+    "tfidf_top"       -> Seq(col("doc_id")),
+    "pii_count"       -> Seq(col("doc_id")),
+    "pii_redact"      -> Seq(col("doc_id")),
+    "decontaminate"   -> Seq(col("doc_id")),
+    "decontaminate_bloom" -> Seq(col("doc_id")),
+    "decontaminate_fuzzy" -> Seq(col("doc_id"), col("bench_id")),
+    "curate"          -> Seq(col("doc_id")),
+    "corpus_delta"    -> Seq(col("doc_id")),
+    "corpus_stats"    -> Seq(col("lang")),
+    "dedup_exact"     -> Seq(col("content_hash")),
+    "heavy_hitters"   -> Seq(col("cnt").desc, col("token")),
+    "gopher_rules"    -> Seq(col("doc_id")),
+    "paragraph_dedup" -> Seq(col("doc_id")),
+    "minhash_sig"   -> Seq(col("doc_id")),
+    "dedup_minhash" -> Seq(col("id_a"), col("id_b")),
+    "simhash_sig"   -> Seq(col("doc_id")),
+    "dedup_simhash" -> Seq(col("id_a"), col("id_b")),
+    "dedup_apply"   -> Seq(col("doc_id")),
+    "dedup_clusters" -> Seq(col("doc_id")),
+    "ngram_jaccard" -> Seq(col("id_a"), col("id_b")),
+    "sample_stratified" -> Seq(col("doc_id")),
+    "mix_plan"       -> Seq(col("lang")),
+    "mix_apply"      -> Seq(col("doc_id")),
+    "pack_sequences" -> Seq(col("doc_id")),
+    "corpus_shuffle" -> Seq(col("rank")),
+    "embed_neardup"     -> Seq(col("label"), col("id_a"), col("id_b")),
+    "embed_neardup_lsh" -> Seq(col("id_a"), col("id_b")),
+    "ann_batch"     -> Seq(col("q_id"), col("rk")),
+    "ann_batch_agg" -> Seq(col("q_id"), col("rk")),
+    "kmeans"        -> Seq(col("vec_id")),
+    "funnel"        -> Seq(col("stage")),
+    "retention"     -> Seq(col("cohort_day"), col("day_offset")),
+    "user_sessions" -> Seq(col("user_id"), col("session_id")),
+    "latest_state"  -> Seq(col("user_id"), col("event_type"))
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2 (library plan +
+    * the driver-boundary determinism sort from [[detOrder]]).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries.map { case (name, f) =>
+      name -> ((s: SparkSession, dir: String) => {
+        val df = f(s, dir)
+        detOrder.get(name).fold(df)(keys => df.orderBy(keys: _*))
+      })
+    }
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"   -> q(Analytics.q1Pricing),
     "q3_shipping"  -> q(Analytics.q3Shipping),
     "q5_volume"    -> q(Analytics.q5Volume),

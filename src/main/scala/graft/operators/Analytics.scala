@@ -30,7 +30,6 @@ object Analytics {
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** B2: shipping-priority top-k — 3-way join, broadcast customer, bounded top-k. */
   def q3Shipping(t: Tables): DataFrame = {
@@ -70,7 +69,6 @@ object Analytics {
       .groupBy(col("r_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("n_name"))
   }
 
   /** B4: running window aggregates per customer over order time. */
@@ -81,7 +79,6 @@ object Analytics {
       .withColumn("running_spend",
         round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .select(col("o_orderkey"), col("o_custkey"), col("rn"), col("running_spend"))
-      .orderBy(col("o_custkey"), col("rn"))
   }
 
   /** B5: exact distinct counts per group (Catalyst expand rewrite). */
@@ -93,14 +90,12 @@ object Analytics {
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"))
 
   /** B6: rollup hierarchy totals (order status ⊃ priority). */
   def cubeRollup(t: Tables): DataFrame =
     t.orders
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** B6b: GROUPING SETS — arbitrary grouping combinations in one pass (the
     * generalization of rollup B6 that can skip levels or add disjoint
@@ -116,7 +111,6 @@ object Analytics {
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().cast("long").as("gid"),
         round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
-      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** B7: EXISTS / NOT EXISTS via semi/anti joins (never a full join + distinct). */
   def semiAnti(t: Tables): DataFrame = {
@@ -125,7 +119,7 @@ object Analytics {
       .select(col("c_custkey"), lit(1L).as("has_urgent"))
     val withoutUrgent = t.customer.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), lit(0L).as("has_urgent"))
-    withUrgent.unionAll(withoutUrgent).orderBy(col("c_custkey"))
+    withUrgent.unionAll(withoutUrgent)
   }
 
   /** B8: top-N per group via rank window. */
@@ -135,7 +129,6 @@ object Analytics {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("c_mktsegment"), col("rk"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
-      .orderBy(col("c_mktsegment"), col("rk"))
   }
 
   /** B9: wide pivot by event_type via conditional aggregation (oracle-parity with FILTER). */
@@ -149,7 +142,6 @@ object Analytics {
     t.events
       .groupBy(col("user_id"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("user_id"))
   }
 
   /** Exact interpolated quantiles via BUCKETED rank selection — the
@@ -237,7 +229,6 @@ object Analytics {
       Seq(
         "l_extendedprice" -> Seq("p50_price" -> 0.5, "p90_price" -> 0.9),
         "l_quantity" -> Seq("p50_qty" -> 0.5)))
-      .orderBy(col("l_returnflag"))
 
   /** B12: two-phase salted aggregation — the skew-mitigation pattern for
     * heavy-hitter keys at scale: partial sums over (key, salt) spread a hot
@@ -251,7 +242,6 @@ object Analytics {
       .agg(sum(col("value")).as("psum"), count(lit(1)).as("pn"))
       .groupBy(col("event_type"))
       .agg(round(sum(col("psum")), 2).as("total_value"), sum(col("pn")).as("n"))
-      .orderBy(col("event_type"))
 
   /** B13: approximate aggregates for interactive 100 TB profiling — HLL
     * distinct counts and quantile sketches (single pass, mergeable, no
@@ -271,7 +261,6 @@ object Analytics {
         round(element_at(col("pq"), 1), 2).as("approx_p50_price"),
         round(element_at(col("pq"), 2), 2).as("approx_p90_price"),
         col("n_rows"))
-      .orderBy(col("l_returnflag"))
 
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
@@ -283,6 +272,5 @@ object Analytics {
       .join(broadcast(bands), col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
-      .orderBy(col("band"))
   }
 }

@@ -46,7 +46,6 @@ object Dedup {
       .withColumn("hs", expr(shingleHashExpr(k)))
       .withColumn("sig", expr(minhashSigExpr(nPerms)))
       .select((col("doc_id") +: sigCols): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** C2: MinHash + LSH banding near-dup candidate pairs.
@@ -83,7 +82,6 @@ object Dedup {
     a.join(b, col("band_idx") === col("bi") && col("band_hash") === col("bh") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** 48-bit SimHash from distinct shingle hashes (bit j set when the
@@ -97,7 +95,6 @@ object Dedup {
     t.documents
       .withColumn("hs", expr(shingleHashExpr(k)))
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
-      .orderBy(col("doc_id"))
 
   /** C3: SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
@@ -118,7 +115,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"), expr("bit_count(sim_a ^ sim_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)  // before distinct: survivors only hit the shuffle
       .distinct()
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** C2c: apply the dedup decision — the corpus after dropping duplicates.
@@ -147,7 +143,6 @@ object Dedup {
     val drops = exactDrops.unionAll(nearDrops).distinct()
     t.documents.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** C17: near-dup cluster assignment — connected components over the
@@ -203,7 +198,6 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
@@ -234,6 +228,5 @@ object Dedup {
       .withColumn("jac", col("common").cast("double") / (col("nh_a") + col("nh_b") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), roundHalfUp(col("jac"), 4).as("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -48,7 +48,7 @@ object EventAnalytics {
       df.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("long").as("stage"),
           lit(name).as("stage_name"), col("n_users"))
-    }.reduce(_.unionAll(_)).orderBy(col("stage"))
+    }.reduce(_.unionAll(_))
   }
 
   /** B16: cohort retention — cohort = a user's first active day; one row
@@ -69,7 +69,6 @@ object EventAnalytics {
     days.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("cohort_day"), col("day_offset"))
   }
 
   /** B17: per-user sessionization — split each user's event stream at
@@ -92,7 +91,6 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
         count(lit(1)).as("n_events"), countDistinct(col("event_type")).as("n_types"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** B18: changelog compaction (CDC latest-wins upsert) — reduce an
@@ -115,5 +113,4 @@ object EventAnalytics {
         count(lit(1)).as("n_versions"))
       .select(col("user_id"), col("event_type"), col("r.us").as("ts_us"),
         col("r.event_id").as("event_id"), col("r.value").as("value"), col("n_versions"))
-      .orderBy(col("user_id"), col("event_type"))
 }

@@ -290,5 +290,4 @@ object Multimodal {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), sum(length(col("bytes"))).as("total_bytes"),
         avg(col("width")).as("avg_width"), avg(col("height")).as("avg_height"))
-      .orderBy(col("kind"))
 }

@@ -45,7 +45,6 @@ object Sampling {
       .withColumn("bucket", bucket1000)
       .filter(col("bucket") < col("rate"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** C19: training-mixture planning — given target weights per stratum,
@@ -77,7 +76,6 @@ object Sampling {
       .withColumn("rate", roundHalfUp(col("weight") * col("budget") / col("n_tokens"), 4))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("weight"),
         col("take_tokens"), col("rate"))
-      .orderBy(col("lang"))
   }
 
   /** C19b: APPLY the mixture plan — the plan→corpus step a training run
@@ -97,7 +95,6 @@ object Sampling {
       .withColumn("bucket", bucket1000)
       .filter(col("bucket") < col("rate") * 1000)
       .select(col("doc_id"), col("lang"), col("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** C28: sequence packing for training — concatenate documents in
@@ -136,7 +133,6 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"),
         expr(s"prev div ${seqLen}L").as("seq_id"),
         (col("prev") % seqLen).as("offset"))
-      .orderBy(col("doc_id"))
   }
 
   /** C29: deterministic corpus shuffle — a reproducible pseudo-random
@@ -168,6 +164,5 @@ object Sampling {
       .withColumn("in_shard", row_number().over(wIn).cast("long"))
       .join(broadcast(offsets), Seq("shard"))
       .select((col("shard_offset") + col("in_shard")).as("rank"), col("doc_id"), col("h"))
-      .orderBy(col("rank"))
   }
 }

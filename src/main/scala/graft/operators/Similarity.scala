@@ -84,7 +84,6 @@ object Similarity {
     a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"), sim.as("sim"))
       .filter(col("sim") >= threshold)
-      .orderBy(col("label"), col("id_a"), col("id_b"))
   }
 
   /** C5b: the SCALE path for embedding near-dup — random-hyperplane LSH
@@ -167,7 +166,6 @@ object Similarity {
     cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), roundHalfUp(cos("ea", "eb"), 4).as("sim"))
       .filter(col("sim") >= threshold)
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** C7: IVF-style ANN — deterministic centroids (the first `nCells`
@@ -281,7 +279,6 @@ object Similarity {
       .withColumn("lrk", row_number().over(local)).filter(col("lrk") <= k)
       .withColumn("rk", row_number().over(global).cast("long")).filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("sim"))
-      .orderBy(col("q_id"), col("rk"))
   }
 
   /** C22b: the same batch top-k through the native `graft_topk` bounded
@@ -299,7 +296,6 @@ object Similarity {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
         col("e.id").as("vec_id"), col("e.score").as("sim"))
-      .orderBy(col("q_id"), col("rk"))
 
   /** C18: spherical k-means clustering of the embedding corpus (Lloyd's
     * iterations, cosine assignment, elementwise-mean update) —
@@ -346,6 +342,5 @@ object Similarity {
       .withColumn("sim_to_centroid", roundHalfUp(
         expr(s"graft_cosine(embedding, element_at(${centArrLit(centRows)}, CAST(cell_id AS INT) + 1))"), 4))
       .select(col("vec_id"), col("label"), col("cell_id"), col("sim_to_centroid"))
-      .orderBy(col("vec_id"))
   }
 }

@@ -33,7 +33,6 @@ object TextAnalysis {
         when(length(trim(col("text"))) === 0, 0L)
           .otherwise(size(wsTokens(col("text"))).cast("long")).as("n_ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
-      .orderBy(col("doc_id"))
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -70,7 +69,6 @@ object TextAnalysis {
           + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4))
       .select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_word_len"),
         col("stop_ratio"), col("punct_ratio"), col("quality"))
-      .orderBy(col("doc_id"))
   }
 
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
@@ -101,7 +99,6 @@ object TextAnalysis {
       when(col(s"s_$l") >= rest.reduceLeft((a, b) => greatest(a, b)), l).otherwise(els)
     }
     scored.withColumn("pred_lang", pred)
-      .orderBy(col("doc_id"))
   }
 
   /** C11: document fingerprinting — md5 of normalized text plus a 64-bit
@@ -115,7 +112,6 @@ object TextAnalysis {
         col("doc_id"),
         md5(col("norm")).as("md5_hash"),
         expr("graft_rolling_hash(norm)").as("poly_hash"))
-      .orderBy(col("doc_id"))
 
   /** C13: repetition ratio — fraction of duplicate word k-grams per
     * document (the Gopher-style repetition quality signal). Distinct
@@ -131,7 +127,6 @@ object TextAnalysis {
       .withColumn("n_distinct", size(expr(s"graft_shingle_hashes(text, $k)")).cast("long"))
       .select(col("doc_id"), col("n_toks"), col("n_grams"), col("n_distinct"),
         roundHalfUp(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 4).as("rep_ratio"))
-      .orderBy(col("doc_id"))
 
   /** C14: top tf-idf term per document — explode to (doc, term), tf via
     * one shuffle on (doc, term), document frequency via a vocab-sized
@@ -157,7 +152,6 @@ object TextAnalysis {
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
-      .orderBy(col("doc_id"))
   }
 
   /** C15: PII surface counts — emails / URLs / phone-shaped tokens via
@@ -172,7 +166,6 @@ object TextAnalysis {
         regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
         regexp_count(col("text"), lit("\\d{3}[-.]\\d{3,4}[-.]\\d{4}")).cast("long").as("n_phones"))
       .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
-      .orderBy(col("doc_id"))
 
   /** C15b: PII REDACTION — the action [[piiCount]] audits for. One
     * codegen'd pass rewrites each detected span to a typed placeholder,
@@ -196,7 +189,6 @@ object TextAnalysis {
         regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
         regexp_count(t1, lit(email)).cast("long").as("n_emails"),
         regexp_count(t2, lit(phone)).cast("long").as("n_phones"))
-      .orderBy(col("doc_id"))
   }
 
   /** C23: benchmark decontamination — flag corpus documents sharing any
@@ -216,7 +208,6 @@ object TextAnalysis {
     corpus.join(broadcast(benchHashes), Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
-      .orderBy(col("doc_id"))
   }
 
   /** C23c: FUZZY decontamination — [[decontaminate]]'s exact k-gram
@@ -265,7 +256,6 @@ object TextAnalysis {
       .withColumn("jac", col("common").cast("double") / (col("nh") + col("nh_b") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("doc_id"), col("bench_id"), roundHalfUp(col("jac"), 4).as("jaccard"))
-      .orderBy(col("doc_id"), col("bench_id"))
   }
 
   /** C24: the curation DECISION — every narrow quality signal (C8 lang
@@ -333,7 +323,6 @@ object TextAnalysis {
         col("gopher_pass") && col("quality") >= minQuality && col("rep_ratio") <= maxRep)
       .select(col("doc_id"), col("pred_lang"), col("quality"), col("rep_ratio"),
         col("gopher_pass"), col("keep"))
-      .orderBy(col("doc_id"))
   }
 
   /** C23b: the SCALE path for decontamination — when the benchmark's
@@ -364,7 +353,6 @@ object TextAnalysis {
     corpus.join(benchHashes, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("h")).as("n_shared_grams"))
-      .orderBy(col("doc_id"))
   }
 
   /** C32: corpus snapshot delta — content-hash change detection between
@@ -386,7 +374,6 @@ object TextAnalysis {
           .when(col("h_cur") === col("h_prev"), "unchanged")
           .otherwise("changed"))
       .select(col("doc_id"), col("status"))
-      .orderBy(col("doc_id"))
   }
 
   /** C32 driver entry: the previous snapshot is SIMULATED
@@ -434,7 +421,6 @@ object TextAnalysis {
     // oracle's single GROUP BY, which keeps such groups
     counts.join(broadcast(quants), col("lang") <=> col("qlang"), "left")
       .select(col("lang"), col("n_docs"), col("total_chars"), col("p50_chars"), col("p90_chars"))
-      .orderBy(col("lang"))
   }
 
   /** C1: exact deduplication — hash-groupBy on normalized text; keeps the
@@ -446,7 +432,6 @@ object TextAnalysis {
       .withColumn("norm", norm)
       .groupBy(md5(col("norm")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("content_hash"))
 
   /** C26: corpus vocabulary profile — the `topK` most frequent tokens
     * with term and document frequency (the Zipf-curve head every corpus
@@ -481,7 +466,6 @@ object TextAnalysis {
       .agg(expr(s"graft_heavy_hitters(token, $capacity)").as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("token"), col("e.count").as("cnt"))
-      .orderBy(col("cnt").desc, col("token"))
 
   /** C27: Gopher-style quality-rule flags — the document-level pass/fail
     * heuristics (Rae et al. 2021 §A1.1) every corpus filter starts from,
@@ -517,7 +501,6 @@ object TextAnalysis {
         col("n_words") > 0 && lit(2) * col("n_distinct") >= col("n_words"))
       .withColumn("pass", col("word_count_ok") && col("word_len_ok") &&
         col("stop_ok") && col("alpha_ok") && col("distinct_ok"))
-      .orderBy(col("doc_id"))
   }
 
   /** C25: paragraph-level exact deduplication (the RefinedWeb/Dolma
@@ -560,6 +543,5 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -41,7 +41,6 @@ object TimeSeries {
     t.events
       .select(col("event_id"), col("value").as("digital"),
         roundHalfUp(bit * (off + col("value")), 6).as("physical"))
-      .orderBy(col("event_id"))
   }
 
   /** A4: contiguous timestamp synthesis — the reference's linspace-per-chunk
@@ -58,7 +57,6 @@ object TimeSeries {
         explode(sequence(lit(0L), col("n") - 1)).as("k"))
       .select(col("user_id"), col("k"),
         (col("start_us") + col("k") * periodUs).as("ts_us"))
-      .orderBy(col("user_id"), col("k"))
 
   /** A5: gap sessionization → contiguous chunks, the reference's
     * discontinuous_chunks (base.py:322-342): boundary where Δts exceeds
@@ -75,7 +73,6 @@ object TimeSeries {
       .withColumn("chunk_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("event_type"), col("chunk_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
-      .orderBy(col("event_type"), col("chunk_id"))
   }
 
   /** A6: per-channel stats + rate inference.
@@ -103,7 +100,7 @@ object TimeSeries {
     val mode = diffs.withColumn("rk", row_number().over(modeW)).filter(col("rk") === 1)
       .select(col("event_type"), col("diff_s").as("mode_period_s"),
         roundHalfUp(lit(1.0) / col("diff_s"), 6).as("rate_hz"))
-    stats.join(mode, Seq("event_type")).orderBy(col("event_type"))
+    stats.join(mode, Seq("event_type"))
   }
 
   /** A7: downsampling resample to fixed buckets — partial aggregation
@@ -119,7 +116,6 @@ object TimeSeries {
       // Spark round (HALF_UP) vs DuckDB round (half-even) disagree there
       .agg(count(lit(1)).as("n"), roundHalfUp(avg(col("value")), 4).as("avg_value"),
         roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
-      .orderBy(col("event_type"), col("bucket_us"))
 
   /** A8: threshold-crossing spike detection (the reference's UNIT/spike
     * surface, base.py:98-119): spike where prev < θ ≤ current, per channel.
@@ -131,7 +127,6 @@ object TimeSeries {
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .filter(col("prev_value") < threshold && col("value") >= threshold)
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"))
-      .orderBy(col("event_type"), col("ts_us"))
   }
 
   /** A8b: spike waveform extraction — the reference's UNIT spike payload
@@ -151,7 +146,6 @@ object TimeSeries {
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
         col("w_m2"), col("prev_value").as("w_m1"), col("value").as("w_0"),
         col("w_p1"), col("w_p2"))
-      .orderBy(col("event_type"), col("ts_us"))
   }
 
   /** A9: as-of join — each purchase gets the latest click at-or-before it
@@ -178,7 +172,6 @@ object TimeSeries {
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("us").as("p_us"), col("value"),
         col("last_click_us"), col("last_click_val"))
-      .orderBy(col("event_id"))
   }
 
   /** A9 (native path): the same as-of join through the custom
@@ -195,7 +188,6 @@ object TimeSeries {
     graft.plans.AsOf.join(purchases, clicks, "user_id", "r_user_id", "p_us", "last_click_us")
       .select(col("event_id"), col("user_id"), col("p_us"), col("value"),
         col("last_click_us"), col("last_click_val"))
-      .orderBy(col("event_id"))
   }
 
   /** A10: typed annotation extraction from JSON props (the TAL-annotation
@@ -207,7 +199,6 @@ object TimeSeries {
       .filter(col("k") >= minK)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
 
   /** A11: fuzzy channel matching — the reference's append-mode match
     * (base.py:178-221): same name and rate within 2 %
@@ -228,7 +219,6 @@ object TimeSeries {
         col("event_type") === col("event_type_b") &&
           abs(lit(1.0) - col("rate_a") / col("rate_b")) < 0.02)
       .select(col("event_type"), roundHalfUp(col("rate_a"), 6).as("rate_a"), roundHalfUp(col("rate_b"), 6).as("rate_b"))
-      .orderBy(col("event_type"))
   }
 
   /** A5b: the same sessionization through Spark's built-in
@@ -246,7 +236,6 @@ object TimeSeries {
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
         col("n"))
-      .orderBy(col("event_type"), col("start_us"))
 
   /** A15: moving-window smoothing — rolling mean/min/max over the last
     * `window` samples per channel (one ordered pass, no extra shuffle
@@ -262,7 +251,6 @@ object TimeSeries {
       .withColumn("mov_max", max(col("value")).over(w))
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
         col("mov_avg"), col("mov_min"), col("mov_max"))
-      .orderBy(col("event_type"), col("ts_us"))
   }
 
   /** A16: cross-channel correlation — sample correlation of hourly means
@@ -280,7 +268,6 @@ object TimeSeries {
     a.join(b, col("bucket_us") === col("bb") && col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(round(corr(col("va"), col("vb")), 4).as("corr"), count(lit(1)).as("n_buckets"))
-      .orderBy(col("type_a"), col("type_b"))
   }
 
   /** A16b: LAGGED cross-correlation — [[tsCorr]] swept over a window of
@@ -305,7 +292,6 @@ object TimeSeries {
         col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"), col("lag"))
       .agg(roundHalfUp(corr(col("va"), col("vb")), 4).as("xcorr"), count(lit(1)).as("n_buckets"))
-      .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
   /** A17: gap-filling linear interpolation — resample to a dense hourly
@@ -341,7 +327,6 @@ object TimeSeries {
             ((col("bucket_us") - col("prev_b")).cast("double") / (col("next_b") - col("prev_b"))), 4)))
       .withColumn("was_gap", col("v").isNull)
       .select(col("event_type"), col("bucket_us"), col("v_filled"), col("was_gap"))
-      .orderBy(col("event_type"), col("bucket_us"))
   }
 
   /** A18: spectral band power via single-bin DFT (Goertzel-style) — the
@@ -374,7 +359,6 @@ object TimeSeries {
     base.groupBy(col("event_type"))
       .agg(aggs.head, aggs.tail: _*)
       .select((col("event_type") +: col("n") +: amps): _*)
-      .orderBy(col("event_type"))
   }
 
   /** A18b: k-bin harmonic spectrum — [[tsBandpower]] generalized to a
@@ -408,7 +392,6 @@ object TimeSeries {
       .select(col("event_type"), col("n"),
         expr(s"stack($nBins, $stackArgs) AS (bin, amp)"))
       .select(col("event_type"), col("bin"), col("n"), col("amp"))
-      .orderBy(col("event_type"), col("bin"))
   }
 
   /** A19: statistical outlier detection — |z-score| ≥ z against per-channel
@@ -430,7 +413,6 @@ object TimeSeries {
       .filter(abs(col("zscore")) >= z)
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
         col("zscore"))
-      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
   }
 
   /** A20: per-channel value histogram with fixed-width buckets (clamped to
@@ -446,7 +428,6 @@ object TimeSeries {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"),
         roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
-      .orderBy(col("event_type"), col("bucket"))
 
   /** A21: robust outlier detection via MAD (median absolute deviation) —
     * the resistant complement of the z-score detector A19: median and MAD
@@ -489,7 +470,6 @@ object TimeSeries {
       .filter(abs(col("robust_z")) >= cutoff)
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
         col("robust_z"))
-      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
   }
 
   /** A22: trailing time-window aggregation — for every sample, the count
@@ -516,7 +496,6 @@ object TimeSeries {
         roundHalfUp(sum(col("cents")).over(w) / (col("n_trailing") * 100.0), 4))
       .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
         col("n_trailing"), col("avg_trailing"))
-      .orderBy(col("event_type"), col("ts_us"), col("event_id"))
   }
 
   /** A23: LTTB downsampling (largest-triangle-three-buckets) — the
@@ -571,7 +550,6 @@ object TimeSeries {
       .withColumn("rk", row_number().over(pick))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("bucket"), col("us").as("ts_us"), col("value"))
-      .orderBy(col("event_type"), col("bucket"))
   }
 
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
@@ -585,6 +563,5 @@ object TimeSeries {
       .withColumn("chunk_id", expr(s"rn div ${chunkSize}L"))
       .groupBy(col("event_type"), col("chunk_id"))
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
-      .orderBy(col("event_type"), col("chunk_id"))
   }
 }

@@ -20,7 +20,9 @@ class AnalyticsSpec extends AnyFunSuite {
       .agg(round(sum(col("value")), 2).as("total_value"), count(lit(1)).as("n"))
       .orderBy(col("event_type")).collect()
     Seq(4, 16, 64).foreach { salts =>
-      val salted = Analytics.skewAgg(t, salts).collect()
+      // operators are sort-free (determinism ordering lives at the
+      // driver boundary) — order here for the row-wise compare
+      val salted = Analytics.skewAgg(t, salts).orderBy(col("event_type")).collect()
       assert(salted.map(r => (r.getString(0), r.getLong(2))).toSeq ==
         direct.map(r => (r.getString(0), r.getLong(2))).toSeq, s"counts at salts=$salts")
       salted.zip(direct).foreach { case (s, d) =>
