@@ -105,7 +105,10 @@ object PlanAudit {
       ("lib:curate", !libPlan(operators.TextAnalysis.curate(t)).contains("rangepartitioning"),
         "library curation carries no global sort"),
       ("lib:corpus_delta", !libPlan(operators.TextAnalysis.corpusDelta(t)).contains("rangepartitioning"),
-        "library snapshot delta carries no global sort (one co-partitioned hash join)"))
+        "library snapshot delta carries no global sort (one co-partitioned hash join)"),
+      ("lib:refresh_incremental",
+        !libPlan(operators.TextAnalysis.refreshIncremental(t)).contains("rangepartitioning"),
+        "incremental refresh carries no global sort (delta join + semi-joined compute)"))
 
     var failed = 0
     edfChecks.foreach { case (q, ok, what) =>

@@ -76,6 +76,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> Seq(col("doc_id"), col("bench_id")),
     "curate"          -> Seq(col("doc_id")),
     "corpus_delta"    -> Seq(col("doc_id")),
+    "refresh_incremental" -> Seq(col("doc_id")),
     "corpus_stats"    -> Seq(col("lang")),
     "dedup_exact"     -> Seq(col("content_hash")),
     "heavy_hitters"   -> Seq(col("cnt").desc, col("token")),
@@ -196,7 +197,8 @@ object SparkEntry {
     "corpus_shuffle"     -> q(Sampling.corpusShuffle(_)),
     "pii_redact"         -> q(TextAnalysis.piiRedact),
     "decontaminate_fuzzy" -> q(TextAnalysis.decontaminateFuzzy(_)),
-    "corpus_delta"       -> q(TextAnalysis.corpusDelta(_: graft.Tables))
+    "corpus_delta"       -> q(TextAnalysis.corpusDelta(_: graft.Tables)),
+    "refresh_incremental" -> q(TextAnalysis.refreshIncremental(_: graft.Tables))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -766,6 +768,15 @@ object SparkEntry {
                 WHEN h_cur = h_prev THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM j ORDER BY doc_id""",
+    "refresh_incremental" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text,'\s+',' ','g'))) AS norm FROM documents)
+         SELECT doc_id, md5(norm) AS md5_hash,
+           CASE WHEN length(norm)=0 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(norm,''), x -> CAST(ascii(x) AS BIGINT))),
+               (acc, x) -> (acc*31 + x) % 1000000007) END AS poly_hash,
+           CASE WHEN doc_id % 13 = 5 OR doc_id % 17 = 3 THEN 'fresh' ELSE 'carried' END AS src
+         FROM n ORDER BY doc_id""",
     "decontaminate" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

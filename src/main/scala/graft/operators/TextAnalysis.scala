@@ -104,14 +104,18 @@ object TextAnalysis {
   /** C11: document fingerprinting — md5 of normalized text plus a 64-bit
     * polynomial rolling hash (base 31 mod 1e9+7) via the higher-order
     * `aggregate` — sequential fold, deterministic, codegen-friendly.
+    * The DataFrame form exists so incremental pipelines
+    * ([[refreshIncremental]]) can run it over a delta-restricted corpus.
     */
-  def fingerprint(t: Tables): DataFrame =
-    t.documents
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .withColumn("norm", norm)
       .select(
         col("doc_id"),
         md5(col("norm")).as("md5_hash"),
         expr("graft_rolling_hash(norm)").as("poly_hash"))
+
+  def fingerprint(t: Tables): DataFrame = fingerprint(t.documents)
 
   /** C13: repetition ratio — fraction of duplicate word k-grams per
     * document (the Gopher-style repetition quality signal). Distinct
@@ -384,8 +388,14 @@ object TextAnalysis {
     * `% 19 = 2` (→ removed). The oracle mirrors the same derivation, so
     * all four statuses are exercised at every SF.
     */
-  def corpusDelta(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id"), col("text"))
+  /** Deterministic simulated previous snapshot (shared by the C32/C33
+    * driver entries — the testdata ships a single snapshot): docs with
+    * `doc_id % 13 = 5` are new since prev (→ added), `% 17 = 3` carry an
+    * edit marker in prev (→ changed), and prev additionally held ids
+    * shifted by 1,000,000 for `% 19 = 2` (→ removed). The oracles mirror
+    * the same derivation.
+    */
+  private[graft] def simulatedPrev(docs: DataFrame): DataFrame = {
     // The +1,000,000 shift is only collision-free while every real
     // doc_id sits below it — past that the shifted "removed" ids would
     // alias real docs and fan out the full-outer join. This is a test
@@ -393,15 +403,59 @@ object TextAnalysis {
     // assert the ceiling rather than silently corrupting the simulation.
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     require(maxId < 1000000L,
-      s"corpusDelta(t) simulated-prev shift assumes doc_id < 1,000,000 (saw $maxId); " +
-        "use corpusDelta(cur, prev) with a real previous snapshot at this scale")
-    val prev = docs.filter(col("doc_id") % 13 =!= 5)
+      s"simulatedPrev id shift assumes doc_id < 1,000,000 (saw $maxId); " +
+        "use a real previous snapshot at this scale")
+    docs.filter(col("doc_id") % 13 =!= 5)
       .withColumn("text",
         when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [edited]")))
           .otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") % 19 === 2)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    corpusDelta(docs, prev)
+  }
+
+  def corpusDelta(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    corpusDelta(docs, simulatedPrev(docs))
+  }
+
+  /** C33: incremental refresh — the composition that makes [[corpusDelta]]
+    * pay at 100 TB: a per-document derivation (`compute`) is re-run ONLY
+    * for `added`+`changed` docs; `unchanged` docs carry their previous
+    * output forward untouched; `removed` docs are tombstoned (absent from
+    * the result). Unchanged text is never re-scanned past the delta's
+    * hash join: it reaches one md5 and nothing else — the expensive
+    * `compute` plan sees a corpus restricted by a left-semi join on the
+    * dirty ids. `src` records the provenance of every row
+    * (`fresh` = recomputed this refresh, `carried` = previous output).
+    *
+    * `compute` must be a deterministic per-document map (same doc text →
+    * same output row) keyed by `doc_id` — then the result is row-identical
+    * to a full recompute over the current corpus (RefreshSpec asserts
+    * exactly this parity, plus that carried rows are verbatim previous
+    * output, via a sentinel).
+    */
+  def refreshIncremental(cur: DataFrame, prev: DataFrame, prevOut: DataFrame)
+                        (compute: DataFrame => DataFrame): DataFrame = {
+    val delta = corpusDelta(cur, prev)
+    val dirtyIds = delta.filter(col("status").isin("added", "changed")).select("doc_id")
+    val fresh = compute(cur.join(dirtyIds, Seq("doc_id"), "left_semi"))
+      .withColumn("src", lit("fresh"))
+    val unchangedIds = delta.filter(col("status") === "unchanged").select("doc_id")
+    val carried = prevOut.join(unchangedIds, Seq("doc_id"), "left_semi")
+      .withColumn("src", lit("carried"))
+    fresh.unionByName(carried)
+  }
+
+  /** C33 driver entry: refresh document fingerprints against the
+    * [[simulatedPrev]] snapshot. Output is row-identical to
+    * `fingerprint(cur)` plus the `src` provenance column, so the oracle
+    * is the full-recompute fingerprint SQL with the same status
+    * derivation — the hash-compare proves incremental == full.
+    */
+  def refreshIncremental(t: Tables): DataFrame = {
+    val cur = t.documents.select(col("doc_id"), col("text"))
+    val prev = simulatedPrev(cur)
+    refreshIncremental(cur, prev, fingerprint(prev))(fingerprint)
   }
 
   /** C21: corpus profile — per-stratum doc/char counts plus EXACT length
