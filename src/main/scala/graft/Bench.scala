@@ -70,7 +70,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // convergence rounds of iterative operators (scale probes read these:
+    // the round count is the cost model for components/k-means at 100 TB)
+    val iters = IterationLog.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

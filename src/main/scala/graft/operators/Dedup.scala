@@ -145,52 +145,93 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
-  /** C17: near-dup cluster assignment — connected components over the
-    * verified near-dup pair graph (LSH candidates with exact Jaccard ≥
-    * threshold), by iterative min-label propagation restricted to nodes
-    * that appear in a pair (duplicate-sized, not corpus-sized). Each
-    * round a node takes the min of its own and its neighbors' labels;
-    * convergence in O(cluster diameter) rounds is checked distributedly
-    * (an isEmpty on the changed-labels diff) and each round is
-    * localCheckpointed so lineage stays flat. Docs outside any pair are
-    * their own singleton cluster via the final left join.
+  /** Connected components over an undirected pair graph by ALTERNATING
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", 2014):
+    *
+    *   large-star(u): every neighbor v > u re-points at
+    *                  m = min(N(u) ∪ {u});
+    *   small-star(u): every downward neighbor (v ≤ u) and u itself
+    *                  re-point at m = min(N⁻(u) ∪ {u}).
+    *
+    * Unlike min-label propagation — whose every round re-joins the FULL
+    * pair-sized edge relation — star rounds rewrite the edge relation
+    * itself, so a w-wide clique collapses to a w-edge star after one
+    * large+small round and each subsequent round runs on the SHRUNKEN
+    * graph. Convergence is O(log² n) rounds worst-case (trees/chains),
+    * one round for cliques — the shape that made propagation
+    * super-pair-linear on clique-dense corpora. At the fixpoint the edge
+    * set is exactly (node → component-min) stars.
+    *
+    * Returns (labels relation (node, cluster), rounds used). Every round
+    * is localCheckpointed so lineage stays flat; set equality for the
+    * fixpoint test is checked distributedly (count + one-sided except).
     */
-  def dedupClusters(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
-                    maxIter: Int = 20): DataFrame = {
-    val pairs = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    var labels = edges.select(col("id_a").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+  private def starComponents(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      // no distinct here: smallStar's groupBy/min tolerates duplicate
+      // edges and its own final distinct restores set semantics — one
+      // fewer shuffle per round
+      n.join(mins, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge downward (src ≥ dst), then re-point src and all
+      // its downward neighbors at the minimum
+      val down = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      val mins = down.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      down.join(mins, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(mins.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
     var iter = 0
-    // no pairs -> every doc is a singleton; skip the loop (and its
-    // per-round jobs) on the common clean-corpus case
-    var converged = labels.isEmpty
+    var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      val nb = edges.join(labels.withColumnRenamed("node", "id_b"), Seq("id_b"))
-        .groupBy(col("id_a")).agg(min(col("cluster")).as("nb_min"))
-        .withColumnRenamed("id_a", "node")
-      val prop = labels.join(nb, Seq("node"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nb_min"), col("cluster"))).as("cluster"))
-      // pointer jumping (label ← label's label): halves the remaining path
-      // each round, so convergence is O(log diameter), not O(diameter)
-      val next = prop
-        .join(prop.select(col("node").as("cluster"), col("cluster").as("cc")), Seq("cluster"), "left")
-        .select(col("node"), least(col("cluster"), coalesce(col("cc"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("node"))
-        .filter(col("cluster") =!= col("old"))
-        .isEmpty
-      labels = next
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint test in ONE job: symmetric difference of two distinct
+      // edge sets is empty ⇔ the sets are equal
+      converged = next.except(e).unionAll(e.except(next)).isEmpty
+      e = next
       iter += 1
     }
     // partially-merged clusters must never be returned silently
     require(converged,
-      s"dedupClusters did not converge in $maxIter rounds (pathological chain?); raise maxIter")
+      s"connected components did not converge in $maxIter star rounds; raise maxIter")
+    // fixpoint edges are (node → root) stars; roots label themselves
+    val labels = e.select(col("src").as("node"), col("dst").as("cluster"))
+      .unionAll(e.select(col("dst").as("node")).distinct()
+        .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("cluster")))
+    (labels, iter)
+  }
+
+  /** C17: near-dup cluster assignment — connected components over the
+    * verified near-dup pair graph (LSH candidates with exact Jaccard ≥
+    * threshold) via [[starComponents]], restricted to nodes that appear
+    * in a pair (duplicate-sized, not corpus-sized). cluster_id = min
+    * doc_id of the component (star root). Docs outside any pair are
+    * their own singleton cluster via the final left join. Round count is
+    * recorded in [[graft.IterationLog]] ("dedup_clusters") so scale
+    * probes can report convergence behavior.
+    */
+  def dedupClusters(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
+                    maxIter: Int = 20): DataFrame = {
+    val pairs = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+    val (labels, iters) = starComponents(pairs, maxIter)
+    graft.IterationLog.record("dedup_clusters", iters)
     val sized = t.documents.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster"), col("doc_id")))

@@ -109,6 +109,10 @@ class DedupSpec extends AnyFunSuite {
     val clusters = Dedup.dedupClusters(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.values.toSet == Set(1L), s"whole chain collapses to cluster 1: $clusters")
+    // star contraction is O(log² n) rounds on a chain — and the count is
+    // recorded for the scale probes
+    val rounds = IterationLog.snapshot.get("dedup_clusters")
+    assert(rounds.exists(r => r >= 1 && r <= 10), s"chain rounds recorded and bounded: $rounds")
   }
 
   test("identical docs collide on every minhash band") {
