@@ -163,12 +163,25 @@ object TextAnalysis {
     * Java regex and RE2). The redaction complement is `regexp_replace`
     * with the same patterns; counts are the audit surface.
     */
+  /** Shared PII patterns — [[piiCount]] and [[piiRedact]] MUST stay in
+    * lockstep, so both read these. Phone forms covered: `555-123-4567`,
+    * `555.123.4567`, `555 123 4567`, `(555) 123-4567`, `+1 555-123-4567`,
+    * `+44 123 456 7890`-style (1-2 digit country code). Only constructs
+    * with identical semantics in Java regex and RE2 (no lookaround, no
+    * backrefs, leftmost-first alternation) — the oracle runs the same
+    * patterns in DuckDB.
+    */
+  private[graft] val piiUrlPattern = "https?://[^\\s]+"
+  private[graft] val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiPhonePattern =
+    "(\\+\\d{1,2}[-. ]?)?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3,4}[-. ]\\d{4}"
+
   def piiCount(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"),
-        regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit("https?://[^\\s]+")).cast("long").as("n_urls"),
-        regexp_count(col("text"), lit("\\d{3}[-.]\\d{3,4}[-.]\\d{4}")).cast("long").as("n_phones"))
+        regexp_count(col("text"), lit(piiEmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(piiUrlPattern)).cast("long").as("n_urls"),
+        regexp_count(col("text"), lit(piiPhonePattern)).cast("long").as("n_phones"))
       .withColumn("has_pii", (col("n_emails") + col("n_urls") + col("n_phones")) > 0)
 
   /** C15b: PII REDACTION — the action [[piiCount]] audits for. One
@@ -182,9 +195,9 @@ object TextAnalysis {
     * size.
     */
   def piiRedact(t: Tables): DataFrame = {
-    val url = "https?://[^\\s]+"
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\d{3}[-.]\\d{3,4}[-.]\\d{4}"
+    val url = piiUrlPattern
+    val email = piiEmailPattern
+    val phone = piiPhonePattern
     val t1 = regexp_replace(col("text"), url, "[URL]")
     val t2 = regexp_replace(t1, email, "[EMAIL]")
     val t3 = regexp_replace(t2, phone, "[PHONE]")

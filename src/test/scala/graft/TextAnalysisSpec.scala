@@ -72,6 +72,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == (("nothing sensitive here at all", 0L, 0L, 0L)), "clean doc unchanged")
   }
 
+  test("production phone forms: parenthesized, international, space-separated") {
+    val t = docs(Seq(
+      (1L, "office (555) 123-4567 ext 9"),
+      (2L, "intl +1 555-123-4567 and also +44 123 456 7890 wait that last one is 3-3-4-4"),
+      (3L, "spaced 555 123 4567 works"),
+      (4L, "dotted 555.123.4567 still works"),
+      (5L, "not a phone: 12-34-56 or 1234567890 or (55) 12-34")))
+    val redacted = TextAnalysis.piiRedact(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    assert(redacted(1L)._1 == "office [PHONE] ext 9", s"paren area code: ${redacted(1L)._1}")
+    assert(redacted(1L)._2 == 1L)
+    assert(redacted(2L)._1.startsWith("intl [PHONE] and also [PHONE]"),
+      s"international prefixes redact whole: ${redacted(2L)._1}")
+    assert(redacted(2L)._2 == 2L)
+    assert(redacted(3L)._1 == "spaced [PHONE] works", s"space-separated: ${redacted(3L)._1}")
+    assert(redacted(4L)._1 == "dotted [PHONE] still works", s"dot-separated: ${redacted(4L)._1}")
+    assert(redacted(5L)._1 == "not a phone: 12-34-56 or 1234567890 or (55) 12-34",
+      s"non-phone shapes untouched: ${redacted(5L)._1}")
+    val counts = TextAnalysis.piiCount(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 0L),
+      s"piiCount phone tallies stay in lockstep with redaction: $counts")
+  }
+
   test("fuzzy decontamination catches a paraphrased leak exact k-grams can miss") {
     val benchSentence = "the quick brown fox jumps over the lazy dog every single morning " +
       "before breakfast is served in the garden by the caretaker"
