@@ -140,6 +140,86 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("contentHash")
 
+  /** One (band_idx, band_hash) membership of an arriving document. */
+  final case class BandArrival(docId: Long, ts: java.sql.Timestamp, bandIdx: Int, bandHash: Long)
+
+  /** Streaming state per live LSH bucket: the first document that claimed
+    * it, and when the claim lapses (newest arrival + horizon).
+    */
+  final case class BandBucket(firstDocId: Long, expiresAtMs: Long)
+
+  /** An arriving document flagged as a near-duplicate of an earlier one
+    * (they collided on MinHash band `bandIdx`).
+    */
+  final case class NearDupFlag(docId: Long, firstDocId: Long, bandIdx: Int, bandHash: Long)
+
+  /** C20c: streaming FUZZY dedup — the live-ingest twin of the batch
+    * MinHash-LSH near-dup pipeline (Dedup.dedupMinhash), extending exact
+    * streaming dedup (C20) the way fuzzy decontamination (C23c) extended
+    * exact (C23). Each arriving document explodes to its LSH band
+    * hashes (the SAME native graft_minhash_bands kernel as batch, so
+    * stream and batch bucket identically); state lives per ACTIVE bucket
+    * via `flatMapGroupsWithState` keyed by (band_idx, band_hash), holding
+    * only the first claiming doc id — a doc landing in a claimed bucket
+    * is flagged against that first document.
+    *
+    * State is watermark-BOUNDED: each bucket's event-time timeout sits
+    * `watermark` past its newest arrival, so the state size is
+    * O(buckets live in the horizon), not O(corpus) — the infinite-stream
+    * answer. A near-dup of a document older than the horizon is NOT
+    * flagged (its buckets expired); that is the documented semantic,
+    * exactly like `streamingDedupWindowed` for the exact variant.
+    *
+    * Parity (StreamingSpec): on an id-ordered timely stream the distinct
+    * flagged doc ids equal the batch pipeline's higher-id pair members.
+    */
+  def streamingNearDupLsh(docs: Dataset[TimedDoc], k: Int = 3, nBands: Int = 8,
+                          rowsPerBand: Int = 4,
+                          watermarkMs: Long = 600000L): Dataset[NearDupFlag] = {
+    import docs.sparkSession.implicits._
+    val arrivals = docs.toDF()
+      .withWatermark("ts", s"$watermarkMs milliseconds")
+      .select(col("docId"), col("ts"),
+        posexplode(expr(s"graft_minhash_bands(graft_shingle_hashes(text, $k), $nBands, $rowsPerBand)"))
+          .as(Seq("bandIdx", "bandHash")))
+      .as[BandArrival]
+    arrivals
+      .groupByKey(a => (a.bandIdx, a.bandHash))
+      .flatMapGroupsWithState[BandBucket, NearDupFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((bandIdx, bandHash), batch, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // a lapsed claim must not flag new arrivals even when the
+            // engine could not fire the timeout yet (a group receiving
+            // data in the same batch its timeout passes is invoked
+            // NORMALLY, with stale state) — so expiry is also enforced
+            // here, from the expiry stamp carried in the state
+            val wm = state.getCurrentWatermarkMs()
+            var first = state.getOption.filter(_.expiresAtMs > wm).map(_.firstDocId)
+            // deterministic within-batch order: event time, then doc id
+            val rows = batch.toSeq.sortBy(a => (tsToUs(a.ts), a.docId))
+            var maxTsMs = Long.MinValue
+            val out = Seq.newBuilder[NearDupFlag]
+            rows.foreach { a =>
+              maxTsMs = math.max(maxTsMs, a.ts.getTime)
+              first match {
+                case Some(f) if f != a.docId =>
+                  out += NearDupFlag(a.docId, f, bandIdx, bandHash)
+                case None => first = Some(a.docId)
+                case _ => ()
+              }
+            }
+            val expires = maxTsMs + watermarkMs
+            first.foreach(f => state.update(BandBucket(f, expires)))
+            // engine-side cleanup: fire once the watermark passes the
+            // claim (never at/below the current watermark — API contract)
+            state.setTimeoutTimestamp(math.max(expires, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** C20b: STREAM-STATIC decontamination — the live-ingest twin of
     * TextAnalysis.decontaminate. Each arriving document's k-gram shingle
     * hashes join against a STATIC benchmark hash relation (the classic

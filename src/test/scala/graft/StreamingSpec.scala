@@ -138,6 +138,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"stream == batch: $batch vs $got")
   }
 
+  test("streamingNearDupLsh flags near-dup arrivals: parity with batch LSH") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog before breakfast " +
+      "every single morning in the quiet garden by the old caretaker"
+    val texts = Seq(
+      1L -> base,
+      2L -> base.replace("lazy", "sleepy"),       // near-dup of 1
+      3L -> base.replace("garden", "meadow"),     // near-dup of 1 (and 2)
+      4L -> "completely different content about watermark bounded state buckets")
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingNearDupLsh(mem.toDS())
+      .writeStream.format("memory").queryName("slsh").outputMode("append").start()
+    // id-ordered timely stream across TWO microbatches (cross-batch state)
+    mem.addData(EventStream.TimedDoc(1, ts(0), texts(0)._2),
+      EventStream.TimedDoc(2, ts(1), texts(1)._2))
+    q.processAllAvailable()
+    mem.addData(EventStream.TimedDoc(3, ts(2), texts(2)._2),
+      EventStream.TimedDoc(4, ts(3), texts(3)._2))
+    q.processAllAvailable()
+    val flags = spark.sql("SELECT docId, firstDocId FROM slsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    val flagged = flags.map(_._1).toSet
+    assert(flags.forall(_._2 == 1L), s"every claim traces to the first arrival: ${flags.toSeq}")
+    // batch parity: the same corpus through the batch LSH pipeline
+    val t = {
+      val df = texts.toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      val dir = java.nio.file.Files.createTempDirectory("slsh").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables(spark, dir)
+    }
+    val batchFlagged = graft.operators.Dedup.dedupMinhash(t)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged == batchFlagged && flagged.nonEmpty,
+      s"stream flags the batch pipeline's higher-id pair members: $flagged vs $batchFlagged")
+  }
+
+  test("streamingNearDupLsh claims expire past the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String): Timestamp = Timestamp.valueOf(s)
+    val base = "the quick brown fox jumps over the lazy dog before breakfast " +
+      "every single morning in the quiet garden by the old caretaker"
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingNearDupLsh(mem.toDS(), watermarkMs = 600000L)
+      .writeStream.format("memory").queryName("slsh_exp").outputMode("append").start()
+    mem.addData(EventStream.TimedDoc(1, at("2024-01-01 00:00:00"), base))
+    q.processAllAvailable()
+    // unrelated doc two hours on pushes the watermark far past doc 1's claim
+    mem.addData(EventStream.TimedDoc(2, at("2024-01-01 02:00:00"),
+      "totally unrelated filler that advances the event time watermark"))
+    q.processAllAvailable()
+    // a near-dup of doc 1 arriving after the horizon must NOT flag — the
+    // claim lapsed (bounded-state semantic, same as streamingDedupWindowed)
+    mem.addData(EventStream.TimedDoc(3, at("2024-01-01 02:00:01"), base.replace("lazy", "sleepy")))
+    q.processAllAvailable()
+    val flags = spark.sql("SELECT docId FROM slsh_exp").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(flags.isEmpty, s"no flags: doc 3's partner aged out of the horizon: $flags")
+  }
+
   test("streamingHeavyHitters merges the sketch across microbatches per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
