@@ -167,7 +167,7 @@ object Dedup {
     * is localCheckpointed so lineage stays flat; set equality for the
     * fixpoint test is checked distributedly (count + one-sided except).
     */
-  private def starComponents(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private[graft] def starComponents(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val n = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))

@@ -210,7 +210,12 @@ object EventStream {
                 case _ => ()
               }
             }
-            val expires = maxTsMs + watermarkMs
+            // a late (in-watermark) batch whose arrivals are older than
+            // the bucket's newest must not PULL the claim's expiry
+            // backwards — expiry is max over all arrivals + horizon (a
+            // lapsed claim's stamp is ≤ watermark, so it never wins)
+            val expires = math.max(maxTsMs + watermarkMs,
+              state.getOption.map(_.expiresAtMs).getOrElse(Long.MinValue))
             first.foreach(f => state.update(BandBucket(f, expires)))
             // engine-side cleanup: fire once the watermark passes the
             // claim (never at/below the current watermark — API contract)

@@ -120,4 +120,46 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.dedupMinhash(t).collect()
     assert(pairs.length == 1 && pairs(0).getLong(2) == 8L, "8 of 8 bands shared")
   }
+
+  /** Star contraction vs an in-memory union-find on adversarial graph
+    * shapes — chains (worst-case round count), cliques (one-round
+    * collapse), stars, and seeded random sparse graphs. Labels must
+    * match exactly: every edge-touched node mapped to its component's
+    * minimum id.
+    */
+  test("star contraction == union-find on random and adversarial graphs") {
+    import spark.implicits._
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain-30" -> (1L until 30L).map(i => (i, i + 1)),
+      "clique-12" -> (for (i <- 1L to 12L; j <- (i + 1) to 12L) yield (i, j)),
+      "star-20" -> (2L to 20L).map(i => (100L, i)),
+      "two-comps" -> (Seq((1L, 2L), (2L, 3L)) ++ Seq((10L, 11L), (11L, 12L), (10L, 12L)))
+    ) ++ (0 until 4).map { g =>
+      // sparse random: ~n edges over n nodes → many small components
+      val n = 40 + g * 20
+      s"random-$g" -> Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+    }
+    graphs.foreach { case (name, edges) =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val (labels, iters) = Dedup.starComponents(pairs, maxIter = 20)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      assert(got == want, s"$name: star labels == union-find (iters=$iters)")
+    }
+  }
 }
