@@ -108,7 +108,16 @@ object PlanAudit {
         "library snapshot delta carries no global sort (one co-partitioned hash join)"),
       ("lib:refresh_incremental",
         !libPlan(operators.TextAnalysis.refreshIncremental(t)).contains("rangepartitioning"),
-        "incremental refresh carries no global sort (delta join + semi-joined compute)"))
+        "incremental refresh carries no global sort (delta join + semi-joined compute)"),
+      ("lib:neardup_incremental", {
+        import org.apache.spark.sql.functions.col
+        val docs = t.documents.select(col("doc_id"), col("text"))
+        val prev = operators.TextAnalysis.simulatedPrev(docs)
+        !libPlan(operators.Dedup.ngramJaccardIncremental(docs, prev,
+          operators.Dedup.minhashBands(prev, 3, 8, 4),
+          operators.Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0)))
+          .contains("rangepartitioning")
+      }, "incremental near-dup maintenance carries no global sort"))
 
     var failed = 0
     edfChecks.foreach { case (q, ok, what) =>

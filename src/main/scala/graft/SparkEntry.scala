@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_apply"   -> Seq(col("doc_id")),
     "dedup_clusters" -> Seq(col("doc_id")),
     "ngram_jaccard" -> Seq(col("id_a"), col("id_b")),
+    "neardup_incremental" -> Seq(col("id_a"), col("id_b")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -198,7 +199,14 @@ object SparkEntry {
     "pii_redact"         -> q(TextAnalysis.piiRedact),
     "decontaminate_fuzzy" -> q(TextAnalysis.decontaminateFuzzy(_)),
     "corpus_delta"       -> q(TextAnalysis.corpusDelta(_: graft.Tables)),
-    "refresh_incremental" -> q(TextAnalysis.refreshIncremental(_: graft.Tables))
+    "refresh_incremental" -> q(TextAnalysis.refreshIncremental(_: graft.Tables)),
+    "neardup_incremental" -> q { t =>
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      val prev = TextAnalysis.simulatedPrev(docs)
+      Dedup.ngramJaccardIncremental(docs, prev,
+        Dedup.minhashBands(prev, 3, 8, 4),
+        Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0))
+    }
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -254,6 +262,38 @@ object SparkEntry {
                FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
                JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
          SELECT id_a, id_b, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM j ORDER BY id_a, id_b""",
+    // incremental == full recompute (the hash-compare IS the parity
+    // proof): same pair pipeline as ngram_jaccard over the current
+    // corpus, plus src provenance mirroring the simulatedPrev id rules
+    // (dirty = added %13=5 | changed %17=3; a pair is carried iff BOTH
+    // endpoints are unchanged)
+    "neardup_incremental" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+                   GROUP BY 1,2),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cands c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+                GROUP BY 1,2),
+         j AS (SELECT c.id_a, c.id_b, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+               JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
+         SELECT id_a, id_b, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard,
+           CASE WHEN id_a % 13 <> 5 AND id_a % 17 <> 3 AND id_b % 13 <> 5 AND id_b % 17 <> 3
+                THEN 'carried' ELSE 'fresh' END AS src
          FROM j ORDER BY id_a, id_b""",
     "dedup_apply" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

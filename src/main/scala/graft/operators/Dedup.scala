@@ -63,11 +63,23 @@ object Dedup {
     * (the oracle-checked default).
     */
   def dedupMinhash(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
-                   maxBucket: Int = 0): DataFrame = {
-    val bands = t.documents
-      .withColumn("hs", expr(shingleHashExpr(k)))
-      .select(col("doc_id"),
-        posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)")).as(Seq("band_idx", "band_hash")))
+                   maxBucket: Int = 0): DataFrame =
+    dedupMinhashDocs(t.documents, k, nBands, rowsPerBand, maxBucket)
+
+  /** Per-document LSH band-hash array — the persistable signature STATE of
+    * the near-dup pipeline (what an incremental refresh carries forward for
+    * unchanged docs instead of re-reading their text). Narrow and
+    * shuffle-free; element values are bit-identical to the bands exploded
+    * inside [[dedupMinhash]].
+    */
+  private[graft] def minhashBands(docs: DataFrame, k: Int, nBands: Int, rowsPerBand: Int): DataFrame =
+    docs.withColumn("hs", expr(shingleHashExpr(k)))
+      .select(col("doc_id"), expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)").as("bands"))
+
+  private[graft] def dedupMinhashDocs(docs: DataFrame, k: Int, nBands: Int, rowsPerBand: Int,
+                   maxBucket: Int): DataFrame = {
+    val bands = minhashBands(docs, k, nBands, rowsPerBand)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     // identical repartitioning on both sides -> Catalyst's ReuseExchange
     // computes the signature pipeline once and reads it twice
     val all = bands.repartition(col("band_idx"), col("band_hash"))
@@ -247,14 +259,30 @@ object Dedup {
     * only on survivors via an inverted-index join (never a cross product).
     */
   def ngramJaccard(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
-                   threshold: Double = 0.0): DataFrame = {
-    val cands = dedupMinhash(t, k, nBands, rowsPerBand).select(col("id_a"), col("id_b"))
-    val shingles = t.documents
+                   threshold: Double = 0.0): DataFrame =
+    ngramJaccardDocs(t.documents, k, nBands, rowsPerBand, threshold)
+
+  private[graft] def ngramJaccardDocs(docs: DataFrame, k: Int, nBands: Int, rowsPerBand: Int,
+                   threshold: Double): DataFrame = {
+    val cands = dedupMinhashDocs(docs, k, nBands, rowsPerBand, 0).select(col("id_a"), col("id_b"))
+    verifyJaccard(cands, docs, k, threshold)
+  }
+
+  /** Exact-Jaccard verify stage over a candidate pair relation — shared by
+    * the full and incremental paths. Shingles are computed from whatever
+    * `docs` relation the caller passes: the full path hands the whole
+    * corpus (same plan as ever), the incremental path hands a left-semi
+    * restriction to candidate endpoints so non-candidate text never
+    * reaches the shingle scan.
+    */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int,
+                   threshold: Double): DataFrame = {
+    val shingles = docs
       .withColumn("hs", expr(shingleHashExpr(k)))
       .select(col("doc_id"), explode(col("hs")).as("h"))
     // per-doc distinct-shingle count is just the hs array size — a narrow
     // projection, not an aggregate over the exploded shingle stream
-    val counts = t.documents
+    val counts = docs
       .select(col("doc_id"), size(expr(shingleHashExpr(k))).cast("long").as("nh"))
     val common = cands
       .join(shingles.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
@@ -269,5 +297,72 @@ object Dedup {
       .withColumn("jac", col("common").cast("double") / (col("nh_a") + col("nh_b") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), roundHalfUp(col("jac"), 4).as("jaccard"))
+  }
+
+  /** C33b: incremental near-dup pair maintenance — [[ngramJaccard]]
+    * composed over the C32/C33 refresh machinery so a snapshot refresh
+    * re-LSHes only the dirty fraction of the corpus:
+    *
+    *  - the per-doc band state ([[minhashBands]]) refreshes through
+    *    [[TextAnalysis.refreshIncremental]]: recomputed for added+changed
+    *    docs, carried verbatim for unchanged, tombstoned for removed;
+    *  - candidate generation joins DIRTY bands against the full refreshed
+    *    band relation (dirty×all, bounded by the same band-hash buckets
+    *    as the batch path) — a pair between two UNCHANGED docs cannot
+    *    have changed, so it carries forward from `prevPairs` instead
+    *    (both endpoints left-semi-checked against the unchanged set);
+    *  - the exact-Jaccard verify runs only on dirty-touching candidates,
+    *    with the text scan left-semi-restricted to candidate endpoint
+    *    ids — unchanged text bordering no dirty candidate is never read
+    *    past corpus_delta's md5.
+    *
+    * At a fixed refresh dirty-rate d this turns the per-refresh cost from
+    * O(corpus) signature work + O(all pairs) verification into
+    * O(d·corpus) + O(pairs touching dirty docs): the composition that
+    * makes continuous fuzzy dedup affordable at 100 TB.
+    *
+    * LSH banding is per-document-deterministic, so a both-unchanged pair
+    * collides in the refreshed bands iff it collided in prev — the output
+    * is row-identical to `ngramJaccard(cur)` plus `src` provenance
+    * (`fresh` = re-verified this refresh, `carried` = previous output
+    * verbatim). DedupSpec asserts exactly that parity, and via a
+    * poisoned-jaccard sentinel that carried pairs are never recomputed.
+    *
+    * `prevBands` = [[minhashBands]] of the previous snapshot (same k /
+    * nBands / rowsPerBand); `prevPairs` = the previous refresh's pair
+    * output (`id_a`, `id_b`, `jaccard`).
+    */
+  def ngramJaccardIncremental(cur: DataFrame, prev: DataFrame,
+      prevBands: DataFrame, prevPairs: DataFrame,
+      k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.0): DataFrame = {
+    val bandState = TextAnalysis.refreshIncremental(cur, prev, prevBands)(
+      minhashBands(_, k, nBands, rowsPerBand))
+    val expl = bandState.select(col("doc_id"), col("src"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val dirty = expl.filter(col("src") === "fresh")
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("id_d"))
+    val all = expl.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+      col("doc_id").as("id_o"))
+    val cands = dirty.join(all,
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("id_d") =!= col("id_o"))
+      .select(least(col("id_d"), col("id_o")).as("id_a"),
+        greatest(col("id_d"), col("id_o")).as("id_b"))
+      .distinct()
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()
+    val fresh = verifyJaccard(cands, cur.join(candIds, Seq("doc_id"), "left_semi"), k, threshold)
+      .withColumn("src", lit("fresh"))
+    // unchanged set read off the refreshed band state itself (src =
+    // 'carried'); column pruning reduces this branch to the delta's
+    // id routing — no band math re-runs for it
+    val unchangedIds = bandState.filter(col("src") === "carried").select("doc_id")
+    val carried = prevPairs
+      .join(unchangedIds.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(unchangedIds.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .withColumn("src", lit("carried"))
+    fresh.unionByName(carried)
   }
 }

@@ -162,4 +162,67 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"$name: star labels == union-find (iters=$iters)")
     }
   }
+
+  // ---- C33b ngramJaccardIncremental ------------------------------------
+
+  private def rawDocs(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("incremental near-dup pairs == full recompute, with exact provenance") {
+    val nearDup2 = base.replace("quick brown", "swift brown")
+    val nearDup3 = base.replace("cat sleeps", "dog sleeps")
+    // cur: 1,2 unchanged near-dups; 3 changed (was unrelated in prev, now
+    // a near-dup); 4 added near-dup; prev-only 9 removed
+    val cur = rawDocs(Seq((1L, base), (2L, nearDup), (3L, nearDup2), (4L, nearDup3)))
+    val prev = rawDocs(Seq((1L, base), (2L, nearDup), (3L, unrelated), (9L, unrelated)))
+    val inc = Dedup.ngramJaccardIncremental(cur, prev,
+      Dedup.minhashBands(prev, 3, 8, 4), Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+    val full = Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.map(x => (x._1, x._2, x._3)) == full,
+      s"pair set + jaccard identical to full recompute (inc=$inc full=$full)")
+    val srcBy = inc.map(x => (x._1, x._2) -> x._4).toMap
+    assert(srcBy.get((1L, 2L)).contains("carried"),
+      "the both-unchanged pair carries forward")
+    assert(srcBy.filter(_._1 != (1L, 2L)).values.forall(_ == "fresh"),
+      s"every dirty-touching pair is re-verified: $srcBy")
+    assert(srcBy.values.exists(_ == "fresh"), "planted dirty pairs present")
+  }
+
+  test("carried pairs are previous output VERBATIM (poisoned-jaccard sentinel)") {
+    val nearDup2 = base.replace("quick brown", "swift brown")
+    val cur = rawDocs(Seq((1L, base), (2L, nearDup), (3L, nearDup2)))
+    val prev = rawDocs(Seq((1L, base), (2L, nearDup), (3L, unrelated)))
+    // poison every prev jaccard: a recompute of the unchanged pair (1,2)
+    // would overwrite the sentinel and break this assertion
+    val poisoned = Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0)
+      .withColumn("jaccard", lit(-1.0))
+    val out = Dedup.ngramJaccardIncremental(cur, prev,
+      Dedup.minhashBands(prev, 3, 8, 4), poisoned)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(out.length == 1, "unchanged pair present exactly once")
+    assert(out(0).getDouble(2) == -1.0 && out(0).getString(3) == "carried",
+      "carried row is the previous output verbatim, never recomputed")
+  }
+
+  test("incremental == full on the real corpus against the simulated prev") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val cur = t.documents.select(col("doc_id"), col("text"))
+    val prev = graft.operators.TextAnalysis.simulatedPrev(cur)
+    val inc = Dedup.ngramJaccardIncremental(cur, prev,
+      Dedup.minhashBands(prev, 3, 8, 4), Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val full = Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc.map(x => (x._1, x._2, x._3)).toSet == full,
+      "real-corpus parity: incremental == full recompute")
+    def dirty(id: Long) = id % 13 == 5 || id % 17 == 3
+    inc.foreach { case (a, b, _, src) =>
+      val want = if (dirty(a) || dirty(b)) "fresh" else "carried"
+      assert(src == want, s"pair ($a,$b) provenance $src, expected $want")
+    }
+  }
 }
