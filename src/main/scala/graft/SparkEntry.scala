@@ -797,7 +797,8 @@ object SparkEntry {
            SELECT doc_id, CASE WHEN doc_id % 17 = 3 THEN text || ' [edited]' ELSE text END AS text
            FROM documents WHERE doc_id % 13 != 5
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 2
+           SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+           FROM documents WHERE doc_id % 19 = 2
          ),
          j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
                  md5(c.text) AS h_cur, md5(p.text) AS h_prev

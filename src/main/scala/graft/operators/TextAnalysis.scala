@@ -393,37 +393,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("status"))
   }
 
-  /** C32 driver entry: the previous snapshot is SIMULATED
-    * deterministically from the current one (the testdata ships a
-    * single snapshot) — docs with `doc_id % 13 = 5` are new since prev
-    * (→ added), `% 17 = 3` carry an edit marker in prev (→ changed),
-    * and prev additionally held ids shifted by 1,000,000 for
-    * `% 19 = 2` (→ removed). The oracle mirrors the same derivation, so
-    * all four statuses are exercised at every SF.
-    */
-  /** Deterministic simulated previous snapshot (shared by the C32/C33
-    * driver entries — the testdata ships a single snapshot): docs with
-    * `doc_id % 13 = 5` are new since prev (→ added), `% 17 = 3` carry an
-    * edit marker in prev (→ changed), and prev additionally held ids
-    * shifted by 1,000,000 for `% 19 = 2` (→ removed). The oracles mirror
-    * the same derivation.
+  /** Deterministic simulated previous snapshot (shared by the C32/C33/
+    * C33b driver entries — the testdata ships a single snapshot): docs
+    * with `doc_id % 13 = 5` are new since prev (→ added), `% 17 = 3`
+    * carry an edit marker in prev (→ changed), and prev additionally
+    * held ids shifted past max(doc_id) for `% 19 = 2` (→ removed). The
+    * oracles mirror the same derivation, so all four statuses are
+    * exercised at every SF.
     */
   private[graft] def simulatedPrev(docs: DataFrame): DataFrame = {
-    // The +1,000,000 shift is only collision-free while every real
-    // doc_id sits below it — past that the shifted "removed" ids would
-    // alias real docs and fan out the full-outer join. This is a test
-    // harness derivation (the oracle mirrors the same constant), so
-    // assert the ceiling rather than silently corrupting the simulation.
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-    require(maxId < 1000000L,
-      s"simulatedPrev id shift assumes doc_id < 1,000,000 (saw $maxId); " +
-        "use a real previous snapshot at this scale")
+    // The "removed" ids are shifted past the corpus maximum
+    // (max(doc_id)+1) so they can never alias a real doc and fan out the
+    // full-outer join — collision-free at EVERY SF by construction
+    // (ScaleGen's sf1 derivation carries ids up to 9e8; a fixed constant
+    // ceiling refused there). The oracles mirror the same shift with a
+    // scalar subquery, so the one extra max() job stays oracle-exact.
+    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     docs.filter(col("doc_id") % 13 =!= 5)
       .withColumn("text",
         when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [edited]")))
           .otherwise(col("text")))
       .unionByName(docs.filter(col("doc_id") % 19 === 2)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + shift).as("doc_id"), col("text")))
   }
 
   def corpusDelta(t: Tables): DataFrame = {
