@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-only: measures the PAYOFF of the incremental refresh compositions
+  * (C33 `refresh_incremental`, C33b `neardup_incremental`) against their
+  * full-recompute equivalents, with the previous snapshot's state
+  * MATERIALIZED to parquet first — the deployment shape: band state, pair
+  * output and per-doc derivations live in the lake between refreshes, so a
+  * refresh should pay only for the dirty fraction, not the corpus.
+  *
+  * The driver-contract entries can't show this (they re-derive prev state
+  * inside the query so the DuckDB oracle can mirror it); this main is the
+  * honest cost comparison. Timing mirrors Bench: every pass is a full
+  * noop-sink evaluation, reported time = min over warm + 2 timed passes.
+  *
+  * Prints one JSON line:
+  *   {"sf":…,"n_docs":N,"dirty_frac":d,
+  *    "full_pairs_sec":…,"inc_pairs_sec":…,
+  *    "full_fingerprint_sec":…,"inc_fingerprint_sec":…}
+  *
+  * Usage: sbt "runMain graft.RefreshBench <sfDir> [workDir]"
+  */
+object RefreshBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/refresh_bench")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = Tables(spark, sfDir)
+    val cur = t.documents.select(col("doc_id"), col("text"))
+
+    // ---- materialize the previous snapshot's state (not timed: in a
+    // deployment this is the PREVIOUS refresh's output, already landed)
+    operators.TextAnalysis.simulatedPrev(cur)
+      .write.mode("overwrite").parquet(s"$work/prev_docs.parquet")
+    val prevDocs = spark.read.parquet(s"$work/prev_docs.parquet")
+    operators.Dedup.minhashBands(prevDocs, 3, 8, 4)
+      .write.mode("overwrite").parquet(s"$work/prev_bands.parquet")
+    operators.Dedup.ngramJaccardDocs(prevDocs, 3, 8, 4, 0.0)
+      .write.mode("overwrite").parquet(s"$work/prev_pairs.parquet")
+    operators.TextAnalysis.fingerprint(prevDocs)
+      .write.mode("overwrite").parquet(s"$work/prev_fp.parquet")
+    val prevBands = spark.read.parquet(s"$work/prev_bands.parquet")
+    val prevPairs = spark.read.parquet(s"$work/prev_pairs.parquet")
+    val prevFp = spark.read.parquet(s"$work/prev_fp.parquet")
+
+    def timeOnce(fn: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best(fn: => DataFrame): Double =
+      Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
+
+    val fullPairs = best(operators.Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0))
+    val incPairs = best(operators.Dedup.ngramJaccardIncremental(
+      cur, prevDocs, prevBands, prevPairs))
+    val fullFp = best(operators.TextAnalysis.fingerprint(cur))
+    val incFp = best(operators.TextAnalysis.refreshIncremental(
+      cur, prevDocs, prevFp)(operators.TextAnalysis.fingerprint))
+
+    val nDocs = cur.count()
+    val nDirty = operators.TextAnalysis.corpusDelta(cur, prevDocs)
+      .filter(col("status").isin("added", "changed")).count()
+    println(s"""{"sf":"$sfDir","n_docs":$nDocs,"dirty_frac":${nDirty.toDouble / nDocs},""" +
+      s""""full_pairs_sec":$fullPairs,"inc_pairs_sec":$incPairs,""" +
+      s""""full_fingerprint_sec":$fullFp,"inc_fingerprint_sec":$incFp}""")
+    spark.stop()
+  }
+}
