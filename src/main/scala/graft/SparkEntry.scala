@@ -132,7 +132,7 @@ object SparkEntry {
     "ts_calibrate"     -> q(TimeSeries.calibrate(_)),
     "ts_expand"        -> q(TimeSeries.tsExpand(_)),
     "ts_gap_chunks"    -> q(TimeSeries.tsGapChunks(_)),
-    "ts_channel_stats" -> q(TimeSeries.tsChannelStats),
+    "ts_channel_stats" -> q(TimeSeries.tsChannelStats(_)),
     "ts_resample"      -> q(TimeSeries.tsResample(_)),
     "ts_spike"         -> q(TimeSeries.tsSpike(_)),
     "ts_asof"          -> q(TimeSeries.tsAsof),
@@ -745,17 +745,17 @@ object SparkEntry {
       """SELECT doc_id,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
            len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
-           len(regexp_extract_all(text, '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}')) AS n_phones,
+           len(regexp_extract_all(text, '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}([^0-9]|$)')) AS n_phones,
            (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
             + len(regexp_extract_all(text, 'https?://[^\s]+'))
-            + len(regexp_extract_all(text, '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}'))) > 0 AS has_pii
+            + len(regexp_extract_all(text, '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}([^0-9]|$)'))) > 0 AS has_pii
          FROM documents ORDER BY doc_id""",
     "pii_redact" ->
       """SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(text,
              'https?://[^\s]+', '[URL]', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}', '[PHONE]', 'g') AS redacted,
+             '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}([^0-9]|$)', '[PHONE]\3', 'g') AS redacted,
            len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
            len(regexp_extract_all(regexp_replace(text,
              'https?://[^\s]+', '[URL]', 'g'),
@@ -763,7 +763,7 @@ object SparkEntry {
            len(regexp_extract_all(regexp_replace(regexp_replace(text,
              'https?://[^\s]+', '[URL]', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-             '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}')) AS n_phones
+             '(\+\d{1,2}[-. ]?)?(\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3,4}[-. ]\d{4}([^0-9]|$)')) AS n_phones
          FROM documents ORDER BY doc_id""",
     "decontaminate_fuzzy" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),

@@ -173,8 +173,15 @@ object TextAnalysis {
     */
   private[graft] val piiUrlPattern = "https?://[^\\s]+"
   private[graft] val piiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Trailing boundary: RE2 has no lookahead, so the guard is a captured
+    * `([^0-9]|$)` — it stops the 10-digit prefix of a longer digit run
+    * from matching (e.g. `555.123.45678` is NOT a phone) and the
+    * redaction writes the captured char back (`[PHONE]$3`). Leading
+    * digits are unguarded by design (a phone glued to leading digits is
+    * not a shape the corpus produces; documented false-positive).
+    */
   private[graft] val piiPhonePattern =
-    "(\\+\\d{1,2}[-. ]?)?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3,4}[-. ]\\d{4}"
+    "(\\+\\d{1,2}[-. ]?)?(\\(\\d{3}\\)[-. ]?|\\d{3}[-. ])\\d{3,4}[-. ]\\d{4}([^0-9]|$)"
 
   def piiCount(t: Tables): DataFrame =
     t.documents
@@ -200,7 +207,8 @@ object TextAnalysis {
     val phone = piiPhonePattern
     val t1 = regexp_replace(col("text"), url, "[URL]")
     val t2 = regexp_replace(t1, email, "[EMAIL]")
-    val t3 = regexp_replace(t2, phone, "[PHONE]")
+    // $3 restores the consumed boundary char ("" when $ matched)
+    val t3 = regexp_replace(t2, phone, "[PHONE]$3")
     t.documents
       .select(col("doc_id"), t3.as("redacted"),
         regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
@@ -408,7 +416,13 @@ object TextAnalysis {
     // (ScaleGen's sf1 derivation carries ids up to 9e8; a fixed constant
     // ceiling refused there). The oracles mirror the same shift with a
     // scalar subquery, so the one extra max() job stays oracle-exact.
-    val shift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // max() over an empty corpus is NULL — fail with a real message
+    // instead of an opaque NPE at plan-construction time
+    val maxId = Option(docs.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0))
+      .getOrElse(throw new IllegalArgumentException(
+        "simulatedPrev: documents table is empty — corpus_delta/refresh_incremental/" +
+          "neardup_incremental need a non-empty corpus to derive the snapshot"))
+    val shift = maxId.longValue + 1L
     docs.filter(col("doc_id") % 13 =!= 5)
       .withColumn("text",
         when(col("doc_id") % 17 === 3, concat(col("text"), lit(" [edited]")))

@@ -21,6 +21,20 @@ import graft.functions.roundHalfUp
   * its channel key followed by in-partition window/aggregation work; at
   * 100 TB the channel key would be (file_id, channel) with millions of
   * groups, which partitions evenly. No driver-side loops or collects.
+  *
+  * Channel-key parameterization: each ordered-window operator has a
+  * `(events: DataFrame, …, keys: Seq[String])` overload taking a
+  * caller-supplied input and composite channel key — the `Tables` form
+  * defaults to `keys = Seq("event_type")` (the driver schema's channel
+  * stand-in, cardinality 5 in testdata) purely for the oracle harness.
+  * Ordered-window parallelism is bounded by the key cardinality (each
+  * key's partition is one task's sort), so at 100 TB callers MUST pass
+  * the high-cardinality natural key — e.g. the (`file`, `channel`) pair
+  * the A1 EDF reader produces (reference semantics are per-channel,
+  * base_processor/timeseries/base.py:322-342) — and parallelism then
+  * scales with #files × #channels instead of capping at #channels.
+  * The required input columns per overload are documented inline
+  * (`ts` int64 ns + the keys, plus `event_id`/`value` where used).
   */
 object TimeSeries {
 
@@ -63,15 +77,23 @@ object TimeSeries {
     * the gap threshold (reference: 2× sampling period). One shuffle by
     * channel; chunk ids via running sum of boundary flags.
     */
-  def tsGapChunks(t: Tables, gapUs: Long = 2L * 3600 * 1000000): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    t.events
-      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+  def tsGapChunks(t: Tables, gapUs: Long = 2L * 3600 * 1000000,
+                  keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsGapChunks(t.events, gapUs, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * and the `keys` columns (composite channel key, e.g. file+channel).
+    */
+  def tsGapChunks(events: DataFrame, gapUs: Long, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    events
+      .select(kc :+ col("event_id") :+ tsUs.as("us"): _*)
       .withColumn("prev_us", lag(col("us"), 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("chunk_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("event_type"), col("chunk_id"))
+      .groupBy(kc :+ col("chunk_id"): _*)
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
   }
 
@@ -82,10 +104,17 @@ object TimeSeries {
     * mode tie-broken (count desc, Δ asc) so it is deterministic. Two
     * aggregations + a broadcast-sized join on the channel key.
     */
-  def tsChannelStats(t: Tables): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    val base = t.events.select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
-    val stats = base.groupBy(col("event_type")).agg(
+  def tsChannelStats(t: Tables, keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsChannelStats(t.events, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns.
+    */
+  def tsChannelStats(events: DataFrame, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    val base = events.select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
+    val stats = base.groupBy(kc: _*).agg(
       min(col("us")).as("start_us"), max(col("us")).as("end_us"),
       count(lit(1)).as("num_values"),
       roundHalfUp(avg(col("value")), 4).as("avg_value"),
@@ -95,12 +124,12 @@ object TimeSeries {
       .filter(col("prev_us").isNotNull)
       .withColumn("diff_s", expr("(us - prev_us) div 1000000"))
       .filter(col("diff_s") > 0)
-      .groupBy(col("event_type"), col("diff_s")).agg(count(lit(1)).as("cnt"))
-    val modeW = Window.partitionBy(col("event_type")).orderBy(col("cnt").desc, col("diff_s").asc)
+      .groupBy(kc :+ col("diff_s"): _*).agg(count(lit(1)).as("cnt"))
+    val modeW = Window.partitionBy(kc: _*).orderBy(col("cnt").desc, col("diff_s").asc)
     val mode = diffs.withColumn("rk", row_number().over(modeW)).filter(col("rk") === 1)
-      .select(col("event_type"), col("diff_s").as("mode_period_s"),
-        roundHalfUp(lit(1.0) / col("diff_s"), 6).as("rate_hz"))
-    stats.join(mode, Seq("event_type"))
+      .select(kc ++ Seq(col("diff_s").as("mode_period_s"),
+        roundHalfUp(lit(1.0) / col("diff_s"), 6).as("rate_hz")): _*)
+    stats.join(mode, keys)
   }
 
   /** A7: downsampling resample to fixed buckets — partial aggregation
@@ -120,13 +149,21 @@ object TimeSeries {
   /** A8: threshold-crossing spike detection (the reference's UNIT/spike
     * surface, base.py:98-119): spike where prev < θ ≤ current, per channel.
     */
-  def tsSpike(t: Tables, threshold: Double = 180.0): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+  def tsSpike(t: Tables, threshold: Double = 180.0,
+              keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsSpike(t.events, threshold, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns.
+    */
+  def tsSpike(events: DataFrame, threshold: Double, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    events
+      .select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .filter(col("prev_value") < threshold && col("value") >= threshold)
-      .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"))
+      .select(kc ++ Seq(col("event_id"), col("us").as("ts_us"), col("value")): _*)
   }
 
   /** A8b: spike waveform extraction — the reference's UNIT spike payload
@@ -134,18 +171,26 @@ object TimeSeries {
     * threshold crossing carries the ±2 neighboring sample values, via the
     * same ordered window (no second scan). Window edges yield nulls.
     */
-  def tsSpikeWaveforms(t: Tables, threshold: Double = 180.0): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+  def tsSpikeWaveforms(t: Tables, threshold: Double = 180.0,
+                       keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsSpikeWaveforms(t.events, threshold, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns.
+    */
+  def tsSpikeWaveforms(events: DataFrame, threshold: Double, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    events
+      .select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("w_m2", lag(col("value"), 2).over(w))
       .withColumn("w_p1", lead(col("value"), 1).over(w))
       .withColumn("w_p2", lead(col("value"), 2).over(w))
       .filter(col("prev_value") < threshold && col("value") >= threshold)
-      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
+      .select(kc ++ Seq(col("event_id"), col("us").as("ts_us"),
         col("w_m2"), col("prev_value").as("w_m1"), col("value").as("w_0"),
-        col("w_p1"), col("w_p2"))
+        col("w_p1"), col("w_p2")): _*)
   }
 
   /** A9: as-of join — each purchase gets the latest click at-or-before it
@@ -226,31 +271,48 @@ object TimeSeries {
     * path, also usable unchanged under Structured Streaming). Session end
     * = last event + gap; a gap of exactly `gapUs` starts a new session.
     */
-  def tsSessionWindow(t: Tables, gapUs: Long = 2L * 3600 * 1000000): DataFrame =
-    t.events
-      .select(col("event_type"), tsUs.as("us"))
+  def tsSessionWindow(t: Tables, gapUs: Long = 2L * 3600 * 1000000,
+                      keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsSessionWindow(t.events, gapUs, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns) and the `keys`
+    * columns.
+    */
+  def tsSessionWindow(events: DataFrame, gapUs: Long, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    events
+      .select(kc :+ tsUs.as("us"): _*)
       .withColumn("tsx", expr("timestamp_micros(us)"))
-      .groupBy(session_window(col("tsx"), s"$gapUs microseconds"), col("event_type"))
+      .groupBy(session_window(col("tsx"), s"$gapUs microseconds") +: kc: _*)
       .agg(count(lit(1)).as("n"))
-      .select(col("event_type"),
+      .select(kc ++ Seq(
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
-        col("n"))
+        col("n")): _*)
+  }
 
   /** A15: moving-window smoothing — rolling mean/min/max over the last
     * `window` samples per channel (one ordered pass, no extra shuffle
     * beyond the channel partition).
     */
-  def tsMoving(t: Tables, window: Int = 5): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+  def tsMoving(t: Tables, window: Int = 5,
+               keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsMoving(t.events, window, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns.
+    */
+  def tsMoving(events: DataFrame, window: Int, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
       .rowsBetween(-(window - 1), 0)
-    t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+    events
+      .select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
       .withColumn("mov_avg", roundHalfUp(avg(col("value")).over(w), 4))
       .withColumn("mov_min", min(col("value")).over(w))
       .withColumn("mov_max", max(col("value")).over(w))
-      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
-        col("mov_avg"), col("mov_min"), col("mov_max"))
+      .select(kc ++ Seq(col("event_id"), col("us").as("ts_us"),
+        col("mov_avg"), col("mov_min"), col("mov_max")): _*)
   }
 
   /** A16: cross-channel correlation — sample correlation of hourly means
@@ -300,21 +362,29 @@ object TimeSeries {
     * Grid synthesis is `sequence`+`explode` per channel; fills come from
     * one ignore-nulls window pass in each direction.
     */
-  def tsInterp(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame = {
-    val hourly = t.events
-      .select(col("event_type"), col("value"), tsUs.as("us"))
+  def tsInterp(t: Tables, bucketUs: Long = 3600L * 1000000,
+               keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsInterp(t.events, bucketUs, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `value`, and
+    * the `keys` columns.
+    */
+  def tsInterp(events: DataFrame, bucketUs: Long, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val hourly = events
+      .select(kc ++ Seq(col("value"), tsUs.as("us")): _*)
       .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
-      .groupBy(col("event_type"), col("bucket_us"))
+      .groupBy(kc :+ col("bucket_us"): _*)
       .agg(roundHalfUp(avg(col("value")), 4).as("v"))
-    val grid = hourly.groupBy(col("event_type"))
+    val grid = hourly.groupBy(kc: _*)
       .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"), lit(bucketUs))).as("bucket_us"))
-    val wAsc = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+      .select(kc :+
+        explode(sequence(col("lo"), col("hi"), lit(bucketUs))).as("bucket_us"): _*)
+    val wAsc = Window.partitionBy(kc: _*).orderBy(col("bucket_us"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    val wDesc = Window.partitionBy(kc: _*).orderBy(col("bucket_us"))
       .rowsBetween(0, Window.unboundedFollowing)
-    grid.join(hourly, Seq("event_type", "bucket_us"), "left")
+    grid.join(hourly, keys :+ "bucket_us", "left")
       .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(wAsc))
       .withColumn("prev_b", last(when(col("v").isNotNull, col("bucket_us")), ignoreNulls = true).over(wAsc))
       .withColumn("next_v", first(col("v"), ignoreNulls = true).over(wDesc))
@@ -326,7 +396,7 @@ object TimeSeries {
           (col("next_v") - col("prev_v")) *
             ((col("bucket_us") - col("prev_b")).cast("double") / (col("next_b") - col("prev_b"))), 4)))
       .withColumn("was_gap", col("v").isNull)
-      .select(col("event_type"), col("bucket_us"), col("v_filled"), col("was_gap"))
+      .select(kc ++ Seq(col("bucket_us"), col("v_filled"), col("was_gap")): _*)
   }
 
   /** A18: spectral band power via single-bin DFT (Goertzel-style) — the
@@ -485,17 +555,25 @@ object TimeSeries {
     * single final division is then bit-identical everywhere. One shuffle
     * by channel.
     */
-  def tsWeighted(t: Tables, horizonUs: Long = 600L * 1000000): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+  def tsWeighted(t: Tables, horizonUs: Long = 600L * 1000000,
+                 keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsWeighted(t.events, horizonUs, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns.
+    */
+  def tsWeighted(events: DataFrame, horizonUs: Long, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"))
       .rangeBetween(-horizonUs, 0)
-    t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+    events
+      .select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
       .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       .withColumn("n_trailing", count(lit(1)).over(w))
       .withColumn("avg_trailing",
         roundHalfUp(sum(col("cents")).over(w) / (col("n_trailing") * 100.0), 4))
-      .select(col("event_type"), col("event_id"), col("us").as("ts_us"),
-        col("n_trailing"), col("avg_trailing"))
+      .select(kc ++ Seq(col("event_id"), col("us").as("ts_us"),
+        col("n_trailing"), col("avg_trailing")): _*)
   }
 
   /** A23: LTTB downsampling (largest-triangle-three-buckets) — the
@@ -517,51 +595,70 @@ object TimeSeries {
     * earliest sample. Shape: one shuffle by channel for ranking, one
     * channel×nBuckets-sized mean relation broadcast back, narrow scoring.
     */
-  def lttb(t: Tables, nBuckets: Int = 20): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    val base = t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+  def lttb(t: Tables, nBuckets: Int = 20,
+           keys: Seq[String] = Seq("event_type")): DataFrame =
+    lttb(t.events, nBuckets, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * `value`, and the `keys` columns. The anchor relation stays
+    * broadcast-sized as long as #keys × nBuckets fits the broadcast
+    * threshold; past that, drop the hint and it becomes a co-partitioned
+    * join on (keys, bucket).
+    */
+  def lttb(events: DataFrame, nBuckets: Int, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    val base = events
+      .select(kc ++ Seq(col("event_id"), col("value"), tsUs.as("us")): _*)
       .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       .withColumn("rn", row_number().over(w).cast("long") - 1L)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-      .withColumn("us0", min(col("us")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      .withColumn("us0", min(col("us")).over(Window.partitionBy(kc: _*)))
       .withColumn("bucket", expr(s"(rn * ${nBuckets}L) div n"))
       .withColumn("x", (col("us") - col("us0")).cast("double"))
       .withColumn("y", col("cents") / 100.0)
-    val means = base.groupBy(col("event_type"), col("bucket"))
+    val means = base.groupBy(kc :+ col("bucket"): _*)
       .agg(sum(col("us") - col("us0")).as("sx"), sum(col("cents")).as("sy"),
         count(lit(1)).as("bn"))
-      .select(col("event_type"), col("bucket"),
-        (col("sx") / col("bn")).as("mx"), (col("sy") / (col("bn") * 100.0)).as("my"))
-    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .select(kc ++ Seq(col("bucket"),
+        (col("sx") / col("bn")).as("mx"), (col("sy") / (col("bn") * 100.0)).as("my")): _*)
+    val wb = Window.partitionBy(kc: _*).orderBy(col("bucket"))
     val anchors = means
       .withColumn("px", lag(col("mx"), 1).over(wb)).withColumn("py", lag(col("my"), 1).over(wb))
       .withColumn("nx", lead(col("mx"), 1).over(wb)).withColumn("ny", lead(col("my"), 1).over(wb))
-      .select(col("event_type"), col("bucket"), col("px"), col("py"), col("nx"), col("ny"))
+      .select(kc ++ Seq(col("bucket"), col("px"), col("py"), col("nx"), col("ny")): _*)
     val area = abs((col("px") - col("nx")) * (col("y") - col("py")) -
       (col("px") - col("x")) * (col("py") - col("ny")))
-    val pick = Window.partitionBy(col("event_type"), col("bucket")).orderBy(
+    val pick = Window.partitionBy(kc :+ col("bucket"): _*).orderBy(
       // interior buckets: max triangle area; first/last buckets: the
       // boundary point itself (area is null there — order by rank)
       when(col("px").isNull, col("rn")).otherwise(-lit(1)).asc,
       when(col("nx").isNull, -col("rn")).otherwise(-lit(1)).asc,
       area.desc, col("us").asc, col("event_id").asc)
-    base.join(broadcast(anchors), Seq("event_type", "bucket"))
+    base.join(broadcast(anchors), keys :+ "bucket")
       .withColumn("rk", row_number().over(pick))
       .filter(col("rk") === 1)
-      .select(col("event_type"), col("bucket"), col("us").as("ts_us"), col("value"))
+      .select(kc ++ Seq(col("bucket"), col("us").as("ts_us"), col("value")): _*)
   }
 
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */
-  def tsChunker(t: Tables, chunkSize: Long = 500L): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
-    t.events
-      .select(col("event_type"), col("event_id"), tsUs.as("us"))
+  def tsChunker(t: Tables, chunkSize: Long = 500L,
+                keys: Seq[String] = Seq("event_type")): DataFrame =
+    tsChunker(t.events, chunkSize, keys)
+
+  /** Caller-key variant — `events` needs `ts` (int64 ns), `event_id`,
+    * and the `keys` columns.
+    */
+  def tsChunker(events: DataFrame, chunkSize: Long, keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(col("us"), col("event_id"))
+    events
+      .select(kc ++ Seq(col("event_id"), tsUs.as("us")): _*)
       .withColumn("rn", row_number().over(w).cast("long") - 1L)
       .withColumn("chunk_id", expr(s"rn div ${chunkSize}L"))
-      .groupBy(col("event_type"), col("chunk_id"))
+      .groupBy(kc :+ col("chunk_id"): _*)
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
   }
 }

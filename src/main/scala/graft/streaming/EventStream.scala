@@ -255,7 +255,38 @@ object EventStream {
       // AFTER the inner join the dedup state is still O(flagged grams) —
       // the contamination hit list, not the corpus. count(*) then IS the
       // distinct count (streaming forbids count_distinct).
+      //
+      // State-lifetime caveat: this dedup state is NEVER evicted (no
+      // event time on [[Doc]]), so on a long-running query it grows with
+      // the all-time contamination hit list — unlike the sibling
+      // operators' watermark-bounded state. Fine when the benchmark (and
+      // so the maximum possible hit list) is small; for an unbounded run
+      // use the [[TimedDoc]] overload below, whose dedup state evicts
+      // with the watermark.
       .dropDuplicates("docId", "h")
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Watermark-bounded deployment form of [[streamingDecontaminate]]:
+    * identical flagging semantics, but the redelivery-idempotence dedup
+    * runs `dropDuplicatesWithinWatermark`, so its state holds only the
+    * flagged grams inside the event-time horizon instead of the all-time
+    * hit list. A redelivery WITHIN the watermark dedups exactly; one
+    * arriving later than the watermark delay re-counts (the standard
+    * within-watermark trade — at-least-once sources re-deliver promptly,
+    * so the horizon is the right bound). The per-doc count aggregation
+    * state remains O(flagged docs), the output relation itself.
+    */
+  def streamingDecontaminate(docs: Dataset[TimedDoc], benchHashes: DataFrame, k: Int,
+                             benchMaxId: Long, watermark: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .filter(col("docId") >= benchMaxId)
+      .select(col("docId"), col("ts"), explode(expr(s"graft_shingle_hashes(text, $k)")).as("h"))
+      .join(broadcast(benchHashes.select(col("h")).distinct()), Seq("h"))
+      .dropDuplicatesWithinWatermark("docId", "h")
       .groupBy(col("docId"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }

@@ -96,6 +96,33 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"piiCount phone tallies stay in lockstep with redaction: $counts")
   }
 
+  test("phone trailing boundary: a longer digit run is not a phone") {
+    val t = docs(Seq(
+      (1L, "order id 555.123.45678 is not a phone"),
+      (2L, "call 555.123.4567 today"),
+      (3L, "ends with 555-123-4567"),
+      (4L, "adjacent 555-123-4567,555-123-4568 both count")))
+    val red = TextAnalysis.piiRedact(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    // the ([^0-9]|$) guard rejects the 10-digit prefix of a longer run
+    assert(red(1L) == (("order id 555.123.45678 is not a phone", 0L)),
+      s"digit run untouched: ${red(1L)}")
+    // the consumed boundary char is restored by the $3 backreference
+    assert(red(2L)._1 == "call [PHONE] today", s"mid-text boundary survives: ${red(2L)._1}")
+    assert(red(3L)._1 == "ends with [PHONE]", s"end-of-text boundary: ${red(3L)._1}")
+    assert(red(4L)._1 == "adjacent [PHONE],[PHONE] both count", s"adjacent: ${red(4L)._1}")
+    val counts = TextAnalysis.piiCount(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(counts == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L),
+      s"counts agree with redaction: $counts")
+  }
+
+  test("corpus_delta on an empty corpus fails with a clear message, not an NPE") {
+    val t = docs(Seq.empty)
+    val e = intercept[IllegalArgumentException] { TextAnalysis.corpusDelta(t) }
+    assert(e.getMessage.contains("empty"), s"actionable message: ${e.getMessage}")
+  }
+
   test("fuzzy decontamination catches a paraphrased leak exact k-grams can miss") {
     val benchSentence = "the quick brown fox jumps over the lazy dog every single morning " +
       "before breakfast is served in the garden by the caretaker"
