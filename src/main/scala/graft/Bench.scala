@@ -74,7 +74,17 @@ object Bench {
     // the round count is the cost model for components/k-means at 100 TB)
     val iters = IterationLog.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"sf":"$sfDir"}""")
+    // contention sentinel: host 1/5/15-min load averages at bench END —
+    // a loadavg far above this process's own core budget means another
+    // workload shared the host and the artifact carries uniform haze
+    // (the r8 sf0.1 artifact read ~1.25x slow on 63 untouched queries
+    // for exactly this reason, and it was only diagnosable by cross-
+    // round comparison; now the artifact self-reports)
+    val loadavg = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"iters":$iters,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -185,8 +185,23 @@ object Dedup {
     * Returns (labels relation (node, cluster), rounds used). Every round
     * is localCheckpointed so lineage stays flat; set equality for the
     * fixpoint test is checked distributedly (count + one-sided except).
+    *
+    * Small-graph short circuit: star rounds pay fixed per-round costs
+    * (two shuffles, a localCheckpoint, a fixpoint job) that dwarf the
+    * actual work when the pair graph is tiny — at sf0.1 the whole edge
+    * relation is a few thousand rows, and three distributed rounds cost
+    * more than the corpus scan that produced them. When the
+    * deduplicated edge count is ≤ `maxLocalEdges` (default 1M edges ≈
+    * 16 MB — broadcast-sized by construction, the same budget as the
+    * collected hyperplanes/centroids elsewhere), the edges are pulled to
+    * the driver and labeled by union-find in microseconds, returning
+    * rounds = 0. The distributed path is untouched above the gate (the
+    * count replaces the old isEmpty job on the already-checkpointed
+    * relation, so the gate itself adds no job), and the sf3/sf10 scale
+    * evidence runs entirely on it.
     */
-  private[graft] def starComponents(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+  private[graft] def starComponents(pairs: DataFrame, maxIter: Int,
+                                    maxLocalEdges: Long = 1000000L): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val n = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))
@@ -216,8 +231,10 @@ object Dedup {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    val nEdges = e.count()
+    if (nEdges <= maxLocalEdges) return (localUnionFind(e), 0)
     var iter = 0
-    var converged = e.isEmpty
+    var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       // fixpoint test in ONE job: symmetric difference of two distinct
@@ -235,6 +252,46 @@ object Dedup {
         .join(e.select(col("src").as("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("cluster")))
     (labels, iter)
+  }
+
+  /** Driver-side union-find over a gate-checked broadcast-sized edge
+    * relation (see [[starComponents]]): path-halving find + union by
+    * rank, then each node labels with its component MINIMUM — exactly
+    * the star fixpoint's (node → component-min) labeling, so the two
+    * paths are interchangeable (asserted over every graph shape in
+    * DedupSpec against an independent reference).
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    val rank = scala.collection.mutable.HashMap.empty[Long, Int]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (wa, wb) = (rank.getOrElse(ra, 0), rank.getOrElse(rb, 0))
+        if (wa < wb) parent(ra) = rb
+        else if (wa > wb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = wa + 1 }
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
+    }
+    nodes.map(n => (n, minOfRoot(find(n)))).toSeq.toDF("node", "cluster")
   }
 
   /** C17: near-dup cluster assignment — connected components over the

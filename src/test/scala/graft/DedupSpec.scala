@@ -109,10 +109,11 @@ class DedupSpec extends AnyFunSuite {
     val clusters = Dedup.dedupClusters(t).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.values.toSet == Set(1L), s"whole chain collapses to cluster 1: $clusters")
-    // star contraction is O(log² n) rounds on a chain — and the count is
-    // recorded for the scale probes
+    // a 24-edge graph gates to the driver-local union-find path, recorded
+    // as 0 rounds (distributed star round counts are exercised by the
+    // forced-distributed graph-shapes test below)
     val rounds = IterationLog.snapshot.get("dedup_clusters")
-    assert(rounds.exists(r => r >= 1 && r <= 10), s"chain rounds recorded and bounded: $rounds")
+    assert(rounds.contains(0), s"tiny chain takes the local path (rounds=$rounds)")
   }
 
   test("identical docs collide on every minhash band") {
@@ -156,9 +157,15 @@ class DedupSpec extends AnyFunSuite {
     }
     graphs.foreach { case (name, edges) =>
       val pairs = edges.toDF("id_a", "id_b")
-      val (labels, iters) = Dedup.starComponents(pairs, maxIter = 20)
-      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(edges)
+      // default gate → driver-local union-find path (these graphs are tiny)
+      val (lLoc, iLoc) = Dedup.starComponents(pairs, maxIter = 20)
+      assert(iLoc == 0, s"$name: small graph takes the local path")
+      assert(lLoc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want,
+        s"$name: local-path labels == union-find")
+      // gate forced shut → distributed star-contraction path
+      val (lStar, iters) = Dedup.starComponents(pairs, maxIter = 20, maxLocalEdges = -1L)
+      val got = lStar.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want, s"$name: star labels == union-find (iters=$iters)")
     }
   }
