@@ -71,7 +71,9 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // convergence rounds of iterative operators (scale probes read these:
-    // the round count is the cost model for components/k-means at 100 TB)
+    // the round count is the cost model for components/k-means at 100 TB;
+    // -1 = gated driver-local path, no distributed rounds — see
+    // IterationLog's sentinel contract)
     val iters = IterationLog.snapshot.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // contention sentinel: host 1/5/15-min load averages at bench END —

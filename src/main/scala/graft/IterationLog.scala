@@ -5,6 +5,12 @@ package graft
   * this to put convergence behavior in the evidence log — at 100 TB the
   * iteration count IS the cost model for these operators, so it must be
   * observable, not guessed from wall time.
+  *
+  * Sentinel: -1 means the operator short-circuited to a driver-local
+  * path (e.g. dedup_clusters' small-graph union-find gate) — no
+  * distributed rounds ran, which is NOT the same as converging in 0
+  * rounds. Artifact readers comparing convergence across rounds should
+  * treat -1 as "gated", not as a round count.
   */
 object IterationLog {
   private val rounds = new java.util.concurrent.ConcurrentHashMap[String, Int]()

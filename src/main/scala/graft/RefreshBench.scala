@@ -15,37 +15,49 @@ import org.apache.spark.sql.functions._
   * honest cost comparison. Timing mirrors Bench: every pass is a full
   * noop-sink evaluation, reported time = min over warm + 2 timed passes.
   *
-  * Prints one JSON line:
-  *   {"sf":…,"n_docs":N,"dirty_frac":d,
+  * Prints one JSON line per dirty-rate configuration:
+  *   {"sf":…,"n_docs":N,"dirty_mod":m,"dirty_frac":d,
   *    "full_pairs_sec":…,"inc_pairs_sec":…,
   *    "full_fingerprint_sec":…,"inc_fingerprint_sec":…}
   *
-  * Usage: sbt "runMain graft.RefreshBench <sfDir> [workDir]"
+  * Usage: sbt "runMain graft.RefreshBench <sfDir> [workDir] [dirtyMods]"
+  *   dirtyMods: comma list of configurations to sweep. `default` is the
+  *   oracle's [[operators.TextAnalysis.simulatedPrev]] churn (~13%
+  *   dirty — deliberately churn-heavy so the delta paths all exercise);
+  *   an integer m simulates a realistic production churn where 1/m of
+  *   docs are added, 1/m changed, 1/m removed (dirty_frac = 2/m: m=40 →
+  *   5%, m=100 → 2%, m=200 → 1%). Default sweep: "default,40,100,200".
   */
 object RefreshBench {
+
+  /** Dirty-rate-parameterized twin of the oracle-bound
+    * [[operators.TextAnalysis.simulatedPrev]] (which must keep its churn
+    * constants — the DuckDB oracle mirrors them verbatim). Same
+    * construction: drop every m-th doc (those become "added"), edit
+    * every m-th+1 ("changed"), union a past-max shifted copy of every
+    * m-th+2 ("removed"), leaving dirty_frac = 2/m.
+    */
+  private def prevAtMod(docs: DataFrame, m: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val shift = maxId + 1L
+    docs.filter(col("doc_id") % m =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % m === 1, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % m === 2)
+        .select((col("doc_id") + shift).as("doc_id"), col("text")))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/refresh_bench")
+    val mods = args.lift(2).getOrElse("default,40,100,200").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t = Tables(spark, sfDir)
     val cur = t.documents.select(col("doc_id"), col("text"))
-
-    // ---- materialize the previous snapshot's state (not timed: in a
-    // deployment this is the PREVIOUS refresh's output, already landed)
-    operators.TextAnalysis.simulatedPrev(cur)
-      .write.mode("overwrite").parquet(s"$work/prev_docs.parquet")
-    val prevDocs = spark.read.parquet(s"$work/prev_docs.parquet")
-    operators.Dedup.minhashBands(prevDocs, 3, 8, 4)
-      .write.mode("overwrite").parquet(s"$work/prev_bands.parquet")
-    operators.Dedup.ngramJaccardDocs(prevDocs, 3, 8, 4, 0.0)
-      .write.mode("overwrite").parquet(s"$work/prev_pairs.parquet")
-    operators.TextAnalysis.fingerprint(prevDocs)
-      .write.mode("overwrite").parquet(s"$work/prev_fp.parquet")
-    val prevBands = spark.read.parquet(s"$work/prev_bands.parquet")
-    val prevPairs = spark.read.parquet(s"$work/prev_pairs.parquet")
-    val prevFp = spark.read.parquet(s"$work/prev_fp.parquet")
+    val nDocs = cur.count()
 
     def timeOnce(fn: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -55,19 +67,41 @@ object RefreshBench {
     def best(fn: => DataFrame): Double =
       Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
 
+    // the full-recompute sides are churn-independent: time them once
     val fullPairs = best(operators.Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0))
-    val incPairs = best(operators.Dedup.ngramJaccardIncremental(
-      cur, prevDocs, prevBands, prevPairs))
     val fullFp = best(operators.TextAnalysis.fingerprint(cur))
-    val incFp = best(operators.TextAnalysis.refreshIncremental(
-      cur, prevDocs, prevFp)(operators.TextAnalysis.fingerprint))
 
-    val nDocs = cur.count()
-    val nDirty = operators.TextAnalysis.corpusDelta(cur, prevDocs)
-      .filter(col("status").isin("added", "changed")).count()
-    println(s"""{"sf":"$sfDir","n_docs":$nDocs,"dirty_frac":${nDirty.toDouble / nDocs},""" +
-      s""""full_pairs_sec":$fullPairs,"inc_pairs_sec":$incPairs,""" +
-      s""""full_fingerprint_sec":$fullFp,"inc_fingerprint_sec":$incFp}""")
+    mods.foreach { mod =>
+      // ---- materialize the previous snapshot's state (not timed: in a
+      // deployment this is the PREVIOUS refresh's output, already landed)
+      val prevSim = mod match {
+        case "default" => operators.TextAnalysis.simulatedPrev(cur)
+        case m => prevAtMod(cur, m.toInt)
+      }
+      prevSim.write.mode("overwrite").parquet(s"$work/prev_docs.parquet")
+      val prevDocs = spark.read.parquet(s"$work/prev_docs.parquet")
+      operators.Dedup.minhashBands(prevDocs, 3, 8, 4)
+        .write.mode("overwrite").parquet(s"$work/prev_bands.parquet")
+      operators.Dedup.ngramJaccardDocs(prevDocs, 3, 8, 4, 0.0)
+        .write.mode("overwrite").parquet(s"$work/prev_pairs.parquet")
+      operators.TextAnalysis.fingerprint(prevDocs)
+        .write.mode("overwrite").parquet(s"$work/prev_fp.parquet")
+      val prevBands = spark.read.parquet(s"$work/prev_bands.parquet")
+      val prevPairs = spark.read.parquet(s"$work/prev_pairs.parquet")
+      val prevFp = spark.read.parquet(s"$work/prev_fp.parquet")
+
+      val incPairs = best(operators.Dedup.ngramJaccardIncremental(
+        cur, prevDocs, prevBands, prevPairs))
+      val incFp = best(operators.TextAnalysis.refreshIncremental(
+        cur, prevDocs, prevFp)(operators.TextAnalysis.fingerprint))
+
+      val nDirty = operators.TextAnalysis.corpusDelta(cur, prevDocs)
+        .filter(col("status").isin("added", "changed")).count()
+      println(s"""{"sf":"$sfDir","n_docs":$nDocs,"dirty_mod":"$mod",""" +
+        s""""dirty_frac":${nDirty.toDouble / nDocs},""" +
+        s""""full_pairs_sec":$fullPairs,"inc_pairs_sec":$incPairs,""" +
+        s""""full_fingerprint_sec":$fullFp,"inc_fingerprint_sec":$incFp}""")
+    }
     spark.stop()
   }
 }

@@ -191,17 +191,24 @@ object Dedup {
     * actual work when the pair graph is tiny — at sf0.1 the whole edge
     * relation is a few thousand rows, and three distributed rounds cost
     * more than the corpus scan that produced them. When the
-    * deduplicated edge count is ≤ `maxLocalEdges` (default 1M edges ≈
-    * 16 MB — broadcast-sized by construction, the same budget as the
-    * collected hyperplanes/centroids elsewhere), the edges are pulled to
-    * the driver and labeled by union-find in microseconds, returning
-    * rounds = 0. The distributed path is untouched above the gate (the
+    * deduplicated edge count is ≤ `maxLocalEdges` (default 100k edges —
+    * orders of magnitude above any testdata SF's pair graph, yet small
+    * enough that the collected tuples plus JVM row overhead stay in the
+    * same budget class as the collected hyperplanes/centroids
+    * elsewhere), the edges are pulled to the driver and labeled by
+    * union-find in microseconds, returning rounds = -1: a sentinel
+    * distinguishing "no distributed rounds ran" from a distributed run
+    * that converged in k rounds, so cross-round bench artifacts never
+    * read the gated path as a zero-round convergence. The label relation
+    * goes back out via a parallelized RDD, not a driver-embedded
+    * LocalRelation, so the downstream plan never serializes the labels
+    * into itself. The distributed path is untouched above the gate (the
     * count replaces the old isEmpty job on the already-checkpointed
     * relation, so the gate itself adds no job), and the sf3/sf10 scale
     * evidence runs entirely on it.
     */
   private[graft] def starComponents(pairs: DataFrame, maxIter: Int,
-                                    maxLocalEdges: Long = 1000000L): (DataFrame, Int) = {
+                                    maxLocalEdges: Long = 100000L): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val n = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))
@@ -232,7 +239,7 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     val nEdges = e.count()
-    if (nEdges <= maxLocalEdges) return (localUnionFind(e), 0)
+    if (nEdges <= maxLocalEdges) return (localUnionFind(e), -1)
     var iter = 0
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
@@ -291,7 +298,16 @@ object Dedup {
       val r = find(n)
       minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), n)
     }
-    nodes.map(n => (n, minOfRoot(find(n)))).toSeq.toDF("node", "cluster")
+    val labels = nodes.map(n => (n, minOfRoot(find(n)))).toIndexedSeq
+    // ship the labels back as a parallelized RDD, NOT a Seq.toDF
+    // LocalRelation: at the gate ceiling the label set is ~2× the edge
+    // count, and a LocalRelation embeds every row in the downstream
+    // plan tree (serialized with the plan, window-partitioned on the
+    // driver's copy) — the RDD scan keeps the plan O(1) and the rows
+    // distributed from the first downstream shuffle on
+    val slices = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      labels.length / 25000 + 1))
+    spark.sparkContext.parallelize(labels, slices).toDF("node", "cluster")
   }
 
   /** C17: near-dup cluster assignment — connected components over the
@@ -301,7 +317,9 @@ object Dedup {
     * doc_id of the component (star root). Docs outside any pair are
     * their own singleton cluster via the final left join. Round count is
     * recorded in [[graft.IterationLog]] ("dedup_clusters") so scale
-    * probes can report convergence behavior.
+    * probes can report convergence behavior; -1 means the pair graph
+    * gated to the driver-local union-find path (no distributed rounds),
+    * keeping distributed round counts comparable across bench artifacts.
     */
   def dedupClusters(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
                     maxIter: Int = 20): DataFrame = {

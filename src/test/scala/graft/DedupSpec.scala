@@ -110,10 +110,11 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.values.toSet == Set(1L), s"whole chain collapses to cluster 1: $clusters")
     // a 24-edge graph gates to the driver-local union-find path, recorded
-    // as 0 rounds (distributed star round counts are exercised by the
+    // as the -1 "gated" sentinel — distinguishable from a distributed run
+    // (distributed star round counts are exercised by the
     // forced-distributed graph-shapes test below)
     val rounds = IterationLog.snapshot.get("dedup_clusters")
-    assert(rounds.contains(0), s"tiny chain takes the local path (rounds=$rounds)")
+    assert(rounds.contains(-1), s"tiny chain takes the local path (rounds=$rounds)")
   }
 
   test("identical docs collide on every minhash band") {
@@ -160,7 +161,7 @@ class DedupSpec extends AnyFunSuite {
       val want = unionFind(edges)
       // default gate → driver-local union-find path (these graphs are tiny)
       val (lLoc, iLoc) = Dedup.starComponents(pairs, maxIter = 20)
-      assert(iLoc == 0, s"$name: small graph takes the local path")
+      assert(iLoc == -1, s"$name: small graph takes the local path")
       assert(lLoc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == want,
         s"$name: local-path labels == union-find")
       // gate forced shut → distributed star-contraction path

@@ -138,6 +138,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got, s"stream == batch: $batch vs $got")
   }
 
+  test("streamingNearDupLsh state is horizon-bounded: rows plateau while input grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 10-minute horizon, event time advancing 5 min per microbatch: a
+    // bucket claimed at T expires at T+10min and its timeout FIRES once
+    // the watermark (maxEvent-10min) passes that — i.e. ~4 batches after
+    // the claim. Live state is therefore the last ~5 batches' buckets
+    // (a constant), while cumulative input grows linearly. This is the
+    // O(horizon-buckets) claim measured, not asserted: we snapshot the
+    // state store's numRowsTotal from query progress after every batch.
+    val horizonMs = 600000L
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingNearDupLsh(mem.toDS(), watermarkMs = horizonMs)
+      .writeStream.format("memory").queryName("lshstate").outputMode("append").start()
+    val rnd = new scala.util.Random(7)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def uniqueDoc(id: Long, minute: Int): EventStream.TimedDoc =
+      EventStream.TimedDoc(id, new Timestamp(base + minute * 60000L),
+        Seq.fill(30)(s"w${rnd.nextInt(1000000)}").mkString(" "))
+    val nBatches = 20
+    val perBatch = 5
+    val stateRows = (0 until nBatches).map { b =>
+      mem.addData((0 until perBatch).map(i =>
+        uniqueDoc(b.toLong * perBatch + i, b * 5)): _*)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      p.stateOperators.map(_.numRowsTotal).sum
+    }
+    q.stop()
+    // warm-up ends once the first expiries fire (~batch 5); from there the
+    // state must be flat: the late-phase ceiling stays within noise of the
+    // early plateau while input grew ~3x between the two snapshots
+    val earlyPlateau = stateRows.slice(5, 8).max
+    val latePhase = stateRows.slice(15, nBatches).max
+    assert(latePhase <= earlyPlateau * 13 / 10,
+      s"state rows plateau at the horizon bound, not the corpus " +
+        s"(early=$earlyPlateau late=$latePhase trace=$stateRows)")
+    // sanity on the measurement itself: state is nonzero and far below the
+    // all-time bucket-claim count (nBatches*perBatch docs x 8 bands)
+    assert(latePhase > 0 && latePhase < nBatches * perBatch * 8 / 2,
+      s"state tracks live buckets, not all-time claims (late=$latePhase trace=$stateRows)")
+  }
+
+  test("streamingDecontaminate (TimedDoc, watermark-bounded) flags like batch; redelivery dedups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchSentence = "the capital of france is paris and everyone knows it"
+    val bench = Seq(benchSentence).toDF("text")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.expr("graft_shingle_hashes(text, 5)")).as("h"))
+      .distinct()
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingDecontaminate(mem.toDS(), bench, k = 5,
+      benchMaxId = 25L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("wdecon").outputMode("update").start()
+    val leaked = s"leaked text says $benchSentence verbatim"
+    mem.addData(EventStream.TimedDoc(30, ts(0), leaked))
+    q.processAllAvailable()
+    mem.addData(EventStream.TimedDoc(31, ts(1), "a perfectly original document with novel phrasing"))
+    // benchmark member re-arriving on the stream is NOT contamination
+    // (same corpus boundary as the batch operator's doc_id filter)
+    mem.addData(EventStream.TimedDoc(1, ts(2), benchSentence))
+    q.processAllAvailable()
+    def snapshot(): Seq[(Long, Long)] = spark.sql("SELECT docId, n_shared_grams FROM wdecon")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val before = snapshot()
+    val got = before.toMap
+    assert(got.contains(30L) && got(30L) >= 6L, s"contaminated arrival flagged: $got")
+    assert(!got.contains(31L), "clean arrival never enters state or output")
+    assert(!got.contains(1L), "benchmark member re-arrival excluded, like the batch corpus filter")
+    // an at-least-once redelivery of the SAME contaminated doc within the
+    // watermark must be idempotent: dropDuplicatesWithinWatermark drops
+    // every (docId, h) pair, the count aggregation state is untouched,
+    // and update mode emits NOTHING new — the sink table is unchanged
+    mem.addData(EventStream.TimedDoc(30, ts(3), leaked))
+    q.processAllAvailable()
+    val after = snapshot()
+    q.stop()
+    assert(after == before,
+      s"in-watermark redelivery dedups exactly (before=$before after=$after)")
+    // batch parity: the same doc set through the batch operator flags
+    // the same docs with the same counts
+    val t = {
+      val df = Seq(
+        (1L, benchSentence),
+        (30L, leaked),
+        (31L, "a perfectly original document with novel phrasing")).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+        .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      val dir = java.nio.file.Files.createTempDirectory("wdecon").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables(spark, dir)
+    }
+    val batch = graft.operators.TextAnalysis.decontaminate(t, benchMaxId = 25L, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == after.toMap, s"stream == batch: $batch vs ${after.toMap}")
+  }
+
   test("streamingNearDupLsh flags near-dup arrivals: parity with batch LSH") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
