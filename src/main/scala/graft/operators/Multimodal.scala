@@ -48,6 +48,13 @@ object Multimodal {
       * codec seeks keyframes; the stand-in strides fixed-size slices.
       */
     def frames(bytes: Array[Byte], frameBytes: Int, everyN: Int): Iterator[(Int, Long, Array[Byte])]
+    /** Sampled frames decoded to real pixel planes. The default derives
+      * a self-describing fake from [[frames]] (each payload slice as a
+      * 1-row "image") so stand-in decoders keep working; codec-backed
+      * implementations override with true decode.
+      */
+    def decodedFrames(bytes: Array[Byte], everyN: Int): Iterator[(Int, Long, DecodedImage)] =
+      frames(bytes, 4096, everyN).map { case (i, off, fb) => (i, off, DecodedImage(fb.length, 1, fb)) }
   }
 
   /** Default [[VideoDecoder]]: the deterministic byte-fold/stride
@@ -61,6 +68,96 @@ object Multimodal {
       (0 until nFrames by everyN).iterator.map { f =>
         (f, f.toLong * frameBytes, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
       }
+    }
+  }
+
+  /** Real [[VideoDecoder]]: Motion-JPEG in an AVI (RIFF) container —
+    * the one video format the stock JDK can fully decode, because each
+    * frame is an independent JPEG and `javax.imageio` ships a JPEG
+    * codec. The container walk is a standard RIFF chunk scan (public
+    * format: 12-byte `RIFF…AVI ` header, chunks of `fourcc + u32le
+    * size + data` padded to even offsets); video frames are the
+    * `##dc`/`##db` chunks inside the `movi` LIST (including `rec `
+    * sub-lists). [[frames]] demuxes the encoded payloads (the
+    * `frameBytes` hint is ignored — the container defines frame
+    * boundaries); [[decodedFrames]] and [[features]] run the payloads
+    * through the real JPEG decode to luminance planes. Unparseable
+    * containers yield no frames and a zero feature vector — corrupt
+    * rows must degrade, not kill, a 100 TB ingest task.
+    */
+  object MjpegAviVideoDecoder extends VideoDecoder {
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (offset, length) of each video frame chunk, demuxed in stream
+      * order. Defensive on sizes: a declared size that runs past the
+      * buffer ends the walk (truncated upload) rather than throwing.
+      */
+    private[graft] def videoChunks(bytes: Array[Byte]): Seq[(Int, Int)] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
+        return Seq.empty
+      val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+      val out = Seq.newBuilder[(Int, Int)]
+      def walkChunks(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourcc(bytes, p)
+          val size = u32(bytes, p + 4)
+          val dataStart = p + 8
+          if (size < 0 || dataStart + size > to) return // truncated/corrupt
+          val dataEnd = (dataStart + size).toInt
+          if (id == "LIST" && size >= 4) {
+            val listType = fourcc(bytes, dataStart)
+            // movi holds the stream data; rec  groups interleaved chunks
+            if (listType == "movi" || (inMovi && listType == "rec "))
+              walkChunks(dataStart + 4, dataEnd, inMovi = true)
+          } else if (inMovi && (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+            out += ((dataStart, size.toInt))
+          }
+          p = dataEnd + (size.toInt & 1) // chunks are word-aligned
+        }
+      }
+      walkChunks(12, end, inMovi = false)
+      out.result()
+    }
+
+    /** Demuxed encoded frame payloads (every Nth video chunk). */
+    override def frames(bytes: Array[Byte], frameBytes: Int,
+                        everyN: Int): Iterator[(Int, Long, Array[Byte])] =
+      videoChunks(bytes).zipWithIndex.collect {
+        case ((off, len), i) if i % math.max(1, everyN) == 0 =>
+          (i, off.toLong, java.util.Arrays.copyOfRange(bytes, off, off + len))
+      }.iterator
+
+    /** True decode: each sampled JPEG payload to its luminance plane
+      * (undecodable frames are skipped, not fatal).
+      */
+    override def decodedFrames(bytes: Array[Byte],
+                               everyN: Int): Iterator[(Int, Long, DecodedImage)] =
+      frames(bytes, 0, everyN).flatMap { case (i, off, fb) =>
+        decodeImage(fb).map(img => (i, off, img))
+      }
+
+    /** Per-frame `dim`-bucket luminance histograms averaged across all
+      * decodable frames — same bucketing as the image branch of
+      * [[decodeFeatures]], so image and video featurization agree.
+      */
+    override def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val acc = new Array[Float](dim)
+      var n = 0
+      decodedFrames(bytes, 1).foreach { case (_, _, img) =>
+        val hist = new Array[Float](dim)
+        var i = 0
+        while (i < img.gray.length) { hist(((img.gray(i) & 0xff) * dim) >> 8) += 1.0f; i += 1 }
+        val tot = math.max(1, img.gray.length).toFloat
+        var d = 0
+        while (d < dim) { acc(d) += hist(d) / tot; d += 1 }
+        n += 1
+      }
+      if (n == 0) acc else acc.map(_ / n)
     }
   }
 
@@ -280,6 +377,29 @@ object Multimodal {
     media.filter(_.kind == "video").flatMap { m =>
       video.frames(m.bytes, frameBytes, everyN).map { case (idx, off, fb) =>
         Frame(m.mediaId, idx, off, fb)
+      }
+    }
+  }
+
+  /** A frame decoded to real pixels: row-major luminance plane + dims. */
+  final case class DecodedFrame(mediaId: Long, frameIdx: Int, offsetBytes: Long,
+                                width: Int, height: Int, gray: Array[Byte])
+
+  /** Frame sampling WITH decode for video-kind payloads: every Nth frame
+    * demuxed and decoded to its luminance plane through the
+    * [[VideoDecoder]] seam. The default [[MjpegAviVideoDecoder]] does
+    * real container demux + real JDK JPEG decode; the byte-fold stand-in
+    * still satisfies the same contract via the trait's self-describing
+    * fallback. Decode runs strictly executor-side inside the flatMap —
+    * partitioning, schema, and plan shape are identical whichever
+    * decoder is plugged.
+    */
+  def frameDecode(media: Dataset[Media], everyN: Int = 1,
+                  video: VideoDecoder = MjpegAviVideoDecoder): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      video.decodedFrames(m.bytes, everyN).map { case (idx, off, img) =>
+        DecodedFrame(m.mediaId, idx, off, img.width, img.height, img.gray)
       }
     }
   }

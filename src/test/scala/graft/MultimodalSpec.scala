@@ -163,6 +163,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(junk.nBytes == 256L)
   }
 
+  // a handcrafted MJPEG-AVI: RIFF('AVI ' LIST('hdrl' avih) LIST('movi'
+  // 00dc-chunks)) with each frame an independently-encoded real JPEG.
+  // Container built by hand (no muxer involved), so the demux path is
+  // tested against ground truth, not round-trip.
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def u32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
+      fourcc(id) ++ u32(data.length) ++ padded
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ body)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56))) // minimal, zeros
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ u32(body.length) ++ body
+  }
+
+  test("MJPEG-AVI demux + real JPEG decode: planted frame luminance recovered") {
+    // three solid-gray frames at distinct planted levels; odd JPEG byte
+    // lengths exercise the word-alignment padding in the chunk walk
+    val levels = Seq(40, 128, 220)
+    val jpegs = levels.map(v => encoded("jpg", 8, 6)((_, _) => v))
+    val avi = mjpegAvi(jpegs)
+    val ds = Multimodal.ingest(spark, Seq(Media(20, "video", avi, 0, 0, 0)))
+    val decoded = Multimodal.frameDecode(ds).collect().sortBy(_.frameIdx)
+    assert(decoded.length == 3, s"all three frames demux and decode: ${decoded.length}")
+    decoded.zip(levels).foreach { case (f, want) =>
+      assert(f.width == 8 && f.height == 6, s"REAL decoded dims, not metadata: ${f.width}x${f.height}")
+      val mean = f.gray.map(_ & 0xff).sum / f.gray.length
+      assert(math.abs(mean - want) <= 3,
+        s"frame ${f.frameIdx}: decoded mean luminance $mean ≈ planted $want (lossy tolerance)")
+    }
+    // offsets are real container positions: monotonic, each at a JPEG SOI
+    val offs = decoded.map(_.offsetBytes).toSeq
+    assert(offs == offs.sorted && offs.distinct.length == 3, s"container offsets: $offs")
+    offs.foreach(o => assert((avi(o.toInt) & 0xff) == 0xff && (avi(o.toInt + 1) & 0xff) == 0xd8,
+      s"offset $o points at a JPEG SOI marker"))
+    // everyN sampling
+    val sampled = Multimodal.frameDecode(ds, everyN = 2).collect().map(_.frameIdx).sorted
+    assert(sampled.toSeq == Seq(0, 2), s"every-2nd-frame sampling: ${sampled.toSeq}")
+    // features: solid 40/128/220 land in 8-bucket bins 1, 4, 6 with mass
+    // ~1/3 each (JPEG ringing on solid frames is sub-tolerance)
+    val feat = Multimodal.decodeFeatures(ds, dim = 8,
+      video = Multimodal.MjpegAviVideoDecoder).collect().head.feature
+    Seq(1, 4, 6).foreach(b =>
+      assert(feat(b) > 0.30f && feat(b) < 0.37f, s"bucket $b mass ≈ 1/3: ${feat.toSeq}"))
+    assert(math.abs(feat.sum - 1.0f) < 1e-3, s"histogram normalized: ${feat.sum}")
+    // corrupt/non-AVI payloads degrade to no frames + zero vector, no throw
+    val junk = Multimodal.ingest(spark, Seq(Media(21, "video", Array.fill[Byte](64)(7), 0, 0, 0)))
+    assert(Multimodal.frameDecode(junk).collect().isEmpty, "junk payload: zero frames")
+    val junkFeat = Multimodal.decodeFeatures(junk, dim = 8,
+      video = Multimodal.MjpegAviVideoDecoder).collect().head.feature
+    assert(junkFeat.toSeq == Seq.fill(8)(0.0f), s"junk payload: zero vector ${junkFeat.toSeq}")
+    // truncated container (size fields running past the buffer) is safe
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length / 2)
+    assert(Multimodal.ingest(spark, Seq(Media(22, "video", truncated, 0, 0, 0)))
+      .transform(Multimodal.frameDecode(_)).collect()
+      .forall(f => f.width > 0 && f.height > 0), "truncated container: only whole frames decode")
+  }
+
   test("summarize aggregates by kind") {
     val s = Multimodal.summarize(Multimodal.ingest(spark, media)).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
