@@ -155,15 +155,17 @@ object EdfScaleProbe {
     println(s"""{"probe":"generate_c","file_gib":${fileBytes / 1073741824.0},"n_rec":$nRec,""" +
       s""""n_sig":$nSig,"sec":$genSec}""")
 
-    def probe(name: String, extra: String = "")(action: => Long): Long = {
+    def probeOn(name: String, denomBytes: Long, extra: String = "")(action: => Long): Long = {
       val b0 = fsRead(); val t0 = System.nanoTime()
       val n = action
       val sec = (System.nanoTime() - t0) / 1e9
       val bytes = fsRead() - b0
       println(s"""{"probe":"$name","sec":$sec,"result":$n,"bytes_read":$bytes,""" +
-        s""""bytes_frac":${bytes.toDouble / fileBytes}$extra}""")
+        s""""bytes_frac":${bytes.toDouble / denomBytes}$extra}""")
       n
     }
+    def probe(name: String, extra: String = "")(action: => Long): Long =
+      probeOn(name, fileBytes, extra)(action)
 
     def read(path: String) = spark.read.format("edf").load(path)
     val startUs = graft.sources.EdfFile.readHeader(edfC).startUs
@@ -211,21 +213,21 @@ object EdfScaleProbe {
     val segLoUs = dStartUs + (seg.toLong * (segRecs + 7200L)) * 1000000L
     val segHiUs = segLoUs + segRecs.toLong * 1000000L
     def dWindowed = read(edfD).filter(col("ts_us") >= segLoUs && col("ts_us") < segHiUs)
-    probe("edfd_plan_nosidecar", s""","file_frac":${segRecs.toDouble / dRec}""") {
+    probeOn("edfd_plan_nosidecar", dBytes, s""","file_frac":${segRecs.toDouble / dRec}""") {
       dWindowed.rdd.getNumPartitions.toLong
     }
     // TAL-first record skip still bounds BYTES without the sidecar
-    probe("edfd_scan_nosidecar", s""","d_bytes":$dBytes""") {
-      dWindowed.agg(count(col("value"))).head().getLong(0)
+    probeOn("edfd_scan_nosidecar", dBytes) {
+      dWindowed.agg(count(col("value")), sum(abs(col("value")))).head().getLong(0)
     }
     val scT0 = System.nanoTime()
     graft.sources.EdfOnsetIndex.write(edfD)
     println(s"""{"probe":"sidecar_write","sec":${(System.nanoTime() - scT0) / 1e9}}""")
-    probe("edfd_plan_sidecar", s""","file_frac":${segRecs.toDouble / dRec}""") {
+    probeOn("edfd_plan_sidecar", dBytes, s""","file_frac":${segRecs.toDouble / dRec}""") {
       dWindowed.rdd.getNumPartitions.toLong
     }
-    probe("edfd_scan_sidecar", s""","d_bytes":$dBytes""") {
-      dWindowed.agg(count(col("value"))).head().getLong(0)
+    probeOn("edfd_scan_sidecar", dBytes) {
+      dWindowed.agg(count(col("value")), sum(abs(col("value")))).head().getLong(0)
     }
 
     // ---- A14 sink: distributed write of a 4-channel slice ----

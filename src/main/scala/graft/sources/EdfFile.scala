@@ -116,6 +116,26 @@ object EdfFile {
   /** One planned unit of parallel work: a contiguous record range. */
   final case class EdfSplit(path: String, recordLo: Int, recordHi: Int)
 
+  /** Open a stream for SUB-CHUNK positioned reads (per-signal slices,
+    * TAL peeks). Two measured over-transfer sources die here:
+    * `ChecksumFileSystem`'s input checker moves whole checksum chunks
+    * (4 KiB) per seek even when no `.crc` sidecar exists — for sub-KB
+    * reads that is an 8x byte inflation (EdfScaleProbe) — so local-FS
+    * reads go through the RAW filesystem; and the plain buffered path
+    * gets a stream buffer no larger than the smallest read we will
+    * issue, which makes `BufferedInputStream` copy straight into the
+    * target (len >= buffer bypasses the fill) while larger sequential
+    * reads bypass any buffer regardless. Cluster filesystems (HDFS,
+    * object stores) are not `ChecksumFileSystem`s and take the second
+    * branch untouched.
+    */
+  def openSeekable(fs: FileSystem, p: Path, smallestRead: Int): org.apache.hadoop.fs.FSDataInputStream =
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem.open(p, math.max(1, smallestRead))
+      case other => other.open(p, math.max(1, smallestRead))
+    }
+
   /** Hadoop Configuration is not serializable — capture the session's
     * entries on the driver and rebuild executor-side, so cluster FS
     * settings (object-store credentials, endpoints) reach the readers.

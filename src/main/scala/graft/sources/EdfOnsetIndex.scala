@@ -44,7 +44,10 @@ object EdfOnsetIndex {
     val len = h.signals(annIdx).nrSamples * 2
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
+    // sub-chunk positioned reads: without openSeekable the checksum
+    // layer + 4 KiB buffer would transfer ~the whole file for KB-scale
+    // records (measured by EdfScaleProbe)
+    val in = EdfFile.openSeekable(fs, p, len)
     val onsets = try {
       val buf = new Array[Byte](len)
       (0 until h.nbDataRec).map { rec =>
