@@ -20,13 +20,17 @@ import org.apache.spark.sql.functions._
   *    "full_pairs_sec":…,"inc_pairs_sec":…,
   *    "full_fingerprint_sec":…,"inc_fingerprint_sec":…}
   *
-  * Usage: sbt "runMain graft.RefreshBench <sfDir> [workDir] [dirtyMods]"
+  * Usage: sbt "runMain graft.RefreshBench <sfDir> [workDir] [dirtyMods] [paths]"
   *   dirtyMods: comma list of configurations to sweep. `default` is the
   *   oracle's [[operators.TextAnalysis.simulatedPrev]] churn (~13%
   *   dirty — deliberately churn-heavy so the delta paths all exercise);
   *   an integer m simulates a realistic production churn where 1/m of
   *   docs are added, 1/m changed, 1/m removed (dirty_frac = 2/m: m=40 →
   *   5%, m=100 → 2%, m=200 → 1%). Default sweep: "default,40,100,200".
+  *   paths: "pairs,fingerprint" (default both) — the pairs path
+  *   materializes and re-verifies the full pair relation, which at big
+  *   SFs needs tens of GB of shuffle spill headroom; "fingerprint"
+  *   alone runs in minutes at any SF. Skipped paths report -1.
   */
 object RefreshBench {
 
@@ -52,6 +56,9 @@ object RefreshBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/refresh_bench")
     val mods = args.lift(2).getOrElse("default,40,100,200").split(",").toSeq
+    val paths = args.lift(3).getOrElse("pairs,fingerprint").split(",").toSet
+    val doPairs = paths.contains("pairs")
+    val doFp = paths.contains("fingerprint")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -68,8 +75,8 @@ object RefreshBench {
       Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn)).min
 
     // the full-recompute sides are churn-independent: time them once
-    val fullPairs = best(operators.Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0))
-    val fullFp = best(operators.TextAnalysis.fingerprint(cur))
+    val fullPairs = if (doPairs) best(operators.Dedup.ngramJaccardDocs(cur, 3, 8, 4, 0.0)) else -1.0
+    val fullFp = if (doFp) best(operators.TextAnalysis.fingerprint(cur)) else -1.0
 
     mods.foreach { mod =>
       // ---- materialize the previous snapshot's state (not timed: in a
@@ -80,20 +87,22 @@ object RefreshBench {
       }
       prevSim.write.mode("overwrite").parquet(s"$work/prev_docs.parquet")
       val prevDocs = spark.read.parquet(s"$work/prev_docs.parquet")
-      operators.Dedup.minhashBands(prevDocs, 3, 8, 4)
-        .write.mode("overwrite").parquet(s"$work/prev_bands.parquet")
-      operators.Dedup.ngramJaccardDocs(prevDocs, 3, 8, 4, 0.0)
-        .write.mode("overwrite").parquet(s"$work/prev_pairs.parquet")
-      operators.TextAnalysis.fingerprint(prevDocs)
-        .write.mode("overwrite").parquet(s"$work/prev_fp.parquet")
-      val prevBands = spark.read.parquet(s"$work/prev_bands.parquet")
-      val prevPairs = spark.read.parquet(s"$work/prev_pairs.parquet")
-      val prevFp = spark.read.parquet(s"$work/prev_fp.parquet")
-
-      val incPairs = best(operators.Dedup.ngramJaccardIncremental(
-        cur, prevDocs, prevBands, prevPairs))
-      val incFp = best(operators.TextAnalysis.refreshIncremental(
-        cur, prevDocs, prevFp)(operators.TextAnalysis.fingerprint))
+      val incPairs = if (doPairs) {
+        operators.Dedup.minhashBands(prevDocs, 3, 8, 4)
+          .write.mode("overwrite").parquet(s"$work/prev_bands.parquet")
+        operators.Dedup.ngramJaccardDocs(prevDocs, 3, 8, 4, 0.0)
+          .write.mode("overwrite").parquet(s"$work/prev_pairs.parquet")
+        val prevBands = spark.read.parquet(s"$work/prev_bands.parquet")
+        val prevPairs = spark.read.parquet(s"$work/prev_pairs.parquet")
+        best(operators.Dedup.ngramJaccardIncremental(cur, prevDocs, prevBands, prevPairs))
+      } else -1.0
+      val incFp = if (doFp) {
+        operators.TextAnalysis.fingerprint(prevDocs)
+          .write.mode("overwrite").parquet(s"$work/prev_fp.parquet")
+        val prevFp = spark.read.parquet(s"$work/prev_fp.parquet")
+        best(operators.TextAnalysis.refreshIncremental(
+          cur, prevDocs, prevFp)(operators.TextAnalysis.fingerprint))
+      } else -1.0
 
       val nDirty = operators.TextAnalysis.corpusDelta(cur, prevDocs)
         .filter(col("status").isin("added", "changed")).count()
