@@ -170,8 +170,12 @@ object EdfScaleProbe {
     def read(path: String) = spark.read.format("edf").load(path)
     val startUs = graft.sources.EdfFile.readHeader(edfC).startUs
 
-    // 1. planning: split count + driver bytes (headers only — the claim)
-    probe("plan", s""","expected_splits":${math.ceil(fileBytes / (128.0 * (1 << 20))).toInt}""") {
+    // 1. planning: split count + driver bytes (headers only — the claim).
+    // Splits cover DATA records only, so the expectation excludes the
+    // header bytes (at 64 signals the header alone once tipped the
+    // ceil() to an expected 33rd split that can never exist).
+    val headerBytes = 256L + nSig * 256L
+    probe("plan", s""","expected_splits":${math.ceil((fileBytes - headerBytes) / (128.0 * (1 << 20))).toInt}""") {
       read(edfC).rdd.getNumPartitions.toLong
     }
     // 2. full-scan decode throughput floor

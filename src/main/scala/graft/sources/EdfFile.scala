@@ -131,7 +131,11 @@ object EdfFile {
     */
   def openSeekable(fs: FileSystem, p: Path, smallestRead: Int): org.apache.hadoop.fs.FSDataInputStream =
     fs match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+      // only skip the checksum layer when there is no .crc sidecar to
+      // verify against — a file that HAS one keeps CRC verification
+      // (one extra stat per open, amortized over a split's many reads)
+      case c: org.apache.hadoop.fs.ChecksumFileSystem
+          if !c.getRawFileSystem.exists(c.getChecksumFile(p)) =>
         c.getRawFileSystem.open(p, math.max(1, smallestRead))
       case other => other.open(p, math.max(1, smallestRead))
     }

@@ -6,7 +6,6 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -62,46 +61,36 @@ import org.apache.spark.sql.types._
   */
 object EdfSink {
 
-  /** Gap boundary: delta-ts > 2x the sampling period (reference base.py:322-342).
+  /** Gap boundary: delta-ts > 2x the sampling period (reference
+    * base.py:322-342). Detection is FUSED into the binary dump pass (see
+    * `write` step 1): the dump's shuffle already delivers every
+    * (file, channel, part) stream to one task sorted by sample_idx, so
+    * the task detects boundaries between consecutive rows for free while
+    * streaming values to the binary file, and emits one SEGMENT row per
+    * contiguous run it saw. No second pass over sample volume exists —
+    * the old design's sample-volume lag self-join re-derived ordering
+    * the dump's sort had already established (the probe-measured 5 MiB/s
+    * sink floor).
     *
-    * Scale shape: NO per-channel ordered window over the sample stream —
-    * that serializes each channel through one task's sort, and a single
-    * channel can be 100 GB. `sample_idx` is the channel's DENSE
-    * value-stream position (sink contract), so "previous sample" is
-    * exactly `sample_idx - 1`: the lag becomes a co-partitioned
-    * self-join, fully parallel at any channel width. Everything after
-    * boundary detection operates on the CHUNK-count-sized boundary
-    * relation (start ts carried by the boundary row, end ts by the NEXT
-    * boundary's predecessor ts, sample counts by dense-index
-    * subtraction), so the only window runs over a few rows per channel.
+    * Segment rows are chunk-cardinality, never sample-cardinality:
+    * (ord, start_index, start_ts, end_ts, n, is_new, gap_before).
+    * `gap_before` = false marks a part's FIRST segment, whose
+    * continuity with the previous part is unknown to the writing task;
+    * the manifest assembly (which receives each channel's segments
+    * sorted by start_index) merges such a segment into its predecessor
+    * when the seam shows no gap. Chunk stats (end_ts, n) come from the
+    * rows actually streamed, so filtered/non-dense sample_idx input
+    * yields self-consistent manifests — a missing index is a chunk
+    * boundary only if it leaves a real time gap.
     */
-  private def chunkPlan(samples: DataFrame, ordDf: DataFrame): DataFrame = {
-    // dense-encode the channel key FIRST (broadcast join, channel-sized
-    // map): every sample-volume shuffle below then carries an int key
-    // instead of the file path + channel label strings
-    val s = samples
-      .join(ordDf, Seq("file", "channel"))
-      .select(col("ord"), col("rate"), col("sample_idx"), col("ts_us"))
-    val prev = s.select(col("ord"),
-      (col("sample_idx") + 1).as("sample_idx"), col("ts_us").as("prev_us"))
-    // a chunk starts at the channel's first sample or after a gap
-    val bounds = s.join(prev, Seq("ord", "sample_idx"), "left")
-      .filter(col("prev_us").isNull ||
-        col("ts_us") - col("prev_us") > (lit(2e6) / col("rate")).cast("long"))
-    // per-channel stream tail (parallel partial agg, channel-sized result)
-    val lastS = s.groupBy(col("ord"))
-      .agg(max(col("sample_idx")).as("last_idx"), max(col("ts_us")).as("last_ts"))
-    val w = Window.partitionBy(col("ord")).orderBy(col("sample_idx"))
-    bounds
-      .withColumn("next_start", lead(col("sample_idx"), 1).over(w))
-      .withColumn("next_prev_us", lead(col("prev_us"), 1).over(w))
-      .join(lastS, Seq("ord"))
-      .select(col("ord"),
-        col("sample_idx").as("start_index"),
-        col("ts_us").as("start_ts"),
-        coalesce(col("next_prev_us"), col("last_ts")).as("end_ts"),
-        (coalesce(col("next_start"), col("last_idx") + 1) - col("sample_idx")).as("n"))
-  }
+  private val segSchema = StructType(Seq(
+    StructField("ord", IntegerType, nullable = false),
+    StructField("start_index", LongType, nullable = false),
+    StructField("start_ts", LongType, nullable = false),
+    StructField("end_ts", LongType, nullable = true),
+    StructField("n", LongType, nullable = true),
+    StructField("is_new", BooleanType, nullable = false),
+    StructField("gap_before", BooleanType, nullable = false)))
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -255,6 +244,13 @@ object EdfSink {
 
   /** Write the binary + manifest output for a sample DataFrame
     * (schema = EdfFile.sampleSchema). Returns the manifest path.
+    *
+    * Chunk stats (start/end ts, counts) are derived from the rows
+    * actually streamed, so FILTERED input (artifact-removed samples,
+    * value-thresholded slices — sample_idx with mid-stream holes) yields
+    * self-consistent manifests: a missing index opens a new chunk only
+    * when it leaves a time gap > 2 sampling periods, exactly the
+    * reference's gap rule over the surviving samples.
     *
     * `maxSamplesPerFile` bounds how much of one channel a single task
     * owns: channels larger than the bound are range-partitioned on
@@ -429,75 +425,139 @@ object EdfSink {
     val bPlans = spark.sparkContext.broadcast(plans.map(p => p.ord -> p).toMap)
     val outDirStr = outPath.toString
 
-    // 1. distributed binary dump: streams keyed by (file, channel, part) —
-    // a channel label repeated across input files never interleaves, and
-    // oversized channels split into independently-written parts.
+    // 1. distributed binary dump, FUSED with chunk-boundary detection:
+    // streams keyed by (file, channel, part) — a channel label repeated
+    // across input files never interleaves, and oversized channels split
+    // into independently-written parts. Each task streams its sorted
+    // bins to their binary files AND emits the contiguous-run SEGMENT
+    // rows it observed (chunk-cardinality — segments never buffer in
+    // memory, they yield lazily between writes). This is the sink's ONLY
+    // pass over sample volume: one shuffle, no lag self-join, no second
+    // source scan for chunk stats.
     //
     // The routing key is DENSE-ENCODED before the shuffle: a broadcast
     // join maps (file, channel, part) to a small int id, so each shuffled
-    // row is (int, long, double) instead of carrying the file path and
-    // channel label strings per SAMPLE — at 100 TB the key strings would
-    // dominate shuffle volume several-fold (measured 2.7 MiB/s on a 1 GiB
-    // slice before this encoding; the key space itself is files x
-    // channels x parts, broadcast-sized by construction).
+    // row is (int, long, long, double) instead of carrying the file path
+    // and channel label strings per SAMPLE — at 100 TB the key strings
+    // would dominate shuffle volume several-fold (measured 2.7 MiB/s on
+    // a 1 GiB slice before this encoding; the key space itself is files
+    // x channels x parts, broadcast-sized by construction). The join is
+    // LEFT so a routing miss is a loud per-row error, never silent row
+    // loss; keys derive from the same relation, so a miss means the
+    // plan and the data diverged between planning and execution.
     val binIds: Seq[((String, String, Long), Int)] = nameMap.keys.toSeq.sorted.zipWithIndex
-    val bBinNames = spark.sparkContext.broadcast(
-      binIds.map { case (k, i) => i -> nameMap(k) }.toMap)
+    // bin id -> (binary name, output ordinal, gap threshold µs)
+    val bBinMeta = spark.sparkContext.broadcast(
+      binIds.map { case (k@(f, c, _), i) =>
+        i -> ((nameMap(k), keyOrd((f, c)), (2e6 / chanInfo((f, c))._2).toLong))
+      }.toMap)
     val keyDf = {
       import spark.implicits._
       binIds.map { case ((f, c, p), i) => (f, c, p, i) }
         .toDF("file", "channel", "part_idx", "_bin_id")
     }
-    adjusted
+    val dumpDf = adjusted
       .select(col("file"), col("channel"),
         expr(s"sample_idx div ${maxSamplesPerFile}L").as("part_idx"),
-        col("sample_idx"), col("value"))
-      .join(broadcast(keyDf), Seq("file", "channel", "part_idx"))
-      .select(col("_bin_id"), col("sample_idx"), col("value"))
+        col("sample_idx"), col("ts_us"), col("value"))
+      .join(broadcast(keyDf), Seq("file", "channel", "part_idx"), "left")
+      .select(col("_bin_id"), col("sample_idx"), col("ts_us"), col("value"))
       .repartition(col("_bin_id"))
       .sortWithinPartitions(col("_bin_id"), col("sample_idx"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // InternalRow access (no per-sample Row materialization) + a 64 KiB
+    // little-endian batch buffer: the hot loop is read-4-primitives /
+    // putDouble / occasional bulk write
+    val segRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      dumpDf.queryExecution.toRdd.mapPartitions { it =>
         val tc = TaskContext.get()
         val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
         val attemptDir = new Path(outDirStr,
           s"_tmp-${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
-        var current: Int = -1
-        var tmp: Path = null
-        var out: BufferedOutputStream = null
-        val buf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-        def closeAndCommit(): Unit = if (out != null) {
-          out.close(); out = null
-          commit(fs, tmp, new Path(outDirStr, bBinNames.value(current)))
+        // failure cleanup: the iterator below cannot use try/finally
+        // around consumption (the downstream shuffle writer drives it)
+        tc.addTaskCompletionListener[Unit] { _ =>
+          try fs.delete(attemptDir, true) catch { case _: Exception => () }
         }
-        try {
-          rows.foreach { r =>
-            val id = r.getInt(0)
-            if (id != current) {
-              closeAndCommit()
-              current = id
-              tmp = new Path(attemptDir, bBinNames.value(id))
-              out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
-            }
-            buf.clear(); buf.putDouble(r.getDouble(2))
-            out.write(buf.array())
+        new Iterator[org.apache.spark.sql.Row] {
+          private val meta = bBinMeta.value
+          private val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+          private val pending = new scala.collection.mutable.ArrayDeque[org.apache.spark.sql.Row](4)
+          private var current = -1
+          private var ord = -1
+          private var gapUs = 0L
+          private var tmp: Path = null
+          private var out: java.io.OutputStream = null
+          private var segStartIdx = 0L; private var segStartTs = 0L
+          private var segGapBefore = false; private var segN = 0L
+          private var prevTs = 0L
+          private var drained = false
+
+          private def flushBuf(): Unit = if (buf.position() > 0) {
+            out.write(buf.array(), 0, buf.position()); buf.clear()
           }
-          closeAndCommit()
-        } finally {
-          if (out != null) out.close()
-          fs.delete(attemptDir, true)
+          private def emitSeg(): Unit = if (segN > 0) {
+            pending.append(org.apache.spark.sql.Row(
+              ord, segStartIdx, segStartTs, prevTs, segN, true, segGapBefore))
+            segN = 0
+          }
+          private def closeBin(): Unit = if (out != null) {
+            flushBuf(); out.close(); out = null
+            commit(fs, tmp, new Path(outDirStr, meta(current)._1))
+          }
+          private def pump(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val r = it.next()
+              if (r.isNullAt(0))
+                throw new IllegalStateException(
+                  "sample matched no planned (file, channel, part) bin — routing plan incomplete")
+              val id = r.getInt(0)
+              val ts = r.getLong(2)
+              if (id != current) {
+                emitSeg(); closeBin()
+                current = id
+                val (nm, o, g) = meta(id)
+                ord = o; gapUs = g
+                tmp = new Path(attemptDir, nm)
+                out = fs.create(tmp, true)
+                segStartIdx = r.getLong(1); segStartTs = ts; segGapBefore = false
+              } else if (ts - prevTs > gapUs) {
+                emitSeg()
+                segStartIdx = r.getLong(1); segStartTs = ts; segGapBefore = true
+              }
+              prevTs = ts
+              segN += 1
+              if (buf.remaining() < 8) flushBuf()
+              buf.putDouble(r.getDouble(3))
+            }
+            if (pending.isEmpty && !drained) {
+              drained = true
+              emitSeg(); closeBin()
+              fs.delete(attemptDir, true)
+            }
+          }
+          override def hasNext: Boolean = { if (pending.isEmpty) pump(); pending.nonEmpty }
+          override def next(): org.apache.spark.sql.Row = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.removeHead()
+          }
         }
       }
 
-    // 2. distributed manifest assembly: every output channel's chunk rows
-    // land in one partition (hash on ordinal) pre-sorted by start_index;
-    // the owning task streams the chunk array to a temp file (never
-    // holding it in memory), then composes the final manifest — header
-    // fields are only known once the stream ends — by header +
-    // chunk-array copy + footer, and commits it by rename. In append
-    // mode the matched channels' EXISTING chunks are parsed from their
-    // old manifest files executor-side and unioned in front of the new
-    // ones (their indices are value-stream positions, always below the
-    // appended offset, so the index sort interleaves correctly).
+    // 2. distributed manifest assembly: every output channel's segment
+    // rows land in one partition (hash on ordinal) pre-sorted by
+    // start_index; the owning task MERGES part-seam segments (a part's
+    // first segment with no time gap to its predecessor continues the
+    // predecessor's chunk), streams the chunk array to a temp file
+    // (never holding it in memory), then composes the final manifest —
+    // header fields are only known once the stream ends — by header +
+    // chunk-array copy + footer, and commits it by rename. Because the
+    // segments are the dump's map-side output, this stage is the reduce
+    // side of the dump's own shuffle: the whole sink is ONE job, one
+    // pass over sample volume. In append mode the matched channels'
+    // EXISTING chunks are parsed from their old manifest files
+    // executor-side and unioned in front of the new ones (their indices
+    // are value-stream positions, always below the appended offset, so
+    // the index sort interleaves correctly).
     val rewriteOrds: Set[Int] =
       if (mode == "overwrite") plans.map(_.ord).toSet
       else (matched.values.map(_.ord) ++ newKeys.map(keyOrd)).toSet
@@ -519,11 +579,7 @@ object EdfSink {
     // so the executor-side commit rename can't silently lose to it
     if (mode == "append")
       newKeys.foreach(k => driverFs.delete(new Path(outPath, manifestName(keyOrd(k))), false))
-    import spark.implicits._
-    val ordDf = broadcast(keyOrd.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "ord"))
-    val newChunks = chunkPlan(adjusted, ordDf)
-      .select(col("ord"), col("start_index"), col("start_ts"), col("end_ts"), col("n"),
-        lit(true).as("is_new"))
+    val newChunks = spark.createDataFrame(segRows, segSchema)
     val exChunks: Option[DataFrame] = {
       if (matchedOrds.isEmpty) None
       else {
@@ -536,10 +592,14 @@ object EdfSink {
           .select(col("ord"), explode(col("contiguousChunks")).as("c"))
           .select(col("ord"), col("c.index").as("start_index"), col("c.start").as("start_ts"),
             lit(null).cast("long").as("end_ts"), lit(null).cast("long").as("n"),
-            lit(false).as("is_new")))
+            lit(false).as("is_new"), lit(true).as("gap_before")))
       }
     }
     val allChunks = exChunks.map(newChunks.unionByName(_)).getOrElse(newChunks)
+    // incoming-rate gap thresholds per output ordinal, for part-seam
+    // continuity checks in the assembly (channel-cardinality)
+    val bOrdGap = spark.sparkContext.broadcast(
+      keys.map(k => keyOrd(k) -> (2e6 / chanInfo(k)._2).toLong).toMap)
 
     allChunks
       .repartition(col("ord"))
@@ -552,9 +612,27 @@ object EdfSink {
         var ord = -1
         var start = Long.MaxValue; var end = Long.MinValue
         var prevEnd = Long.MinValue; var nChunks = 0L; var newValues = 0L
+        var gapUs = Long.MaxValue
+        // pending NEW chunk being extended across part seams
+        var havePend = false
+        var pendIdx = 0L; var pendStartTs = 0L; var pendEndTs = 0L; var pendN = 0L
         var chunkTmp: Path = null
         var chunkOut: BufferedOutputStream = null
+        def writeChunkEntry(idx: Long, startTs: Long): Unit = {
+          if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
+          chunkOut.write(s"""{"index": $idx, "start": $startTs}"""
+            .getBytes(StandardCharsets.UTF_8))
+          nChunks += 1
+        }
+        def flushPend(): Unit = if (havePend) {
+          writeChunkEntry(pendIdx, pendStartTs)
+          newValues += pendN
+          if (pendStartTs < start) start = pendStartTs
+          if (pendEndTs > end) end = pendEndTs
+          havePend = false
+        }
         def finishChannel(): Unit = if (ord >= 0) {
+          flushPend()
           chunkOut.write(']'.toInt); chunkOut.close(); chunkOut = null
           val plan = bPlans.value(ord)
           val bins = plan.binaryFiles.map(jsonStr).mkString("[", ", ", "]")
@@ -587,6 +665,7 @@ object EdfSink {
               ord = o
               start = Long.MaxValue; end = Long.MinValue
               prevEnd = bPlans.value(ord).exEnd.getOrElse(Long.MinValue)
+              gapUs = bOrdGap.value.getOrElse(ord, Long.MaxValue)
               nChunks = 0L; newValues = 0L
               chunkTmp = new Path(attemptDir, "chunks")
               chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
@@ -594,21 +673,29 @@ object EdfSink {
             }
             val startIdx = r.getLong(1); val startTs = r.getLong(2)
             val isNew = r.getBoolean(5)
-            if (isNew) {
+            if (!isNew) {
+              // existing chunks sort below the appended offset — emitted
+              // verbatim, never merged with (pending is always empty here)
+              flushPend()
+              writeChunkEntry(startIdx, startTs)
+            } else {
               val endTs = r.getLong(3)
               // non-overlap invariant (reference base.py:87-95): appended
               // chunks start strictly after everything already committed
               require(startTs > prevEnd,
                 s"overlapping chunks in channel ${bPlans.value(ord).name}")
               prevEnd = endTs
-              newValues += r.getLong(4)
-              if (startTs < start) start = startTs
-              if (endTs > end) end = endTs
+              if (havePend && !r.getBoolean(6) && startTs - pendEndTs <= gapUs) {
+                // part-seam continuation: the segment's part began with
+                // no time gap to the previous part's tail — same chunk
+                pendEndTs = endTs; pendN += r.getLong(4)
+              } else {
+                flushPend()
+                havePend = true
+                pendIdx = startIdx; pendStartTs = startTs
+                pendEndTs = endTs; pendN = r.getLong(4)
+              }
             }
-            if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
-            chunkOut.write(s"""{"index": $startIdx, "start": $startTs}"""
-              .getBytes(StandardCharsets.UTF_8))
-            nChunks += 1
           }
           finishChannel()
         } finally {

@@ -403,6 +403,48 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(recBytes == n, "every detected spike serialized")
   }
 
+  test("filtered (non-dense sample_idx) input yields self-consistent chunk stats") {
+    // artifact-removal shape: drop samples 4..7 of a 12-sample 4 Hz
+    // channel — the surviving stream has a 1.25 s hole (> 2 periods =
+    // 0.5 s), so the manifest must show exactly two chunks whose stats
+    // come from the rows actually written, not from index arithmetic
+    val tmp = Files.createTempDirectory("edffiltered")
+    val src = s"$tmp/f.edf"
+    makeEdfC(src, "00.00.00", Seq("C3"))
+    val df = EdfFile.read(spark, Seq(src))
+      .filter(col("sample_idx") < 4 || col("sample_idx") >= 8)
+    val outDir = Files.createTempDirectory("edffilteredout").toString
+    EdfSink.write(df, outDir)
+
+    assert(Files.size(Paths.get(s"$outDir/C3.ts.bin")) == 8L * 8, "8 surviving samples")
+    val m = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    val idxs = "\\{\"index\": (\\d+)".r.findAllMatchIn(m).map(_.group(1).toLong).toSeq
+    assert(idxs == Seq(0L, 8L), s"two chunks at the surviving runs: $m")
+    assert(m.contains("\"numValues\", \"value\": \"8\""), s"numValues counts actual rows: $m")
+    val start = "\"start\": (\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
+    val end = "\"end\": (\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
+    assert(end - start == 2750000L, s"end is the last ACTUAL sample's ts: $start..$end")
+
+    // a single dropped sample leaves a 2-period seam — NOT > 2 periods,
+    // so the stream stays one chunk of 11 actual values
+    val df2 = EdfFile.read(spark, Seq(src)).filter(col("sample_idx") =!= 5)
+    val outDir2 = Files.createTempDirectory("edffiltered2").toString
+    EdfSink.write(df2, outDir2)
+    val m2 = new String(Files.readAllBytes(Paths.get(s"$outDir2/channel.json")))
+    assert("\\{\"index\": ".r.findAllIn(m2).size == 1, s"one chunk: $m2")
+    assert(m2.contains("\"numValues\", \"value\": \"11\""), s"numValues counts actual rows: $m2")
+  }
+
+  test("part-file seams never split a contiguous chunk") {
+    val outDir = Files.createTempDirectory("edfseam").toString
+    val df = EdfFile.read(spark, Seq("/root/reference/sample_data/sin_wave.edf"))
+    EdfSink.write(df, outDir, maxSamplesPerFile = 5000L)
+    val m = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    assert("\\{\"index\": ".r.findAllIn(m).size == 1,
+      s"12000 contiguous samples across 3 parts = ONE chunk: $m")
+    assert(m.contains("\"numValues\", \"value\": \"12000\""))
+  }
+
   test("multi-file inputs with shared channel labels never interleave") {
     // same file twice under different paths = same channel labels twice
     val tmp = Files.createTempDirectory("edfmulti")
