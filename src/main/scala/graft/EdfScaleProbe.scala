@@ -210,6 +210,10 @@ object EdfScaleProbe {
     val dBytes = generate(edfD, dSig, samplesPerRec, dRec, gapEveryRecs = segRecs)
     println(s"""{"probe":"generate_d","file_gib":${dBytes / 1073741824.0},"n_rec":$dRec,""" +
       s""""n_sig":$dSig,"segments":${dRec / segRecs + 1}}""")
+    // a reused probe file keeps its previous run's sidecar — the
+    // nosidecar probes must actually run without one
+    new java.io.File(graft.sources.EdfOnsetIndex.sidecarPath(edfD)).delete()
+    new java.io.File(graft.sources.EdfOnsetIndex.sidecarPath(edfD) + ".crc").delete()
     val dStartUs = graft.sources.EdfFile.readHeader(edfD).startUs
     // a ts window covering ONE mid-file segment (segment k starts at
     // k*(segRecs + 7200) seconds past start)
@@ -234,18 +238,27 @@ object EdfScaleProbe {
       dWindowed.agg(count(col("value")), sum(abs(col("value")))).head().getLong(0)
     }
 
-    // ---- A14 sink: distributed write of a 4-channel slice ----
+    // ---- A14 sink: distributed write of a 4-channel slice. TWO timed
+    // passes, min reported alongside both raw numbers: the host's
+    // run-to-run noise measured up to ~5x on identical plans (see
+    // SinkStageProbe), and the first pass additionally pays cold page
+    // cache + JIT — min-of-2 is the same de-noising Bench uses.
     val slice = read(edfC).filter(col("channel").isin("ch000", "ch001", "ch002", "ch003"))
     val outDir = s"$work/sink_out"
-    val skT0 = System.nanoTime()
-    val manifest = graft.sources.EdfSink.write(slice, outDir, maxSamplesPerFile = 4L << 20)
-    val skSec = (System.nanoTime() - skT0) / 1e9
+    var manifest = ""
+    val skSecs = (1 to 2).map { _ =>
+      val skT0 = System.nanoTime()
+      manifest = graft.sources.EdfSink.write(slice, outDir, maxSamplesPerFile = 4L << 20)
+      (System.nanoTime() - skT0) / 1e9
+    }
+    val skSec = skSecs.min
     val written = {
       val d = new java.io.File(outDir)
       d.listFiles().map(_.length()).sum
     }
-    println(s"""{"probe":"sink_write","sec":$skSec,"bytes_written":$written,""" +
-      s""""mib_per_sec":${written / 1048576.0 / skSec},"manifest":"$manifest"}""")
+    println(s"""{"probe":"sink_write","sec":$skSec,"passes":[${skSecs.mkString(", ")}],""" +
+      s""""bytes_written":$written,"mib_per_sec":${written / 1048576.0 / skSec},""" +
+      s""""manifest":"$manifest"}""")
     spark.stop()
   }
 }

@@ -350,21 +350,26 @@ object Dedup {
     verifyJaccard(cands, docs, k, threshold)
   }
 
-  /** Exact-Jaccard verify stage over a candidate pair relation — shared by
-    * the full and incremental paths. Shingles are computed from whatever
-    * `docs` relation the caller passes: the full path hands the whole
-    * corpus (same plan as ever), the incremental path hands a left-semi
-    * restriction to candidate endpoints so non-candidate text never
-    * reaches the shingle scan.
+  /** Exact-Jaccard verify stage over a candidate pair relation — shared
+    * by the full and incremental paths. The shingle/count relations are
+    * left-semi-restricted to candidate ENDPOINT ids before the shingle
+    * kernel runs, so the expensive work (shingle hashing, the exploded
+    * shingle shuffle into the intersection join) scales with the
+    * candidate set — duplicate-cardinality — not the corpus: at 100 TB
+    * the non-candidate majority of the text never re-enters the verify
+    * stage after candidate generation's single scan.
     */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, k: Int,
                    threshold: Double): DataFrame = {
-    val shingles = docs
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()
+    val cdocs = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val shingles = cdocs
       .withColumn("hs", expr(shingleHashExpr(k)))
       .select(col("doc_id"), explode(col("hs")).as("h"))
     // per-doc distinct-shingle count is just the hs array size — a narrow
     // projection, not an aggregate over the exploded shingle stream
-    val counts = docs
+    val counts = cdocs
       .select(col("doc_id"), size(expr(shingleHashExpr(k))).cast("long").as("nh"))
     val common = cands
       .join(shingles.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
@@ -432,9 +437,7 @@ object Dedup {
       .select(least(col("id_d"), col("id_o")).as("id_a"),
         greatest(col("id_d"), col("id_o")).as("id_b"))
       .distinct()
-    val candIds = cands.select(col("id_a").as("doc_id"))
-      .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()
-    val fresh = verifyJaccard(cands, cur.join(candIds, Seq("doc_id"), "left_semi"), k, threshold)
+    val fresh = verifyJaccard(cands, cur, k, threshold)
       .withColumn("src", lit("fresh"))
     // unchanged set read off the refreshed band state itself (src =
     // 'carried'); column pruning reduces this branch to the delta's

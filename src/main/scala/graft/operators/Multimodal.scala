@@ -71,21 +71,31 @@ object Multimodal {
     }
   }
 
-  /** Real [[VideoDecoder]]: Motion-JPEG in an AVI (RIFF) container —
-    * the one video format the stock JDK can fully decode, because each
-    * frame is an independent JPEG and `javax.imageio` ships a JPEG
-    * codec. The container walk is a standard RIFF chunk scan (public
-    * format: 12-byte `RIFF…AVI ` header, chunks of `fourcc + u32le
-    * size + data` padded to even offsets); video frames are the
-    * `##dc`/`##db` chunks inside the `movi` LIST (including `rec `
-    * sub-lists). [[frames]] demuxes the encoded payloads (the
-    * `frameBytes` hint is ignored — the container defines frame
-    * boundaries); [[decodedFrames]] and [[features]] run the payloads
-    * through the real JPEG decode to luminance planes. Unparseable
-    * containers yield no frames and a zero feature vector — corrupt
-    * rows must degrade, not kill, a 100 TB ingest task.
+  /** Real [[VideoDecoder]] for AVI (RIFF) containers, three codecs:
+    *
+    *  - **Motion-JPEG** — each frame an independent JPEG, decoded by the
+    *    JDK's `javax.imageio` codec (sniffed by the FFD8 SOI marker);
+    *  - **uncompressed DIB** (`biCompression = 0`) — bottom-up (or
+    *    top-down for negative heights) 8/24/32-bit device-independent
+    *    bitmap rows, 4-byte-aligned strides, palette-indexed at 8 bpp;
+    *  - **Microsoft RLE8** (`biCompression = 1`) — the standard BMP
+    *    run-length encoding (count/index pairs; 0-escapes for EOL, EOD,
+    *    delta and word-padded absolute runs), palette-indexed.
+    *
+    * All three are fully public formats; DIB and RLE8 are hand-decoded
+    * here (~60 lines) since the JDK ships no AVI codec. The container
+    * walk is a standard RIFF chunk scan (12-byte `RIFF…AVI ` header,
+    * chunks of `fourcc + u32le size + data` padded to even offsets):
+    * frame payloads are the `##dc`/`##db` chunks inside the `movi` LIST
+    * (including `rec ` sub-lists), and the DIB/RLE8 dims + palette come
+    * from the `vids` stream's `strf` BITMAPINFOHEADER inside `hdrl`.
+    * [[frames]] demuxes the encoded payloads (the `frameBytes` hint is
+    * ignored — the container defines frame boundaries);
+    * [[decodedFrames]] and [[features]] decode to luminance planes.
+    * Unparseable containers/frames yield no frames and a zero feature
+    * vector — corrupt rows must degrade, not kill, a 100 TB ingest task.
     */
-  object MjpegAviVideoDecoder extends VideoDecoder {
+  object AviVideoDecoder extends VideoDecoder {
     private def u32(b: Array[Byte], off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
@@ -124,6 +134,138 @@ object Multimodal {
       out.result()
     }
 
+    /** The `vids` stream's frame format: dims, depth, codec id, and the
+      * palette pre-folded to a luminance LUT (BT.601 fixed-point, same
+      * formula as [[decodeImage]]).
+      */
+    private[graft] final case class VidFmt(width: Int, height: Int, topDown: Boolean,
+        bitCount: Int, compression: Long, palLum: Array[Byte])
+
+    /** Parse the first video stream's `strf` BITMAPINFOHEADER out of the
+      * `hdrl` LIST (strl lists pair a `strh` stream header with its
+      * `strf` format chunk; the stream type fourcc leads `strh`).
+      */
+    private[graft] def videoFormat(bytes: Array[Byte]): Option[VidFmt] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ")
+        return None
+      val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+      var found: Option[VidFmt] = None
+      var vidsStream = false
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to && found.isEmpty) {
+          val id = fourcc(bytes, p)
+          val size = u32(bytes, p + 4)
+          val dataStart = p + 8
+          if (size < 0 || dataStart + size > to) return
+          val dataEnd = (dataStart + size).toInt
+          if (id == "LIST" && size >= 4) {
+            val lt = fourcc(bytes, dataStart)
+            if (lt == "hdrl" || lt == "strl") walk(dataStart + 4, dataEnd)
+          } else if (id == "strh" && size >= 4) {
+            vidsStream = fourcc(bytes, dataStart) == "vids"
+          } else if (id == "strf" && vidsStream && size >= 40) {
+            val w = u32(bytes, dataStart + 4).toInt
+            val hRaw = u32(bytes, dataStart + 8).toInt
+            val bits = (bytes(dataStart + 14) & 0xff) | ((bytes(dataStart + 15) & 0xff) << 8)
+            val comp = u32(bytes, dataStart + 16)
+            val clrUsed = u32(bytes, dataStart + 32).toInt
+            val nPal = if (bits <= 8) { if (clrUsed > 0) clrUsed else 1 << bits } else 0
+            val pal = new Array[Byte](math.max(nPal, 0))
+            val palOff = dataStart + 40 // after the 40-byte BITMAPINFOHEADER
+            var i = 0
+            while (i < nPal && palOff + i * 4 + 3 < dataEnd) {
+              val b = bytes(palOff + i * 4) & 0xff
+              val g = bytes(palOff + i * 4 + 1) & 0xff
+              val r = bytes(palOff + i * 4 + 2) & 0xff
+              pal(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+              i += 1
+            }
+            if (w > 0 && hRaw != 0)
+              found = Some(VidFmt(w, math.abs(hRaw), topDown = hRaw < 0, bits, comp, pal))
+          }
+          p = dataEnd + (size.toInt & 1)
+        }
+      }
+      walk(12, end)
+      found
+    }
+
+    /** Uncompressed DIB frame -> luminance plane (8/24/32 bpp, 4-byte
+      * row stride, bottom-up unless the header's height was negative).
+      */
+    private[graft] def decodeDib(fb: Array[Byte], f: VidFmt): Option[DecodedImage] = {
+      val bytesPerPx = f.bitCount / 8
+      if (f.bitCount != 8 && f.bitCount != 24 && f.bitCount != 32) return None
+      val stride = ((f.width * bytesPerPx + 3) / 4) * 4
+      if (fb.length < stride.toLong * f.height) return None
+      val out = new Array[Byte](f.width * f.height)
+      var y = 0
+      while (y < f.height) {
+        val srcRow = (if (f.topDown) y else f.height - 1 - y) * stride
+        var x = 0
+        while (x < f.width) {
+          val p = srcRow + x * bytesPerPx
+          out(y * f.width + x) =
+            if (f.bitCount == 8) {
+              val idx = fb(p) & 0xff
+              if (idx < f.palLum.length) f.palLum(idx) else idx.toByte
+            } else {
+              val b = fb(p) & 0xff; val g = fb(p + 1) & 0xff; val r = fb(p + 2) & 0xff
+              ((299 * r + 587 * g + 114 * b) / 1000).toByte
+            }
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(f.width, f.height, out))
+    }
+
+    /** Microsoft RLE8 frame -> luminance plane. Escapes: 00 00 = end of
+      * line, 00 01 = end of bitmap, 00 02 dx dy = position delta,
+      * 00 n>=3 = absolute run of n indices padded to a word boundary.
+      * Unset pixels keep palette index 0 (the format's defined fill).
+      */
+    private[graft] def decodeRle8(fb: Array[Byte], f: VidFmt): Option[DecodedImage] = {
+      if (f.bitCount != 8) return None
+      val idxGrid = new Array[Byte](f.width * f.height) // bottom-up grid
+      var x = 0; var y = 0; var p = 0
+      var done = false
+      while (!done && p + 1 < fb.length && y < f.height) {
+        val n = fb(p) & 0xff; val v = fb(p + 1) & 0xff
+        p += 2
+        if (n > 0) { // encoded run
+          var i = 0
+          while (i < n && x < f.width) { idxGrid(y * f.width + x) = v.toByte; x += 1; i += 1 }
+        } else v match {
+          case 0 => x = 0; y += 1 // end of line
+          case 1 => done = true // end of bitmap
+          case 2 => // delta
+            if (p + 1 < fb.length) { x += fb(p) & 0xff; y += fb(p + 1) & 0xff; p += 2 }
+            else done = true
+          case abs => // absolute run, word-padded
+            var i = 0
+            while (i < abs && p < fb.length && x < f.width) {
+              idxGrid(y * f.width + x) = fb(p); x += 1; i += 1; p += 1
+            }
+            p += (abs & 1) // pad to word
+        }
+      }
+      val out = new Array[Byte](f.width * f.height)
+      var yy = 0
+      while (yy < f.height) {
+        val srcRow = (if (f.topDown) yy else f.height - 1 - yy) * f.width
+        var xx = 0
+        while (xx < f.width) {
+          val idx = idxGrid(srcRow + xx) & 0xff
+          out(yy * f.width + xx) = if (idx < f.palLum.length) f.palLum(idx) else idx.toByte
+          xx += 1
+        }
+        yy += 1
+      }
+      Some(DecodedImage(f.width, f.height, out))
+    }
+
     /** Demuxed encoded frame payloads (every Nth video chunk). */
     override def frames(bytes: Array[Byte], frameBytes: Int,
                         everyN: Int): Iterator[(Int, Long, Array[Byte])] =
@@ -132,14 +274,25 @@ object Multimodal {
           (i, off.toLong, java.util.Arrays.copyOfRange(bytes, off, off + len))
       }.iterator
 
-    /** True decode: each sampled JPEG payload to its luminance plane
-      * (undecodable frames are skipped, not fatal).
+    /** True decode: each sampled payload to its luminance plane — JPEG
+      * payloads (FFD8 sniff) through the JDK codec, DIB/RLE8 through the
+      * hand decoders above (undecodable frames are skipped, not fatal).
       */
     override def decodedFrames(bytes: Array[Byte],
-                               everyN: Int): Iterator[(Int, Long, DecodedImage)] =
+                               everyN: Int): Iterator[(Int, Long, DecodedImage)] = {
+      lazy val fmt = videoFormat(bytes)
       frames(bytes, 0, everyN).flatMap { case (i, off, fb) =>
-        decodeImage(fb).map(img => (i, off, img))
+        val img =
+          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8)
+            decodeImage(fb)
+          else fmt.flatMap { f =>
+            if (f.compression == 1L) decodeRle8(fb, f)
+            else if (f.compression == 0L) decodeDib(fb, f)
+            else None
+          }
+        img.map(im => (i, off, im))
       }
+    }
 
     /** Per-frame `dim`-bucket luminance histograms averaged across all
       * decodable frames — same bucketing as the image branch of
@@ -387,7 +540,7 @@ object Multimodal {
 
   /** Frame sampling WITH decode for video-kind payloads: every Nth frame
     * demuxed and decoded to its luminance plane through the
-    * [[VideoDecoder]] seam. The default [[MjpegAviVideoDecoder]] does
+    * [[VideoDecoder]] seam. The default [[AviVideoDecoder]] does
     * real container demux + real JDK JPEG decode; the byte-fold stand-in
     * still satisfies the same contract via the trait's self-describing
     * fallback. Decode runs strictly executor-side inside the flatMap —
@@ -395,7 +548,7 @@ object Multimodal {
     * decoder is plugged.
     */
   def frameDecode(media: Dataset[Media], everyN: Int = 1,
-                  video: VideoDecoder = MjpegAviVideoDecoder): Dataset[DecodedFrame] = {
+                  video: VideoDecoder = AviVideoDecoder): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       video.decodedFrames(m.bytes, everyN).map { case (idx, off, img) =>

@@ -176,32 +176,84 @@ object Similarity {
     * search touches ~nProbe/nCells of the data — the 100 TB path where
     * brute force (C6) is the correctness baseline.
     */
+  /** SQL float literal (used by the hyperplane-count-bounded LSH dot
+    * products, np <= 62 — never centroid-scale).
+    */
   private def fLit(x: Float): String =
     if (x.isNaN) "CAST('NaN' AS FLOAT)"
     else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
     else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
     else s"CAST($x AS FLOAT)"
 
-  /** SQL array-of-arrays literal of the centroid vectors. */
-  private def centArrLit(centRows: Array[(Long, Seq[Float])]): String =
-    centRows.map { case (_, v) => v.map(fLit).mkString("array(", ", ", ")") }
-      .mkString("array(", ", ", ")")
+  /** The centroid vectors as ONE literal Column (array<array<float>>).
+    * A non-primitive Literal is codegen'd as a single reference object —
+    * the plan and generated code stay O(1) in k·d, so a learned codebook
+    * of thousands of cells never blows codegen or plan-serialization
+    * limits (the old SQL-text `array(array(CAST(..)))` unrolled into
+    * k·d expression nodes and capped the pattern at ~10³ entries).
+    */
+  private def centArrCol(centRows: Array[(Long, Seq[Float])]): Column =
+    typedLit(centRows.toSeq.map(_._2))
 
-  /** Fold a broadcast-sized centroid set into a narrow per-row argmax
-    * expression — cell assignment becomes a map-only pass (no crossJoin,
-    * no window, no shuffle). First-max scan == (sim desc, position asc)
-    * tie-break. The fold starts at centroid 0 with -Infinity, so a row
-    * whose cosines are ALL NaN (zero-norm/NaN vector) still gets a
+  /** Fold the centroid set into a narrow per-row argmax expression —
+    * cell assignment becomes a map-only pass (no crossJoin, no window,
+    * no shuffle). First-max scan == (sim desc, position asc) tie-break.
+    * The fold starts at centroid 0 with -Infinity, so a row whose
+    * cosines are ALL NaN (zero-norm/NaN vector) still gets a
     * deterministic cell instead of an out-of-range element_at.
     */
-  private def nearestCellExpr(centRows: Array[(Long, Seq[Float])], vecCol: String): String = {
-    val centArr = centArrLit(centRows)
-    val cellIds = centRows.map(_._1).mkString("array(", ", ", ")")
-    s"""element_at($cellIds, CAST(aggregate(sequence(0, ${centRows.length - 1}),
-          named_struct('best', 0, 'bestSim', CAST('-Infinity' AS DOUBLE)),
-          (acc, i) -> CASE WHEN graft_cosine($vecCol, element_at($centArr, i + 1)) > acc.bestSim
-                           THEN named_struct('best', i, 'bestSim', graft_cosine($vecCol, element_at($centArr, i + 1)))
-                           ELSE acc END).best AS INT) + 1)"""
+  private def nearestCellCol(centRows: Array[(Long, Seq[Float])], vecCol: String): Column = {
+    val centArr = centArrCol(centRows)
+    val cellIds = typedLit(centRows.toSeq.map(_._1))
+    val best = aggregate(
+      sequence(lit(0), lit(centRows.length - 1)),
+      struct(lit(0).as("best"), lit(Double.NegativeInfinity).as("bestSim")),
+      (acc, i) => {
+        val sim = call_function("graft_cosine", col(vecCol), element_at(centArr, i + lit(1)))
+        when(sim > acc("bestSim"), struct(i.as("best"), sim.as("bestSim"))).otherwise(acc)
+      })
+    element_at(cellIds, best("best").cast("int") + lit(1))
+  }
+
+  /** Literal-fold cell assignment ships the centroid value inside every
+    * TASK's serialized plan; above this many floats (4 MiB of task
+    * binary) the codebook instead ships ONCE per executor as a broadcast
+    * join. SimilaritySpec asserts path parity.
+    */
+  private[graft] val maxLiteralCentroidFloats: Long = 1L << 20
+
+  /** Assign each row of `df` its nearest centroid as `cell_id` —
+    * literal-fold (zero-shuffle map pass) when the codebook is small
+    * enough to ride the task binary, broadcast-join argmax above the
+    * gate. `key` must be a unique row id (drives the fallback's argmax
+    * regroup; the join path shuffles one row per input row, partial-agg
+    * collapsed map-side).
+    */
+  private[graft] def assignCells(df: DataFrame, key: String, vecCol: String,
+      centRows: Array[(Long, Seq[Float])],
+      maxLitFloats: Long = maxLiteralCentroidFloats): DataFrame = {
+    val nFloats = centRows.length.toLong * centRows.headOption.map(_._2.size).getOrElse(0)
+    if (nFloats <= maxLitFloats)
+      df.withColumn("cell_id", nearestCellCol(centRows, vecCol).cast("long"))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centDf = centRows.toSeq.zipWithIndex
+        .map { case ((cid, v), pos) => (pos, cid, v) }.toDF("_pos", "_cid", "_cent")
+      val others = df.columns.filter(_ != key).toSeq
+      // lexicographic max over (sim, -pos, cid): highest cosine, then
+      // first position — the literal fold's exact tie-break. NaN cosines
+      // map to -Infinity so a zero-norm vector still lands in cell 0.
+      val cand = struct(
+        nanvl(call_function("graft_cosine", col(vecCol), col("_cent")),
+          lit(Double.NegativeInfinity)).as("sim"),
+        (-col("_pos")).as("np"), col("_cid").as("cid"))
+      df.crossJoin(broadcast(centDf))
+        .groupBy(col(key))
+        .agg(max(cand).as("_best"), first(struct(others.map(col): _*)).as("_carry"))
+        .select(col(key) +: others.map(c => col(s"_carry.$c").as(c))
+          :+ col("_best.cid").as("cell_id"): _*)
+    }
   }
 
   def annIvf(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
@@ -219,9 +271,8 @@ object Similarity {
                            queryVecId: Long, nProbe: Int, k: Int): DataFrame = {
     val spark = t.embeddings.sparkSession
     import spark.implicits._
-    val assigned = t.embeddings
-      .select(col("vec_id"), col("embedding"),
-        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+    val assigned = assignCells(
+      t.embeddings.select(col("vec_id"), col("embedding")), "vec_id", "embedding", centRows)
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
     val qCells = centRows.toSeq.toDF("cell_id", "cent").crossJoin(broadcast(q))
@@ -317,9 +368,8 @@ object Similarity {
       t.embeddings.orderBy(col("vec_id")).limit(k).select(col("embedding")).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     for (_ <- 0 until maxIter) {
-      val assigned = t.embeddings
-        .select(col("embedding"),
-          expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+      val assigned = assignCells(
+        t.embeddings.select(col("vec_id"), col("embedding")), "vec_id", "embedding", centRows)
       val updated = assigned
         .select(col("cell_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
@@ -336,11 +386,11 @@ object Similarity {
     val centRows = kmeansCentroids(t, k, maxIter)
     // sim recomputes ONE cosine against the chosen centroid (cell ids are
     // 0..k-1 = array position), not a second k-wide argmax scan
-    t.embeddings
-      .select(col("vec_id"), col("label"), col("embedding"),
-        expr(nearestCellExpr(centRows, "embedding")).cast("long").as("cell_id"))
+    assignCells(t.embeddings.select(col("vec_id"), col("label"), col("embedding")),
+        "vec_id", "embedding", centRows)
       .withColumn("sim_to_centroid", roundHalfUp(
-        expr(s"graft_cosine(embedding, element_at(${centArrLit(centRows)}, CAST(cell_id AS INT) + 1))"), 4))
+        call_function("graft_cosine", col("embedding"),
+          element_at(centArrCol(centRows), col("cell_id").cast("int") + lit(1))), 4))
       .select(col("vec_id"), col("label"), col("cell_id"), col("sim_to_centroid"))
   }
 }

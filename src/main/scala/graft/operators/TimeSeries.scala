@@ -513,33 +513,65 @@ object TimeSeries {
     * happens on the ROUNDED score so boundary rows can't flip between
     * engines.
     */
-  def madOutlier(t: Tables, cutoff: Double = 3.5): DataFrame = {
+  def madOutlier(t: Tables, cutoff: Double = 3.5): DataFrame =
+    madOutlierEvents(t.events, cutoff)
+
+  /** Literal-fold scoring ships the per-channel medians inside every
+    * task's serialized plan — above this many channels they ride a
+    * broadcast join instead (once per executor, and no multi-MB task
+    * binaries). TimeSeriesSpec asserts path parity and runs the join
+    * path at 10k channels.
+    */
+  private[graft] val maxLiteralChannels: Int = 16384
+
+  private[graft] def madOutlierEvents(events: DataFrame, cutoff: Double,
+      maxLitKeys: Int = maxLiteralChannels): DataFrame = {
     // medians are CHANNEL-CARDINALITY — computed eagerly and folded back
-    // as literal CASE maps (the IVF-centroid pattern, Similarity.scala),
+    // as ONE literal map Column each (a non-primitive Literal codegens
+    // as a single reference object — plan size O(1) in channel count),
     // so neither quantile pipeline nor the scoring pass carries a join:
     // the MAD pipeline is a 2-column narrow scan and the final scoring
-    // pass is a single zero-shuffle codegen scan. Same 4 quantile scans
-    // as the join formulation, minus its three broadcast-exchange stages.
-    def litMap(rows: Array[(String, Double)], of: Column): Column =
-      rows.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
-        when(of === k, lit(v)).otherwise(acc)
-      }
+    // pass is a single zero-shuffle codegen scan. Above `maxLitKeys`
+    // channels the medians ride broadcast joins instead — same rows
+    // (missing/<=0 MAD keys null out and filter away in the literal
+    // path; the inner joins drop them identically).
     val med: Array[(String, Double)] = Analytics.exactQuantiles(
-      t.events.select(col("event_type"), col("value")), "event_type",
+      events.select(col("event_type"), col("value")), "event_type",
       Seq("value" -> Seq("med" -> 0.5)))
       .collect().map(r => r.getString(0) -> r.getDouble(1))
-    val medOf = litMap(med, col("event_type"))
-    val mad: Array[(String, Double)] = Analytics.exactQuantiles(
-      t.events.select(col("event_type"), abs(col("value") - medOf).as("adev")),
-      "event_type", Seq("adev" -> Seq("mad" -> 0.5)))
-      .collect().map(r => r.getString(0) -> r.getDouble(1))
-    val madOf = litMap(mad.filter(_._2 > 0), col("event_type"))
-    t.events
-      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
-      .withColumn("robust_z", roundHalfUp(lit(0.6745) * (col("value") - medOf) / madOf, 3))
-      .filter(abs(col("robust_z")) >= cutoff)
-      .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
-        col("robust_z"))
+    if (med.length <= maxLitKeys) {
+      val medOf = element_at(typedLit(med.toMap), col("event_type"))
+      val mad: Array[(String, Double)] = Analytics.exactQuantiles(
+        events.select(col("event_type"), abs(col("value") - medOf).as("adev")),
+        "event_type", Seq("adev" -> Seq("mad" -> 0.5)))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      val madOf = element_at(typedLit(mad.filter(_._2 > 0).toMap), col("event_type"))
+      events
+        .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+        .withColumn("robust_z", roundHalfUp(lit(0.6745) * (col("value") - medOf) / madOf, 3))
+        .filter(abs(col("robust_z")) >= cutoff)
+        .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
+          col("robust_z"))
+    } else {
+      val spark = events.sparkSession
+      import spark.implicits._
+      val medDf = med.toSeq.toDF("event_type", "_med")
+      val mad: Array[(String, Double)] = Analytics.exactQuantiles(
+        events.join(broadcast(medDf), Seq("event_type"))
+          .select(col("event_type"), abs(col("value") - col("_med")).as("adev")),
+        "event_type", Seq("adev" -> Seq("mad" -> 0.5)))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      val madDf = mad.filter(_._2 > 0).toSeq.toDF("event_type", "_mad")
+      events
+        .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+        .join(broadcast(medDf), Seq("event_type"))
+        .join(broadcast(madDf), Seq("event_type"))
+        .withColumn("robust_z",
+          roundHalfUp(lit(0.6745) * (col("value") - col("_med")) / col("_mad"), 3))
+        .filter(abs(col("robust_z")) >= cutoff)
+        .select(col("event_type"), col("event_id"), col("us").as("ts_us"), col("value"),
+          col("robust_z"))
+    }
   }
 
   /** A22: trailing time-window aggregation — for every sample, the count

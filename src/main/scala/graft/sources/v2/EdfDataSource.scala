@@ -264,14 +264,12 @@ private[v2] object EdfSplitPlanner {
     val hasTsBounds = pushdown.tsLo != Long.MinValue || pushdown.tsHi != Long.MaxValue
     val keep: Int => Boolean =
       if (h.isDiscontiguous && hasTsBounds)
-        graft.sources.EdfOnsetIndex.read(path, h) match {
-          case Some(onsets) =>
-            val span = math.max(1L, durUs)
-            rec => {
-              val onset = onsets(rec)
-              (pushdown.tsHi == Long.MaxValue || onset <= pushdown.tsHi) &&
-                (pushdown.tsLo == Long.MinValue || onset + span > pushdown.tsLo)
-            }
+        // monotonic onsets make the kept set one contiguous run — the
+        // sidecar answers it with O(log n) positioned reads, so planning
+        // bytes stay ~constant however chunk-heavy the file's history is
+        graft.sources.EdfOnsetIndex.keptRange(path, h,
+            pushdown.tsLo, pushdown.tsHi, math.max(1L, durUs)) match {
+          case Some((klo, khi)) => rec => rec >= klo && rec < khi
           case None => _ => true
         }
       else _ => true

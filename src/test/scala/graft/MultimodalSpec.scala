@@ -210,7 +210,7 @@ class MultimodalSpec extends AnyFunSuite {
     // features: solid 40/128/220 land in 8-bucket bins 1, 4, 6 with mass
     // ~1/3 each (JPEG ringing on solid frames is sub-tolerance)
     val feat = Multimodal.decodeFeatures(ds, dim = 8,
-      video = Multimodal.MjpegAviVideoDecoder).collect().head.feature
+      video = Multimodal.AviVideoDecoder).collect().head.feature
     Seq(1, 4, 6).foreach(b =>
       assert(feat(b) > 0.30f && feat(b) < 0.37f, s"bucket $b mass ≈ 1/3: ${feat.toSeq}"))
     assert(math.abs(feat.sum - 1.0f) < 1e-3, s"histogram normalized: ${feat.sum}")
@@ -218,13 +218,81 @@ class MultimodalSpec extends AnyFunSuite {
     val junk = Multimodal.ingest(spark, Seq(Media(21, "video", Array.fill[Byte](64)(7), 0, 0, 0)))
     assert(Multimodal.frameDecode(junk).collect().isEmpty, "junk payload: zero frames")
     val junkFeat = Multimodal.decodeFeatures(junk, dim = 8,
-      video = Multimodal.MjpegAviVideoDecoder).collect().head.feature
+      video = Multimodal.AviVideoDecoder).collect().head.feature
     assert(junkFeat.toSeq == Seq.fill(8)(0.0f), s"junk payload: zero vector ${junkFeat.toSeq}")
     // truncated container (size fields running past the buffer) is safe
     val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length / 2)
     assert(Multimodal.ingest(spark, Seq(Media(22, "video", truncated, 0, 0, 0)))
       .transform(Multimodal.frameDecode(_)).collect()
       .forall(f => f.width > 0 && f.height > 0), "truncated container: only whole frames decode")
+  }
+
+  // AVI with a full hdrl/strl/strh(vids)/strf(BITMAPINFOHEADER+palette)
+  // header — the shape the DIB/RLE8 decode needs (dims + palette come
+  // from strf, not the frames). Built by hand against the public spec.
+  private def dibAvi(frames: Seq[Array[Byte]], w: Int, h: Int, bitCount: Int,
+                     compression: Int, palette: Seq[(Int, Int, Int)]): Array[Byte] = {
+    def u32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
+      fourcc(id) ++ u32(data.length) ++ padded
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ body)
+    val bih = u32(40) ++ u32(w) ++ u32(h) ++ u16(1) ++ u16(bitCount) ++
+      u32(compression) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(palette.size) ++ u32(0)
+    val pal = palette.flatMap { case (r, g, b) =>
+      Array(b.toByte, g.toByte, r.toByte, 0.toByte) }.toArray
+    val strl = list("strl",
+      chunk("strh", fourcc("vids") ++ new Array[Byte](52)) ++ chunk("strf", bih ++ pal))
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++ strl)
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ u32(body.length) ++ body
+  }
+
+  test("MS-RLE8 AVI frames decode pixel-exactly through the palette") {
+    // palette: 0=black, 1=white, 2=pure red (lum 76 via BT.601 fixed pt)
+    val palette = Seq((0, 0, 0), (255, 255, 255), (255, 0, 0))
+    // target 4x3 image, top-down rows: (1 1 2 2) / (0 0 0 0) / (1 0 1 0)
+    // RLE8 encodes bottom-up: absolute run, encoded runs, EOL/EOD escapes
+    val rle: Array[Byte] = Array[Int](
+      0, 4, 1, 0, 1, 0, 0, 0, // bottom row: absolute run of 4 (even: no pad), EOL
+      4, 0, 0, 0,             // middle row: encoded run 4x idx0, EOL
+      2, 1, 2, 2, 0, 0,       // top row: 2x idx1, 2x idx2, EOL
+      0, 1                    // end of bitmap
+    ).map(_.toByte)
+    val avi = dibAvi(Seq(rle), 4, 3, bitCount = 8, compression = 1, palette)
+    val ds = Multimodal.ingest(spark, Seq(Media(30, "video", avi, 0, 0, 0)))
+    val f = Multimodal.frameDecode(ds).collect().head
+    assert((f.width, f.height) == (4, 3), s"dims from strf: ${(f.width, f.height)}")
+    val got = f.gray.map(_ & 0xff).toSeq
+    assert(got == Seq(255, 255, 76, 76, 0, 0, 0, 0, 255, 0, 255, 0),
+      s"RLE8 planted pattern decodes pixel-exactly: $got")
+  }
+
+  test("uncompressed-DIB AVI frames decode pixel-exactly (bottom-up, padded stride)") {
+    // 2x2 BGR24, 8-byte stride (2 pad bytes/row), bottom-up rows:
+    // file order = bottom row (blue, white) then top row (red, green)
+    val frame: Array[Byte] = Array[Int](
+      255, 0, 0, 255, 255, 255, 0, 0, // bottom: blue px, white px, pad
+      0, 0, 255, 0, 255, 0, 0, 0      // top: red px, green px, pad
+    ).map(_.toByte)
+    val avi = dibAvi(Seq(frame), 2, 2, bitCount = 24, compression = 0, Seq.empty)
+    val ds = Multimodal.ingest(spark, Seq(Media(31, "video", avi, 0, 0, 0)))
+    val f = Multimodal.frameDecode(ds).collect().head
+    val got = f.gray.map(_ & 0xff).toSeq
+    // BT.601 fixed point: red 76, green 149, blue 29, white 255
+    assert(got == Seq(76, 149, 29, 255), s"DIB planted pattern: $got")
+    // and the feature path runs the same decode (no byte-fold)
+    val feat = Multimodal.decodeFeatures(ds, dim = 4,
+      video = Multimodal.AviVideoDecoder).collect().head.feature
+    assert(math.abs(feat.sum - 1.0f) < 1e-3 && feat(0) > 0.2f,
+      s"video features from real DIB luminance: ${feat.toSeq}")
   }
 
   test("summarize aggregates by kind") {

@@ -103,6 +103,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == first, "deterministic across runs")
   }
 
+  test("cell assignment: literal-fold and broadcast-join paths agree") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1), s"l${i % 3}")) :+
+      ((200L, Seq.fill(16)(0.0f), "zero"))  // zero-norm: NaN cosine everywhere
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val cents = vecs.take(8).map { case (i, v, _) => (i, v) }.toArray
+    def cells(maxLit: Long) =
+      Similarity.assignCells(df, "vec_id", "embedding", cents, maxLit)
+        .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    val lit = cells(Long.MaxValue)
+    val joined = cells(0L)
+    assert(lit == joined, "tie-break and NaN handling identical across paths")
+    assert(lit(200L) == cents.head._1, "all-NaN vector lands deterministically in cell 0")
+  }
+
+  test("literal-fold assignment survives a 500k-float codebook (plan-size O(1))") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = 512
+    val cents = Array.tabulate(1024)(i => (i.toLong, Seq.fill(d)(rnd.nextFloat())))
+    val df = (0L until 64L).map(i => (i, cents((i * 16 % 1024).toInt)._2)).toDF("vec_id", "embedding")
+    val out = Similarity.assignCells(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell_id")).toMap
+    // each row IS a centroid — cosine 1.0 with itself must win
+    assert((0L until 64L).forall(i => out(i) == (i * 16 % 1024)),
+      s"each vector assigned to its own centroid cell")
+  }
+
   test("LSH-blocked near-dup recalls planted pairs vs the all-pairs truth") {
     // 60 deterministic pseudo-random 16-d vectors + 20 jittered copies
     // (cos ≈ 0.999); one shared label makes embedNearDup the exact

@@ -97,6 +97,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"MAD flags exactly the planted points, got ${madFlagged.size} of ${planted.size}")
   }
 
+  test("MAD literal-fold and broadcast-join paths agree, incl. at 10k channels") {
+    // the masking fixture again, through BOTH scoring paths
+    val normal = (0 until 200).map { i =>
+      (i.toLong, i * 1000000000L, 1L, "ch", 10.0 + (i % 7) * 0.5)
+    }
+    val planted = (0 until 40).map { i =>
+      (1000L + i, (500L + i) * 1000000000L, 1L, "ch", 500.0)
+    }
+    val t = events(normal ++ planted)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(rows(TimeSeries.madOutlierEvents(t.events, 3.5, maxLitKeys = 0)) ==
+      rows(TimeSeries.madOutlier(t)), "join path == literal path")
+
+    // 10k channels: 6 normal points + 1 planted outlier each — the
+    // literal path would ship a 10k-entry map per task; the gated join
+    // path must flag exactly the planted point per channel
+    val wide = (0 until 10000).flatMap { c =>
+      val ch = f"ch$c%05d"
+      (0 until 6).map(i => ((c * 7 + i).toLong, i * 1000000000L, 1L, ch, 10.0 + i * 0.5)) :+
+        ((c * 7 + 6).toLong, 6L * 1000000000L, 1L, ch, 900.0)
+    }
+    val tw = events(wide)
+    val gated = TimeSeries.madOutlierEvents(tw.events, 3.5, maxLitKeys = 100).collect()
+    assert(gated.length == 10000, s"one planted outlier per channel, got ${gated.length}")
+    assert(gated.forall(_.getDouble(3) == 900.0))
+  }
+
   test("trailing time-window aggregation counts by TIME, not rows") {
     val rows = Seq(
       (0L, 0L, 1L, "ch", 1.0),           // t = 0 s
