@@ -51,7 +51,7 @@ object LshRecallProbe {
         .select(col("id_a"), col("id_b"))
       val hit = got.join(truth, Seq("id_a", "id_b"), "left_semi").count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val bands = if (nPlanes == 0) 4 else nPlanes / bb
+      val bands = if (nPlanes == 0) 4 + 2 * math.max(0, bb - 11) else nPlanes / bb
       println(s"""{"probe":"lsh_recall","config":"$tag","sf":"$sfDir","n":$n,""" +
         s""""band_bits":$bb,"n_bands":$bands,"threshold":$threshold,""" +
         s""""truth_pairs":$nTruth,"hit_pairs":$hit,""" +

@@ -878,20 +878,19 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b""",
     "embed_neardup_lsh" ->
-      """WITH par AS (SELECT GREATEST(3, LEAST(15,
+      """WITH par AS (SELECT bb, 4 + 2 * GREATEST(0, bb - 11) AS nb FROM
+           (SELECT GREATEST(3, LEAST(15,
                LENGTH(BIN(CAST((GREATEST(count(*), 1) - 1) // 32 AS BIGINT))))) AS bb
-           FROM embeddings),
+           FROM embeddings)),
          pl0 AS (SELECT embedding AS p, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i
            FROM embeddings),
-         pl AS (SELECT pl0.p, pl0.i FROM pl0, par WHERE pl0.i < 4 * par.bb),
-         sig AS (SELECT e.vec_id,
+         pl AS (SELECT pl0.p, pl0.i FROM pl0, par WHERE pl0.i < par.nb * par.bb),
+         banded AS (SELECT e.vec_id, CAST(pl.i // par.bb AS INT) AS band,
              CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
                     j -> CAST(e.embedding[j] AS DOUBLE) * CAST(pl.p[j] AS DOUBLE))) >= 0
-                  THEN CAST(1 AS BIGINT) << pl.i ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
-           FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id),
-         banded AS (SELECT vec_id, band,
-             (sig >> CAST(band * par.bb AS INT)) & ((CAST(1 AS BIGINT) << par.bb) - 1) AS bval
-           FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) CROSS JOIN par),
+                  THEN CAST(1 AS BIGINT) << CAST(pl.i % par.bb AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
+           FROM embeddings e CROSS JOIN pl CROSS JOIN par
+           GROUP BY e.vec_id, pl.i // par.bb),
          hot AS (SELECT band, bval FROM banded GROUP BY 1, 2 HAVING count(*) > 100000),
          ok AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bval)),
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

@@ -119,10 +119,17 @@ object Similarity {
     * Spark and oracle pick identical parameters at every SF. Measured:
     * without self-sizing a 10x corpus ran the bucket joins ~63x longer
     * (n²/2^bandBits growth); with it the query scales ~linearly.
-    * Recall per band is p^bandBits (p = 1 − θ/π) — pass explicit
-    * nPlanes/bandBits to trade more bands for recall on high-threshold
-    * production dedup; beyond n ≈ 32·2^15, grow bands at 15-bit width
-    * (the signature is one 62-bit long).
+    *
+    * Recall per band is p^bandBits (p = 1 − θ/π), so growing bandBits
+    * at a FIXED band count loses recall with n — measured on ScaleGen's
+    * planted cliques: 0.974 at sf3 (bandBits 11) fell to 0.819 at sf10
+    * (bandBits 13, same 4 bands). The band count therefore self-sizes
+    * WITH the width: nBands = 4 + 2·max(0, bandBits − 11) (integer
+    * arithmetic the oracle mirrors), re-measured 0.936 at sf10 with the
+    * grown 8 bands (LshRecallProbe). Bands are independent per-band
+    * bucket values — NOT bits of one packed long — so the plane count
+    * nBands·bandBits has no 62-bit ceiling; candidate-generation cost
+    * grows linearly with the added bands, the recall price of scale.
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 0,
                       bandBits: Int = 0, maxBucket: Long = 100000L): DataFrame = {
@@ -133,26 +140,28 @@ object Similarity {
         val q = (n - 1L) / 32L
         math.max(3, math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(q)))
       }
-    val np = if (nPlanes > 0) nPlanes else 4 * bb
-    require(np % bb == 0 && np <= 62, s"bad plane/band split: $np/$bb")
+    val np = if (nPlanes > 0) nPlanes else (4 + 2 * math.max(0, bb - 11)) * bb
+    require(np % bb == 0, s"bad plane/band split: $np/$bb")
     val nBands = np / bb
     val planes = t.embeddings.orderBy(col("vec_id")).limit(np)
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(planes.length == np,
+      s"corpus has only ${planes.length} vectors for $np hyperplanes")
     def dot(vec: String, plane: Seq[Float]): String = {
       val arr = plane.map(fLit).mkString("array(", ", ", ")")
       s"""aggregate(zip_with($vec, $arr, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
             CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
     }
-    val sig = planes.zipWithIndex.map { case (p, i) =>
-      when(expr(dot("embedding", p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // band b's bucket value = the sign bits of its own bb planes — an
+    // independent long per band (no packed-signature bit ceiling)
+    val bandCols = (0 until nBands).map { b =>
+      val bval = (0 until bb).map { j =>
+        when(expr(dot("embedding", planes(b * bb + j))) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
+    }
     val banded = t.embeddings
-      .select(col("vec_id"), sig.as("sig"))
-      .select(col("vec_id"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            expr(s"shiftright(sig, ${b * bb}) & ${(1 << bb) - 1}").as("bval"))
-        }: _*)).as("bb"))
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val hot = banded.groupBy(col("band"), col("bval")).count()
       .filter(col("count") > maxBucket).select(col("band"), col("bval"))

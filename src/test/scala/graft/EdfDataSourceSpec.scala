@@ -123,6 +123,36 @@ class EdfDataSourceSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq, "TAL-driven skip is row-exact")
   }
 
+  test("keptRange binary-searches the v2 sidecar to exact record bounds") {
+    val tmp = java.nio.file.Files.createTempDirectory("edfdkept")
+    val path = s"$tmp/disc.edf"
+    // records span [onset, onset + 1s): 0-1, 10-11, 25-26, 40-41, 41-42
+    makeEdfD(path, Seq(0.0, 10.0, 25.0, 40.0, 41.0))
+    val h = EdfFile.readHeader(path)
+    graft.sources.EdfOnsetIndex.write(path)
+    val span = 1000000L
+    def kept(loS: Long, hiS: Long): Option[(Int, Int)] =
+      graft.sources.EdfOnsetIndex.keptRange(path, h,
+        if (loS == Long.MinValue) loS else h.startUs + loS,
+        if (hiS == Long.MaxValue) hiS else h.startUs + hiS, span)
+    assert(kept(9000000L, 12000000L) == Some((1, 2)), "mid-window hits one record")
+    assert(kept(Long.MinValue, Long.MaxValue) == Some((0, 5)), "unbounded keeps all")
+    assert(kept(0L, 500000L) == Some((0, 1)), "window inside record 0")
+    assert(kept(40500000L, 41500000L) == Some((3, 5)), "straddles the adjacent pair")
+    assert(kept(100000000L, 200000000L) == Some((5, 5)), "past the end keeps nothing")
+    assert(kept(Long.MinValue, 10000000L) == Some((0, 2)),
+      "tsHi inclusive: record 1's onset == bound is kept")
+    // a record whose span overlaps tsLo but whose onset precedes it is kept
+    assert(kept(25500000L, 26500000L) == Some((2, 3)), "span-overlap at tsLo")
+    // legacy JSON sidecar answers the same bounds through the full parse
+    java.nio.file.Files.write(java.nio.file.Paths.get(graft.sources.EdfOnsetIndex.sidecarPath(path)),
+      s"""{"nbDataRec": 5, "onsetsUs": [${Seq(0L, 10L, 25L, 40L, 41L)
+        .map(s => h.startUs + s * 1000000L).mkString(", ")}]}""".getBytes)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/.disc.edf.onsets.json.crc"))
+    assert(kept(9000000L, 12000000L) == Some((1, 2)), "legacy JSON path agrees")
+  }
+
   test("an onset sidecar prunes EDF+D input partitions at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("edfdsidecar")
     val path = s"$tmp/disc.edf"
