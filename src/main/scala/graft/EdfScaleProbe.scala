@@ -212,8 +212,12 @@ object EdfScaleProbe {
       s""""n_sig":$dSig,"segments":${dRec / segRecs + 1}}""")
     // a reused probe file keeps its previous run's sidecar — the
     // nosidecar probes must actually run without one
-    new java.io.File(graft.sources.EdfOnsetIndex.sidecarPath(edfD)).delete()
-    new java.io.File(graft.sources.EdfOnsetIndex.sidecarPath(edfD) + ".crc").delete()
+    val sidecarF = new java.io.File(graft.sources.EdfOnsetIndex.sidecarPath(edfD))
+    sidecarF.delete()
+    // Hadoop's ChecksumFileSystem names checksum files DOT-prefixed
+    // (".name.crc"), not suffixed — delete the real one or a stale crc
+    // survives and fails the next sidecar read
+    new java.io.File(sidecarF.getParentFile, "." + sidecarF.getName + ".crc").delete()
     val dStartUs = graft.sources.EdfFile.readHeader(edfD).startUs
     // a ts window covering ONE mid-file segment (segment k starts at
     // k*(segRecs + 7200) seconds past start)

@@ -46,14 +46,29 @@ object LshRecallProbe {
     val bb = math.max(3, math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(q)))
 
     def measure(tag: String, nPlanes: Int): Unit = {
+      // stage 1 cost driver: pre-distinct collision volume = Σ C(sz,2)
+      // over (band, bucket) — derived from bucket sizes alone (one agg,
+      // no pair join), attributing candidate growth to bucket population
       val t0 = System.nanoTime()
+      val collisions = operators.Similarity.embedNearDupLshBanded(t, nPlanes = nPlanes)
+        .groupBy(col("band"), col("bval")).count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getLong(0)
+      val tCol = (System.nanoTime() - t0) / 1e9
+      // stage 2: distinct candidate pairs (what the cosine verify pays)
+      val t1 = System.nanoTime()
+      val nCand = operators.Similarity.embedNearDupLshCandidates(t, nPlanes = nPlanes).count()
+      val tCand = (System.nanoTime() - t1) / 1e9
+      // end-to-end: the operator itself
+      val t2 = System.nanoTime()
       val got = operators.Similarity.embedNearDupLsh(t, threshold, nPlanes = nPlanes)
         .select(col("id_a"), col("id_b"))
       val hit = got.join(truth, Seq("id_a", "id_b"), "left_semi").count()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t2) / 1e9
       val bands = if (nPlanes == 0) 4 + 2 * math.max(0, bb - 11) else nPlanes / bb
       println(s"""{"probe":"lsh_recall","config":"$tag","sf":"$sfDir","n":$n,""" +
         s""""band_bits":$bb,"n_bands":$bands,"threshold":$threshold,""" +
+        s""""collision_pairs":$collisions,"collision_sec":$tCol,""" +
+        s""""candidate_pairs":$nCand,"candidate_sec":$tCand,""" +
         s""""truth_pairs":$nTruth,"hit_pairs":$hit,""" +
         s""""recall":${hit.toDouble / math.max(1L, nTruth)},"sec":$sec}""")
     }

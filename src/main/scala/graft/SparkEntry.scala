@@ -878,10 +878,14 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b""",
     "embed_neardup_lsh" ->
-      """WITH par AS (SELECT bb, 4 + 2 * GREATEST(0, bb - 11) AS nb FROM
-           (SELECT GREATEST(3, LEAST(15,
-               LENGTH(BIN(CAST((GREATEST(count(*), 1) - 1) // 32 AS BIGINT))))) AS bb
-           FROM embeddings)),
+      """WITH par0 AS (SELECT GREATEST(3, LEAST(15,
+               LENGTH(BIN(CAST((GREATEST(count(*), 1) - 1) // 32 AS BIGINT))))) AS bb,
+             count(*) AS cnt
+           FROM embeddings),
+         par AS (SELECT CASE WHEN cnt >= bb THEN bb ELSE GREATEST(cnt, 1) END AS bb,
+             CASE WHEN cnt >= bb THEN LEAST(4 + 2 * GREATEST(0, bb - 11), cnt // bb)
+                  ELSE 1 END AS nb
+           FROM par0),
          pl0 AS (SELECT embedding AS p, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i
            FROM embeddings),
          pl AS (SELECT pl0.p, pl0.i FROM pl0, par WHERE pl0.i < par.nb * par.bb),

@@ -236,6 +236,34 @@ object Kernels {
     b ^ ((b >> 63) & 0x7fffffffffffffffL)
   }
 
+  /** All random-hyperplane LSH band bucket values in ONE pass over the
+    * embedding: band b's value sets bit j when dot(emb, plane[b·bandBits+j])
+    * ≥ 0. `planes` is the flattened plane matrix (plane p = slice
+    * [p·d, (p+1)·d)). Double-precision sequential fold in array order —
+    * bit-identical to the aggregate/zip_with HOF formulation and the
+    * DuckDB oracle it replaces (which built nBands·bandBits separate HOF
+    * expressions, each re-materializing intermediate arrays and together
+    * blowing the projection out of whole-stage codegen at grown band
+    * counts).
+    */
+  def hyperplaneBands(emb: ArrayData, planes: Array[Double],
+                      nBands: Int, bandBits: Int): ArrayData = {
+    val np = nBands * bandBits
+    val d = planes.length / math.max(1, np)
+    val n = math.min(emb.numElements(), d)
+    val out = new Array[Long](nBands)
+    var p = 0
+    while (p < np) {
+      val off = p * d
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += emb.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot >= 0) out(p / bandBits) |= (1L << (p % bandBits))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Pigeonhole block values of the simhash in one pass:
     * block b = (simhash >> blockBits·b) & mask.
     */
@@ -326,6 +354,34 @@ case class MinHashBands(child: Expression, nBands: Int, rowsPerBand: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhashBands($c, $nBands, $rowsPerBand)")
 
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+}
+
+/** D3: all hyperplane-LSH band bucket values (array<long>, band = position)
+  * of an embedding in ONE fused pass. The plane matrix rides along as a
+  * codegen reference object, not literal plan text — plan size and
+  * generated-method size stay O(1) in plane count, where the HOF
+  * formulation this replaces built nBands·bandBits separate
+  * aggregate(zip_with(...)) expressions (104 at sf10's grown 8×13 config)
+  * that each re-traversed the embedding and together fell out of
+  * whole-stage codegen.
+  */
+case class HyperplaneBands(child: Expression, planes: Seq[Double],
+                           nBands: Int, bandBits: Int)
+    extends UnaryExpression {
+  @transient private lazy val planeArr: Array[Double] = planes.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(e: Any): Any =
+    Kernels.hyperplaneBands(e.asInstanceOf[ArrayData], planeArr, nBands, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplanes", planeArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Kernels.hyperplaneBands($c, $ref, $nBands, $bandBits)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands = copy(child = c)
 }
 
 /** D3: SimHash pigeonhole block values (array<long>, block_idx = position). */

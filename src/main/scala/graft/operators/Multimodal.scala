@@ -248,6 +248,10 @@ object Multimodal {
             while (i < abs && p < fb.length && x < f.width) {
               idxGrid(y * f.width + x) = fb(p); x += 1; i += 1; p += 1
             }
+            // a run clipped at the row edge still consumed `abs` bytes in
+            // the stream — skip the unread remainder so a malformed frame
+            // can't re-parse run payload as escape codes
+            p += (abs - i)
             p += (abs & 1) // pad to word
         }
       }

@@ -128,11 +128,28 @@ object Similarity {
     * arithmetic the oracle mirrors), re-measured 0.936 at sf10 with the
     * grown 8 bands (LshRecallProbe). Bands are independent per-band
     * bucket values — NOT bits of one packed long — so the plane count
-    * nBands·bandBits has no 62-bit ceiling; candidate-generation cost
-    * grows linearly with the added bands, the recall price of scale.
+    * nBands·bandBits has no 62-bit ceiling. All band values come from
+    * ONE native single-pass expression (HyperplaneBands) whose plane
+    * matrix is a codegen reference object: projection cost is linear in
+    * planes and candidate-generation cost linear in the added bands'
+    * colliding pairs (per-config candidate counts: LshRecallProbe).
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 0,
                       bandBits: Int = 0, maxBucket: Long = 100000L): DataFrame = {
+    val cand = embedNearDupLshCandidates(t, nPlanes, bandBits, maxBucket)
+    val ea = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = t.embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), roundHalfUp(cos("ea", "eb"), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** The LSH path's banded bucket relation (vec_id, band, bval) after
+    * self-sizing and the tiny-corpus clamp — exposed so cost probes can
+    * attribute candidate volume to bucket population (LshRecallProbe).
+    */
+  private[graft] def embedNearDupLshBanded(t: Tables, nPlanes: Int = 0,
+                                           bandBits: Int = 0): DataFrame = {
     val bb =
       if (bandBits > 0) bandBits
       else {
@@ -140,41 +157,57 @@ object Similarity {
         val q = (n - 1L) / 32L
         math.max(3, math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(q)))
       }
-    val np = if (nPlanes > 0) nPlanes else (4 + 2 * math.max(0, bb - 11)) * bb
-    require(np % bb == 0, s"bad plane/band split: $np/$bb")
-    val nBands = np / bb
-    val planes = t.embeddings.orderBy(col("vec_id")).limit(np)
+    val np0 = if (nPlanes > 0) nPlanes else (4 + 2 * math.max(0, bb - 11)) * bb
+    require(np0 % bb == 0, s"bad plane/band split: $np0/$bb")
+    val planes0 = t.embeddings.orderBy(col("vec_id")).limit(np0)
       .select(col("embedding")).collect().map(_.getSeq[Float](0))
-    require(planes.length == np,
-      s"corpus has only ${planes.length} vectors for $np hyperplanes")
-    def dot(vec: String, plane: Seq[Float]): String = {
-      val arr = plane.map(fLit).mkString("array(", ", ", ")")
-      s"""aggregate(zip_with($vec, $arr, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-            CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    require(planes0.nonEmpty, "embedNearDupLsh: empty embedding corpus")
+    // tiny-corpus clamp (oracle-mirrored arithmetic): fewer vectors than
+    // planes shrinks the BAND COUNT first (≥1), and below one band's
+    // width the band narrows to the corpus size — both engines degrade
+    // identically instead of one failing loudly and the other silently
+    val avail = planes0.length
+    val (bbEff, nBands) =
+      if (avail >= np0) (bb, np0 / bb)
+      else if (avail >= bb) (bb, avail / bb)
+      else (avail, 1)
+    val np = nBands * bbEff
+    // pad every plane to a common stride so the flattened matrix slices
+    // cleanly (embeddings are fixed-dim; this guards ragged input)
+    val dims = planes0.map(_.length).max
+    val planesFlat: Seq[Double] = planes0.take(np).flatMap { p =>
+      p.map(_.toDouble).padTo(dims, 0.0)
     }
-    // band b's bucket value = the sign bits of its own bb planes — an
-    // independent long per band (no packed-signature bit ceiling)
-    val bandCols = (0 until nBands).map { b =>
-      val bval = (0 until bb).map { j =>
-        when(expr(dot("embedding", planes(b * bb + j))) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bval.as("bval"))
-    }
-    val banded = t.embeddings
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    // ALL band bucket values in one native single-pass kernel
+    // (HyperplaneBands): band b's value = the sign bits of its own bbEff
+    // planes — an independent long per band (no packed-signature bit
+    // ceiling). The plane matrix is a codegen reference object, so plan
+    // size and generated code stay O(1) in plane count; the HOF
+    // formulation this replaces built np separate aggregate(zip_with)
+    // expressions that fell out of whole-stage codegen at sf10's grown
+    // 8-band config and cost 5.65x wall for 2x bands (lsh_recall_r11).
+    val bandsCol = org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.HyperplaneBands(
+        org.apache.spark.sql.graft.DatasetShim.expression(col("embedding")),
+        planesFlat, nBands, bbEff))
+    t.embeddings
+      .select(col("vec_id"), posexplode(bandsCol).as(Seq("band", "bval")))
+  }
+
+  /** Distinct candidate pairs of the LSH path (colliding pairs after the
+    * hot-bucket cap) — the relation the exact-cosine verify runs over.
+    */
+  private[graft] def embedNearDupLshCandidates(t: Tables, nPlanes: Int = 0,
+                                               bandBits: Int = 0,
+                                               maxBucket: Long = 100000L): DataFrame = {
+    val banded = embedNearDupLshBanded(t, nPlanes, bandBits)
     val hot = banded.groupBy(col("band"), col("bval")).count()
       .filter(col("count") > maxBucket).select(col("band"), col("bval"))
     val ok = banded.join(broadcast(hot), Seq("band", "bval"), "left_anti")
-    val cand = ok.select(col("band"), col("bval"), col("vec_id").as("id_a"))
+    ok.select(col("band"), col("bval"), col("vec_id").as("id_a"))
       .join(ok.select(col("band"), col("bval"), col("vec_id").as("id_b")), Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val ea = t.embeddings.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val eb = t.embeddings.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
-    cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), roundHalfUp(cos("ea", "eb"), 4).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** C7: IVF-style ANN — deterministic centroids (the first `nCells`
@@ -185,15 +218,6 @@ object Similarity {
     * search touches ~nProbe/nCells of the data — the 100 TB path where
     * brute force (C6) is the correctness baseline.
     */
-  /** SQL float literal (used by the hyperplane-count-bounded LSH dot
-    * products, np <= 62 — never centroid-scale).
-    */
-  private def fLit(x: Float): String =
-    if (x.isNaN) "CAST('NaN' AS FLOAT)"
-    else if (x.isPosInfinity) "CAST('Infinity' AS FLOAT)"
-    else if (x.isNegInfinity) "CAST('-Infinity' AS FLOAT)"
-    else s"CAST($x AS FLOAT)"
-
   /** The centroid vectors as ONE literal Column (array<array<float>>).
     * A non-primitive Literal is codegen'd as a single reference object —
     * the plan and generated code stay O(1) in k·d, so a learned codebook

@@ -623,9 +623,15 @@ object EdfSink {
         var start = Long.MaxValue; var end = Long.MinValue
         var prevEnd = Long.MinValue; var nChunks = 0L; var newValues = 0L
         var gapUs = Long.MaxValue
+        // chunk 'index' is the chunk's position within the STORED value
+        // stream (reference base.py:336-342) — appendOffset + running sum
+        // of emitted values. Identical to sample_idx for dense input;
+        // reference-correct (and within the binary's bounds) for
+        // filtered/non-dense input where sample_idx has holes.
+        var storedPos = 0L
         // pending NEW chunk being extended across part seams
         var havePend = false
-        var pendIdx = 0L; var pendStartTs = 0L; var pendEndTs = 0L; var pendN = 0L
+        var pendStartTs = 0L; var pendEndTs = 0L; var pendN = 0L
         var chunkTmp: Path = null
         var chunkOut: BufferedOutputStream = null
         def writeChunkEntry(idx: Long, startTs: Long): Unit = {
@@ -635,7 +641,8 @@ object EdfSink {
           nChunks += 1
         }
         def flushPend(): Unit = if (havePend) {
-          writeChunkEntry(pendIdx, pendStartTs)
+          writeChunkEntry(storedPos, pendStartTs)
+          storedPos += pendN
           newValues += pendN
           if (pendStartTs < start) start = pendStartTs
           if (pendEndTs > end) end = pendEndTs
@@ -677,6 +684,7 @@ object EdfSink {
               prevEnd = bPlans.value(ord).exEnd.getOrElse(Long.MinValue)
               gapUs = bOrdGap.value.getOrElse(ord, Long.MaxValue)
               nChunks = 0L; newValues = 0L
+              storedPos = bPlans.value(ord).exNumValues
               chunkTmp = new Path(attemptDir, "chunks")
               chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
               chunkOut.write('['.toInt)
@@ -702,7 +710,7 @@ object EdfSink {
               } else {
                 flushPend()
                 havePend = true
-                pendIdx = startIdx; pendStartTs = startTs
+                pendStartTs = startTs
                 pendEndTs = endTs; pendN = r.getLong(4)
               }
             }

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object DatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(castToImpl(spark), plan)
+
+  /** Column over a custom Expression (Column(expr) is private[sql] in 4.x). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The Expression behind a Column (Column#expr is private[sql] in 4.x). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -54,6 +54,21 @@ class DedupSpec extends AnyFunSuite {
       "unrelated pairs never reach the verify stage")
   }
 
+  test("verify-stage candidate restriction is stats-gated by corpus size") {
+    // plan-shape only (no execution): Range provides exact rowCount stats,
+    // so corpusRows answers with zero jobs on both sides of the gate
+    def plan(n: Long): String = {
+      val d = spark.range(n).selectExpr("id AS doc_id",
+        "concat('tok', id % 50, ' alpha beta gamma delta') AS text")
+      Dedup.ngramJaccardDocs(d, 3, 8, 4, 0.0)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+    }
+    assert(plan(200001L).contains("leftsemi"),
+      "above the gate the verify scan restricts to candidate endpoints")
+    assert(!plan(100L).contains("leftsemi"),
+      "below the gate the restriction (pure overhead at small n) is skipped")
+  }
+
   test("cluster assignment is transitive: A~B~C chains into one cluster") {
     // 50 tokens; B differs from A by one word, C from B by another — so
     // jaccard(A,B) and (B,C) clear 0.8 but (A,C) does not: only

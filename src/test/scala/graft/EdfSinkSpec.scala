@@ -418,12 +418,27 @@ class EdfSinkSpec extends AnyFunSuite {
 
     assert(Files.size(Paths.get(s"$outDir/C3.ts.bin")) == 8L * 8, "8 surviving samples")
     val m = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    // chunk index = position in the STORED value stream (base.py:336-342):
+    // chunk 2 holds stored values 4..7, so its index is 4 — NOT the
+    // original sample_idx 8, which would seek past EOF of the 8-value binary
     val idxs = "\\{\"index\": (\\d+)".r.findAllMatchIn(m).map(_.group(1).toLong).toSeq
-    assert(idxs == Seq(0L, 8L), s"two chunks at the surviving runs: $m")
+    assert(idxs == Seq(0L, 4L), s"two chunks at stored-stream positions: $m")
     assert(m.contains("\"numValues\", \"value\": \"8\""), s"numValues counts actual rows: $m")
     val start = "\"start\": (\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
     val end = "\"end\": (\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
     assert(end - start == 2750000L, s"end is the last ACTUAL sample's ts: $start..$end")
+
+    // append after a filtered run: the appended chunk's index continues
+    // the STORED stream (8 values on disk), not the original sample_idx
+    // space (12) — and sits strictly above every existing index, so the
+    // assembly's sort-interleave invariant holds for non-dense history
+    val s2 = s"$tmp/f2.edf"
+    makeEdfC(s2, "01.00.00", Seq("C3"))
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append")
+    val mA = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    val idxA = "\\{\"index\": (\\d+)".r.findAllMatchIn(mA).map(_.group(1).toLong).toSeq
+    assert(idxA == Seq(0L, 4L, 8L), s"appended chunk at stored offset 8: $mA")
+    assert(mA.contains("\"numValues\", \"value\": \"20\""), s"8 kept + 12 appended: $mA")
 
     // a single dropped sample leaves a 2-period seam — NOT > 2 periods,
     // so the stream stays one chunk of 11 actual values
