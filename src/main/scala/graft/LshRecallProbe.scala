@@ -52,7 +52,8 @@ object LshRecallProbe {
       val t0 = System.nanoTime()
       val collisions = operators.Similarity.embedNearDupLshBanded(t, nPlanes = nPlanes)
         .groupBy(col("band"), col("bval")).count()
-        .agg(sum(col("count") * (col("count") - 1) / 2)).collect()(0).getLong(0)
+        .agg((sum(col("count") * (col("count") - 1)) / 2).cast("long"))
+        .collect()(0).getLong(0)
       val tCol = (System.nanoTime() - t0) / 1e9
       // stage 2: distinct candidate pairs (what the cosine verify pays)
       val t1 = System.nanoTime()

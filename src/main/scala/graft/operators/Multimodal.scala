@@ -71,7 +71,7 @@ object Multimodal {
     }
   }
 
-  /** Real [[VideoDecoder]] for AVI (RIFF) containers, three codecs:
+  /** Real [[VideoDecoder]] for AVI (RIFF) containers, four codecs:
     *
     *  - **Motion-JPEG** — each frame an independent JPEG, decoded by the
     *    JDK's `javax.imageio` codec (sniffed by the FFD8 SOI marker);
@@ -80,10 +80,16 @@ object Multimodal {
     *    bitmap rows, 4-byte-aligned strides, palette-indexed at 8 bpp;
     *  - **Microsoft RLE8** (`biCompression = 1`) — the standard BMP
     *    run-length encoding (count/index pairs; 0-escapes for EOL, EOD,
-    *    delta and word-padded absolute runs), palette-indexed.
+    *    delta and word-padded absolute runs), palette-indexed, with
+    *    INTER-frame delta frames (unset pixels inherit the previous
+    *    frame);
+    *  - **Microsoft Video 1** (`biCompression = 'CRAM'/'MSVC'/'WHAM'`,
+    *    8-bit variant) — 4x4-block vector quantization with 1-, 2- and
+    *    8-color blocks and inter-frame SKIP codes copying blocks from
+    *    the previous frame.
     *
-    * All three are fully public formats; DIB and RLE8 are hand-decoded
-    * here (~60 lines) since the JDK ships no AVI codec. The container
+    * All four are fully public formats; DIB, RLE8 and MS Video 1 are
+    * hand-decoded here since the JDK ships no AVI codec. The container
     * walk is a standard RIFF chunk scan (12-byte `RIFF…AVI ` header,
     * chunks of `fourcc + u32le size + data` padded to even offsets):
     * frame payloads are the `##dc`/`##db` chunks inside the `movi` LIST
@@ -226,9 +232,23 @@ object Multimodal {
       * 00 n>=3 = absolute run of n indices padded to a word boundary.
       * Unset pixels keep palette index 0 (the format's defined fill).
       */
-    private[graft] def decodeRle8(fb: Array[Byte], f: VidFmt): Option[DecodedImage] = {
+    private[graft] def decodeRle8(fb: Array[Byte], f: VidFmt): Option[DecodedImage] =
+      rle8IndexGrid(fb, f, prev = null).map(gridToImage(_, f))
+
+    /** RLE8 frame -> bottom-up palette-index grid. `prev` (same layout,
+      * or null for a first/keyframe) seeds the grid: pixels the stream
+      * does not set retain the PREVIOUS frame's content — MS-RLE8's
+      * spec-defined inter-frame 'delta frame' mechanism (the 00 02 dx dy
+      * escape and early EOL/EOD exist exactly to skip unchanged runs).
+      * With no previous frame the fill is palette index 0.
+      */
+    private[graft] def rle8IndexGrid(fb: Array[Byte], f: VidFmt,
+                                     prev: Array[Byte]): Option[Array[Byte]] = {
       if (f.bitCount != 8) return None
-      val idxGrid = new Array[Byte](f.width * f.height) // bottom-up grid
+      val idxGrid =
+        if (prev != null && prev.length == f.width * f.height)
+          java.util.Arrays.copyOf(prev, prev.length)
+        else new Array[Byte](f.width * f.height) // bottom-up grid
       var x = 0; var y = 0; var p = 0
       var done = false
       while (!done && p + 1 < fb.length && y < f.height) {
@@ -255,6 +275,11 @@ object Multimodal {
             p += (abs & 1) // pad to word
         }
       }
+      Some(idxGrid)
+    }
+
+    /** Bottom-up palette-index grid -> top-down luminance plane. */
+    private def gridToImage(idxGrid: Array[Byte], f: VidFmt): DecodedImage = {
       val out = new Array[Byte](f.width * f.height)
       var yy = 0
       while (yy < f.height) {
@@ -267,7 +292,105 @@ object Multimodal {
         }
         yy += 1
       }
-      Some(DecodedImage(f.width, f.height, out))
+      DecodedImage(f.width, f.height, out)
+    }
+
+    /** biCompression fourccs of Microsoft Video 1 (8-bit palettized). */
+    private def isMsvc1(comp: Long): Boolean = {
+      def fcc(s: String): Long =
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          .zipWithIndex.map { case (b, i) => (b & 0xffL) << (8 * i) }.sum
+      comp == fcc("CRAM") || comp == fcc("MSVC") || comp == fcc("WHAM")
+    }
+
+    /** Microsoft Video 1 (CRAM), 8-bit palettized variant — a true
+      * INTER-frame codec: the frame is a bottom-up raster of 4x4 blocks
+      * and a skip code copies whole blocks from the previous frame.
+      * Block codes (two bytes A, B per the public spec / FFmpeg's
+      * msvideo1 notes):
+      *
+      *  - `(B & 0xFC) == 0x84` — skip `((B - 0x84) << 8) + A` blocks
+      *    (previous frame's pixels retained);
+      *  - `B < 0x80` — 16-bit flags `(B << 8) | A`, then color bytes:
+      *    first color's high bit CLEAR → 2-color block (flag bit per
+      *    pixel, LSB first, set bit = color 0); SET → 8-color block
+      *    (a color pair per 2x2 quadrant, same flag bits);
+      *  - otherwise — 1-color block, color = A.
+      *
+      * Within a block, pixel rows run bottom-up, pixels left-to-right
+      * (the raster convention of the containing frame). `prev` = the
+      * previous frame's bottom-up index grid, or null (first frame:
+      * skip resolves to palette index 0).
+      */
+    private[graft] def msvc1IndexGrid(fb: Array[Byte], f: VidFmt,
+                                      prev: Array[Byte]): Option[Array[Byte]] = {
+      if (f.bitCount != 8 || f.width % 4 != 0 || f.height % 4 != 0) return None
+      val w = f.width; val h = f.height
+      val grid =
+        if (prev != null && prev.length == w * h) java.util.Arrays.copyOf(prev, prev.length)
+        else new Array[Byte](w * h)
+      val blocksWide = w / 4; val blocksHigh = h / 4
+      var p = 0
+      var skip = 0
+      var block = 0
+      val totalBlocks = blocksWide * blocksHigh
+      while (block < totalBlocks) {
+        if (skip > 0) { skip -= 1; block += 1 }
+        else if (p + 2 > fb.length) block = totalBlocks // stream end: rest skips
+        else {
+          val a = fb(p) & 0xff; val b = fb(p + 1) & 0xff
+          p += 2
+          if ((b & 0xfc) == 0x84) { skip = ((b - 0x84) << 8) + a; () }
+          else {
+            // block origin in the bottom-up grid (block rows bottom-up)
+            val bx = (block % blocksWide) * 4
+            val by = (block / blocksWide) * 4
+            def put(px: Int, py: Int, v: Int): Unit =
+              grid((by + py) * w + bx + px) = v.toByte
+            if (b < 0x80) {
+              var flags = (b << 8) | a
+              if (p + 2 <= fb.length && (fb(p) & 0x80) != 0) {
+                // 8-color: one color pair per 2x2 quadrant
+                if (p + 8 > fb.length) { p = fb.length }
+                else {
+                  val c = java.util.Arrays.copyOfRange(fb, p, p + 8); p += 8
+                  var py = 0
+                  while (py < 4) {
+                    var px = 0
+                    while (px < 4) {
+                      val ci = ((py & 2) << 1) + (px & 2) + ((flags & 1) ^ 1)
+                      put(px, py, c(ci) & 0xff)
+                      flags >>= 1; px += 1
+                    }
+                    py += 1
+                  }
+                }
+              } else if (p + 2 <= fb.length) {
+                val c0 = fb(p) & 0xff; val c1 = fb(p + 1) & 0xff; p += 2
+                var py = 0
+                while (py < 4) {
+                  var px = 0
+                  while (px < 4) {
+                    put(px, py, if ((flags & 1) != 0) c0 else c1)
+                    flags >>= 1; px += 1
+                  }
+                  py += 1
+                }
+              } else p = fb.length
+            } else {
+              // 1-color block
+              var py = 0
+              while (py < 4) {
+                var px = 0
+                while (px < 4) { put(px, py, a); px += 1 }
+                py += 1
+              }
+            }
+            block += 1
+          }
+        }
+      }
+      Some(grid)
     }
 
     /** Demuxed encoded frame payloads (every Nth video chunk). */
@@ -278,23 +401,42 @@ object Multimodal {
           (i, off.toLong, java.util.Arrays.copyOfRange(bytes, off, off + len))
       }.iterator
 
-    /** True decode: each sampled payload to its luminance plane — JPEG
-      * payloads (FFD8 sniff) through the JDK codec, DIB/RLE8 through the
-      * hand decoders above (undecodable frames are skipped, not fatal).
+    /** True decode: sampled payloads to luminance planes — JPEG payloads
+      * (FFD8 sniff) through the JDK codec, DIB/RLE8/MS-Video-1 through
+      * the hand decoders above (undecodable frames are skipped, not
+      * fatal). INTER-frame codecs (RLE8 delta frames, MS Video 1 skip
+      * blocks) decode EVERY frame in stream order to carry the
+      * previous-frame state a sampled frame may reference, emitting only
+      * every Nth — the sampled output is identical to what a player
+      * would show, not a keyframe approximation. Intra-only payloads
+      * (MJPEG, DIB) skip straight to the sampled frames.
       */
     override def decodedFrames(bytes: Array[Byte],
                                everyN: Int): Iterator[(Int, Long, DecodedImage)] = {
       lazy val fmt = videoFormat(bytes)
-      frames(bytes, 0, everyN).flatMap { case (i, off, fb) =>
-        val img =
-          if (fb.length >= 2 && (fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8)
-            decodeImage(fb)
-          else fmt.flatMap { f =>
-            if (f.compression == 1L) decodeRle8(fb, f)
-            else if (f.compression == 0L) decodeDib(fb, f)
-            else None
+      val inter = fmt.filter(f => f.compression == 1L || isMsvc1(f.compression))
+      inter match {
+        case Some(f) =>
+          val n = math.max(1, everyN)
+          var prev: Array[Byte] = null
+          videoChunks(bytes).iterator.zipWithIndex.flatMap { case ((off, len), i) =>
+            val fb = java.util.Arrays.copyOfRange(bytes, off, off + len)
+            val grid =
+              if (f.compression == 1L) rle8IndexGrid(fb, f, prev)
+              else msvc1IndexGrid(fb, f, prev)
+            grid.foreach(prev = _)
+            if (i % n == 0) grid.map(g => (i, off.toLong, gridToImage(g, f))) else None
           }
-        img.map(im => (i, off, im))
+        case None =>
+          frames(bytes, 0, everyN).flatMap { case (i, off, fb) =>
+            val img =
+              if (fb.length >= 2 && (fb(0) & 0xff) == 0xff && (fb(1) & 0xff) == 0xd8)
+                decodeImage(fb)
+              else fmt.flatMap { f =>
+                if (f.compression == 0L) decodeDib(fb, f) else None
+              }
+            img.map(im => (i, off, im))
+          }
       }
     }
 

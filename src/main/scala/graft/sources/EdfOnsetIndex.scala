@@ -85,10 +85,30 @@ object EdfOnsetIndex {
     out.toString
   }
 
+  /** Cross-invocation memo of keptRange answers, keyed by (path, sidecar
+    * mtime, sidecar length, window): planning the same (file, window)
+    * repeatedly — re-plans of one query, AQE re-optimizations, several
+    * queries over the same slice — pays the sidecar search ONCE. A
+    * rewritten sidecar changes mtime/length, so staleness invalidates by
+    * key. Bounded LRU (driver-side, a few thousand small entries max).
+    */
+  private val rangeMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long, Long, Long, Long), Option[(Int, Int)]](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long, Long, Long, Long), Option[(Int, Int)]]): Boolean =
+          size() > 4096
+      })
+
   /** The record range `[lo, hi)` a `[tsLo, tsHi]` window keeps — a
     * record survives when `[onset, onset + spanUs)` intersects the
     * window (onsets are monotonic, so the kept set is one run). v2
-    * sidecars answer with O(log n) positioned 8-byte reads; legacy JSON
+    * sidecars answer with O(log n) probes over PAGE-granular positioned
+    * reads (4 KiB pages, cached for the call — the two boundary searches
+    * share pages, and each filesystem read transfers one page instead of
+    * paying the KiB-scale floor per 8-byte value); answers memoize
+    * across plan invocations per (path, mtime, window). Legacy JSON
     * sidecars fall back to the full parse. None = no/stale/unreadable
     * sidecar — callers plan unpruned.
     */
@@ -98,20 +118,32 @@ object EdfOnsetIndex {
     try {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) return None
-      val fileLen = fs.getFileStatus(p).getLen
+      val st = fs.getFileStatus(p)
+      val fileLen = st.getLen
       if (fileLen < 16) return legacyRange(path, h, tsLo, tsHi, spanUs, conf)
-      val in = EdfFile.openSeekable(fs, p, 8)
+      val memoKey = (p.toString, st.getModificationTime, fileLen, tsLo, tsHi, spanUs)
+      val hit = rangeMemo.get(memoKey)
+      if (hit != null) return hit
+      val PageBytes = 4096
+      val in = EdfFile.openSeekable(fs, p, PageBytes)
       try {
-        val hdr = new Array[Byte](16)
-        in.readFully(0, hdr)
-        if (!java.util.Arrays.equals(java.util.Arrays.copyOf(hdr, 8), MAGIC))
-          return legacyRange(path, h, tsLo, tsHi, spanUs, conf)
-        val n = java.nio.ByteBuffer.wrap(hdr, 8, 8).getLong
-        if (n != h.nbDataRec.toLong || fileLen < 16L + 8L * n) return None
-        val b8 = new Array[Byte](8)
-        def onset(i: Int): Long = {
-          in.readFully(16L + 8L * i, b8); java.nio.ByteBuffer.wrap(b8).getLong
+        // onsets sit at 16 + 8i — 8-aligned, and pages are a multiple of
+        // 8, so a value never straddles a page boundary
+        val pages = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+        def page(pg: Int): Array[Byte] = pages.getOrElseUpdate(pg, {
+          val off = pg.toLong * PageBytes
+          val len = math.min(PageBytes.toLong, fileLen - off).toInt
+          val b = new Array[Byte](len); in.readFully(off, b); b
+        })
+        def at(off: Long): Long = {
+          val pg = (off / PageBytes).toInt
+          java.nio.ByteBuffer.wrap(page(pg), (off - pg.toLong * PageBytes).toInt, 8).getLong
         }
+        if (!java.util.Arrays.equals(java.util.Arrays.copyOf(page(0), 8), MAGIC))
+          return legacyRange(path, h, tsLo, tsHi, spanUs, conf)
+        val n = at(8L)
+        if (n != h.nbDataRec.toLong || fileLen < 16L + 8L * n) return None
+        def onset(i: Int): Long = at(16L + 8L * i)
         val nRec = h.nbDataRec
         val lo =
           if (tsLo == Long.MinValue) 0

@@ -295,6 +295,73 @@ class MultimodalSpec extends AnyFunSuite {
       s"video features from real DIB luminance: ${feat.toSeq}")
   }
 
+  test("RLE8 delta frames inherit the previous frame (inter-frame decode)") {
+    val palette = Seq((0, 0, 0), (255, 255, 255), (255, 0, 0))
+    val key: Array[Byte] = Array[Int](
+      0, 4, 1, 0, 1, 0, 0, 0, // bottom row: absolute run of 4, EOL
+      4, 0, 0, 0,             // middle row: encoded run 4x idx0, EOL
+      2, 1, 2, 2, 0, 0,       // top row: 2x idx1, 2x idx2, EOL
+      0, 1).map(_.toByte)
+    // delta frame: 00 02 dx=2 dy=1 jumps to (2,1) — everything skipped
+    // stays as the PREVIOUS frame — then overwrites two pixels, EOD
+    val delta: Array[Byte] = Array[Int](0, 2, 2, 1, 2, 1, 0, 1).map(_.toByte)
+    val avi = dibAvi(Seq(key, delta), 4, 3, bitCount = 8, compression = 1, palette)
+    val ds = Multimodal.ingest(spark, Seq(Media(32, "video", avi, 0, 0, 0)))
+    val fr = Multimodal.frameDecode(ds).collect().sortBy(_.frameIdx)
+    assert(fr.length == 2)
+    val f0 = fr(0).gray.map(_ & 0xff).toSeq
+    val f1 = fr(1).gray.map(_ & 0xff).toSeq
+    assert(f0 == Seq(255, 255, 76, 76, 0, 0, 0, 0, 255, 0, 255, 0))
+    // frame 1 = frame 0 with only (2,1)/(3,1) bottom-up — the middle
+    // top-down row's last two pixels — rewritten to white
+    assert(f1 == Seq(255, 255, 76, 76, 0, 0, 255, 255, 255, 0, 255, 0),
+      s"delta frame inherits unskipped pixels from the keyframe: $f1")
+  }
+
+  test("MS Video 1 (CRAM) decodes: 1/2/8-color blocks and inter-frame skip") {
+    // grayscale palette so lum(idx i) == 10*i exactly
+    val palette = (0 to 8).map(i => (10 * i, 10 * i, 10 * i))
+    val cram = 0x43 | (0x52 << 8) | (0x41 << 16) | (0x4D << 24) // "CRAM" LE
+    // 8x4 = two 4x4 blocks, one block row
+    // keyframe: block0 = 1-color idx5; block1 = 2-color flags 0x5555
+    // (LSB-first, set bit -> color0): alternating c0=1, c1=2 per pixel
+    val key: Array[Byte] = Array[Int](
+      0x05, 0x80,             // 1-color block, color 5
+      0x55, 0x55, 0x01, 0x02  // 2-color block
+    ).map(_.toByte)
+    // frame 1: skip 1 block (block0 inherits idx5), block1 -> 8-color:
+    // quadrant color pairs (BL, BR, TL, TR) x (set->first, clear->second);
+    // flags 0x7FFF (the flag high byte must stay < 0x80 — that byte also
+    // selects the block mode, so bit 15 is the only clear bit: pixel
+    // (3,3) takes its quadrant's SECOND color); first color 0x84 has the
+    // high bit SET — the 8-color signal
+    val f1: Array[Byte] = Array[Int](
+      0x01, 0x84,             // skip 1 block
+      0xff, 0x7f, 0x84, 0x01, 0x03, 0x02, 0x06, 0x04, 0x08, 0x07
+    ).map(_.toByte)
+    val avi = dibAvi(Seq(key, f1), 8, 4, bitCount = 8, compression = cram, palette)
+    val ds = Multimodal.ingest(spark, Seq(Media(33, "video", avi, 0, 0, 0)))
+    val fr = Multimodal.frameDecode(ds).collect().sortBy(_.frameIdx)
+    assert(fr.length == 2)
+    val g0 = fr(0).gray.map(_ & 0xff).toSeq
+    // every row: 4x lum(5)=50 then alternating 10, 20 (flags repeat per row)
+    assert(g0 == Seq.fill(4)(Seq(50, 50, 50, 50, 10, 20, 10, 20)).flatten,
+      s"keyframe 1-color + 2-color blocks: $g0")
+    val g1 = fr(1).gray.map(_ & 0xff).toSeq
+    // block0 inherited via skip; block1 quadrants (8-color; 0x84 is past
+    // the palette -> lum = the idx byte itself = 132): bottom-left pair
+    // (0x84, 0x01), bottom-right (0x03, 0x02), top-left (0x06, 0x04),
+    // top-right (0x08, 0x07). Set flags pick the FIRST of the pair;
+    // the single clear bit 15 = pixel (3,3) picks TR's second (0x07->70).
+    // top-down rows: top half = TL/TR quadrants, bottom half = BL/BR
+    val q = Seq(
+      Seq(50, 50, 50, 50, 60, 60, 80, 70),  // top row: (3,3) -> 0x07
+      Seq(50, 50, 50, 50, 60, 60, 80, 80),
+      Seq(50, 50, 50, 50, 132, 132, 30, 30), // bottom rows: BL=0x84->132, BR=0x03->30
+      Seq(50, 50, 50, 50, 132, 132, 30, 30)).flatten
+    assert(g1 == q, s"skip inherits block0, 8-color quadrants land: $g1")
+  }
+
   test("summarize aggregates by kind") {
     val s = Multimodal.summarize(Multimodal.ingest(spark, media)).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
