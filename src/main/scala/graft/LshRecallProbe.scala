@@ -73,8 +73,10 @@ object LshRecallProbe {
         s""""truth_pairs":$nTruth,"hit_pairs":$hit,""" +
         s""""recall":${hit.toDouble / math.max(1L, nTruth)},"sec":$sec}""")
     }
+    val selfBands = 4 + 2 * math.max(0, bb - 11)
+    if (selfBands > 4) measure("bands_4_r10rule", 4 * bb)
     measure("self_sized", 0)
-    if (8 * bb <= 62) measure("double_bands", 8 * bb)
+    measure("double_bands", 2 * selfBands * bb)
     spark.stop()
   }
 }

@@ -94,10 +94,10 @@ object EdfOnsetIndex {
     */
   private val rangeMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Long, Long, Long, Long, Long), Option[(Int, Int)]](
+      new java.util.LinkedHashMap[(String, Long, Long, Long, Long, Long, Long), Option[(Int, Int)]](
         64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Long, Long, Long, Long, Long), Option[(Int, Int)]]): Boolean =
+            e: java.util.Map.Entry[(String, Long, Long, Long, Long, Long, Long), Option[(Int, Int)]]): Boolean =
           size() > 4096
       })
 
@@ -105,7 +105,7 @@ object EdfOnsetIndex {
     * record survives when `[onset, onset + spanUs)` intersects the
     * window (onsets are monotonic, so the kept set is one run). v2
     * sidecars answer with O(log n) probes over PAGE-granular positioned
-    * reads (4 KiB pages, cached for the call — the two boundary searches
+    * reads (2 KiB pages, cached for the call — the two boundary searches
     * share pages, and each filesystem read transfers one page instead of
     * paying the KiB-scale floor per 8-byte value); answers memoize
     * across plan invocations per (path, mtime, window). Legacy JSON
@@ -121,10 +121,17 @@ object EdfOnsetIndex {
       val st = fs.getFileStatus(p)
       val fileLen = st.getLen
       if (fileLen < 16) return legacyRange(path, h, tsLo, tsHi, spanUs, conf)
-      val memoKey = (p.toString, st.getModificationTime, fileLen, tsLo, tsHi, spanUs)
+      // nbDataRec is in the key: an EDF rewritten under an untouched
+      // sidecar must miss the memo and re-hit the staleness check below
+      val memoKey = (p.toString, st.getModificationTime, fileLen,
+        h.nbDataRec.toLong, tsLo, tsHi, spanUs)
       val hit = rangeMemo.get(memoKey)
       if (hit != null) return hit
-      val PageBytes = 4096
+      // 2 KiB pages = 256 onsets: the boundary searches' first ~9 probes
+      // land on distinct pages, the rest converge within shared ones —
+      // ~20 pages ≈ 40 KB cold, vs ~18 KB per PROBE at the raw-read
+      // transfer floor the r11 probe measured (680 KB per plan)
+      val PageBytes = 2048
       val in = EdfFile.openSeekable(fs, p, PageBytes)
       try {
         // onsets sit at 16 + 8i — 8-aligned, and pages are a multiple of
@@ -165,7 +172,9 @@ object EdfOnsetIndex {
             }
             a
           }
-        Some((lo, hi))
+        val ans = Some((lo, hi))
+        rangeMemo.put(memoKey, ans)
+        ans
       } finally in.close()
     } catch { case _: Exception => None }
   }

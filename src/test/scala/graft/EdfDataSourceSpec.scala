@@ -153,6 +153,31 @@ class EdfDataSourceSpec extends AnyFunSuite {
     assert(kept(9000000L, 12000000L) == Some((1, 2)), "legacy JSON path agrees")
   }
 
+  test("keptRange memoizes per (path, mtime, length, window) across plan invocations") {
+    val tmp = java.nio.file.Files.createTempDirectory("edfdmemo")
+    val path = s"$tmp/disc.edf"
+    makeEdfD(path, Seq(0.0, 10.0, 25.0))
+    val h = EdfFile.readHeader(path)
+    graft.sources.EdfOnsetIndex.write(path)
+    val lo = h.startUs + 9000000L; val hi = h.startUs + 12000000L
+    val first = graft.sources.EdfOnsetIndex.keptRange(path, h, lo, hi, 1000000L)
+    assert(first == Some((1, 2)))
+    // corrupt the sidecar BYTES while pinning mtime + length — a re-read
+    // would fail the magic check, so only a memo hit can still answer
+    val sp = java.nio.file.Paths.get(graft.sources.EdfOnsetIndex.sidecarPath(path))
+    val mtime = sp.toFile.lastModified()
+    val garbage = new Array[Byte](java.nio.file.Files.size(sp).toInt)
+    java.nio.file.Files.write(sp, garbage)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$tmp/.disc.edf.onsets.json.crc"))
+    assert(sp.toFile.setLastModified(mtime))
+    assert(graft.sources.EdfOnsetIndex.keptRange(path, h, lo, hi, 1000000L) == first,
+      "same (path, mtime, length, window) answers from the memo, zero sidecar reads")
+    // a DIFFERENT window misses the memo and sees the corruption -> None
+    assert(graft.sources.EdfOnsetIndex.keptRange(path, h, lo, hi + 1L, 1000000L).isEmpty,
+      "a new window re-reads the sidecar (and the corruption surfaces)")
+  }
+
   test("an onset sidecar prunes EDF+D input partitions at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("edfdsidecar")
     val path = s"$tmp/disc.edf"
