@@ -45,7 +45,7 @@ object LshRecallProbe {
     val q = (math.max(1L, n) - 1L) / 32L
     val bb = math.max(3, math.min(15, 64 - java.lang.Long.numberOfLeadingZeros(q)))
 
-    def measure(tag: String, nPlanes: Int): Unit = {
+    def measure(tag: String, nPlanes: Int, maxBucket: Long = 100000L): Unit = {
       // stage 1 cost driver: pre-distinct collision volume = Σ C(sz,2)
       // over (band, bucket) — derived from bucket sizes alone (one agg,
       // no pair join), attributing candidate growth to bucket population
@@ -57,26 +57,35 @@ object LshRecallProbe {
       val tCol = (System.nanoTime() - t0) / 1e9
       // stage 2: distinct candidate pairs (what the cosine verify pays)
       val t1 = System.nanoTime()
-      val nCand = operators.Similarity.embedNearDupLshCandidates(t, nPlanes = nPlanes).count()
+      val nCand = operators.Similarity.embedNearDupLshCandidates(t, nPlanes = nPlanes,
+        maxBucket = maxBucket).count()
       val tCand = (System.nanoTime() - t1) / 1e9
       // end-to-end: the operator itself
       val t2 = System.nanoTime()
-      val got = operators.Similarity.embedNearDupLsh(t, threshold, nPlanes = nPlanes)
-        .select(col("id_a"), col("id_b"))
+      val got = operators.Similarity.embedNearDupLsh(t, threshold, nPlanes = nPlanes,
+        maxBucket = maxBucket).select(col("id_a"), col("id_b"))
       val hit = got.join(truth, Seq("id_a", "id_b"), "left_semi").count()
       val sec = (System.nanoTime() - t2) / 1e9
       val bands = if (nPlanes == 0) 4 + 2 * math.max(0, bb - 11) else nPlanes / bb
       println(s"""{"probe":"lsh_recall","config":"$tag","sf":"$sfDir","n":$n,""" +
-        s""""band_bits":$bb,"n_bands":$bands,"threshold":$threshold,""" +
+        s""""band_bits":$bb,"n_bands":$bands,"max_bucket":$maxBucket,"threshold":$threshold,""" +
         s""""collision_pairs":$collisions,"collision_sec":$tCol,""" +
         s""""candidate_pairs":$nCand,"candidate_sec":$tCand,""" +
         s""""truth_pairs":$nTruth,"hit_pairs":$hit,""" +
         s""""recall":${hit.toDouble / math.max(1L, nTruth)},"sec":$sec}""")
     }
+    // optional args(2): comma-separated config-name prefixes to run
+    val only = args.lift(2).map(_.split(',').toSeq)
+    def want(tag: String): Boolean = only.forall(_.exists(tag.startsWith))
     val selfBands = 4 + 2 * math.max(0, bb - 11)
-    if (selfBands > 4) measure("bands_4_r10rule", 4 * bb)
-    measure("self_sized", 0)
-    measure("double_bands", 2 * selfBands * bb)
+    if (selfBands > 4 && want("bands_4_r10rule")) measure("bands_4_r10rule", 4 * bb)
+    if (want("self_sized")) measure("self_sized", 0)
+    if (want("double_bands")) measure("double_bands", 2 * selfBands * bb)
+    // hot-bucket cap sweep at the self-sized band config: how much of
+    // the candidate volume is mega-bucket noise, and what recall costs
+    Seq(16384L, 4096L, 1024L).foreach { cap =>
+      if (want(s"cap_$cap")) measure(s"cap_$cap", 0, cap)
+    }
     spark.stop()
   }
 }

@@ -131,8 +131,13 @@ object Similarity {
     * nBands·bandBits has no 62-bit ceiling. All band values come from
     * ONE native single-pass expression (HyperplaneBands) whose plane
     * matrix is a codegen reference object: projection cost is linear in
-    * planes and candidate-generation cost linear in the added bands'
-    * colliding pairs (per-config candidate counts: LshRecallProbe).
+    * planes, and end-to-end cost tracks the candidate-pair volume the
+    * added bands surface. Measured at sf10 (200k vectors, 13-bit bands;
+    * tools/lsh_recall_r12.json): 4 / 8 / 16 bands = 91M / 166M / 346M
+    * candidate pairs, recall 0.819 / 0.936 / 0.988, wall 294 / 396 /
+    * 957 s — the grown-band recall costs 1.35x the 4-band wall, not the
+    * 5.65x round 11 measured when the per-plane HOF projection (104
+    * aggregate/zip_with expressions) fell out of whole-stage codegen.
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 0,
                       bandBits: Int = 0, maxBucket: Long = 100000L): DataFrame = {
