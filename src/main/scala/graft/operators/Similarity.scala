@@ -138,6 +138,11 @@ object Similarity {
     * 957 s — the grown-band recall costs 1.35x the 4-band wall, not the
     * 5.65x round 11 measured when the per-plane HOF projection (104
     * aggregate/zip_with expressions) fell out of whole-stage codegen.
+    * The `maxBucket` cap sweep at the same scale: 16384 and 4096 do not
+    * bind (largest bucket ≤ 4096 — candidate volume is the corpus's own
+    * sign-space clustering, not a degenerate bucket), and 1024 trades
+    * 0.9 pp recall (0.9358 → 0.9277) for 34 % fewer candidates — not
+    * taken as default, the cap stays a mega-bucket guard.
     */
   def embedNearDupLsh(t: Tables, threshold: Double = 0.9, nPlanes: Int = 0,
                       bandBits: Int = 0, maxBucket: Long = 100000L): DataFrame = {
