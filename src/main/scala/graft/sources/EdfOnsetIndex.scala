@@ -129,10 +129,14 @@ object EdfOnsetIndex {
       if (hit != null) return hit
       // 2 KiB pages = 256 onsets: the boundary searches' first ~9 probes
       // land on distinct pages, the rest converge within shared ones —
-      // ~20 pages ≈ 40 KB cold, vs ~18 KB per PROBE at the raw-read
-      // transfer floor the r11 probe measured (680 KB per plan)
+      // ~22 pages ≈ 45 KB cold. Reads go through the RAW filesystem in
+      // exact page units with page checksums verified against the .crc
+      // file HERE (16 crc bytes per page): the checksum LAYER's
+      // positioned reads cost a measured 8-10 KB each regardless of
+      // io.file.buffer.size (SidecarBytesProbe), which made the search
+      // 160 KB instead of 45; integrity is kept, the floor is not.
       val PageBytes = 2048
-      val in = EdfFile.openSeekable(fs, p, PageBytes)
+      val in = PageReader.open(fs, p, PageBytes)
       try {
         // onsets sit at 16 + 8i — 8-aligned, and pages are a multiple of
         // 8, so a value never straddles a page boundary
@@ -140,7 +144,7 @@ object EdfOnsetIndex {
         def page(pg: Int): Array[Byte] = pages.getOrElseUpdate(pg, {
           val off = pg.toLong * PageBytes
           val len = math.min(PageBytes.toLong, fileLen - off).toInt
-          val b = new Array[Byte](len); in.readFully(off, b); b
+          in.readPage(off, len)
         })
         def at(off: Long): Long = {
           val pg = (off / PageBytes).toInt
@@ -177,6 +181,68 @@ object EdfOnsetIndex {
         ans
       } finally in.close()
     } catch { case _: Exception => None }
+  }
+
+  /** Exact-size positioned page reads with checksum integrity but
+    * without the checksum LAYER's per-read floor: on a
+    * ChecksumFileSystem whose .crc sidecar exists, pages read through
+    * the RAW filesystem and verify against the .crc file's CRC32 chunk
+    * sums directly (the .crc layout is public Hadoop: 4-byte magic
+    * 'crc\0' + int32 bytesPerChecksum + one 4-byte CRC32 per chunk).
+    * A checksum mismatch throws — keptRange's catch falls back to
+    * unpruned planning, exactly as the layered read would have. Any
+    * layout surprise (different magic, chunk size not dividing the
+    * page) falls back to the plain layered stream.
+    */
+  private final class PageReader(dataIn: org.apache.hadoop.fs.FSDataInputStream,
+                                 sumIn: org.apache.hadoop.fs.FSDataInputStream,
+                                 bytesPerSum: Int) {
+    def readPage(off: Long, len: Int): Array[Byte] = {
+      val b = new Array[Byte](len)
+      dataIn.readFully(off, b)
+      if (sumIn != null && off % bytesPerSum == 0) {
+        val firstChunk = off / bytesPerSum
+        val nChunks = (len + bytesPerSum - 1) / bytesPerSum
+        val sums = new Array[Byte](4 * nChunks)
+        sumIn.readFully(8L + 4L * firstChunk, sums)
+        val crc = new java.util.zip.CRC32()
+        var i = 0
+        while (i < nChunks) {
+          crc.reset()
+          crc.update(b, i * bytesPerSum, math.min(bytesPerSum, len - i * bytesPerSum))
+          val stored = java.nio.ByteBuffer.wrap(sums, 4 * i, 4).getInt
+          if (stored != crc.getValue.toInt)
+            throw new java.io.IOException(
+              s"sidecar checksum mismatch at chunk ${firstChunk + i}")
+          i += 1
+        }
+      }
+      b
+    }
+    def close(): Unit = { dataIn.close(); if (sumIn != null) sumIn.close() }
+  }
+
+  private object PageReader {
+    def open(fs: org.apache.hadoop.fs.FileSystem, p: Path, pageBytes: Int): PageReader =
+      fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+          val raw = c.getRawFileSystem
+          val crcPath = c.getChecksumFile(p)
+          if (!raw.exists(crcPath)) return new PageReader(raw.open(p, pageBytes), null, 1)
+          val sumIn = raw.open(crcPath, 1024)
+          val hdr = new Array[Byte](8)
+          try sumIn.readFully(0, hdr)
+          catch { case e: Exception => sumIn.close(); throw e }
+          val magicOk = hdr(0) == 'c' && hdr(1) == 'r' && hdr(2) == 'c' && hdr(3) == 0
+          val bps = java.nio.ByteBuffer.wrap(hdr, 4, 4).getInt
+          if (magicOk && bps > 0 && pageBytes % bps == 0)
+            new PageReader(raw.open(p, pageBytes), sumIn, bps)
+          else { // unknown layout: keep the layered stream's verification
+            sumIn.close()
+            new PageReader(fs.open(p, pageBytes), null, 1)
+          }
+        case other => new PageReader(other.open(p, pageBytes), null, 1)
+      }
   }
 
   /** Range bounds off a legacy (v1 JSON) sidecar — full parse + linear

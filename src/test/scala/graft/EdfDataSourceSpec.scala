@@ -178,6 +178,25 @@ class EdfDataSourceSpec extends AnyFunSuite {
       "a new window re-reads the sidecar (and the corruption surfaces)")
   }
 
+  test("keptRange's raw page reads still verify sidecar checksums") {
+    val tmp = java.nio.file.Files.createTempDirectory("edfdcrc")
+    val path = s"$tmp/disc.edf"
+    makeEdfD(path, Seq(0.0, 10.0, 25.0))
+    val h = EdfFile.readHeader(path)
+    graft.sources.EdfOnsetIndex.write(path)
+    val lo = h.startUs + 9000000L; val hi = h.startUs + 12000000L
+    assert(graft.sources.EdfOnsetIndex.keptRange(path, h, lo, hi, 1000000L) == Some((1, 2)))
+    // flip one onset byte, leaving the .crc stale: the page read must
+    // fail verification and planning must fall back (None), exactly as
+    // the checksum-layer read would have
+    val sp = java.nio.file.Paths.get(graft.sources.EdfOnsetIndex.sidecarPath(path))
+    val bytes = java.nio.file.Files.readAllBytes(sp)
+    bytes(20) = (bytes(20) ^ 0x40).toByte // inside onset 0
+    java.nio.file.Files.write(sp, bytes)
+    assert(graft.sources.EdfOnsetIndex.keptRange(path, h, lo, hi, 1000000L).isEmpty,
+      "corrupted sidecar page fails CRC32 verification and falls back unpruned")
+  }
+
   test("an onset sidecar prunes EDF+D input partitions at planning time") {
     val tmp = java.nio.file.Files.createTempDirectory("edfdsidecar")
     val path = s"$tmp/disc.edf"
