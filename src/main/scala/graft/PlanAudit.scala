@@ -65,7 +65,15 @@ object PlanAudit {
       ("pii_redact", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
         "redaction is one narrow scan pass (no join, no hash shuffle)"),
       ("decontaminate_fuzzy", p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"),
-        "benchmark bands broadcast; candidates never cross-product"))
+        "benchmark bands broadcast; candidates never cross-product"),
+      ("substring_dedup", p => !p.contains("CartesianProduct"),
+        "winnow pairing is a fingerprint bucket join, never a cross product"),
+      ("substring_dedup", _.contains("winnowhashes"),
+        "native one-pass winnow kernel in plan"),
+      ("source_cap", p => !p.contains("Window") && p.contains("partial_graft_topk"),
+        "per-source cap is a bounded heap aggregate (map-side partial), no window sort"),
+      ("bm25_search", p => p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"),
+        "df/stats broadcast; top-k bounded, no global sort"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

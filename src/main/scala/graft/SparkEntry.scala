@@ -90,6 +90,9 @@ object SparkEntry {
     "dedup_clusters" -> Seq(col("doc_id")),
     "ngram_jaccard" -> Seq(col("id_a"), col("id_b")),
     "neardup_incremental" -> Seq(col("id_a"), col("id_b")),
+    "substring_fp"    -> Seq(col("doc_id"), col("fp")),
+    "substring_dedup" -> Seq(col("id_a"), col("id_b")),
+    "source_cap"      -> Seq(col("source"), col("rk")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -206,7 +209,11 @@ object SparkEntry {
       Dedup.ngramJaccardIncremental(docs, prev,
         Dedup.minhashBands(prev, 3, 8, 4),
         Dedup.ngramJaccardDocs(prev, 3, 8, 4, 0.0))
-    }
+    },
+    "substring_fp"    -> q(Dedup.substringFingerprints(_)),
+    "substring_dedup" -> q(Dedup.substringDedup(_)),
+    "bm25_search"     -> q(TextAnalysis.bm25Search(_)),
+    "source_cap"      -> q(Sampling.sourceCap(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1163,6 +1170,72 @@ object SparkEntry {
                  (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS h
                FROM documents)
          SELECT CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rank, doc_id, h
-         FROM h ORDER BY rank"""
+         FROM h ORDER BY rank""",
+    "substring_fp" -> (winnowFpSql + " SELECT doc_id, fp FROM fpd ORDER BY doc_id, fp"),
+    "substring_dedup" -> (winnowFpSql +
+      """, cool AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 1000)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         JOIN cool c ON c.fp = a.fp
+         GROUP BY 1, 2 ORDER BY id_a, id_b"""),
+    "bm25_search" ->
+      """WITH terms(term) AS (SELECT * FROM (VALUES ('spark'), ('stream'), ('filter'))),
+         d AS (SELECT doc_id,
+                 CASE WHEN len(trim(text)) = 0 THEN 0
+                   ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) END AS dl,
+                 lower(text) AS lt
+               FROM documents),
+         st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+         p AS (SELECT doc_id, dl, unnest(regexp_split_to_array(trim(lt), '\s+')) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+                FROM p JOIN terms USING (term) GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         w AS (SELECT doc_id, term,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+               FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         s AS (SELECT doc_id, count(*) AS n_terms,
+                 max(CASE WHEN term = 'spark' THEN w END) AS w0,
+                 max(CASE WHEN term = 'stream' THEN w END) AS w1,
+                 max(CASE WHEN term = 'filter' THEN w END) AS w2
+               FROM w GROUP BY 1)
+         SELECT doc_id, n_terms,
+           floor((coalesce(w0, 0.0) + coalesce(w1, 0.0) + coalesce(w2, 0.0)) * 10000.0 + 0.5) / 10000.0 AS score
+         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+    "source_cap" ->
+      """WITH h AS (SELECT source, doc_id,
+                 (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS h
+               FROM documents),
+         r AS (SELECT source, doc_id, h,
+                 CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
+               FROM h)
+         SELECT source, rk, doc_id, h FROM r WHERE rk <= 10 ORDER BY source, rk"""
   )
+
+  /** Shared winnowing-fingerprint CTE chain (substring_fp /
+    * substring_dedup): the oracle engine evaluates the windowed
+    * list_reduce formulation of the SAME arithmetic the one-pass
+    * graft_winnow kernel computes — base-257 polynomial position hashes
+    * of every 24-codepoint window of the whitespace-normalized lowercase
+    * text, mod 2⁶¹−1 (128-bit residues on the oracle side, multiplyHigh
+    * folding in the kernel), then the min of every 8 consecutive position
+    * hashes, distinct per doc.
+    */
+  private val winnowFpSql: String =
+    """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+               FROM documents),
+       cp AS (SELECT doc_id,
+                list_transform(range(1, length(s) + 1),
+                  i -> CAST(unicode(substr(s, i, 1)) AS HUGEINT)) AS cs
+              FROM nrm),
+       hx AS (SELECT doc_id,
+                list_transform(range(1, len(cs) - 24 + 2),
+                  i -> list_reduce(cs[i : i + 23],
+                         (a, c) -> (a * 257 + c) % CAST(2305843009213693951 AS HUGEINT))) AS hs
+              FROM cp WHERE len(cs) >= 24),
+       sel AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(hs) - 8 + 1, 1) + 1),
+                   j -> list_aggregate(hs[j : least(j + 7, len(hs))], 'min'))) AS fp
+               FROM hx),
+       fpd AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM sel)"""
 }

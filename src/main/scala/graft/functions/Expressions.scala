@@ -185,6 +185,101 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  private val P61 = (1L << 61) - 1
+
+  /** a·b mod 2⁶¹−1 for 0 ≤ a, b < 2⁶¹−1 without 128-bit types: with the
+    * product split as hi·2⁶⁴ + lo, 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod 2⁶¹−1), so
+    * the residue is hi·8 + (lo ≫ 61) + (lo & M) — all three terms fit a
+    * signed long (hi < 2⁵⁸) and the sum is < 2⁶², so at most two final
+    * subtractions. The oracle engine computes the same product mod with
+    * 128-bit integers; both are the mathematical residue, so they agree.
+    */
+  @inline private def mulmodP61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo >>> 61) + (lo & P61)
+    while (r >= P61) r -= P61
+    r
+  }
+
+  /** Winnowing substring fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003) in ONE O(n) pass: position hashes are the base-257 polynomial
+    * hash mod 2⁶¹−1 of every length-`l` codepoint window (computed
+    * rolling — subtract the outgoing codepoint·257^(l−1), multiply by
+    * 257, add the incoming), and the selected fingerprints are the
+    * minimum VALUE of every `w` consecutive position hashes (monotone
+    * deque, amortized O(1) per position). Fewer than `w` position hashes
+    * → one window over all of them; fewer than `l` codepoints → empty.
+    * Returns the distinct selected hashes sorted ascending.
+    *
+    * Matches the windowed `list_reduce((acc,c) -> (acc·257+c) mod P)` /
+    * `list_aggregate('min')` formulation an oracle SQL engine evaluates
+    * term-for-term in O(n·l·w): the rolling + deque form is the same
+    * arithmetic, just never re-visiting a codepoint.
+    */
+  def winnowHashes(s: UTF8String, l: Int, w: Int): ArrayData = {
+    val str = s.toString
+    var n = 0
+    var i = 0
+    while (i < str.length) { n += 1; i += Character.charCount(str.codePointAt(i)) }
+    if (n < l) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    i = 0; var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i); cps(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    val m = n - l + 1
+    var pw = 1L
+    i = 1
+    while (i < l) { pw = mulmodP61(pw, 257L); i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < l) {
+      h = mulmodP61(h, 257L) + cps(i)
+      if (h >= P61) h -= P61
+      i += 1
+    }
+    hs(0) = h
+    i = 1
+    while (i < m) {
+      var x = h - mulmodP61(cps(i - 1).toLong, pw)
+      if (x < 0) x += P61
+      x = mulmodP61(x, 257L) + cps(i + l - 1)
+      if (x >= P61) x -= P61
+      h = x
+      hs(i) = h
+      i += 1
+    }
+    val t = math.max(1, m - w + 1)
+    val sel = new Array[Long](t)
+    if (m <= w) {
+      var mn = hs(0)
+      i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      sel(0) = mn
+    } else {
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0
+      i = 0
+      while (i < m) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) sel(i - w + 1) = hs(dq(head))
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(sel)
+    var k = 0
+    i = 0
+    while (i < sel.length) {
+      if (k == 0 || sel(i) != sel(k - 1)) { sel(k) = sel(i); k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sel, k))
+  }
+
   /** Parse a profile spec (profiles joined by '|', words by ',') into hash
     * sets. Called once per StopwordHits expression instance at plan time —
     * never per row.
@@ -429,6 +524,27 @@ case class StopwordHits(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** D3 / C34: winnowing substring fingerprints — distinct sliding-window
+  * minima of the length-`l` codepoint rolling hash (base 257, mod 2⁶¹−1),
+  * sorted ascending. One O(n) pass per row; the guarantee (any exact
+  * codepoint match of length ≥ l+w−1 between two strings shares ≥ 1
+  * fingerprint, density ≈ 2/(w+1)) is what makes exact-substring dedup
+  * a bucket join instead of a suffix-array build.
+  */
+case class WinnowHashes(child: Expression, l: Int, w: Int) extends UnaryExpression {
+  require(l >= 1 && w >= 1, s"graft_winnow needs l >= 1 and w >= 1, got l=$l w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.winnowHashes(s.asInstanceOf[UTF8String], l, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowHashes($c, $l, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
+}
+
 /** D3: order-preserving double→long bits (monotone bucketing basis). */
 case class SortableBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -513,6 +629,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHittersAgg].getName, "graft_heavy_hitters"),
       (es: Seq[Expression]) => HeavyHittersAgg(es(0), litInt(es(1), "capacity"))))
+    ext.injectFunction((FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowHashes].getName, "graft_winnow"),
+      (es: Seq[Expression]) => WinnowHashes(es(0), litInt(es(1), "l"), litInt(es(2), "w"))))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))

@@ -468,4 +468,55 @@ object Dedup {
       .withColumn("src", lit("carried"))
     fresh.unionByName(carried)
   }
+
+  /** Whitespace-normalized lowercase text — the character stream winnowing
+    * fingerprints hash over. SQL-function form (not a kernel) so the
+    * oracle engine states the identical normalization.
+    */
+  private def winnowNorm: Column =
+    lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  /** C34 (parity surface): exploded winnowing fingerprint relation
+    * (doc_id, fp) — the dense oracle target proving the rolling-hash +
+    * sliding-min arithmetic matches the oracle engine's windowed
+    * `list_reduce` formulation value-for-value before any join touches it.
+    */
+  def substringFingerprints(t: Tables, l: Int = 24, w: Int = 8): DataFrame =
+    t.documents.select(col("doc_id"),
+      explode(call_function("graft_winnow", winnowNorm, lit(l), lit(w))).as("fp"))
+
+  /** C34: exact-substring duplicate detection via winnowing fingerprints —
+    * the distributed re-expression of suffix-array substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — the reference pipeline family's exact-substring pass).
+    * The winnowing invariant (Schleimer et al., SIGMOD 2003): any two
+    * documents sharing an exact normalized substring of ≥ l+w−1
+    * codepoints are GUARANTEED to share a selected fingerprint, and
+    * selected density is bounded at ≈ 2/(w+1) per position — so candidate
+    * generation is a hash-only bucket join over a corpus-fraction-sized
+    * relation (text never travels past the scan), the same shape as the
+    * proven MinHash path, instead of a single-node suffix-array build.
+    *
+    * `maxDocsPerFp` is the mega-bucket guard (dedupMinhash.maxBucket
+    * precedent): a boilerplate fingerprint shared by every doc would
+    * degenerate to O(n²) pairs, so fingerprints spanning more docs are
+    * dropped from pairing (anti-join of a tiny hot list; mirrored in the
+    * oracle SQL so both engines see identical pairs).
+    *
+    * Output: (id_a, id_b, n_shared) — doc pairs and how many distinct
+    * selected fingerprints they share; n_shared ≥ 2 ⇒ either one long
+    * shared run or several independent shared runs.
+    */
+  def substringDedup(t: Tables, l: Int = 24, w: Int = 8,
+                     maxDocsPerFp: Long = 1000L): DataFrame = {
+    val fps = substringFingerprints(t, l, w)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocsPerFp).select(col("fp"))
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    cool.select(col("fp"), col("doc_id").as("id_a"))
+      .join(cool.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

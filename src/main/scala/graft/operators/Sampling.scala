@@ -149,6 +149,31 @@ object Sampling {
     * exchange), plus zero sampling passes because shard bounds are known
     * in closed form.
     */
+  /** C36: per-source document capping — the domain-cap pass of web-corpus
+    * curation (bound any single domain's/provider's contribution to the
+    * training mix). Deterministic: docs rank within a source by the
+    * multiplicative id hash (no rand(), same [[bucket1000]] hash family),
+    * and the cap is enforced with the native bounded top-k aggregate
+    * (graft_topk), so every map task reduces its slice to ≤ cap entries
+    * per source BEFORE the exchange: per-source state is O(cap), the
+    * shuffle moves cap-sized buffers, and no full-group sort runs. A
+    * row_number() window would range-sort every group — a hot domain with
+    * 10⁹ docs is a skew cliff at 100 TB; the heap path's cost for that
+    * same domain is O(rows · log-ish cap) map-side with an O(cap) merge.
+    */
+  def sourceCap(t: Tables, cap: Int = 10): DataFrame = {
+    val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
+    // graft_topk keeps the k BEST by (score desc, id asc); score = −h
+    // makes that (h asc, doc_id asc) — exactly row_number() ORDER BY h, id
+    val kept = t.documents.select(col("source"), col("doc_id"), h.as("h"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_topk",
+        struct(negate(col("h")).cast("double"), col("doc_id")), lit(cap)).as("kept"))
+    kept.select(col("source"), posexplode(col("kept")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), negate(col("col.score")).cast("long").as("h"))
+  }
+
   def corpusShuffle(t: Tables, nShards: Int = 64): DataFrame = {
     val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
     val docs = t.documents

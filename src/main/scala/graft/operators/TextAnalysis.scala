@@ -616,4 +616,56 @@ object TextAnalysis {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** C35: Okapi BM25 retrieval over the corpus for a literal query-term
+    * set — the data-selection primitive of targeted corpus builds (rank
+    * documents against a task/topic description and keep the head).
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)), per-term weight
+    * idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    *
+    * Scale shape: the token stream is filtered to the |q| query terms in
+    * the same codegen'd scan that tokenizes, so only the query's postings
+    * — not the corpus vocabulary — reach the tf shuffle; doc length rides
+    * along with the postings (no second scan); N/avgdl and per-term
+    * document frequencies are two broadcast-sized relations. The per-doc
+    * score adds the per-term weights IN LITERAL TERM ORDER (one pivoted
+    * column per query term, not a sum() over a nondeterministically
+    * ordered group), so the float result is bit-stable across engines and
+    * retries. Top-k is orderBy+limit → TakeOrderedAndProject: per-task
+    * heaps, never a global sort.
+    */
+  def bm25Search(t: Tables, query: String = "spark stream filter",
+                 k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val dl = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
+    val stats = t.documents.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      avg(dl).as("avgdl"))
+    val postings = t.documents
+      .select(col("doc_id"), dl.as("dl"),
+        explode(wsTokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = postings.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    // tf's key set is the distinct (doc, term) postings — df reads off it
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val wTerm = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val weighted = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), wTerm.as("w"))
+    // fixed-order pivot: one column per literal term, added left to right
+    val pivoted = weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        terms.map(tm => max(when(col("term") === tm, col("w"))).as(s"w_$tm")): _*)
+    val score = terms.map(tm => coalesce(col(s"w_$tm"), lit(0.0))).reduce(_ + _)
+    pivoted
+      .select(col("doc_id"), col("n_terms"), roundHalfUp(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -248,4 +248,70 @@ class DedupSpec extends AnyFunSuite {
       assert(src == want, s"pair ($a,$b) provenance $src, expected $want")
     }
   }
+
+  /** Brute-force winnowing reference: BigInt polynomial hashes of every
+    * length-l codepoint window, min of every w consecutive, distinct
+    * sorted — the definition the one-pass kernel must reproduce.
+    */
+  private def winnowRef(s: String, l: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < l) return Seq.empty
+    val P = BigInt((1L << 61) - 1)
+    val hs = (0 to cps.length - l).map { i =>
+      cps.slice(i, i + l).foldLeft(BigInt(0))((a, c) => (a * 257 + c) % P)
+    }
+    val m = hs.length
+    val t = math.max(1, m - w + 1)
+    (0 until t).map(j => hs.slice(j, math.min(j + w, m)).min)
+      .distinct.sorted.map(_.toLong)
+  }
+
+  test("winnow kernel matches the brute-force reference (incl. non-BMP)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    val alphabets = Seq(
+      ('a' to 'z').map(_.toString),
+      Seq("a", "b", " "),                             // tiny alphabet → hash ties exercise the deque
+      Seq("a", "é", "中", new String(Character.toChars(0x1F600)))) // multi-byte + surrogate pair
+    for (alpha <- alphabets; n <- Seq(0, 5, 23, 24, 25, 30, 31, 80, 400); trial <- 1 to 3) {
+      val s = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+      val got = graft.functions.Kernels.winnowHashes(UTF8String.fromString(s), 24, 8)
+        .toLongArray().toSeq
+      val want = winnowRef(s, 24, 8)
+      assert(got == want, s"alpha=${alpha.mkString}|n=$n: $got != $want")
+    }
+  }
+
+  test("substring dedup pairs docs sharing an exact run >= l+w-1, not unrelated") {
+    // winnowing guarantee: any exact normalized substring match of
+    // >= 24+8-1 = 31 codepoints shares a selected fingerprint
+    val shared = "this exact boilerplate license header sentence travels verbatim" // 63 chars
+    val t = docs(Seq(
+      (1L, s"Document one begins here. $shared And then diverges completely afterwards.", "en"),
+      (2L, s"totally different opener for doc two. $shared Trailing content differs too.", "en"),
+      (3L, "no overlap with anything else at all; an island of unique prose standing alone here.", "en")))
+    val pairs = Dedup.substringDedup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"planted shared run must pair: $pairs")
+    assert(pairs((1L, 2L)) >= 1L)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L), s"island doc never pairs: $pairs")
+  }
+
+  test("substring dedup: whitespace/case normalization, short docs, hot-fp cap") {
+    val run = "Shared   Sentence With IRREGULAR    spacing and case kept long enough to fingerprint"
+    val t = docs(Seq(
+      (1L, s"prefix one ${run.toLowerCase.replaceAll("\\s+", " ")} suffix one", "en"),
+      (2L, s"prefix two $run suffix two", "en"),   // same after norm
+      (3L, "tiny", "en")))                          // < l codepoints → no fingerprints
+    assert(Dedup.substringDedup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)),
+      "normalization equates case/whitespace variants; short doc emits nothing")
+    assert(Dedup.substringFingerprints(t).filter(col("doc_id") === 3L).count() == 0)
+    // boilerplate cap: the same run planted in 5 docs pairs all 10 ways at
+    // the default cap, but a cap below the doc count drops the fingerprints
+    val many = docs((1L to 5L).map(i => (i, s"doc $i says: $run", "en")))
+    assert(Dedup.substringDedup(many).count() == 10L, "5 sharers -> C(5,2) pairs")
+    assert(Dedup.substringDedup(many, maxDocsPerFp = 4L).count() == 0L,
+      "cap below sharer count drops the boilerplate fingerprint entirely")
+  }
 }

@@ -87,4 +87,30 @@ class SamplingSpec extends AnyFunSuite {
     // keep doc_id monotone in rank
     assert(a.map(_._2).toSeq != (0L until 500L).toSeq, "order differs from doc_id order")
   }
+
+  test("source cap keeps exactly cap docs per source, ranked by the id hash") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i.toLong, s"text $i", "en", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+
+    val got = Sampling.sourceCap(t, cap = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.groupBy(_._1).forall(_._2.length == 7), "exactly cap kept per source")
+    // parity with the window formulation the oracle states: row_number()
+    // over (partition by source order by hash, doc_id) <= cap
+    val P = 1000000007L
+    val want = (0 until 300).map { i =>
+      (s"src${i % 3}", i.toLong, ((i.toLong % P + P) % P * 2654435761L) % P)
+    }.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(7).zipWithIndex
+        .map { case ((s, id, h), idx) => (s, idx + 1L, id, h) }
+    }.toSet
+    assert(got.toSet == want, "heap-aggregate path == window-rank definition")
+    // cap above group size degrades to identity membership
+    assert(Sampling.sourceCap(t, cap = 1000).count() == 300L)
+  }
 }

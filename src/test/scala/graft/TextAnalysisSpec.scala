@@ -23,6 +23,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     Tables(spark, dir)
   }
 
+  test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
+    val t = docs(Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "dog")))
+    val got = TextAnalysis.bm25Search(t, query = "apple banana", k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // N=3, dl = (3, 2, 1), avgdl = 2.0; df(apple)=1, df(banana)=2
+    val (k1, b) = (1.2, 0.75)
+    def w(tf: Long, df: Long, dl: Long): Double =
+      math.log(1.0 + (3L - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * dl / 2.0))
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got(1L) == ((2L, r4(w(2, 1, 3) + w(1, 2, 3)))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, r4(w(1, 2, 2)))), s"doc2: ${got(2L)}")
+    assert(!got.contains(3L), "doc with no query terms never scores")
+    // ranking: doc1 matches both terms incl. the rarer one -> ranks first
+    val ranked = TextAnalysis.bm25Search(t, query = "apple banana", k = 1).collect()
+    assert(ranked.head.getLong(0) == 1L, "best match wins the top slot")
+  }
+
   test("pii counts find planted email, url and phone; clean text is clean") {
     val t = docs(Seq(
       (1L, "contact alice@example.com or visit https://example.org/page and call 555-123-4567"),
