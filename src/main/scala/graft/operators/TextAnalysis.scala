@@ -643,10 +643,14 @@ object TextAnalysis {
     val stats = t.documents.agg(
       count(lit(1)).cast("long").as("n_docs"),
       avg(dl).as("avgdl"))
+    // the term filter runs INSIDE the token array, before the generator:
+    // Generate emits only matching postings (≤ a handful per doc), not
+    // the corpus's full token stream — explode-then-filter would push 60+
+    // rows per doc through the generator to drop nearly all of them
     val postings = t.documents
       .select(col("doc_id"), dl.as("dl"),
-        explode(wsTokens(lower(col("text")))).as("term"))
-      .filter(col("term").isin(terms: _*))
+        explode(filter(wsTokens(lower(col("text"))),
+          tk => tk.isin(terms: _*))).as("term"))
     val tf = postings.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
     // tf's key set is the distinct (doc, term) postings — df reads off it
