@@ -117,4 +117,66 @@ class SkewStressSpec extends AnyFunSuite {
       "hot paragraph kept exactly once corpus-wide")
     out.unpersist()
   }
+
+  test("hot winnow fingerprint: maxDocsPerFp bounds per-task pair output") {
+    // 400 docs all containing the same long boilerplate run -> every
+    // selected fingerprint of that run is shared by all 400 docs. With
+    // the cap disabled (huge), whichever tasks own those fingerprint
+    // buckets materialize ~C(400,2) pairs PER shared fingerprint; with
+    // the cap below the sharer count, the boilerplate fingerprints are
+    // anti-joined away before the self-join and no task goes quadratic.
+    // filler tokens are multiplicative-hash digits, NOT the raw id: raw
+    // ids give docs sharing a decimal suffix a real >= 24-codepoint
+    // common run ("07 content ..."), which is exactly the kind of
+    // incidental true positive this operator is supposed to find — here
+    // it would just blur the capped/uncapped contrast being measured
+    val boiler = "this legal disclaimer paragraph is appended verbatim to every single document in the corpus"
+    def tok(i: Long, salt: Long): Long = (i * 2654435761L + salt * 40503L) % 999983L
+    val hot = (0L until 400L).map(i => i -> s"doc ${tok(i, 1)} body ${tok(i, 2)}. $boiler")
+    val unique = (400L until 2400L).map(i =>
+      i -> s"document ${tok(i, 3)} original ${tok(i, 4)} content ${tok(i, 5)} end ${tok(i, 6)}")
+    val t = docsTable(hot ++ unique)
+
+    val uncapped = withTaskMetrics {
+      Dedup.substringDedup(t, maxDocsPerFp = Long.MaxValue)
+        .write.mode("overwrite").format("noop").save()
+    }
+    val capped = withTaskMetrics {
+      Dedup.substringDedup(t, maxDocsPerFp = 100L)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    // at this corpus size the fingerprint side broadcasts and the pair
+    // aggregate's map-side partials spread the C(400,2) distinct pair
+    // keys across map tasks — so the pathology shows up in TOTAL shuffle
+    // volume (the pair set must cross the wire somewhere), while the
+    // per-task maximum stays bounded by partial aggregation in both
+    // runs. Assert both: totals prove the cap removes the quadratic
+    // volume; the per-task bound proves neither plan funnels it through
+    // one straggler.
+    val uncappedSumWrite = uncapped.map(_._3).sum
+    assert(uncappedSumWrite >= 60000L,
+      s"uncapped: the quadratic pair set reaches the shuffle: sum=$uncappedSumWrite")
+    // the capped run still pays the corpus-sized fingerprint-count
+    // aggregation (~17k records here) — the contrast is the missing
+    // pair volume, so bound it relative to the uncapped run
+    val cappedSumWrite = capped.map(_._3).sum
+    assert(cappedSumWrite * 3 <= uncappedSumWrite,
+      s"capped: boilerplate fingerprints dropped before pairing: " +
+        s"sum=$cappedSumWrite vs uncapped $uncappedSumWrite")
+    assert(capped.map(_._3).max <= 20000L && uncapped.map(_._3).max <= 60000L,
+      "no single task funnels the pair volume in either plan")
+    // correctness contrast: uncapped emits the full boilerplate clique,
+    // capped drops the 400-sharer fingerprints before pairing
+    val uncappedCount = Dedup.substringDedup(t, maxDocsPerFp = Long.MaxValue).count()
+    val cappedCount = Dedup.substringDedup(t, maxDocsPerFp = 100L).count()
+    assert(uncappedCount >= 400L * 399L / 2,
+      s"uncapped finds the full boilerplate clique: $uncappedCount")
+    // a RESIDUE of boiler pairs legitimately survives: windows straddling
+    // the doc-specific prefix select an early-boiler hash only for the
+    // subset of docs whose prefix hashes are larger, and a sub-cap-sized
+    // subset is kept — real exact matches, just not the full clique
+    assert(cappedCount * 10 <= uncappedCount,
+      s"capped output is not clique-sized: $cappedCount (uncapped $uncappedCount)")
+  }
 }
