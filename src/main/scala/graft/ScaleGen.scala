@@ -32,6 +32,15 @@ object ScaleGen {
     // produce a partial directory.
     val subset: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // optional 5th arg: number of part files per table. Default 1 keeps
+    // the single-file layout the DuckDB oracle harness expects. Probe
+    // corpora (sf10/sf30 Bench runs, no DuckDB involved) should use 32:
+    // a single ~40 MB file is ONE parquet row group, so every scan of it
+    // is one task no matter what maxPartitionBytes says — the linear
+    // corpus paths then serialize on a 32-core host exactly the way a
+    // 1000-executor cluster would starve on a one-file table.
+    val nFiles = args.lift(4).map(_.toInt).getOrElse(1)
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     subset.foreach { s =>
       val unknown = s -- Tables.names.toSet
       require(unknown.isEmpty,
@@ -55,15 +64,23 @@ object ScaleGen {
     // Compute stays parallel; only the final write funnels through one
     // task (fine for an evidence derivation, not a production sink).
     def write(t: String)(df: => DataFrame): Unit = if (tables(t)) {
-      val tmpDir = s"$dst/_gen_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpDir/part-*.parquet")).head.getPath
       val dest = new org.apache.hadoop.fs.Path(s"$dst/$t.parquet")
-      fs.delete(dest, true)
-      require(fs.rename(part, dest), s"rename $part -> $dest failed")
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      if (nFiles > 1) {
+        // directory-of-parts layout: `<dst>/<t>.parquet/` with nFiles
+        // part files. spark.read.parquet treats file and directory
+        // identically, so Bench/RefreshBench/probes need no change.
+        fs.delete(dest, true)
+        df.repartition(nFiles).write.mode("overwrite").parquet(dest.toString)
+      } else {
+        val tmpDir = s"$dst/_gen_$t"
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+        val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmpDir/part-*.parquet")).head.getPath
+        fs.delete(dest, true)
+        require(fs.rename(part, dest), s"rename $part -> $dest failed")
+        fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      }
       println(s"[scalegen] $t: ${spark.read.parquet(dest.toString).count()} rows")
     }
 
