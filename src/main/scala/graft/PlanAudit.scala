@@ -73,7 +73,17 @@ object PlanAudit {
       ("source_cap", p => !p.contains("Window") && p.contains("partial_graft_topk"),
         "per-source cap is a bounded heap aggregate (map-side partial), no window sort"),
       ("bm25_search", p => p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"),
-        "df/stats broadcast; top-k bounded, no global sort"))
+        "df/stats broadcast; top-k bounded, no global sort"),
+      // C37: bigram pairing happens inside the token array (zip_with) —
+      // the pair stream must reach the (w1,w2) aggregation without a
+      // doc-keyed window/sort, and OOV mapping must broadcast the
+      // bounded vocabulary, never shuffle the corpus for it
+      ("ngram_lm", p => !p.contains("Window"),
+        "bigram pairing is array-side: no per-doc window/sort"),
+      ("ngram_lm", _.contains("BroadcastHashJoin"),
+        "vocabulary mapping joins broadcast (vocab is top-V bounded)"),
+      ("lm_score", p => !p.contains("Window") && !p.contains("CartesianProduct"),
+        "scoring reuses the pair stream: no window, no cross product"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -213,7 +213,9 @@ object SparkEntry {
     "substring_fp"    -> q(Dedup.substringFingerprints(_)),
     "substring_dedup" -> q(Dedup.substringDedup(_)),
     "bm25_search"     -> q(TextAnalysis.bm25Search(_)),
-    "source_cap"      -> q(Sampling.sourceCap(_))
+    "source_cap"      -> q(Sampling.sourceCap(_)),
+    "ngram_lm"        -> q(TextAnalysis.ngramLm(_)),
+    "lm_score"        -> q(TextAnalysis.lmScore(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1209,8 +1211,45 @@ object SparkEntry {
          r AS (SELECT source, doc_id, h,
                  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rk
                FROM h)
-         SELECT source, rk, doc_id, h FROM r WHERE rk <= 10 ORDER BY source, rk"""
+         SELECT source, rk, doc_id, h FROM r WHERE rk <= 10 ORDER BY source, rk""",
+    "ngram_lm" -> (lmSql +
+      """ SELECT b.w1, b.w2, b.cnt, c.ctx,
+           floor(ln((b.cnt + 0.5) / (c.ctx + 128.5)) * 1000.0 + 0.5) / 1000.0 AS logp
+         FROM big b JOIN ctx c USING (w1) ORDER BY w1, w2"""),
+    "lm_score" -> (lmSql +
+      """, sc AS (SELECT p.doc_id, ln((b.cnt + 0.5) / (c.ctx + 128.5)) AS lp
+           FROM pairs p JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+                        JOIN ctx c ON p.w1 = c.w1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor((sum(lp) / count(*)) * 1000.0 + 0.5) / 1000.0 AS avg_logp,
+           floor(exp(-(sum(lp) / count(*))) * 100.0 + 0.5) / 100.0 AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""")
   )
+
+  /** Shared bigram-LM CTE chain (ngram_lm / lm_score): the windowed
+    * lag() formulation of the SAME pair stream the array-side zip_with
+    * kernel produces — vocabulary = top-256 tokens by (count, token),
+    * OOV -> '<unk>' BEFORE pairing, begin marker '<s>' injected by the
+    * coalesce AFTER mapping (so a literal '<s>' token in the text still
+    * vocabulary-maps — the corner the operators/TextAnalysis.scala
+    * scaladoc calls out). 128.5 = k·(V+1) with k = 0.5, V = 256.
+    */
+  private val lmSql: String =
+    """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+       tokr AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM tok0),
+       tok AS (SELECT doc_id, i AS pos, ws[i] AS token FROM tokr WHERE len(ws[i]) > 0),
+       uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+       voc AS (SELECT token FROM uni ORDER BY cnt DESC, token LIMIT 256),
+       m AS (SELECT t.doc_id, t.pos,
+               CASE WHEN v.token IS NOT NULL THEN t.token ELSE '<unk>' END AS m
+             FROM tok t LEFT JOIN voc v ON t.token = v.token),
+       pairs AS (SELECT doc_id,
+               coalesce(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS w1,
+               m AS w2
+             FROM m),
+       big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pairs GROUP BY 1, 2),
+       ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM big GROUP BY 1)"""
 
   /** Shared winnowing-fingerprint CTE chain (substring_fp /
     * substring_dedup): the oracle engine evaluates the windowed

@@ -672,4 +672,119 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Tokens of a document as an array column, lowercased, empties
+    * dropped — shared by the n-gram LM pair (C37/C37b). Stays a
+    * higher-order array op so bigram construction below never needs a
+    * per-document window (no doc_id exchange, no per-doc sort).
+    */
+  private def lmTokenArr: Column =
+    filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+
+  /** Adjacent-bigram stream (doc_id, w1, w2) with vocabulary mapping:
+    * tokens outside the top-`vocabSize` vocabulary become "<unk>"; each
+    * document's first token is paired with the "<s>" begin marker (so
+    * every non-empty document emits exactly one bigram per token).
+    *
+    * Shape, in corpus-scan order: (1) vocabulary = one tokenize scan +
+    * map-side-combinable count + bounded TakeOrdered (ties broken by
+    * token, so the vocabulary is deterministic); (2) bigram pairing is
+    * done INSIDE the token array with `zip_with` against a null-shifted
+    * copy — the pair stream leaves the scan already formed, with no
+    * window, no self-join and no doc-keyed exchange; (3) OOV mapping is
+    * two broadcast hash joins against the vocabSize-bounded vocabulary
+    * (never a shuffle). The injected begin marker is represented as a
+    * NULL previous-token until after mapping, so a literal "<s>" token
+    * in the text still goes through vocabulary mapping like any other
+    * token — the DuckDB oracle (map first, then coalesce(lag(m),'<s>'))
+    * agrees on that corner by construction.
+    */
+  private def lmPairs(t: Tables, vocabSize: Int): DataFrame = {
+    val vocab = t.documents
+      .select(explode(lmTokenArr).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+      .select("token")
+    val arr = lmTokenArr
+    // prev array [null, a0 .. a_{n-2}]: zip_with pairs each token with
+    // its predecessor; the n==0 guard avoids zip_with null-padding the
+    // empty token array against [null]
+    val prev = concat(array(lit(null).cast("string")),
+      slice(arr, lit(1), greatest(size(arr) - 1, lit(0))))
+    val prs = when(size(arr) === 0, array().cast("array<struct<w1raw:string,w2raw:string>>"))
+      .otherwise(zip_with(prev, arr,
+        (p, c) => struct(p.as("w1raw"), c.as("w2raw"))))
+    val raw = t.documents
+      .select(col("doc_id"), explode(prs).as("pr"))
+      .select(col("doc_id"), col("pr.w1raw").as("w1raw"), col("pr.w2raw").as("w2raw"))
+    val v1 = broadcast(vocab.withColumnRenamed("token", "w1raw").withColumn("in1", lit(1)))
+    val v2 = broadcast(vocab.withColumnRenamed("token", "w2raw").withColumn("in2", lit(1)))
+    raw.join(v1, Seq("w1raw"), "left").join(v2, Seq("w2raw"), "left")
+      .select(col("doc_id"),
+        when(col("w1raw").isNull, lit("<s>"))
+          .when(col("in1").isNotNull, col("w1raw")).otherwise(lit("<unk>")).as("w1"),
+        when(col("in2").isNotNull, col("w2raw")).otherwise(lit("<unk>")).as("w2"))
+  }
+
+  /** C37: bigram language-model training with add-k smoothing — the
+    * model behind perplexity-based corpus filtering (Wenzek et al.
+    * 2020's CCNet selects training data by LM perplexity; this is that
+    * pipeline's train step re-expressed relationally). Emits the
+    * observed-bigram relation (w1, w2, cnt, ctx, logp) over the
+    * top-`vocabSize` vocabulary + "<unk>", logp = ln((cnt + k) /
+    * (ctx + k·(V+1))) with the (V+1)-outcome event space (vocabulary
+    * plus the OOV bucket; "<s>" is context-only).
+    *
+    * Scale shape: two corpus scans (vocabulary, pairing — the same
+    * two-scan floor as index-free BM25), then everything is bounded:
+    * the bigram aggregation is map-side combinable on (w1, w2) keys
+    * whose cardinality is ≤ min(corpus bigrams, (V+1)²), and context
+    * totals derive from the aggregated LM relation, not a third corpus
+    * pass. No window, no sort wider than the bounded output ORDER BY.
+    */
+  def ngramLm(t: Tables, vocabSize: Int = 256, k: Double = 0.5): DataFrame = {
+    val pairs = lmPairs(t, vocabSize)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    big.join(ctx, Seq("w1"))
+      .select(col("w1"), col("w2"), col("cnt"), col("ctx"),
+        roundHalfUp(log((col("cnt") + lit(k)) / (col("ctx") + lit(k * (vocabSize + 1)))), 3)
+          .as("logp"))
+      .orderBy("w1", "w2")
+  }
+
+  /** C37b: per-document LM scoring — mean bigram log-probability and
+    * perplexity under the C37 model, the CCNet-style quality signal
+    * (low-perplexity ≈ fluent prose, high ≈ boilerplate/garbage; both
+    * tails get inspected in a real corpus build). Scoring the training
+    * corpus itself, every pair hits the LM relation, but the join stays
+    * a left join with the add-k unseen fallback ln(k / (ctx + k·(V+1)))
+    * so held-out tables score through the same plan.
+    *
+    * The pair stream is corpus-sized; the LM and context relations are
+    * vocabulary-bounded — the joins are declared plainly and AQE
+    * broadcasts them when they fit (the common case; a (V+1)²-sized LM
+    * at very large V degrades to a shuffle join, which is the right
+    * plan there). n_bigrams == the document's token count (one bigram
+    * per token, BOS-paired first token included) — a cross-operator
+    * invariant the spec checks against token_count.
+    */
+  def lmScore(t: Tables, vocabSize: Int = 256, k: Double = 0.5): DataFrame = {
+    val pairs = lmPairs(t, vocabSize)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val vTerm = lit(k * (vocabSize + 1))
+    val lp = when(col("cnt").isNotNull,
+        log((col("cnt") + lit(k)) / (col("ctx") + vTerm)))
+      .otherwise(log(lit(k) / (col("ctx") + vTerm)))
+    pairs.join(big, Seq("w1", "w2"), "left").join(ctx, Seq("w1"))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (sum(col("lp")) / count(lit(1))).as("avg_raw"))
+      .select(col("doc_id"), col("n_bigrams"),
+        roundHalfUp(col("avg_raw"), 3).as("avg_logp"),
+        roundHalfUp(exp(-col("avg_raw")), 2).as("ppl"))
+      .orderBy("doc_id")
+  }
 }
