@@ -83,7 +83,15 @@ object PlanAudit {
       ("ngram_lm", _.contains("BroadcastHashJoin"),
         "vocabulary mapping joins broadcast (vocab is top-V bounded)"),
       ("lm_score", p => !p.contains("Window") && !p.contains("CartesianProduct"),
-        "scoring reuses the pair stream: no window, no cross product"))
+        "scoring reuses the pair stream: no window, no cross product"),
+      // C38: the bucket->weight table is a literal map Column, so the
+      // scoring pass must be a pure narrow scan — no join of any kind
+      // and no doc-keyed exchange survive in the plan
+      ("dsir_weights", p => !p.contains("Join") && !p.contains("Window") &&
+          !p.contains("Exchange hashpartitioning"),
+        "scoring is a zero-shuffle narrow scan (literal weight map, no join)"),
+      ("dsir_select", _.contains("TakeOrderedAndProject"),
+        "Gumbel top-k is a bounded ordered take, no global sort"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -93,6 +93,7 @@ object SparkEntry {
     "substring_fp"    -> Seq(col("doc_id"), col("fp")),
     "substring_dedup" -> Seq(col("id_a"), col("id_b")),
     "source_cap"      -> Seq(col("source"), col("rk")),
+    "dsir_weights"    -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -215,7 +216,9 @@ object SparkEntry {
     "bm25_search"     -> q(TextAnalysis.bm25Search(_)),
     "source_cap"      -> q(Sampling.sourceCap(_)),
     "ngram_lm"        -> q(TextAnalysis.ngramLm(_)),
-    "lm_score"        -> q(TextAnalysis.lmScore(_))
+    "lm_score"        -> q(TextAnalysis.lmScore(_)),
+    "dsir_weights"    -> q(TextAnalysis.dsirWeights(_)),
+    "dsir_select"     -> q(TextAnalysis.dsirSelect(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1223,8 +1226,56 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            floor((sum(lp) / count(*)) * 1000.0 + 0.5) / 1000.0 AS avg_logp,
            floor(exp(-(sum(lp) / count(*))) * 100.0 + 0.5) / 100.0 AS ppl
-         FROM sc GROUP BY doc_id ORDER BY doc_id""")
+         FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+    "dsir_weights" -> (dsirSql +
+      """ SELECT doc_id, in_target, n_feats,
+           floor(raw * 1000.0 + 0.5) / 1000.0 AS logw
+         FROM s ORDER BY doc_id"""),
+    "dsir_select" -> (dsirSql +
+      """, sel AS (SELECT doc_id, in_target,
+             floor(raw * 1000.0 + 0.5) / 1000.0 AS logw,
+             ((doc_id % 1000000007 + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS hm
+           FROM s),
+         kd AS (SELECT doc_id, in_target, logw,
+             logw / 1.0 - ln(-ln((CAST(hm AS DOUBLE) + 0.5) / 1000000007.0)) AS gk
+           FROM sel)
+         SELECT doc_id, in_target, logw, floor(gk * 1000.0 + 0.5) / 1000.0 AS gumbel_key
+         FROM kd ORDER BY gk DESC, doc_id LIMIT 200""")
   )
+
+  /** Shared DSIR CTE chain (dsir_weights / dsir_select): hashed n-gram
+    * featurization (unigrams then bigrams, rolling base-31 mod 1e9+7
+    * into 1024 buckets), target/raw bucket distributions with add-0.5
+    * smoothing (512.0 = α·b), and the per-doc importance weight folded
+    * IN FEATURE-LIST ORDER via list_reduce — the exact left fold the
+    * Spark aggregate() HOF performs, so the float sums are bit-stable
+    * across engines, not just round-close. The bucket→weight map rides
+    * as a one-row MAP relation, mirroring the literal-map Column the
+    * Spark side folds into its scan.
+    */
+  private val dsirSql: String =
+    """WITH tok0 AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS in_target,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS ws
+           FROM documents),
+       ft AS (SELECT doc_id, in_target,
+             list_transform(
+               ws || list_transform(generate_series(1, greatest(len(ws) - 1, 0)), i -> ws[i] || ' ' || ws[i+1]),
+               s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(s, ''), x -> CAST(ascii(x) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 1000000007) % 1024) AS feats
+           FROM tok0),
+       ex AS (SELECT in_target, unnest(feats) AS bk FROM ft),
+       cnt AS (SELECT bk, CAST(count(*) AS DOUBLE) AS ca,
+             CAST(sum(in_target) AS DOUBLE) AS ct FROM ex GROUP BY bk),
+       tot AS (SELECT sum(ca) AS ta, sum(ct) AS tt FROM cnt),
+       w AS (SELECT bk, ln((ct + 0.5) / (tt + 512.0)) - ln((ca + 0.5) / (ta + 512.0)) AS w
+           FROM cnt, tot),
+       m AS (SELECT map(list(bk ORDER BY bk), list(w ORDER BY bk)) AS mp,
+             (SELECT ln(0.5 / (tt + 512.0)) - ln(0.5 / (ta + 512.0)) FROM tot) AS wu FROM w),
+       s AS (SELECT doc_id, in_target, CAST(len(feats) AS BIGINT) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(feats, x -> coalesce(mp[x][1], wu))), (a, c) -> a + c) AS raw
+           FROM ft, m)"""
 
   /** Shared bigram-LM CTE chain (ngram_lm / lm_score): the windowed
     * lag() formulation of the SAME pair stream the array-side zip_with

@@ -787,4 +787,104 @@ object TextAnalysis {
         roundHalfUp(exp(-col("avg_raw")), 2).as("ppl"))
       .orderBy("doc_id")
   }
+
+  /** Hashed n-gram feature buckets of a document — unigrams then
+    * bigrams, each polynomial-rolling-hashed (base 31 mod 1e9+7, the
+    * engine's shared cross-engine string hash) into `b` buckets. Order
+    * inside the array is positional (all unigrams, then all bigrams),
+    * which fixes the float fold order of [[dsirWeights]]' score — the
+    * DuckDB oracle folds the identically-constructed list, so the sums
+    * are bit-stable across engines, not just close.
+    */
+  private def dsirFeats(b: Int): Column = {
+    val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    val bigs = zip_with(
+      slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+      slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      (a, c) => concat_ws(" ", a, c))
+    // rolling hash ∈ [0, 1e9+7), so % b is already non-negative
+    transform(concat(arr, bigs),
+      tk => graft.functions.native.rolling_hash(tk) % lit(b.toLong))
+  }
+
+  /** C38: DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    * Selection via Importance Resampling). Documents are featurized as
+    * hashed n-gram counts (unigrams + bigrams into `b` buckets); a
+    * target distribution p is estimated from the documents matching
+    * `targetExpr`, the raw distribution q from the whole corpus, both
+    * add-α smoothed; a document's importance weight is
+    * logw = Σ_feats (ln p_bucket − ln q_bucket) — high where the doc
+    * looks more like the target than like the corpus at large.
+    *
+    * Scale shape: ONE stats scan (explode buckets → B-bounded
+    * map-side-combinable aggregate with conditional target counts →
+    * bounded collect of ≤ `b` rows), then scoring is a SINGLE narrow
+    * zero-shuffle codegen scan — the bucket→weight table folds back as
+    * one literal map Column (the A21 literal-fold pattern; plan size
+    * O(1) in b via the reference-object Literal), and the per-doc score
+    * is an in-array left fold, never an exploded join + regroup. At
+    * 100 TB the scoring pass is pure map work with no doc-keyed
+    * exchange at all.
+    */
+  def dsirWeights(t: Tables, targetExpr: String = "lang = 'en'",
+                  b: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    require(b > 0 && b <= 65536, s"dsir bucket count must be in (0, 65536], got $b")
+    val feats = dsirFeats(b)
+    val cnts = t.documents
+      .select(explode(feats).as("bk"), expr(targetExpr).as("is_t"))
+      .groupBy("bk")
+      .agg(count(lit(1)).as("cA"), sum(when(col("is_t"), 1L).otherwise(0L)).as("cT"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totA = cnts.map(_._2).sum.toDouble
+    val totT = cnts.map(_._3).sum.toDouble
+    val denomT = totT + alpha * b
+    val denomA = totA + alpha * b
+    val w: Map[Long, Double] = cnts.map { case (bk, cA, cT) =>
+      bk -> (math.log((cT + alpha) / denomT) - math.log((cA + alpha) / denomA))
+    }.toMap
+    // a bucket absent from the whole corpus (held-out scoring) gets the
+    // all-smoothing weight; for in-corpus docs every lookup hits
+    val wUnseen = math.log(alpha / denomT) - math.log(alpha / denomA)
+    val wOf = (bk: Column) => coalesce(element_at(typedLit(w), bk), lit(wUnseen))
+    t.documents
+      .select(col("doc_id"), expr(targetExpr).cast("long").as("in_target"),
+        feats.as("feats"))
+      .select(col("doc_id"), col("in_target"),
+        size(col("feats")).cast("long").as("n_feats"),
+        roundHalfUp(aggregate(col("feats"), lit(0.0d), (acc, bk) => acc + wOf(bk)), 3)
+          .as("logw"))
+  }
+
+  /** C38b: DSIR selection — sample `k` documents without replacement
+    * with probability ∝ exp(logw / tau) via the Gumbel-top-k trick,
+    * made DETERMINISTIC by deriving each document's uniform from the
+    * engine's multiplicative id hash instead of rand(): membership is a
+    * pure function of (corpus, doc_id), so the selection reproduces
+    * across runs, engines and speculative retries — the same no-rand()
+    * rule as C16/C19b, which is what makes the resample auditable.
+    *
+    * key = logw/tau + g,  g = −ln(−ln(u)),
+    * u = ((pmod(doc_id, P)·2654435761) mod P + 0.5) / P ∈ (0, 1).
+    *
+    * Top-k = TakeOrderedAndProject over the zero-shuffle scoring scan:
+    * the whole operator is one stats scan + one narrow scan + a bounded
+    * ordered take. The key ranks on the ROUNDED logw (bit-identical
+    * across engines by construction, so the only cross-engine ordering
+    * risk is a float tie in the Gumbel term — broken by doc_id).
+    */
+  def dsirSelect(t: Tables, k: Int = 200, tau: Double = 1.0,
+                 targetExpr: String = "lang = 'en'",
+                 b: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    val P = 1000000007L
+    val scored = dsirWeights(t, targetExpr, b, alpha)
+    val u = (expr(s"((doc_id % ${P}L + ${P}L) % ${P}L * 2654435761L) % ${P}L")
+      .cast("double") + lit(0.5)) / lit(P.toDouble)
+    val key = col("logw") / lit(tau) - log(-log(u))
+    scored
+      .withColumn("gumbel_key", key)
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("in_target"), col("logw"),
+        roundHalfUp(col("gumbel_key"), 3).as("gumbel_key"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** C38/C38b DSIR tests: hand-computed importance weights on a tiny
+  * corpus (feature buckets re-derived in the test from the shared
+  * rolling hash), the n_feats = 2n−1 featurization invariant, the
+  * deterministic Gumbel key formula, rerun determinism, and the bucket
+  * gate.
+  */
+class DsirSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def docs(rows: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dsirdocs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  private val P = 1000000007L
+  private def rh(s: String): Long =
+    s.codePoints.toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+  private def feats(text: String, b: Int = 1024): Seq[Long] = {
+    val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val bigs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    (ws ++ bigs).map(t => rh(t) % b)
+  }
+  private def r3(x: Double): Double = math.floor(x * 1000.0 + 0.5) / 1000.0
+
+  test("dsir_weights matches hand-computed add-alpha importance weights") {
+    val rows = Seq((1L, "a b", "en"), (2L, "a c", "de"), (3L, "b b", "en"))
+    val t = docs(rows)
+    // reference model computed independently from the same formula
+    val all = rows.flatMap { case (_, tx, _) => feats(tx) }
+    val tgt = rows.filter(_._3 == "en").flatMap { case (_, tx, _) => feats(tx) }
+    val cA = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cT = tgt.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val denomA = all.size + 0.5 * 1024
+    val denomT = tgt.size + 0.5 * 1024
+    def w(bk: Long): Double =
+      math.log((cT.getOrElse(bk, 0.0) + 0.5) / denomT) -
+        math.log((cA(bk) + 0.5) / denomA)
+    val expected = rows.map { case (id, tx, lang) =>
+      id -> ((if (lang == "en") 1L else 0L),
+        feats(tx).size.toLong,
+        r3(feats(tx).foldLeft(0.0)((acc, bk) => acc + w(bk))))
+    }.toMap
+    val got = TextAnalysis.dsirWeights(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // target-looking docs must outscore the off-target doc
+    assert(got(1L)._3 > got(2L)._3 && got(3L)._3 > got(2L)._3)
+  }
+
+  test("featurization: n_feats = 2n-1 for n >= 1 tokens; empty docs score 0") {
+    val t = docs(Seq((1L, "one two three", "en"), (2L, "solo", "en"),
+      (3L, "", "de"), (4L, "   ", "de")))
+    val got = TextAnalysis.dsirWeights(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._1 == 5L) // 3 uni + 2 big
+    assert(got(2L)._1 == 1L) // 1 uni + 0 big
+    assert(got(3L) == ((0L, 0.0)))
+    assert(got(4L) == ((0L, 0.0)))
+  }
+
+  test("dsir_select: deterministic Gumbel key from the id hash, stable across reruns") {
+    val rows = (1L to 20L).map(i => (i, s"tok$i common", if (i % 2 == 0) "en" else "de"))
+    val t = docs(rows)
+    val sel1 = TextAnalysis.dsirSelect(t, k = 5)
+    val r1 = sel1.collect().map(r => (r.getLong(0), r.getDouble(3)))
+    val r2 = TextAnalysis.dsirSelect(t, k = 5).collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(r1.toSeq == r2.toSeq, "selection must be a pure function of (corpus, ids)")
+    assert(r1.length == 5)
+    // key formula: logw + (-ln(-ln(u))), u from the multiplicative id hash
+    val logw = TextAnalysis.dsirWeights(t).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def key(id: Long): Double = {
+      val hm = ((id % P + P) % P * 2654435761L) % P
+      val u = (hm.toDouble + 0.5) / P.toDouble
+      logw(id) - math.log(-math.log(u))
+    }
+    val expectTop = rows.map(_._1).sortBy(id => (-key(id), id)).take(5)
+    assert(r1.map(_._1).toSeq == expectTop)
+    r1.foreach { case (id, gk) => assert(gk == r3(key(id))) }
+  }
+
+  test("k larger than the corpus returns every document") {
+    val t = docs(Seq((1L, "a", "en"), (2L, "b", "de")))
+    assert(TextAnalysis.dsirSelect(t, k = 100).count() == 2)
+  }
+
+  test("bucket-count gate refuses b outside (0, 65536]") {
+    val t = docs(Seq((1L, "a", "en")))
+    intercept[IllegalArgumentException] { TextAnalysis.dsirWeights(t, b = 0) }
+    intercept[IllegalArgumentException] { TextAnalysis.dsirWeights(t, b = 65537) }
+  }
+}
