@@ -35,7 +35,16 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // scratch hygiene, OUTSIDE the timed region: a finished pass's
+      // shuffle files are reclaimed by ContextCleaner only after the JVM
+      // GC notices the dereferenced ShuffleDependencies — which on a
+      // large heap can be never within a bench, so warm + two timed
+      // passes of a spill-heavy query stack THREE passes of shuffle
+      // files on local disk (the sf30 probes died of exactly this).
+      // An explicit GC bounds scratch at ~one pass's footprint.
+      System.gc()
+      (dt, ok)
     }
     // warm pass: absorbs first-run planning + whole-stage-codegen JIT
     // (which dominates sub-second queries and never recurs in a live

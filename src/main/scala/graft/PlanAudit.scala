@@ -91,7 +91,12 @@ object PlanAudit {
           !p.contains("Exchange hashpartitioning"),
         "scoring is a zero-shuffle narrow scan (literal weight map, no join)"),
       ("dsir_select", _.contains("TakeOrderedAndProject"),
-        "Gumbel top-k is a bounded ordered take, no global sort"))
+        "Gumbel top-k is a bounded ordered take, no global sort"),
+      // C39: lo/hi are literal array Columns, so encoding must be a pure
+      // narrow scan — no join, no hash shuffle (the driver-boundary
+      // orderBy adds a range exchange, same as pii_redact)
+      ("embed_quantize", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "encoding is a zero-shuffle narrow scan (literal lo/hi arrays)"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -94,6 +94,7 @@ object SparkEntry {
     "substring_dedup" -> Seq(col("id_a"), col("id_b")),
     "source_cap"      -> Seq(col("source"), col("rk")),
     "dsir_weights"    -> Seq(col("doc_id")),
+    "embed_quantize"  -> Seq(col("vec_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -218,7 +219,8 @@ object SparkEntry {
     "ngram_lm"        -> q(TextAnalysis.ngramLm(_)),
     "lm_score"        -> q(TextAnalysis.lmScore(_)),
     "dsir_weights"    -> q(TextAnalysis.dsirWeights(_)),
-    "dsir_select"     -> q(TextAnalysis.dsirSelect(_))
+    "dsir_select"     -> q(TextAnalysis.dsirSelect(_)),
+    "embed_quantize"  -> q(Similarity.embedQuantize(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1240,7 +1242,29 @@ object SparkEntry {
              logw / 1.0 - ln(-ln((CAST(hm AS DOUBLE) + 0.5) / 1000000007.0)) AS gk
            FROM sel)
          SELECT doc_id, in_target, logw, floor(gk * 1000.0 + 0.5) / 1000.0 AS gumbel_key
-         FROM kd ORDER BY gk DESC, doc_id LIMIT 200""")
+         FROM kd ORDER BY gk DESC, doc_id LIMIT 200"""),
+    "embed_quantize" ->
+      """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+             FROM embeddings),
+         ex2 AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM ex),
+         st AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex2 GROUP BY i),
+         lh AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM st),
+         cd AS (SELECT vec_id, embedding,
+             list_transform(generate_series(1, len(embedding)), i ->
+               CASE WHEN his[i] = los[i] THEN 0
+                    ELSE CAST(least(greatest(floor((CAST(embedding[i] AS DOUBLE) - los[i])
+                             / (his[i] - los[i]) * 255.0 + 0.5), 0.0), 255.0) AS INT) END) AS codes
+           FROM embeddings, lh),
+         rc AS (SELECT vec_id, embedding, codes,
+             list_transform(generate_series(1, len(embedding)), i ->
+               los[i] + CAST(codes[i] AS DOUBLE) * (his[i] - los[i]) / 255.0) AS recon
+           FROM cd, lh)
+         SELECT vec_id, codes[1] AS code_0, codes[2] AS code_1, codes[3] AS code_2, codes[4] AS code_3,
+           floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(embedding)), i ->
+                 (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
+             (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
+         FROM rc ORDER BY vec_id"""
   )
 
   /** Shared DSIR CTE chain (dsir_weights / dsir_select): hashed n-gram

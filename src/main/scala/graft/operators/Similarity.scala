@@ -436,4 +436,62 @@ object Similarity {
           element_at(centArrCol(centRows), col("cell_id").cast("int") + lit(1))), 4))
       .select(col("vec_id"), col("label"), col("cell_id"), col("sim_to_centroid"))
   }
+
+  /** C39: affine int8 scalar quantization of the embedding column — the
+    * compression step that makes 100 TB of vectors storable and
+    * SIMD-scannable (4× smaller than float32, distance kernels on u8).
+    * Per-dimension affine codes over the corpus min/max range:
+    *
+    *   code_i = clamp(⌊(v_i − lo_i) / (hi_i − lo_i) · 255 + 0.5⌋, 0, 255)
+    *   recon_i = lo_i + code_i · (hi_i − lo_i) / 255
+    *
+    * (constant dimensions — hi == lo — code to 0 and reconstruct
+    * exactly). Emits the first four codes as a parity surface plus the
+    * per-vector reconstruction MSE.
+    *
+    * Scale shape: the stats pass is a dimension-bounded aggregate
+    * (posexplode → min/max over ≤ dims keys, map-side combinable) with
+    * a ≤ dims-row collect; encoding is then a SINGLE zero-shuffle
+    * narrow scan — lo/hi ride as two literal array Columns (the same
+    * literal-fold pattern as C38/A21) and codes + reconstruction error
+    * are in-array folds. All float math is pure +/−/·// in a fixed
+    * fold order, so the oracle compare is bit-stable end to end — no
+    * transcendental functions, no rounding dependence.
+    */
+  def embedQuantize(t: Tables): DataFrame = {
+    val stats = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v").cast("double")).as("lo"), max(col("v").cast("double")).as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val loLit = typedLit(stats.map(_._2).toSeq)
+    val hiLit = typedLit(stats.map(_._3).toSeq)
+    val codes = transform(col("embedding"), (v, i) => {
+      val lo = element_at(loLit, i + lit(1))
+      val hi = element_at(hiLit, i + lit(1))
+      when(hi === lo, lit(0)).otherwise(
+        least(greatest(floor((v.cast("double") - lo) / (hi - lo) * lit(255.0) + lit(0.5)),
+          lit(0.0)), lit(255.0))).cast("int")
+    })
+    val recon = transform(col("codes"), (c, i) => {
+      val lo = element_at(loLit, i + lit(1))
+      val hi = element_at(hiLit, i + lit(1))
+      lo + c.cast("double") * (hi - lo) / lit(255.0)
+    })
+    val sqErr = zip_with(col("embedding"), col("recon"),
+      (a, b) => (a.cast("double") - b) * (a.cast("double") - b))
+    t.embeddings
+      .withColumn("codes", codes)
+      .withColumn("recon", recon)
+      .select(col("vec_id"),
+        // get() not element_at(): null-safe under ANSI for sub-4-dim
+        // vectors (mirrors the oracle's out-of-range list index -> NULL)
+        get(col("codes"), lit(0)).as("code_0"),
+        get(col("codes"), lit(1)).as("code_1"),
+        get(col("codes"), lit(2)).as("code_2"),
+        get(col("codes"), lit(3)).as("code_3"),
+        roundHalfUp(aggregate(sqErr, lit(0.0d), (acc, x) => acc + x) /
+          size(col("embedding")), 8).as("mse"))
+  }
 }

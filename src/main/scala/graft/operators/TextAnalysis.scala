@@ -826,12 +826,21 @@ object TextAnalysis {
     * 100 TB the scoring pass is pure map work with no doc-keyed
     * exchange at all.
     */
-  def dsirWeights(t: Tables, targetExpr: String = "lang = 'en'",
-                  b: Int = 1024, alpha: Double = 0.5): DataFrame = {
+  /** A fitted C38 model: hashed-bucket importance weights plus the
+    * unseen-bucket fallback. Bounded (≤ b entries), so it ships inside
+    * plans as a literal map Column — batch and streaming scoring are
+    * the same zero-shuffle narrow projection.
+    */
+  case class DsirModel(b: Int, weights: Map[Long, Double], wUnseen: Double)
+
+  /** The C38 stats pass alone: fit the bucket→weight model from one
+    * B-bounded aggregate scan (map-side combinable, ≤ b-row collect).
+    */
+  def dsirFit(t: Tables, targetExpr: String = "lang = 'en'",
+              b: Int = 1024, alpha: Double = 0.5): DsirModel = {
     require(b > 0 && b <= 65536, s"dsir bucket count must be in (0, 65536], got $b")
-    val feats = dsirFeats(b)
     val cnts = t.documents
-      .select(explode(feats).as("bk"), expr(targetExpr).as("is_t"))
+      .select(explode(dsirFeats(b)).as("bk"), expr(targetExpr).as("is_t"))
       .groupBy("bk")
       .agg(count(lit(1)).as("cA"), sum(when(col("is_t"), 1L).otherwise(0L)).as("cT"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -842,17 +851,31 @@ object TextAnalysis {
     val w: Map[Long, Double] = cnts.map { case (bk, cA, cT) =>
       bk -> (math.log((cT + alpha) / denomT) - math.log((cA + alpha) / denomA))
     }.toMap
-    // a bucket absent from the whole corpus (held-out scoring) gets the
-    // all-smoothing weight; for in-corpus docs every lookup hits
-    val wUnseen = math.log(alpha / denomT) - math.log(alpha / denomA)
-    val wOf = (bk: Column) => coalesce(element_at(typedLit(w), bk), lit(wUnseen))
+    // a bucket absent from the whole corpus (held-out or streaming
+    // scoring) gets the all-smoothing weight; for in-corpus docs every
+    // lookup hits (map element_at nulls on miss even under ANSI)
+    DsirModel(b, w, math.log(alpha / denomT) - math.log(alpha / denomA))
+  }
+
+  /** Raw (unrounded) logw of `col("text")` under a fitted model — the
+    * shared scoring projection of the batch operator and the C38c
+    * streaming gate. Pure narrow expression: no shuffle, no state.
+    */
+  private[graft] def dsirScoreCol(m: DsirModel): Column = {
+    val wOf = (bk: Column) => coalesce(element_at(typedLit(m.weights), bk), lit(m.wUnseen))
+    aggregate(dsirFeats(m.b), lit(0.0d), (acc, bk) => acc + wOf(bk))
+  }
+
+  private[graft] def dsirNFeats(m: DsirModel): Column =
+    size(dsirFeats(m.b)).cast("long")
+
+  def dsirWeights(t: Tables, targetExpr: String = "lang = 'en'",
+                  b: Int = 1024, alpha: Double = 0.5): DataFrame = {
+    val m = dsirFit(t, targetExpr, b, alpha)
     t.documents
       .select(col("doc_id"), expr(targetExpr).cast("long").as("in_target"),
-        feats.as("feats"))
-      .select(col("doc_id"), col("in_target"),
-        size(col("feats")).cast("long").as("n_feats"),
-        roundHalfUp(aggregate(col("feats"), lit(0.0d), (acc, bk) => acc + wOf(bk)), 3)
-          .as("logw"))
+        dsirNFeats(m).as("n_feats"),
+        roundHalfUp(dsirScoreCol(m), 3).as("logw"))
   }
 
   /** C38b: DSIR selection — sample `k` documents without replacement

@@ -314,6 +314,29 @@ object EventStream {
       .select(col("window_start"), col("e.item").as("token"), col("e.count").as("cnt"))
   }
 
+  /** C38c: streaming DSIR quality gate — score arriving documents
+    * against a batch-fitted [[graft.operators.TextAnalysis.DsirModel]]
+    * and keep those at or above `minLogw`. The live-ingest twin of the
+    * C38 batch scorer, and the simplest kind of streaming operator
+    * there is: the bounded model rides inside the plan as a literal map
+    * Column, so scoring is a STATELESS narrow projection — no state
+    * store, no watermark, no shuffle, and exact batch==stream parity by
+    * construction (same scoring expression, same fold order). Arrivals
+    * with unseen feature buckets score through the model's add-α
+    * fallback, exactly like held-out batch scoring.
+    */
+  def streamingDsirScore(docs: Dataset[Doc],
+                         model: graft.operators.TextAnalysis.DsirModel,
+                         minLogw: Double = Double.NegativeInfinity): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    import graft.functions.roundHalfUp
+    docs.toDF()
+      .select(col("docId"), TextAnalysis.dsirNFeats(model).as("n_feats"),
+        roundHalfUp(TextAnalysis.dsirScoreCol(model), 3).as("logw"))
+      .filter(col("logw") >= minLogw)
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

@@ -104,4 +104,45 @@ class DsirSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TextAnalysis.dsirWeights(t, b = 0) }
     intercept[IllegalArgumentException] { TextAnalysis.dsirWeights(t, b = 65537) }
   }
+
+  test("C38c streaming gate scores identically to batch and keeps no state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sqlCtx = spark.sqlContext
+    val fitRows = Seq((1L, "good clean prose here", "en"), (2L, "spam spam spam", "de"),
+      (3L, "more clean prose", "en"))
+    val model = TextAnalysis.dsirFit(docs(fitRows))
+    // stream carries one doc with buckets the model never saw (held-out
+    // fallback) plus re-scored fit docs
+    val arrivals = Seq(EventStream.Doc(1L, "good clean prose here"),
+      EventStream.Doc(2L, "spam spam spam"),
+      EventStream.Doc(9L, "utterly novel unseen wording"))
+    val mem = MemoryStream[EventStream.Doc]
+    val q = EventStream.streamingDsirScore(mem.toDS(), model)
+      .writeStream.format("memory").queryName("dsirgate").outputMode("append").start()
+    mem.addData(arrivals: _*)
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators
+    val got = spark.sql("SELECT * FROM dsirgate ORDER BY docId").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(stateRows.isEmpty, "scoring must be stateless (no state operators)")
+    // batch twin over the same arrivals through the same model
+    val batch = arrivals.map(d => (d.docId, d.text)).toDF("docId", "text")
+      .select(col("docId"), TextAnalysis.dsirNFeats(model).as("n_feats"),
+        graft.functions.roundHalfUp(TextAnalysis.dsirScoreCol(model), 3).as("logw"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == batch, "stream == batch scoring parity")
+    // the gate itself: only docs at/above the threshold pass
+    val mem2 = MemoryStream[EventStream.Doc]
+    val cut = got(1L)._2
+    val q2 = EventStream.streamingDsirScore(mem2.toDS(), model, minLogw = cut)
+      .writeStream.format("memory").queryName("dsirgate2").outputMode("append").start()
+    mem2.addData(arrivals: _*)
+    q2.processAllAvailable()
+    val kept = spark.sql("SELECT docId FROM dsirgate2").collect().map(_.getLong(0)).toSet
+    q2.stop()
+    assert(kept == got.filter(_._2._2 >= cut).keySet)
+  }
 }
