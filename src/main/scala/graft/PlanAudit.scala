@@ -96,7 +96,29 @@ object PlanAudit {
       // narrow scan — no join, no hash shuffle (the driver-boundary
       // orderBy adds a range exchange, same as pii_redact)
       ("embed_quantize", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
-        "encoding is a zero-shuffle narrow scan (literal lo/hi arrays)"))
+        "encoding is a zero-shuffle narrow scan (literal lo/hi arrays)"),
+      // C40: the whole intra-doc dedup happens inside the row's arrays —
+      // no generator, no join, no hash exchange at any corpus size
+      ("line_dedup", p => !p.contains("Join") && !p.contains("Generate") &&
+          !p.contains("Exchange hashpartitioning"),
+        "intra-doc segment dedup is one narrow array scan (no explode, no shuffle)"),
+      // C41: both retrieval arms end in a bounded take BEFORE fusion —
+      // the rank windows and the fusion join see ≤ n rows, not the corpus
+      ("rrf_fusion", p => "TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+        "both retrieval arms bounded-take before fusion"),
+      ("rrf_fusion", p => !p.contains("CartesianProduct"),
+        "fusion joins bounded candidate lists, never a cross product"),
+      // C42: within-cell pairing is keyed on cell_id; assignment is the
+      // literal-fold argmax (no join in the assignment pass)
+      ("semdedup", p => !p.contains("CartesianProduct"),
+        "within-cell pairing is a cell-keyed join, never a cross product"),
+      // C43: codebooks ride as one literal Column — encode and ADC are
+      // pure narrow scans; ADC's top-k is a bounded ordered take
+      ("pq_encode", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "PQ encoding is a zero-shuffle narrow scan (literal codebooks)"),
+      ("ann_pq", p => p.contains("TakeOrderedAndProject") &&
+          !p.contains("Exchange hashpartitioning"),
+        "ADC search is a narrow scan + bounded ordered take"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)
@@ -133,6 +155,10 @@ object PlanAudit {
         "library gopher rules are a zero-exchange narrow scan (sort-free API)"),
       ("lib:fingerprint", !libPlan(operators.TextAnalysis.fingerprint(t)).contains("Exchange"),
         "library fingerprinting is a zero-exchange narrow scan (sort-free API)"),
+      ("lib:line_dedup", !libPlan(operators.TextAnalysis.lineDedup(t)).contains("Exchange"),
+        "library intra-doc dedup is a zero-exchange narrow scan (sort-free API)"),
+      ("lib:pq_encode", !libPlan(operators.Similarity.pqEncode(t)).contains("Exchange"),
+        "library PQ encoding is a zero-exchange narrow scan (sort-free API)"),
       ("lib:curate", !libPlan(operators.TextAnalysis.curate(t)).contains("rangepartitioning"),
         "library curation carries no global sort"),
       ("lib:corpus_delta", !libPlan(operators.TextAnalysis.corpusDelta(t)).contains("rangepartitioning"),

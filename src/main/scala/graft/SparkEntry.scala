@@ -95,6 +95,11 @@ object SparkEntry {
     "source_cap"      -> Seq(col("source"), col("rk")),
     "dsir_weights"    -> Seq(col("doc_id")),
     "embed_quantize"  -> Seq(col("vec_id")),
+    "line_dedup"      -> Seq(col("doc_id")),
+    "rrf_fusion"      -> Seq(col("rk")),
+    "semdedup"        -> Seq(col("vec_id")),
+    "pq_encode"       -> Seq(col("vec_id")),
+    "ann_pq"          -> Seq(col("adist"), col("vec_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -220,7 +225,14 @@ object SparkEntry {
     "lm_score"        -> q(TextAnalysis.lmScore(_)),
     "dsir_weights"    -> q(TextAnalysis.dsirWeights(_)),
     "dsir_select"     -> q(TextAnalysis.dsirSelect(_)),
-    "embed_quantize"  -> q(Similarity.embedQuantize(_))
+    "embed_quantize"  -> q(Similarity.embedQuantize(_)),
+    // word-granularity separator: the synthetic corpus is single-line, so
+    // " " is the segment split that actually exercises keep-first/reassemble
+    "line_dedup"      -> q(TextAnalysis.lineDedup(_, sep = " ")),
+    "rrf_fusion"      -> q(TextAnalysis.rrfFusion(_)),
+    "semdedup"        -> q(Similarity.semDedup(_)),
+    "pq_encode"       -> q(Similarity.pqEncode(_)),
+    "ann_pq"          -> q(Similarity.annPq(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1185,30 +1197,9 @@ object SparkEntry {
          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
          JOIN cool c ON c.fp = a.fp
          GROUP BY 1, 2 ORDER BY id_a, id_b"""),
-    "bm25_search" ->
-      """WITH terms(term) AS (SELECT * FROM (VALUES ('spark'), ('stream'), ('filter'))),
-         d AS (SELECT doc_id,
-                 CASE WHEN len(trim(text)) = 0 THEN 0
-                   ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) END AS dl,
-                 lower(text) AS lt
-               FROM documents),
-         st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
-         p AS (SELECT doc_id, dl, unnest(regexp_split_to_array(trim(lt), '\s+')) AS term FROM d),
-         tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-                FROM p JOIN terms USING (term) GROUP BY 1, 2),
-         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         w AS (SELECT doc_id, term,
-                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
-               FROM tf JOIN dfq USING (term) CROSS JOIN st),
-         s AS (SELECT doc_id, count(*) AS n_terms,
-                 max(CASE WHEN term = 'spark' THEN w END) AS w0,
-                 max(CASE WHEN term = 'stream' THEN w END) AS w1,
-                 max(CASE WHEN term = 'filter' THEN w END) AS w2
-               FROM w GROUP BY 1)
-         SELECT doc_id, n_terms,
-           floor((coalesce(w0, 0.0) + coalesce(w1, 0.0) + coalesce(w2, 0.0)) * 10000.0 + 0.5) / 10000.0 AS score
-         FROM s ORDER BY score DESC, doc_id LIMIT 20""",
+    "bm25_search" -> (bm25Sql +
+      """ SELECT doc_id, n_terms, score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 20"""),
     "source_cap" ->
       """WITH h AS (SELECT source, doc_id,
                  (((doc_id % 1000000007) + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS h
@@ -1264,8 +1255,131 @@ object SparkEntry {
                list_transform(generate_series(1, len(embedding)), i ->
                  (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
              (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
-         FROM rc ORDER BY vec_id"""
+         FROM rc ORDER BY vec_id""",
+    "line_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+         n AS (SELECT doc_id, segs, list_transform(segs, x -> lower(trim(x))) AS nm FROM s),
+         k AS (SELECT doc_id, segs,
+                 list_filter(segs, (x, i) -> list_position(nm, lower(trim(x))) = i) AS kept
+               FROM n)
+         SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs, CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, ' ') AS kept_text
+         FROM k ORDER BY doc_id""",
+    "rrf_fusion" -> (bm25Sql +
+      """, bmt AS (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bm25_rank FROM bmt),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         dsc AS (SELECT vec_id, floor((list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM embeddings, qv WHERE vec_id <> 0),
+         dst AS (SELECT vec_id, sim FROM dsc ORDER BY sim DESC, vec_id LIMIT 50),
+         dsr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS dense_rank FROM dst),
+         f AS (SELECT coalesce(bmr.doc_id, dsr.doc_id) AS doc_id, bm25_rank, dense_rank,
+                 floor((coalesce(CAST(1.0 AS DOUBLE)/(60 + bm25_rank), 0.0)
+                      + coalesce(CAST(1.0 AS DOUBLE)/(60 + dense_rank), 0.0)) * 1000000.0 + 0.5)/1000000.0 AS rrf
+               FROM bmr FULL OUTER JOIN dsr ON bmr.doc_id = dsr.doc_id),
+         ft AS (SELECT doc_id, bm25_rank, dense_rank, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20)
+         SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk,
+           doc_id, bm25_rank, dense_rank, rrf
+         FROM ft ORDER BY rk"""),
+    "semdedup" ->
+      """WITH cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id, embedding AS cent
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+         asg AS (SELECT vec_id, label, embedding, cell_id, sc FROM (
+             SELECT e.vec_id, e.label, e.embedding, c.cell_id,
+               floor((list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sc,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY (list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))))) DESC, c.cell_id) AS rk
+             FROM embeddings e, cents c) s WHERE rk = 1),
+         dr AS (SELECT DISTINCT CASE WHEN a.sc > b.sc THEN a.vec_id ELSE b.vec_id END AS vec_id
+                FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                WHERE floor((list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 >= 0.25)
+         SELECT g.vec_id, g.label, g.cell_id, g.sc AS sim_centroid, dr.vec_id IS NULL AS kept
+         FROM asg g LEFT JOIN dr ON g.vec_id = dr.vec_id ORDER BY g.vec_id""",
+    "pq_encode" -> (pqSql +
+      """ SELECT vec_id,
+           max(CASE WHEN s=0 THEN c END) AS code_0,
+           max(CASE WHEN s=1 THEN c END) AS code_1,
+           max(CASE WHEN s=2 THEN c END) AS code_2,
+           max(CASE WHEN s=3 THEN c END) AS code_3,
+           floor((max(CASE WHEN s=0 THEN d2 END) + max(CASE WHEN s=1 THEN d2 END)
+                + max(CASE WHEN s=2 THEN d2 END) + max(CASE WHEN s=3 THEN d2 END))
+               / max(dims) * 100000000.0 + 0.5) / 100000000.0 AS qerr
+         FROM bz GROUP BY vec_id ORDER BY vec_id"""),
+    "ann_pq" -> (pqSql +
+      """, qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ad AS (SELECT b.vec_id, b.s,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(qe)//4), j ->
+                 (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE))
+                 * (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE)))),
+               (a, x) -> a + x) AS qd
+           FROM bz b JOIN cb ON cb.c = b.c, qv
+           WHERE b.vec_id <> 0),
+         tot AS (SELECT vec_id,
+             floor((max(CASE WHEN s=0 THEN qd END) + max(CASE WHEN s=1 THEN qd END)
+                  + max(CASE WHEN s=2 THEN qd END) + max(CASE WHEN s=3 THEN qd END)) * 1000000.0 + 0.5)/1000000.0 AS adist
+           FROM ad GROUP BY vec_id)
+         SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT 10""")
   )
+
+  /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,
+    * doc-length stats, per-term Okapi weights, and the fixed-order
+    * pivoted per-doc summation — one string so the lexical arm of the
+    * RRF fusion can never desynchronize from the standalone BM25 query.
+    */
+  private val bm25Sql: String =
+    """WITH terms(term) AS (SELECT * FROM (VALUES ('spark'), ('stream'), ('filter'))),
+       d AS (SELECT doc_id,
+               CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) END AS dl,
+               lower(text) AS lt
+             FROM documents),
+       st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       p AS (SELECT doc_id, dl, unnest(regexp_split_to_array(trim(lt), '\s+')) AS term FROM d),
+       tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+              FROM p JOIN terms USING (term) GROUP BY 1, 2),
+       dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       w AS (SELECT doc_id, term,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0))
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS w
+             FROM tf JOIN dfq USING (term) CROSS JOIN st),
+       s AS (SELECT doc_id, count(*) AS n_terms,
+               max(CASE WHEN term = 'spark' THEN w END) AS w0,
+               max(CASE WHEN term = 'stream' THEN w END) AS w1,
+               max(CASE WHEN term = 'filter' THEN w END) AS w2
+             FROM w GROUP BY 1),
+       bm AS (SELECT doc_id, n_terms,
+               floor((coalesce(w0, 0.0) + coalesce(w1, 0.0) + coalesce(w2, 0.0)) * 10000.0 + 0.5) / 10000.0 AS score
+             FROM s)"""
+
+  /** Shared PQ CTE chain (pq_encode / ann_pq): first-16 per-subspace
+    * codebooks (cb), squared subvector distances as SEQUENTIAL
+    * list_reduce folds (the exact j-ascending fold the Spark aggregate()
+    * performs — code selection compares bit-identical doubles, so the
+    * argmin cannot flip across engines), and the per-(vector, subspace)
+    * argmin (bz). m=4, ksub=16 mirror the driver query's defaults.
+    */
+  private val pqSql: String =
+    """WITH cb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, embedding AS cent
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+       enc AS (SELECT e.vec_id, sp.s, cb.c, len(e.embedding) AS dims,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, len(e.embedding)//4), j ->
+               (CAST(e.embedding[sp.s*(len(e.embedding)//4)+j] AS DOUBLE) - CAST(cb.cent[sp.s*(len(e.embedding)//4)+j] AS DOUBLE))
+               * (CAST(e.embedding[sp.s*(len(e.embedding)//4)+j] AS DOUBLE) - CAST(cb.cent[sp.s*(len(e.embedding)//4)+j] AS DOUBLE)))),
+             (a, x) -> a + x) AS d2
+         FROM embeddings e, sp, cb),
+       best AS (SELECT vec_id, s, c, d2, dims,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rk FROM enc),
+       bz AS (SELECT vec_id, s, c, d2, dims FROM best WHERE rk = 1)"""
 
   /** Shared DSIR CTE chain (dsir_weights / dsir_select): hashed n-gram
     * featurization (unigrams then bigrams, rolling base-31 mod 1e9+7

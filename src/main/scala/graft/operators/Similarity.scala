@@ -494,4 +494,178 @@ object Similarity {
         roundHalfUp(aggregate(sqErr, lit(0.0d), (acc, x) => acc + x) /
           size(col("embedding")), 8).as("mse"))
   }
+
+  /** C41: semantic deduplication — SemDeDup (Abbas et al. 2023): cluster
+    * the embedding corpus, then prune within-cluster cosine near-dups,
+    * keeping the member FARTHEST from its centroid (the paper's rule:
+    * centroid-near members are the redundant "prototypical" copies;
+    * far members carry the cluster's diversity). The pruned corpus is
+    * the training set; near-dup text variants C2-C4 can't see (same
+    * meaning, different words) die here.
+    *
+    * Drop rule, deterministic: for every within-cell pair with rounded
+    * cosine ≥ `threshold`, the member with the HIGHER rounded
+    * centroid-similarity is dropped (tie → the higher vec_id). A vector
+    * is kept iff no pair drops it. Pair-local (not connected-component)
+    * dropping matches the paper's per-cluster ε-sweep and keeps the
+    * operator a single join + distinct — no iteration.
+    *
+    * Scale shape: cell assignment is the C7 zero-shuffle literal-fold
+    * (broadcast-join fallback above the codebook gate); the pair join
+    * shuffles on cell_id ONLY — with nCells sized so expected cell
+    * population n/nCells stays bounded (the paper runs ~100k clusters
+    * at billion scale), within-cell pairs are (n/nCells)² per cell, the
+    * same budget-bounded blocking as C5's label blocks. `maxExpectedCell`
+    * refuses configurations whose expected cell would blow that budget —
+    * raise nCells, not the gate. The drop list is duplicate-sized; the
+    * final membership join is a broadcast-friendly semi shape.
+    *
+    * Deterministic first-k centroids (cell_id = position) keep the whole
+    * operator SQL-expressible for the oracle; swap in kmeansCentroids
+    * (C18) for learned cells — same plan shape, rows-only check.
+    */
+  def semDedup(t: Tables, nCells: Int = 16, threshold: Double = 0.25,
+               maxExpectedCell: Long = 4096L): DataFrame = {
+    val n = corpusRows(t.embeddings)
+    require(n / math.max(nCells, 1) <= maxExpectedCell,
+      s"semDedup: expected cell population ${n / math.max(nCells, 1)} exceeds " +
+        s"maxExpectedCell=$maxExpectedCell — the within-cell pair stage is " +
+        "quadratic in cell population; raise nCells (the paper uses ~100k " +
+        "clusters at billion scale), don't raise the gate.")
+    val centRows: Array[(Long, Seq[Float])] =
+      t.embeddings.orderBy(col("vec_id")).limit(nCells).select(col("embedding"))
+        .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
+    val assigned = assignCells(
+      t.embeddings.select(col("vec_id"), col("label"), col("embedding")),
+      "vec_id", "embedding", centRows)
+      .withColumn("sim_centroid", roundHalfUp(
+        call_function("graft_cosine", col("embedding"),
+          element_at(centArrCol(centRows), col("cell_id").cast("int") + lit(1))), 4))
+    val a = assigned.select(col("cell_id"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("sim_centroid").as("sc_a"))
+    val b = assigned.select(col("cell_id").as("cell_b"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("sim_centroid").as("sc_b"))
+    val dropped = a.join(b, col("cell_id") === col("cell_b") && col("id_a") < col("id_b"))
+      .filter(roundHalfUp(cos("ea", "eb"), 4) >= threshold)
+      .select(when(col("sc_a") > col("sc_b"), col("id_a"))
+        .otherwise(col("id_b")).as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("cell_id"), col("sim_centroid"),
+        col("_dup").isNull.as("kept"))
+  }
+
+  /** Per-subspace PQ codebooks from the first `ksub` corpus vectors
+    * (deterministic — the C7/C5b "first-k" seeding rule, which keeps the
+    * whole encoder SQL-expressible): codebook m's entry c is centroid
+    * vector c's m-th subvector. Returns (codebooks[m][ksub][sub], sub).
+    */
+  private def pqCodebooks(t: Tables, m: Int, ksub: Int): (Array[Seq[Seq[Double]]], Int) = {
+    val base = t.embeddings.orderBy(col("vec_id")).limit(ksub)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble))
+    require(base.length == ksub,
+      s"pq: corpus has ${base.length} vectors < ksub=$ksub")
+    val dims = base.head.size
+    require(dims % m == 0, s"pq: dims=$dims not divisible by m=$m subspaces")
+    val sub = dims / m
+    ((0 until m).map { s =>
+      base.toSeq.map(v => v.slice(s * sub, (s + 1) * sub).toSeq)
+    }.toArray, sub)
+  }
+
+  /** Squared L2 distance between `vecCol`'s subspace-`s` subvector and
+    * codebook entry (s, c) — a fixed-order sequential fold (j ascending),
+    * bit-identical to the oracle's list_reduce.
+    */
+  private def pqSubDist(vecCol: Column, s: Column, c: Column,
+                        sub: Int, cbLit: Column): Column =
+    aggregate(sequence(lit(1), lit(sub)), lit(0.0d), (acc, j) => {
+      val v = element_at(vecCol, s * lit(sub) + j).cast("double")
+      val w = element_at(element_at(element_at(cbLit, s.cast("int") + lit(1)),
+        c.cast("int") + lit(1)), j)
+      acc + (v - w) * (v - w)
+    })
+
+  /** Per-subspace (code, dist²) encoding of `vecCol` — argmin over the
+    * ksub codebook entries, strict-< first-min scan (ties keep the
+    * lowest code, the oracle's ORDER BY d2, c).
+    */
+  private def pqEncCol(vecCol: Column, m: Int, ksub: Int, sub: Int,
+                       cbLit: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(0L).as("c"), lit(Double.PositiveInfinity).as("d")),
+        (acc, cIdx) => {
+          val d = pqSubDist(vecCol, s, cIdx, sub, cbLit)
+          when(d < acc("d"), struct(cIdx.cast("long").as("c"), d.as("d"))).otherwise(acc)
+        }))
+
+  /** C42: product quantization encoding (Jégou et al. TPAMI 2011) — the
+    * compression step past C39's scalar quantization: split each vector
+    * into `m` subspaces, encode each subvector as its nearest codebook
+    * entry. m=4 × ksub=16 stores a 64-dim float vector in m·log2(ksub) =
+    * 16 BITS (vs 256 bytes float32, 64 bytes int8) — the memory shape
+    * that makes exhaustive 100 TB vector scans possible, and the encode
+    * half of the IVF-PQ index every production ANN system runs.
+    *
+    * Emits per-vector codes plus the total squared reconstruction error
+    * / dims (the PQ distortion, directly comparable to C39's mse).
+    *
+    * Scale shape: the codebooks are a ksub-row bounded collect folded
+    * back as ONE literal Column (m·ksub·sub doubles — the A21/C38
+    * literal-fold pattern), so encoding is a ZERO-SHUFFLE narrow scan:
+    * no join, no exchange, parallelism = input partitions at any corpus
+    * size. All arithmetic is fixed-order sequential folds (subspaces
+    * ascending, codebook entries ascending, dimensions ascending) — the
+    * oracle compare is bit-stable, and code selection (strict-< argmin)
+    * cannot flip across engines.
+    */
+  def pqEncode(t: Tables, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val (cbs, sub) = pqCodebooks(t, m, ksub)
+    val cbLit = typedLit(cbs.toSeq)
+    t.embeddings
+      .withColumn("enc", pqEncCol(col("embedding"), m, ksub, sub, cbLit))
+      .select(col("vec_id"),
+        get(transform(col("enc"), e => e("c")), lit(0)).as("code_0"),
+        get(transform(col("enc"), e => e("c")), lit(1)).as("code_1"),
+        get(transform(col("enc"), e => e("c")), lit(2)).as("code_2"),
+        get(transform(col("enc"), e => e("c")), lit(3)).as("code_3"),
+        roundHalfUp(aggregate(col("enc"), lit(0.0d), (acc, e) => acc + e("d")) /
+          size(col("embedding")), 8).as("qerr"))
+  }
+
+  /** C42b: asymmetric-distance (ADC) top-k search over PQ codes — the
+    * query half of IVF-PQ: each corpus vector is represented by its PQ
+    * codes; its approximate distance to the query is the sum over
+    * subspaces of dist²(query subvector, codebook[code]) — the query
+    * side stays EXACT (asymmetric), the corpus side pays only the code
+    * lookup. In a materialized deployment the per-subspace
+    * query-to-codebook table (m·ksub floats) is computed once and every
+    * corpus row costs m table lookups — here codes are derived in the
+    * same scan to keep the operator self-contained and oracle-checkable.
+    *
+    * Scale shape: one zero-shuffle narrow scan (codebooks + query ride
+    * as literals/broadcast) + TakeOrderedAndProject — the brute-force
+    * C6 shape, at 1/128th the bytes per row once codes are materialized.
+    * Recall vs exact top-k is asserted in SimilaritySpec.
+    */
+  def annPq(t: Tables, queryVecId: Long = 0L, m: Int = 4, ksub: Int = 16,
+            k: Int = 10): DataFrame = {
+    val (cbs, sub) = pqCodebooks(t, m, ksub)
+    val cbLit = typedLit(cbs.toSeq)
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    // ADC: fold over subspaces ascending — dist(q_sub, codebook[own code])
+    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
+      acc + pqSubDist(col("q_embedding"), s,
+        element_at(col("codes"), s.cast("int") + lit(1)), sub, cbLit))
+    t.embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("codes",
+        transform(pqEncCol(col("embedding"), m, ksub, sub, cbLit), e => e("c")))
+      .select(col("vec_id"), roundHalfUp(adist, 6).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -638,37 +638,7 @@ object TextAnalysis {
                  k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "bm25Search needs at least one query term")
-    val dl = when(length(trim(col("text"))) === 0, 0L)
-      .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
-    val stats = t.documents.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      avg(dl).as("avgdl"))
-    // the term filter runs INSIDE the token array, before the generator:
-    // Generate emits only matching postings (≤ a handful per doc), not
-    // the corpus's full token stream — explode-then-filter would push 60+
-    // rows per doc through the generator to drop nearly all of them
-    val postings = t.documents
-      .select(col("doc_id"), dl.as("dl"),
-        explode(filter(wsTokens(lower(col("text"))),
-          tk => tk.isin(terms: _*))).as("term"))
-    val tf = postings.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
-    // tf's key set is the distinct (doc, term) postings — df reads off it
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val wTerm = idf * (col("tf") * (k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
-    val weighted = tf
-      .join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), wTerm.as("w"))
-    // fixed-order pivot: one column per literal term, added left to right
-    val pivoted = weighted.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms"),
-        terms.map(tm => max(when(col("term") === tm, col("w"))).as(s"w_$tm")): _*)
-    val score = terms.map(tm => coalesce(col(s"w_$tm"), lit(0.0))).reduce(_ + _)
-    pivoted
-      .select(col("doc_id"), col("n_terms"), roundHalfUp(score, 4).as("score"))
+    bm25Scores(t, terms, k1, b)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -909,5 +879,131 @@ object TextAnalysis {
       .limit(k)
       .select(col("doc_id"), col("in_target"), col("logw"),
         roundHalfUp(col("gumbel_key"), 3).as("gumbel_key"))
+  }
+
+  /** C40: intra-document segment deduplication — drop repeated
+    * lines/paragraphs/sentences WITHIN each document, keeping the first
+    * occurrence in original order (the FineWeb/CCNet "remove duplicated
+    * lines" cleanup; the cross-document twin is C25 paragraph_dedup).
+    * Segments compare on the C25 normalization (lower + trim); the
+    * surviving text is reassembled with the same separator.
+    *
+    * Scale shape: the whole operator is ONE zero-shuffle narrow codegen
+    * scan — the segment split, the first-occurrence test and the
+    * reassembly are all higher-order array ops inside the row, so there
+    * is no explode, no per-doc window, no doc_id exchange at any corpus
+    * size (C25 needs its paragraph-hash shuffle because its dedup scope
+    * is corpus-wide; this one's scope is the document, which Spark
+    * already holds in one row). The first-occurrence test is
+    * `array_position(normalized, x) == own index` — quadratic in
+    * SEGMENTS PER DOCUMENT (bounded by document length, not corpus
+    * size), linear in documents.
+    *
+    * `sep` defaults to "\n" (line granularity); the driver query uses
+    * " " so the synthetic single-line corpus still exercises the
+    * keep-first/reassemble semantics on real repeats.
+    */
+  def lineDedup(t: Tables, sep: String = "\n"): DataFrame = {
+    val segs = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val normed = transform(col("segs"), s => lower(trim(s)))
+    // array_position is 1-based; filter's index is 0-based
+    val kept = filter(col("segs"),
+      (s, i) => array_position(col("nm"), lower(trim(s))) === i.cast("long") + 1L)
+    t.documents
+      .withColumn("segs", segs)
+      .withColumn("nm", normed)
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), sep).as("kept_text"))
+  }
+
+  /** Unbounded BM25 document scores for [[bm25Search]] and the C41 RRF
+    * fusion — (doc_id, n_terms, score) with the fixed-order pivoted
+    * summation (see bm25Search's Scaladoc for the scale shape).
+    */
+  private def bm25Scores(t: Tables, terms: Seq[String],
+                         k1: Double, b: Double): DataFrame = {
+    val dl = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
+    val stats = t.documents.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      avg(dl).as("avgdl"))
+    // the term filter runs INSIDE the token array, before the generator:
+    // Generate emits only matching postings (≤ a handful per doc), not
+    // the corpus's full token stream — explode-then-filter would push 60+
+    // rows per doc through the generator to drop nearly all of them
+    val postings = t.documents
+      .select(col("doc_id"), dl.as("dl"),
+        explode(filter(wsTokens(lower(col("text"))),
+          tk => tk.isin(terms: _*))).as("term"))
+    val tf = postings.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    // tf's key set is the distinct (doc, term) postings — df reads off it
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val wTerm = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val weighted = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), wTerm.as("w"))
+    // fixed-order pivot: one column per literal term, added left to right
+    val pivoted = weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        terms.map(tm => max(when(col("term") === tm, col("w"))).as(s"w_$tm")): _*)
+    val score = terms.map(tm => coalesce(col(s"w_$tm"), lit(0.0))).reduce(_ + _)
+    pivoted.select(col("doc_id"), col("n_terms"), roundHalfUp(score, 4).as("score"))
+  }
+
+  /** C41: hybrid retrieval — reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR 2009) of the BM25 lexical ranking (C35) and the dense cosine
+    * ranking (C6) for the same information need:
+    *
+    *   rrf(d) = Σ_r 1 / (kf + rank_r(d))   over the rankings d appears in.
+    *
+    * Rank fusion needs no score calibration between the two retrievers —
+    * exactly why it is the default hybrid combiner in modern RAG /
+    * data-selection stacks.
+    *
+    * Scale shape: each arm runs its own already-audited plan (BM25 =
+    * postings-filtered scan + broadcast stats + bounded top-n; dense =
+    * one narrow scoring scan + bounded top-n) and hands fusion a ≤ n-row
+    * relation. Fusion itself — the ranks, the full-outer join, the final
+    * top-k — therefore runs on two bounded inputs: the rank windows sort
+    * n rows, not the corpus, and the join is trivially in-memory. The
+    * fused score adds the two reciprocal terms in FIXED order (BM25 then
+    * dense), so the float is bit-stable across engines.
+    *
+    * The two id spaces (doc_id, vec_id) are unified by id — the corpus
+    * convention that embeddings row i embeds document i.
+    */
+  def rrfFusion(t: Tables, query: String = "spark stream filter",
+                queryVecId: Long = 0L, n: Int = 50, k: Int = 20,
+                kf: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "rrfFusion needs at least one query term")
+    // both arms: deterministic total order, bounded take, THEN ranks —
+    // the row_number windows below see ≤ n rows, never the corpus
+    val bmTop = bm25Scores(t, terms, k1, b)
+      .orderBy(col("score").desc, col("doc_id")).limit(n)
+    val bmRanked = bmTop.withColumn("bm25_rank",
+      row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("bm25_rank"))
+    val dnTop = Similarity.annTopK(t, queryVecId, n)
+    val dnRanked = dnTop.withColumn("dense_rank",
+      row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val rrf = coalesce(lit(1.0) / (lit(kf.toDouble) + col("bm25_rank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kf.toDouble) + col("dense_rank")), lit(0.0))
+    bmRanked.join(dnRanked, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("dense_rank"),
+        roundHalfUp(rrf, 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("bm25_rank"), col("dense_rank"), col("rrf"))
   }
 }

@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Planted-ground-truth tests for the round-12 additions: C40 line_dedup,
+  * C41 rrf_fusion, C42 semdedup, C43 pq_encode / ann_pq.
+  */
+class SemDedupPqSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  private def embeddings(rows: Seq[(Long, Seq[Float], String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables(spark, dir)
+  }
+
+  private def docs(rows: Seq[(Long, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  /** Both tables in one dir, ids unified (rrf_fusion's corpus convention). */
+  private def corpus(drows: Seq[(Long, String)],
+                     erows: Seq[(Long, Seq[Float], String)]): Tables = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus").toString
+    drows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("test"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    erows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables(spark, dir)
+  }
+
+  // ---------------------------------------------------------------- C40
+
+  test("lineDedup keeps first occurrences in order and reassembles") {
+    val t = docs(Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x\ny"),
+      (3L, "same\nsame\nsame")))
+    val got = TextAnalysis.lineDedup(t, sep = "\n").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 3L, "a\nb\nc")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, "x\ny")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((3L, 1L, "same")), s"doc3: ${got(3L)}")
+  }
+
+  test("lineDedup matches on lower+trim but keeps the ORIGINAL first segment") {
+    val t = docs(Seq((1L, "Hello \nhello\nHELLO\nworld")))
+    val got = TextAnalysis.lineDedup(t, sep = "\n").collect().head
+    assert(got.getLong(1) == 4L && got.getLong(2) == 2L)
+    // the surviving text is the raw first occurrence, not the normalization
+    assert(got.getString(3) == "Hello \nworld", s"got: ${got.getString(3)}")
+  }
+
+  test("lineDedup is a zero-shuffle narrow plan") {
+    val t = docs(Seq((1L, "a\nb")))
+    val plan = TextAnalysis.lineDedup(t).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected no shuffle:\n$plan")
+  }
+
+  // ---------------------------------------------------------------- C41
+
+  test("rrfFusion matches the hand-computed reciprocal-rank formula") {
+    // doc 1: bm25 hit only; doc 2: both; doc 3: dense only (+ query vec 0)
+    val t = corpus(
+      Seq((0L, "nothing relevant here"),
+        (1L, "apple apple apple apple"),
+        (2L, "apple banana"),
+        (3L, "cherry")),
+      Seq((0L, Seq(1f, 0f, 0f, 0f), "q"),
+        (1L, Seq(0f, 1f, 0f, 0f), "a"),   // orthogonal: sim 0
+        (2L, Seq(1f, 0.1f, 0f, 0f), "b"), // high sim
+        (3L, Seq(1f, 0f, 0.5f, 0f), "c"))) // medium sim
+    val rows = TextAnalysis.rrfFusion(t, query = "apple banana", queryVecId = 0L,
+      n = 10, k = 10, kf = 60).collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getDouble(4)))).toMap
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // bm25: doc1 tf=4 of 'apple' vs doc2 both terms — verify ranks exist and
+    // the fused score equals the formula for whatever ranks were assigned
+    rows.foreach { case (id, (rb, rd, score)) =>
+      val expect = r6(rb.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      assert(score == expect, s"doc $id: score $score != $expect (rb=$rb rd=$rd)")
+    }
+    // doc 2 appears in BOTH rankings -> two reciprocal terms -> top fused
+    assert(rows(2L)._1.isDefined && rows(2L)._2.isDefined, s"doc2 in both: ${rows(2L)}")
+    val top = TextAnalysis.rrfFusion(t, query = "apple banana", queryVecId = 0L,
+      n = 10, k = 1).collect().head.getLong(1)
+    assert(top == 2L, s"two-list member outranks single-list members: $top")
+    // doc 3 is dense-only: bm25_rank NULL, dense_rank present
+    assert(rows(3L)._1.isEmpty && rows(3L)._2.isDefined, s"doc3: ${rows(3L)}")
+  }
+
+  // ---------------------------------------------------------------- C42
+
+  test("semDedup drops the centroid-near member of a near-dup pair") {
+    // centroids = first 2 vectors (cells 0, 1). Vectors 2 and 3 both land
+    // in cell 0; 3 is exactly the centroid direction (sim_centroid 1.0),
+    // 2 is slightly off. cos(2,3) > threshold -> the pair drops 3 (the
+    // centroid-near copy), keeps 2. Vector 4 sits alone in cell 1.
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), "c0"),
+      (1L, Seq(0f, 1f, 0f, 0f), "c1"),
+      (2L, Seq(1f, 0.2f, 0f, 0f), "x"),
+      (3L, Seq(2f, 0f, 0f, 0f), "x"),
+      (4L, Seq(0f, 1f, 1f, 0f), "y")))  // cos to c1 = 0.7071 < 0.9: no pair
+    val got = Similarity.semDedup(t, nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got(3L)._1 == 0L && !got(3L)._3, s"centroid-near dup dropped: ${got(3L)}")
+    assert(got(2L)._1 == 0L && got(2L)._3, s"far member kept: ${got(2L)}")
+    assert(got(4L)._1 == 1L && got(4L)._3, s"no-pair member kept: ${got(4L)}")
+    // centroid vectors themselves: 0 pairs with 2 and 3 in cell 0 and IS
+    // the centroid (sim 1.0) -> dropped; 1 pairs with 4 at sim 0.7071 -> kept
+    assert(!got(0L)._3 && got(1L)._3)
+    assert(got(3L)._2 == 1.0, s"sim_centroid of exact-direction copy: ${got(3L)._2}")
+  }
+
+  test("semDedup refuses an over-populated expected cell") {
+    val rows = (0L until 40L).map(i => (i, Seq(1f, i.toFloat / 100f, 0f, 0f), "x"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(embeddings(rows), nCells = 2, maxExpectedCell = 10L)
+    }
+    assert(e.getMessage.contains("nCells"), e.getMessage)
+  }
+
+  // ---------------------------------------------------------------- C43
+
+  test("pqEncode recovers exact codebook members with zero error") {
+    // m=2 subspaces of dim 2, ksub=2 codebooks from vectors 0 and 1
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f, 5f, 5f), "a"),
+      (1L, Seq(0f, 1f, -5f, -5f), "b"),
+      (2L, Seq(0f, 1f, 5f, 5f), "mix"),   // sub0 = v1's, sub1 = v0's
+      (3L, Seq(1f, 0f, 5f, 5f), "dup0"))) // identical to v0
+    // schema: vec_id, code_0..code_3, qerr — with m=2 only code_0/code_1
+    // are non-null; read columns by name
+    val byName = Similarity.pqEncode(t, m = 2, ksub = 2)
+      .select(col("vec_id"), col("code_0"), col("code_1"), col("qerr")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byName(3L) == ((0L, 0L, 0.0)), s"exact member of cb0: ${byName(3L)}")
+    assert(byName(2L) == ((1L, 0L, 0.0)), s"mixed subspaces: ${byName(2L)}")
+    assert(byName(0L) == ((0L, 0L, 0.0)) && byName(1L) == ((1L, 1L, 0.0)))
+  }
+
+  test("pqEncode argmin tie breaks to the lowest code") {
+    // both codebook entries equidistant from vector 2's subvectors
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f, 1f, 0f), "a"),
+      (1L, Seq(-1f, 0f, -1f, 0f), "b"),
+      (2L, Seq(0f, 0f, 0f, 0f), "tie")))
+    val got = Similarity.pqEncode(t, m = 2, ksub = 2)
+      .select(col("vec_id"), col("code_0"), col("code_1")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(2L) == ((0L, 0L)), s"ties keep the first (lowest) code: ${got(2L)}")
+  }
+
+  test("annPq ADC distance is exact for codebook-exact corpus vectors") {
+    // corpus vectors ARE codebook entries -> quantization is lossless and
+    // ADC distance == true squared L2 distance to the query
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), "q"),
+      (1L, Seq(0f, 1f, 0f, 0f), "a"),
+      (2L, Seq(1f, 0f, 0f, 1f), "b"),
+      (3L, Seq(1f, 0f, 0f, 0f), "dupq")))
+    // ksub=4: all four vectors form each subspace's codebook
+    val got = Similarity.annPq(t, queryVecId = 0L, m = 2, ksub = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // true L2²: d(0,3)=0, d(0,2)=1, d(0,1)=2 -> ascending order 3,2,1
+    assert(got.map(_._1).toSeq == Seq(3L, 2L, 1L), s"ADC order: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == Seq(0.0, 1.0, 2.0), s"ADC dists: ${got.toSeq}")
+  }
+
+  test("annPq recalls the planted nearest cluster under real quantization") {
+    // 3 well-separated blobs of 8, ids INTERLEAVED (id mod 3 = blob) so
+    // the first-ksub codebook spans all blobs — a codebook drawn from one
+    // blob cannot represent the others and ADC degenerates (quantization
+    // error swallows the between-blob distance; verified while writing
+    // this test). Query = id 0 (blob 0): top-7 must be the other blob-0
+    // members, ids ≡ 0 (mod 3).
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(
+      Seq(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Seq(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f))
+    val rows = (0 until 24).map { i =>
+      (i.toLong, bases(i % 3).map(v => v + rnd.nextFloat() * 0.05f), s"b${i % 3}")
+    }
+    val t = embeddings(rows)
+    val top = Similarity.annPq(t, queryVecId = 0L, m = 4, ksub = 8, k = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (3L until 24L by 3L).toSet, s"blob-0 members fill the top-7: $top")
+  }
+
+  test("pqEncode and annPq plan as zero-shuffle scans + bounded take") {
+    val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => (i + d).toFloat), "x"))
+    val t = embeddings(rows)
+    val encPlan = Similarity.pqEncode(t, m = 4, ksub = 8).queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), s"pqEncode shuffles:\n$encPlan")
+    val annPlan = Similarity.annPq(t, 0L, m = 4, ksub = 8, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(annPlan.contains("TakeOrderedAndProject"), s"annPq top-k:\n$annPlan")
+    assert(!annPlan.contains("hashpartitioning"), s"annPq shuffles:\n$annPlan")
+  }
+}
