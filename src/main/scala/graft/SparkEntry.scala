@@ -1285,7 +1285,8 @@ object SparkEntry {
          FROM ft ORDER BY rk"""),
     "semdedup" ->
       """WITH cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id, embedding AS cent
-               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+               FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+                     LIMIT (SELECT greatest(16, (count(*) + 1023) // 1024) FROM embeddings))),
          asg AS (SELECT vec_id, label, embedding, cell_id, sc FROM (
              SELECT e.vec_id, e.label, e.embedding, c.cell_id,
                floor((list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))

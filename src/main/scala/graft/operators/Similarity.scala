@@ -523,17 +523,25 @@ object Similarity {
     * Deterministic first-k centroids (cell_id = position) keep the whole
     * operator SQL-expressible for the oracle; swap in kmeansCentroids
     * (C18) for learned cells — same plan shape, rows-only check.
+    *
+    * `nCells = 0` (default) SELF-SIZES with the corpus — the C5b
+    * band-width precedent: nCells = max(16, ⌈n/1024⌉), integer-exact
+    * arithmetic the oracle mirrors via a computed LIMIT, so expected
+    * cell population stays ~1024 at every SF instead of the gate firing
+    * the first time the corpus outgrows a fixed cell count.
     */
-  def semDedup(t: Tables, nCells: Int = 16, threshold: Double = 0.25,
+  def semDedup(t: Tables, nCells: Int = 0, threshold: Double = 0.25,
                maxExpectedCell: Long = 4096L): DataFrame = {
     val n = corpusRows(t.embeddings)
-    require(n / math.max(nCells, 1) <= maxExpectedCell,
-      s"semDedup: expected cell population ${n / math.max(nCells, 1)} exceeds " +
+    val cells = if (nCells > 0) nCells
+      else math.max(16L, (n + 1023L) / 1024L).toInt
+    require(n / math.max(cells, 1) <= maxExpectedCell,
+      s"semDedup: expected cell population ${n / math.max(cells, 1)} exceeds " +
         s"maxExpectedCell=$maxExpectedCell — the within-cell pair stage is " +
         "quadratic in cell population; raise nCells (the paper uses ~100k " +
         "clusters at billion scale), don't raise the gate.")
     val centRows: Array[(Long, Seq[Float])] =
-      t.embeddings.orderBy(col("vec_id")).limit(nCells).select(col("embedding"))
+      t.embeddings.orderBy(col("vec_id")).limit(cells).select(col("embedding"))
         .collect().zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     val assigned = assignCells(
       t.embeddings.select(col("vec_id"), col("label"), col("embedding")),

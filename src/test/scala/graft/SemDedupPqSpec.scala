@@ -132,6 +132,16 @@ class SemDedupPqSpec extends AnyFunSuite {
     assert(got(3L)._2 == 1.0, s"sim_centroid of exact-direction copy: ${got(3L)._2}")
   }
 
+  test("semDedup self-sizes nCells: floor at 16, ~1024 expected cell above") {
+    // small corpus -> the floor: all cell ids < 16
+    val rows = (0L until 40L).map(i => (i, Seq(1f, i.toFloat / 100f, 0f, 0f), "x"))
+    val cells = Similarity.semDedup(embeddings(rows), threshold = 2.0) // no pairs
+      .select(col("cell_id")).collect().map(_.getLong(0)).toSet
+    assert(cells.forall(_ < 16L), s"self-sized floor is 16 cells: $cells")
+    // pin the arithmetic the oracle mirrors: max(16, ceil(n/1024))
+    assert(math.max(16L, (200000L + 1023L) / 1024L) == 196L)
+  }
+
   test("semDedup refuses an over-populated expected cell") {
     val rows = (0L until 40L).map(i => (i, Seq(1f, i.toFloat / 100f, 0f, 0f), "x"))
     val e = intercept[IllegalArgumentException] {
