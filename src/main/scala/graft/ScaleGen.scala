@@ -101,11 +101,13 @@ object ScaleGen {
     write("orders")(replicate(read("orders"), Seq("o_orderkey", "o_custkey")).drop("copy"))
     write("lineitem")(replicate(read("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")).drop("copy"))
-    // ts arrives as int64 nanos (nanosAsLong); write it back as a real
-    // TIMESTAMP(MICROS) column so DuckDB-side oracles bind epoch_ns(ts)
-    // exactly like they do on the driver's TIMESTAMP(NANOS) testdata.
+    // read through Tables.events so ts is int64 nanos REGARDLESS of how
+    // the source encodes it (driver testdata has shipped both
+    // TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds); write it
+    // back as a real TIMESTAMP(MICROS) column so DuckDB-side oracles
+    // bind epoch_ns(ts) exactly like on the driver's testdata.
     // Tables.events re-normalizes to long nanos on read.
-    write("events")(replicate(read("events"), Seq("event_id", "user_id"))
+    write("events")(replicate(Tables(spark, src).events, Seq("event_id", "user_id"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .drop("copy"))
 
