@@ -370,6 +370,115 @@ object Kernels {
     while (b < nBlocks) { out(b) = (sh >> (blockBits * b)) & mask; b += 1 }
     new GenericArrayData(out)
   }
+
+  /** C40 kernel: keep each segment whose (trim → lowercase) normalization
+    * is first-seen, preserving order and ORIGINAL text — the one-pass
+    * hash-set replacement for the `array_position(normalized, x) == own
+    * index` HOF formulation, which rescans the normalized array per
+    * element (O(L²) per document; 2.4× the sf10 line_dedup wall time).
+    * UTF8String.trim/toLowerCase are the exact kernels Spark's trim()/
+    * lower() call, so keep/drop decisions are identical to the HOF's.
+    */
+  def keepFirstSegs(segs: ArrayData): ArrayData = {
+    val n = segs.numElements()
+    val seen = new java.util.HashSet[UTF8String](Math.max(8, n * 2))
+    val out = new Array[AnyRef](n)
+    var kept = 0
+    var i = 0
+    while (i < n) {
+      val s = segs.getUTF8String(i)
+      if (seen.add(s.trim().toLowerCase())) { out(kept) = s; kept += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, kept).asInstanceOf[Array[Any]])
+  }
+
+  /** C43 kernel: per-subspace PQ (code, dist²) encoding — tight JIT loops
+    * with EXACTLY the HOF formulation's fold order (subspace ascending,
+    * code ascending, dimension ascending; strict-< first-min), so codes
+    * and distances are bit-identical to the aggregate()-fold version and
+    * the DuckDB oracle. `cb` is the flattened codebook:
+    * cb[((s·ksub)+c)·sub + j] = codebook entry (s, c) dimension j.
+    */
+  def pqEncode(vec: ArrayData, cb: Array[Double], m: Int, ksub: Int, sub: Int): ArrayData = {
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val voff = s * sub
+      var bestC = 0L
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * sub
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = vec.getFloat(voff + j).toDouble - cb(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.InternalRow(bestC, bestD)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** C7/C18/C42 kernel: nearest-centroid POSITION by cosine — the
+    * assignment argmax as one tight JIT loop. Fold order and tie/NaN
+    * handling identical to the HOF formulation (centroids ascending,
+    * strict > first-max, all-NaN rows land at position 0): per centroid
+    * the cosine is computed exactly like [[cosineF]] (dimension-ascending
+    * double folds), so the chosen cell can never differ from the
+    * aggregate()-fold version. `cents` is the flattened float codebook
+    * cents[c·dims + i].
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Float], k: Int, dims: Int): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val base = c * dims
+      val n = math.min(vec.numElements(), dims)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = vec.getFloat(i).toDouble
+        val y = cents(base + i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** C43b kernel: asymmetric (ADC) PQ distance — Σ over subspaces of
+    * dist²(query subvector, codebook[code_s]); same fold order as the
+    * HOF formulation (s ascending, j ascending), bit-identical result.
+    */
+  def pqAdc(q: ArrayData, codes: ArrayData, cb: Array[Double], m: Int, ksub: Int, sub: Int): Double = {
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val qoff = s * sub
+      val base = (s * ksub + codes.getLong(s).toInt) * sub
+      var d = 0.0
+      var j = 0
+      while (j < sub) {
+        val diff = q.getFloat(qoff + j).toDouble - cb(base + j)
+        d += diff * diff
+        j += 1
+      }
+      total += d
+      s += 1
+    }
+    total
+  }
 }
 
 /** D3: cosine similarity of two float vectors as a native expression —
@@ -545,6 +654,92 @@ case class WinnowHashes(child: Expression, l: Int, w: Int) extends UnaryExpressi
   override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
 }
 
+/** D3 / C40: one-pass first-occurrence segment filter (normalized on
+  * trim+lower, original text preserved) — O(L) per document where the
+  * HOF array_position formulation is O(L²).
+  */
+case class KeepFirstSegs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    Kernels.keepFirstSegs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.keepFirstSegs($c)")
+
+  override protected def withNewChildInternal(c: Expression): KeepFirstSegs = copy(child = c)
+}
+
+/** D3 / C43: native PQ encoder — array<struct<c: code, d: dist²>> per
+  * subspace. The codebook rides the expression as one flattened double[]
+  * (a codegen reference object, not unrolled expression nodes — the
+  * centArrCol literal-size argument), so the generated code is O(1) in
+  * codebook size and the per-row work is one tight JIT loop.
+  */
+case class PqEncodeExpr(child: Expression, cb: Array[Double], m: Int, ksub: Int, sub: Int)
+    extends UnaryExpression {
+  require(cb.length == m * ksub * sub, s"pq codebook: ${cb.length} != $m*$ksub*$sub")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("c", LongType, nullable = false),
+      StructField("d", DoubleType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], cb, m, ksub, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.pqEncode($c, $cbRef, $m, $ksub, $sub)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
+}
+
+/** D3 / C7: native nearest-centroid assignment (returns the codebook
+  * POSITION; the caller maps position → cell id). Centroids ride as one
+  * flattened float[] reference object — O(1) in codebook size for plan
+  * and generated code, one JIT loop per row.
+  */
+case class NearestCentroidExpr(child: Expression, cents: Array[Float], k: Int, dims: Int)
+    extends UnaryExpression {
+  require(cents.length == k * dims, s"centroids: ${cents.length} != $k*$dims")
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, k, dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCentroid($c, $ref, $k, $dims)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
+}
+
+/** D3 / C43b: native ADC distance over PQ codes (left = query vector,
+  * right = array<long> codes), codebook as a codegen reference object.
+  */
+case class PqAdcExpr(left: Expression, right: Expression,
+                     cb: Array[Double], m: Int, ksub: Int, sub: Int)
+    extends BinaryExpression {
+  require(cb.length == m * ksub * sub, s"pq codebook: ${cb.length} != $m*$ksub*$sub")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    Kernels.pqAdc(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], cb, m, ksub, sub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    defineCodeGen(ctx, ev, (q, c) => s"graft.functions.Kernels.pqAdc($q, $c, $cbRef, $m, $ksub, $sub)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 /** D3: order-preserving double→long bits (monotone bucketing basis). */
 case class SortableBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -635,6 +830,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_keep_first"),
+      new ExpressionInfo(classOf[KeepFirstSegs].getName, "graft_keep_first"),
+      (es: Seq[Expression]) => KeepFirstSegs(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
       new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
       (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))

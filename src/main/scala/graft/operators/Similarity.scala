@@ -240,12 +240,32 @@ object Similarity {
 
   /** Fold the centroid set into a narrow per-row argmax expression —
     * cell assignment becomes a map-only pass (no crossJoin, no window,
-    * no shuffle). First-max scan == (sim desc, position asc) tie-break.
-    * The fold starts at centroid 0 with -Infinity, so a row whose
-    * cosines are ALL NaN (zero-norm/NaN vector) still gets a
-    * deterministic cell instead of an out-of-range element_at.
+    * no shuffle). First-max scan == (sim desc, position asc) tie-break;
+    * a row whose cosines are ALL NaN (zero-norm/NaN vector) still gets
+    * a deterministic cell (position 0).
+    *
+    * Runs through the native NearestCentroidExpr kernel (one JIT loop
+    * per row; the interpreted aggregate() fold was the dominant cost of
+    * sf10 semdedup — 200k rows × 196 cells = 39M cosine folds);
+    * [[nearestCellColHof]] is the parity twin.
     */
   private def nearestCellCol(centRows: Array[(Long, Seq[Float])], vecCol: String): Column = {
+    val cellIds = typedLit(centRows.toSeq.map(_._1))
+    val dims = centRows.head._2.size
+    val flat = new Array[Float](centRows.length * dims)
+    for (c <- centRows.indices; j <- 0 until dims) flat(c * dims + j) = centRows(c)._2(j)
+    val pos = org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.NearestCentroidExpr(
+        org.apache.spark.sql.graft.DatasetShim.expression(col(vecCol)),
+        flat, centRows.length, dims))
+    element_at(cellIds, pos + lit(1))
+  }
+
+  /** HOF formulation of [[nearestCellCol]] — the independent parity
+    * reference for the native kernel (SemDedupPqSpec fuzz-asserts
+    * identical assignments, including NaN and exact-tie rows).
+    */
+  private[graft] def nearestCellColHof(centRows: Array[(Long, Seq[Float])], vecCol: String): Column = {
     val centArr = centArrCol(centRows)
     val cellIds = typedLit(centRows.toSeq.map(_._1))
     val best = aggregate(
@@ -597,10 +617,11 @@ object Similarity {
 
   /** Per-subspace (code, dist²) encoding of `vecCol` — argmin over the
     * ksub codebook entries, strict-< first-min scan (ties keep the
-    * lowest code, the oracle's ORDER BY d2, c).
+    * lowest code, the oracle's ORDER BY d2, c). HOF formulation, kept as
+    * the independent parity reference for the native kernel below.
     */
-  private def pqEncCol(vecCol: Column, m: Int, ksub: Int, sub: Int,
-                       cbLit: Column): Column =
+  private[graft] def pqEncColHof(vecCol: Column, m: Int, ksub: Int, sub: Int,
+                                 cbLit: Column): Column =
     transform(sequence(lit(0), lit(m - 1)), s =>
       aggregate(sequence(lit(0), lit(ksub - 1)),
         struct(lit(0L).as("c"), lit(Double.PositiveInfinity).as("d")),
@@ -608,6 +629,26 @@ object Similarity {
           val d = pqSubDist(vecCol, s, cIdx, sub, cbLit)
           when(d < acc("d"), struct(cIdx.cast("long").as("c"), d.as("d"))).otherwise(acc)
         }))
+
+  /** Flatten codebooks to the kernel layout cb[((s·ksub)+c)·sub + j]. */
+  private def pqFlat(cbs: Array[Seq[Seq[Double]]], m: Int, ksub: Int, sub: Int): Array[Double] = {
+    val flat = new Array[Double](m * ksub * sub)
+    for (s <- 0 until m; c <- 0 until ksub; j <- 0 until sub)
+      flat((s * ksub + c) * sub + j) = cbs(s)(c)(j)
+    flat
+  }
+
+  /** Native-kernel twin of [[pqEncColHof]] — one tight JIT loop per row
+    * (the interpreted nested-HOF folds were the whole cost of pq_encode
+    * at sf10), bit-identical by construction (same fold order; parity
+    * fuzz-tested in SemDedupPqSpec).
+    */
+  private def pqEncCol(vecCol: Column, cbs: Array[Seq[Seq[Double]]],
+                       m: Int, ksub: Int, sub: Int): Column =
+    org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.PqEncodeExpr(
+        org.apache.spark.sql.graft.DatasetShim.expression(vecCol),
+        pqFlat(cbs, m, ksub, sub), m, ksub, sub))
 
   /** C42: product quantization encoding (Jégou et al. TPAMI 2011) — the
     * compression step past C39's scalar quantization: split each vector
@@ -629,18 +670,30 @@ object Similarity {
     * oracle compare is bit-stable, and code selection (strict-< argmin)
     * cannot flip across engines.
     */
+  /** Shared output projection over the per-subspace `enc` column. */
+  private def pqProject(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      get(transform(col("enc"), e => e("c")), lit(0)).as("code_0"),
+      get(transform(col("enc"), e => e("c")), lit(1)).as("code_1"),
+      get(transform(col("enc"), e => e("c")), lit(2)).as("code_2"),
+      get(transform(col("enc"), e => e("c")), lit(3)).as("code_3"),
+      roundHalfUp(aggregate(col("enc"), lit(0.0d), (acc, e) => acc + e("d")) /
+        size(col("embedding")), 8).as("qerr"))
+
   def pqEncode(t: Tables, m: Int = 4, ksub: Int = 16): DataFrame = {
     val (cbs, sub) = pqCodebooks(t, m, ksub)
-    val cbLit = typedLit(cbs.toSeq)
-    t.embeddings
-      .withColumn("enc", pqEncCol(col("embedding"), m, ksub, sub, cbLit))
-      .select(col("vec_id"),
-        get(transform(col("enc"), e => e("c")), lit(0)).as("code_0"),
-        get(transform(col("enc"), e => e("c")), lit(1)).as("code_1"),
-        get(transform(col("enc"), e => e("c")), lit(2)).as("code_2"),
-        get(transform(col("enc"), e => e("c")), lit(3)).as("code_3"),
-        roundHalfUp(aggregate(col("enc"), lit(0.0d), (acc, e) => acc + e("d")) /
-          size(col("embedding")), 8).as("qerr"))
+    pqProject(t.embeddings
+      .withColumn("enc", pqEncCol(col("embedding"), cbs, m, ksub, sub)))
+  }
+
+  /** HOF-formulation twin of [[pqEncode]] — the independent parity
+    * reference for the native kernel (SemDedupPqSpec asserts row
+    * identity on seeded random vectors).
+    */
+  private[graft] def pqEncodeHof(t: Tables, m: Int = 4, ksub: Int = 16): DataFrame = {
+    val (cbs, sub) = pqCodebooks(t, m, ksub)
+    pqProject(t.embeddings
+      .withColumn("enc", pqEncColHof(col("embedding"), m, ksub, sub, typedLit(cbs.toSeq))))
   }
 
   /** C42b: asymmetric-distance (ADC) top-k search over PQ codes — the
@@ -661,17 +714,19 @@ object Similarity {
   def annPq(t: Tables, queryVecId: Long = 0L, m: Int = 4, ksub: Int = 16,
             k: Int = 10): DataFrame = {
     val (cbs, sub) = pqCodebooks(t, m, ksub)
-    val cbLit = typedLit(cbs.toSeq)
     val q = t.embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    // ADC: fold over subspaces ascending — dist(q_sub, codebook[own code])
-    val adist = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, s) =>
-      acc + pqSubDist(col("q_embedding"), s,
-        element_at(col("codes"), s.cast("int") + lit(1)), sub, cbLit))
+    // ADC via the native kernel: fold over subspaces ascending —
+    // dist²(q_sub, codebook[own code]), bit-identical to the HOF twin
+    import org.apache.spark.sql.graft.DatasetShim
+    val adist = DatasetShim.column(graft.functions.PqAdcExpr(
+      DatasetShim.expression(col("q_embedding")),
+      DatasetShim.expression(col("codes")),
+      pqFlat(cbs, m, ksub, sub), m, ksub, sub))
     t.embeddings.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .withColumn("codes",
-        transform(pqEncCol(col("embedding"), m, ksub, sub, cbLit), e => e("c")))
+        transform(pqEncCol(col("embedding"), cbs, m, ksub, sub), e => e("c")))
       .select(col("vec_id"), roundHalfUp(adist, 6).as("adist"))
       .orderBy(col("adist").asc, col("vec_id"))
       .limit(k)

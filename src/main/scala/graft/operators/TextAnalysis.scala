@@ -905,6 +905,24 @@ object TextAnalysis {
     */
   def lineDedup(t: Tables, sep: String = "\n"): DataFrame = {
     val segs = split(col("text"), java.util.regex.Pattern.quote(sep))
+    // native one-pass kernel: O(segments) per doc where the HOF
+    // array_position formulation is O(segments²). lineDedupHof is the
+    // parity twin; the sf10 payoff is recorded in SURVEY round-12 notes.
+    t.documents
+      .withColumn("segs", segs)
+      .withColumn("kept", expr("graft_keep_first(segs)"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), sep).as("kept_text"))
+  }
+
+  /** The higher-order-function formulation of [[lineDedup]] — kept as the
+    * independent parity reference for the `graft_keep_first` kernel
+    * (`array_position(normalized, x) == own index`, quadratic per doc).
+    */
+  private[graft] def lineDedupHof(t: Tables, sep: String = "\n"): DataFrame = {
+    val segs = split(col("text"), java.util.regex.Pattern.quote(sep))
     val normed = transform(col("segs"), s => lower(trim(s)))
     // array_position is 1-based; filter's index is 0-based
     val kept = filter(col("segs"),

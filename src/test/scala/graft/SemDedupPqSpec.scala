@@ -218,6 +218,54 @@ class SemDedupPqSpec extends AnyFunSuite {
     assert(top == (3L until 24L by 3L).toSet, s"blob-0 members fill the top-7: $top")
   }
 
+  test("native keepFirstSegs kernel matches the HOF formulation row-for-row") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("a", "b", "A ", " b", "cc", "Dd", "dd", "", "eÉ", "eé")
+    val rows = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val t = docs(rows)
+    val native = TextAnalysis.lineDedup(t, sep = " ").collect().map(_.toSeq).toSet
+    val hof = TextAnalysis.lineDedupHof(t, sep = " ").collect().map(_.toSeq).toSet
+    assert(native == hof, s"kernel/HOF divergence: ${native.diff(hof)} vs ${hof.diff(native)}")
+  }
+
+  test("native nearest-centroid kernel matches the HOF fold (incl. NaN and tie rows)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 4f - 2f), "x")) :+
+      (300L, Seq.fill(6)(0f), "zero") // zero-norm -> all-NaN cosines
+    val t = embeddings(rows)
+    // centroids: first 4 corpus vectors + a DUPLICATE of centroid 0 at the
+    // end — an exact cosine tie the first-max scan must resolve to the
+    // EARLIER position on both paths
+    val base = rows.take(4).map(_._2)
+    val centRows = (base :+ base.head).zipWithIndex
+      .map { case (v, i) => (100L + i.toLong, v) }.toArray
+    val df = t.embeddings.select(col("vec_id"), col("embedding"))
+    val native = Similarity.assignCells(df, "vec_id", "embedding", centRows)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = df.withColumn("cell_id",
+        Similarity.nearestCellColHof(centRows, "embedding").cast("long"))
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == hof,
+      s"divergent assignments: ${native.filter { case (k, v) => hof(k) != v }.take(5)}")
+    assert(native(300L) == 100L, "all-NaN row lands deterministically in cell 0")
+    assert(!native.values.exists(_ == 104L), "tie always resolves to the earlier duplicate")
+  }
+
+  test("native PQ encode kernel matches the HOF formulation row-for-row") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 150L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 20f - 10f), "x"))
+    val t = embeddings(rows)
+    val native = Similarity.pqEncode(t, m = 4, ksub = 8).collect().map(_.toSeq).toSet
+    val hof = Similarity.pqEncodeHof(t, m = 4, ksub = 8).collect().map(_.toSeq).toSet
+    assert(native == hof, s"kernel/HOF divergence: ${native.diff(hof)} take 3: ${native.diff(hof).take(3)}")
+  }
+
   test("pqEncode and annPq plan as zero-shuffle scans + bounded take") {
     val rows = (0L until 20L).map(i => (i, Seq.tabulate(8)(d => (i + d).toFloat), "x"))
     val t = embeddings(rows)
