@@ -118,7 +118,12 @@ object PlanAudit {
         "PQ encoding is a zero-shuffle narrow scan (literal codebooks)"),
       ("ann_pq", p => p.contains("TakeOrderedAndProject") &&
           !p.contains("Exchange hashpartitioning"),
-        "ADC search is a narrow scan + bounded ordered take"))
+        "ADC search is a narrow scan + bounded ordered take"),
+      // C43c: cell pruning joins the broadcast probed-cell list; scoring
+      // and the final take never hash-shuffle the corpus
+      ("ann_ivf_pq", p => p.contains("BroadcastHashJoin") &&
+          p.contains("TakeOrderedAndProject") && !p.contains("SortMergeJoin"),
+        "IVF-PQ: broadcast probed cells, ADC scan, bounded take"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -100,6 +100,7 @@ object SparkEntry {
     "semdedup"        -> Seq(col("vec_id")),
     "pq_encode"       -> Seq(col("vec_id")),
     "ann_pq"          -> Seq(col("adist"), col("vec_id")),
+    "ann_ivf_pq"      -> Seq(col("adist"), col("vec_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -232,7 +233,8 @@ object SparkEntry {
     "rrf_fusion"      -> q(TextAnalysis.rrfFusion(_)),
     "semdedup"        -> q(Similarity.semDedup(_)),
     "pq_encode"       -> q(Similarity.pqEncode(_)),
-    "ann_pq"          -> q(Similarity.annPq(_))
+    "ann_pq"          -> q(Similarity.annPq(_)),
+    "ann_ivf_pq"      -> q(Similarity.annIvfPq(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1327,7 +1329,31 @@ object SparkEntry {
              floor((max(CASE WHEN s=0 THEN qd END) + max(CASE WHEN s=1 THEN qd END)
                   + max(CASE WHEN s=2 THEN qd END) + max(CASE WHEN s=3 THEN qd END)) * 1000000.0 + 0.5)/1000000.0 AS adist
            FROM ad GROUP BY vec_id)
-         SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT 10""")
+         SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT 10"""),
+    "ann_ivf_pq" -> (pqSql +
+      """, cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 16),
+         qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         assigned AS (SELECT vec_id, cell_id FROM (
+             SELECT e.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY (list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))))) DESC, c.cell_id) AS rk
+             FROM embeddings e, cents c) s WHERE rk = 1),
+         qcells AS (SELECT cell_id FROM (SELECT c.cell_id, (list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))) / (sqrt(list_sum(list_transform(generate_series(1,len(c.cent)), i -> CAST(c.cent[i] AS DOUBLE)*CAST(c.cent[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))))) AS qs FROM cents c, qv) s
+                    ORDER BY qs DESC, cell_id LIMIT 4),
+         ad AS (SELECT b.vec_id, b.s,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(qe)//4), j ->
+                 (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE))
+                 * (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE)))),
+               (a, x) -> a + x) AS qd
+           FROM bz b JOIN cb ON cb.c = b.c, qv
+           WHERE b.vec_id <> 0),
+         tot AS (SELECT vec_id,
+             floor((max(CASE WHEN s=0 THEN qd END) + max(CASE WHEN s=1 THEN qd END)
+                  + max(CASE WHEN s=2 THEN qd END) + max(CASE WHEN s=3 THEN qd END)) * 1000000.0 + 0.5)/1000000.0 AS adist
+           FROM ad GROUP BY vec_id)
+         SELECT t.vec_id, t.adist
+         FROM tot t JOIN assigned a ON a.vec_id = t.vec_id JOIN qcells qc ON qc.cell_id = a.cell_id
+         ORDER BY t.adist, t.vec_id LIMIT 10""")
   )
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,

@@ -711,6 +711,53 @@ object Similarity {
     * C6 shape, at 1/128th the bytes per row once codes are materialized.
     * Recall vs exact top-k is asserted in SimilaritySpec.
     */
+  /** C43c: IVF-PQ probed search — the full architecture every production
+    * ANN system (FAISS IVFPQ and descendants) runs at billion scale: the
+    * IVF coarse quantizer (C7) prunes the scan to nProbe/nCells of the
+    * corpus, then PQ asymmetric distances (C43b) score the survivors at
+    * code-lookup cost. Composes the audited pieces: zero-shuffle
+    * literal-fold cell assignment, broadcast probed-cell list, native
+    * PQ-encode + ADC kernels, bounded ordered take.
+    *
+    * Scale shape: cost per query = |corpus|·(nProbe/nCells) code
+    * scans — with both the cell pruning and the 128× code compression,
+    * this is the operator that makes interactive search over 100 TB of
+    * vectors arithmetic instead of aspiration. Fully deterministic
+    * (first-k centroids AND first-k codebooks), hence SQL-expressible
+    * and oracle-checked like C7/C43 — recall vs exact top-k asserted in
+    * SemDedupPqSpec.
+    */
+  def annIvfPq(t: Tables, queryVecId: Long = 0L, nCells: Int = 16, nProbe: Int = 4,
+               m: Int = 4, ksub: Int = 16, k: Int = 10): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.DatasetShim
+    val centRows = t.embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (cbs, sub) = pqCodebooks(t, m, ksub)
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val qCells = centRows.toSeq.toDF("cell_id", "cent").crossJoin(broadcast(q))
+      .select(col("cell_id"), cos("cent", "q_embedding").as("qs"))
+      .orderBy(col("qs").desc, col("cell_id")).limit(nProbe)
+      .select(col("cell_id"))
+    val assigned = assignCells(
+      t.embeddings.select(col("vec_id"), col("embedding")), "vec_id", "embedding", centRows)
+    val adist = DatasetShim.column(graft.functions.PqAdcExpr(
+      DatasetShim.expression(col("q_embedding")),
+      DatasetShim.expression(col("codes")),
+      pqFlat(cbs, m, ksub, sub), m, ksub, sub))
+    assigned.join(broadcast(qCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("codes",
+        transform(pqEncCol(col("embedding"), cbs, m, ksub, sub), e => e("c")))
+      .select(col("vec_id"), roundHalfUp(adist, 6).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(k)
+  }
+
   def annPq(t: Tables, queryVecId: Long = 0L, m: Int = 4, ksub: Int = 16,
             k: Int = 10): DataFrame = {
     val (cbs, sub) = pqCodebooks(t, m, ksub)

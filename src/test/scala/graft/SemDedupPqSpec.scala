@@ -218,6 +218,33 @@ class SemDedupPqSpec extends AnyFunSuite {
     assert(top == (3L until 24L by 3L).toSet, s"blob-0 members fill the top-7: $top")
   }
 
+  test("annIvfPq probing all cells degenerates to exactly annPq") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 6f - 3f), "x"))
+    val t = embeddings(rows)
+    val full = Similarity.annPq(t, queryVecId = 0L, m = 4, ksub = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.annIvfPq(t, queryVecId = 0L, nCells = 6, nProbe = 6,
+      m = 4, ksub = 8, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == full, s"all-cells IVF-PQ != brute ADC:\n$ivf\n$full")
+  }
+
+  test("annIvfPq recalls the query's blob through cell pruning + ADC") {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(
+      Seq(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Seq(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f))
+    val rows = (0 until 24).map { i =>
+      (i.toLong, bases(i % 3).map(v => v + rnd.nextFloat() * 0.05f), s"b${i % 3}")
+    }
+    val t = embeddings(rows)
+    val top = Similarity.annIvfPq(t, queryVecId = 0L, nCells = 6, nProbe = 2,
+      m = 4, ksub = 8, k = 7).collect().map(_.getLong(0)).toSet
+    assert(top == (3L until 24L by 3L).toSet, s"blob-0 members via probed cells: $top")
+  }
+
   test("native keepFirstSegs kernel matches the HOF formulation row-for-row") {
     val rnd = new scala.util.Random(11)
     val words = Seq("a", "b", "A ", " b", "cc", "Dd", "dd", "", "eÉ", "eé")
