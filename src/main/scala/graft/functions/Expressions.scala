@@ -457,6 +457,74 @@ object Kernels {
     best
   }
 
+  /** C38 kernel: DSIR hashed n-gram feature buckets in ONE pass —
+    * lowercase, tokenize on Java-regex-\s whitespace runs (empties
+    * dropped), then emit rolling-hash(mod 2³⁰-ish prime) % b for every
+    * unigram FOLLOWED BY every bigram (the `concat(arr, bigs)` order of
+    * the HOF formulation). Bigram hashes continue the left token's fold
+    * through a literal space (h(a⧺' '⧺b)), exactly what hashing the
+    * concat_ws(" ", a, b) string produces — no bigram strings are ever
+    * materialized. Matches lower() ∘ split(\s+) ∘ rolling_hash
+    * bit-for-bit; parity fuzz-tested in DsirSpec.
+    */
+  def dsirFeatBuckets(s: UTF8String, b: Long): ArrayData = {
+    val str = s.toLowerCase().toString
+    val mod = 1000000007L
+    val uni = new scala.collection.mutable.ArrayBuffer[Long]()
+    val bi = new scala.collection.mutable.ArrayBuffer[Long]()
+    var prev = -1L // previous token's full rolling hash, -1 = none
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp0 = str.codePointAt(i)
+      if (isWs(cp0)) i += Character.charCount(cp0)
+      else {
+        var h = 0L
+        var j = i
+        while (j < n && !isWs(str.codePointAt(j))) {
+          val cp = str.codePointAt(j)
+          h = (h * 31 + cp) % mod
+          j += Character.charCount(cp)
+        }
+        uni += h % b
+        if (prev >= 0) {
+          // continue prev's fold through ' ' (32) then this token
+          var hb = (prev * 31 + 32) % mod
+          var t = i
+          while (t < j) {
+            val cp = str.codePointAt(t)
+            hb = (hb * 31 + cp) % mod
+            t += Character.charCount(cp)
+          }
+          bi += hb % b
+        }
+        prev = h
+        i = j
+      }
+    }
+    new GenericArrayData((uni ++ bi).toArray)
+  }
+
+  /** Java regex \s character class (ASCII whitespace). */
+  @inline private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+  /** C38 kernel: featurize AND fold the bucket→weight table in one call —
+    * returns (n_feats, Σ w[bucket]) with the fold in feature order
+    * (unigrams then bigrams, the exact add order of the HOF
+    * aggregate() and the oracle's list_reduce). `w` is bucket-indexed
+    * with the unseen-bucket fallback pre-filled, so lookup is an array
+    * read, not a map probe.
+    */
+  def dsirScore(s: UTF8String, w: Array[Double], b: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val feats = dsirFeatBuckets(s, b)
+    val n = feats.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += w(feats.getLong(i).toInt); i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, acc)
+  }
+
   /** C43b kernel: asymmetric (ADC) PQ distance — Σ over subspaces of
     * dist²(query subvector, codebook[code_s]); same fold order as the
     * HOF formulation (s ascending, j ascending), bit-identical result.
@@ -718,6 +786,47 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Float], k: Int, d
   override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
 }
 
+/** D3 / C38: one-pass DSIR feature buckets (unigram then bigram hashes
+  * mod b) — replaces the split/slice/zip_with/concat_ws/transform HOF
+  * chain with a single string scan.
+  */
+case class DsirFeats(child: Expression, b: Long) extends UnaryExpression {
+  require(b > 0, s"graft_dsir_feats needs b > 0, got $b")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.dsirFeatBuckets(s.asInstanceOf[UTF8String], b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dsirFeatBuckets($c, ${b}L)")
+
+  override protected def withNewChildInternal(c: Expression): DsirFeats = copy(child = c)
+}
+
+/** D3 / C38: fused featurize-and-score — struct<n_feats, score> per
+  * document, with the bucket→weight table as a bucket-indexed double[]
+  * reference object (unseen fallback pre-filled).
+  */
+case class DsirScoreExpr(child: Expression, w: Array[Double], b: Long)
+    extends UnaryExpression {
+  require(w.length == b, s"dsir score table: ${w.length} != $b")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.dsirScore(s.asInstanceOf[UTF8String], w, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirw", w, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.dsirScore($c, $ref, ${b}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DsirScoreExpr = copy(child = c)
+}
+
 /** D3 / C43b: native ADC distance over PQ codes (left = query vector,
   * right = array<long> codes), codebook as a codegen reference object.
   */
@@ -833,6 +942,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_keep_first"),
       new ExpressionInfo(classOf[KeepFirstSegs].getName, "graft_keep_first"),
       (es: Seq[Expression]) => KeepFirstSegs(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dsir_feats"),
+      new ExpressionInfo(classOf[DsirFeats].getName, "graft_dsir_feats"),
+      (es: Seq[Expression]) => DsirFeats(es(0), litLong(es(1), "b"))))
     ext.injectFunction((FunctionIdentifier("graft_simhash_blocks"),
       new ExpressionInfo(classOf[SimHashBlocks].getName, "graft_simhash_blocks"),
       (es: Seq[Expression]) => SimHashBlocks(es(0), litInt(es(1), "bits"), litInt(es(2), "nBlocks"), litInt(es(3), "blockBits"))))

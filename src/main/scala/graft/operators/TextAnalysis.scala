@@ -766,7 +766,14 @@ object TextAnalysis {
     * DuckDB oracle folds the identically-constructed list, so the sums
     * are bit-stable across engines, not just close.
     */
-  private def dsirFeats(b: Int): Column = {
+  /** One-pass native featurization (tokenize + hash + bucket in a single
+    * string scan, no bigram strings materialized); [[dsirFeatsHof]] is
+    * the independent parity reference.
+    */
+  private def dsirFeats(b: Int): Column =
+    expr(s"graft_dsir_feats(text, ${b}L)")
+
+  private[graft] def dsirFeatsHof(b: Int): Column = {
     val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
     val bigs = zip_with(
       slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
@@ -831,13 +838,37 @@ object TextAnalysis {
     * shared scoring projection of the batch operator and the C38c
     * streaming gate. Pure narrow expression: no shuffle, no state.
     */
-  private[graft] def dsirScoreCol(m: DsirModel): Column = {
+  /** Bucket-indexed weight table (unseen fallback pre-filled) for the
+    * fused scoring kernel.
+    */
+  private def dsirTable(m: DsirModel): Array[Double] = {
+    val w = Array.fill(m.b)(m.wUnseen)
+    m.weights.foreach { case (bk, v) => w(bk.toInt) = v }
+    w
+  }
+
+  /** Fused featurize-and-score through the native kernel — one string
+    * scan per document, fold in feature order (bit-identical to the
+    * HOF/oracle). The struct is shared by score and n_feats projections,
+    * so codegen's subexpression elimination evaluates it once per row.
+    */
+  private def dsirScored(m: DsirModel): Column =
+    org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.DsirScoreExpr(
+        org.apache.spark.sql.graft.DatasetShim.expression(col("text")),
+        dsirTable(m), m.b.toLong))
+
+  private[graft] def dsirScoreCol(m: DsirModel): Column =
+    dsirScored(m).getField("score")
+
+  /** HOF parity reference for the fused scoring kernel (DsirSpec). */
+  private[graft] def dsirScoreColHof(m: DsirModel): Column = {
     val wOf = (bk: Column) => coalesce(element_at(typedLit(m.weights), bk), lit(m.wUnseen))
-    aggregate(dsirFeats(m.b), lit(0.0d), (acc, bk) => acc + wOf(bk))
+    aggregate(dsirFeatsHof(m.b), lit(0.0d), (acc, bk) => acc + wOf(bk))
   }
 
   private[graft] def dsirNFeats(m: DsirModel): Column =
-    size(dsirFeats(m.b)).cast("long")
+    dsirScored(m).getField("n_feats")
 
   def dsirWeights(t: Tables, targetExpr: String = "lang = 'en'",
                   b: Int = 1024, alpha: Double = 0.5): DataFrame = {

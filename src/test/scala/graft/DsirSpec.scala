@@ -145,4 +145,36 @@ class DsirSpec extends AnyFunSuite {
     q2.stop()
     assert(kept == got.filter(_._2._2 >= cut).keySet)
   }
+
+  test("native featurize/score kernels match the HOF formulations row-for-row") {
+    val rnd = new scala.util.Random(23)
+    val words = Seq("spark", "Stream", "a", "ÉTÉ", "b12", "x,y", "zz")
+    // whitespace-torture corpus: tabs, runs, leading/trailing, empty,
+    // single-token, and non-ASCII lowercase-mapping docs
+    val rows = (0L until 120L).map { i =>
+      val seps = Seq(" ", "  ", "\t", " \t ")
+      val n = rnd.nextInt(8)
+      val body = Seq.fill(n)(words(rnd.nextInt(words.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+      (i, if (i % 17 == 0) "" else s"${if (i % 5 == 0) "\t " else ""}$body",
+        if (i % 2 == 0) "en" else "de")
+    }
+    val t = docs(rows)
+    val b = 64
+    val nf = t.documents.select(col("doc_id"),
+        TextAnalysis.dsirFeatsHof(b).as("h"),
+        expr(s"graft_dsir_feats(text, ${b}L)").as("n")).collect()
+    nf.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"feats diverge for doc ${r.getLong(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+    }
+    val m = TextAnalysis.dsirFit(t, targetExpr = "lang = 'en'", b = b)
+    val sc = t.documents.select(col("doc_id"),
+        TextAnalysis.dsirScoreColHof(m).as("h"),
+        TextAnalysis.dsirScoreCol(m).as("n")).collect()
+    sc.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"score diverges (must be bit-identical) for doc ${r.getLong(0)}")
+    }
+  }
 }
