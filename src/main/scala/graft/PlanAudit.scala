@@ -123,7 +123,11 @@ object PlanAudit {
       // and the final take never hash-shuffle the corpus
       ("ann_ivf_pq", p => p.contains("BroadcastHashJoin") &&
           p.contains("TakeOrderedAndProject") && !p.contains("SortMergeJoin"),
-        "IVF-PQ: broadcast probed cells, ADC scan, bounded take"))
+        "IVF-PQ: broadcast probed cells, ADC scan, bounded take"),
+      // C44b: frozen-weight classifier scoring is the 100 TB deployment
+      // pass — one fused-kernel narrow scan, no join, no hash exchange
+      ("classifier_score", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "classifier scoring is a zero-shuffle fused-kernel scan"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

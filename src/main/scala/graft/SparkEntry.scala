@@ -101,6 +101,8 @@ object SparkEntry {
     "pq_encode"       -> Seq(col("vec_id")),
     "ann_pq"          -> Seq(col("adist"), col("vec_id")),
     "ann_ivf_pq"      -> Seq(col("adist"), col("vec_id")),
+    "quality_classifier" -> Seq(col("doc_id")),
+    "classifier_score"   -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -234,7 +236,9 @@ object SparkEntry {
     "semdedup"        -> q(Similarity.semDedup(_)),
     "pq_encode"       -> q(Similarity.pqEncode(_)),
     "ann_pq"          -> q(Similarity.annPq(_)),
-    "ann_ivf_pq"      -> q(Similarity.annIvfPq(_))
+    "ann_ivf_pq"      -> q(Similarity.annIvfPq(_)),
+    "quality_classifier" -> q(TextAnalysis.qualityClassifier(_)),  // rows-only: GD float-sum order has no SQL oracle
+    "classifier_score"   -> q(TextAnalysis.classifierScore(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1353,7 +1357,24 @@ object SparkEntry {
            FROM ad GROUP BY vec_id)
          SELECT t.vec_id, t.adist
          FROM tot t JOIN assigned a ON a.vec_id = t.vec_id JOIN qcells qc ON qc.cell_id = a.cell_id
-         ORDER BY t.adist, t.vec_id LIMIT 10""")
+         ORDER BY t.adist, t.vec_id LIMIT 10"""),
+    "classifier_score" ->
+      """WITH tok0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS ws
+           FROM documents),
+         ft AS (SELECT doc_id, list_transform(
+             ws || list_transform(generate_series(1, greatest(len(ws) - 1, 0)), i -> ws[i] || ' ' || ws[i+1]),
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(s, ''), x -> CAST(ascii(x) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) % 1024) AS feats
+           FROM tok0),
+         sc AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(feats, bk -> CAST((bk * 2654435761) % 1000 - 500 AS DOUBLE) / 1000.0)),
+               (a, c) -> a + c) AS z
+           FROM ft)
+         SELECT doc_id, n_feats, floor(z * 10000.0 + 0.5) / 10000.0 AS logit, z >= 0 AS keep
+         FROM sc ORDER BY doc_id"""
   )
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,

@@ -912,6 +912,85 @@ object TextAnalysis {
         roundHalfUp(col("gumbel_key"), 3).as("gumbel_key"))
   }
 
+  /** C44: fasttext-style quality classifier (Joulin et al. 2017 — the
+    * canonical LLM-corpus quality filter: GPT-3/LLaMA-style "looks like
+    * the reference corpus" gating). Logistic regression over the SAME
+    * hashed n-gram features as C38 (uni+bigram buckets), trained by
+    * batch gradient descent against `labelExpr` as the positive class.
+    *
+    * Scale shape per iteration (the kmeans/C18 pattern): the logit is
+    * the fused C38 scoring kernel (ONE narrow string-scan per doc — the
+    * current weight table rides as a bucket-indexed reference object),
+    * the gradient is one explode → b-bounded map-side-combinable
+    * aggregate (≤ b rows collected to update the driver-held weights),
+    * so driver work is O(b·iters) and data passes are `iters` scans.
+    * Float-sum association order in the gradient aggregate makes
+    * trained weights run-stable only to ~ulp — like C18 this is
+    * rows-only for the driver oracle, with planted separable-corpus
+    * ScalaTests; [[classifierScore]] is the oracle-checked twin.
+    */
+  def classifierTrain(t: Tables, labelExpr: String = "lang = 'en'",
+                      b: Int = 1024, iters: Int = 8, lr: Double = 0.5): (Array[Double], Double) = {
+    require(b > 0 && b <= 65536, s"classifier bucket count must be in (0, 65536], got $b")
+    var w = new Array[Double](b)
+    var bias = 0.0
+    val n = t.documents.count().toDouble
+    val y = expr(labelExpr).cast("double")
+    for (_ <- 0 until iters) {
+      val z = org.apache.spark.sql.graft.DatasetShim.column(
+        graft.functions.DsirScoreExpr(
+          org.apache.spark.sql.graft.DatasetShim.expression(col("text")), w, b.toLong))
+        .getField("score") + lit(bias)
+      val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - y).as("resid")
+      val scored = t.documents.select(dsirFeats(b).as("feats"), resid)
+      val grads = scored
+        .select(explode(col("feats")).as("bk"), col("resid"))
+        .groupBy("bk").agg(sum(col("resid")).as("g"))
+        .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
+      val biasGrad = scored.agg(sum(col("resid"))).collect()(0).getDouble(0)
+      val w2 = w.clone()
+      grads.foreach { case (bk, g) => w2(bk) -= lr * g / n }
+      w = w2
+      bias -= lr * biasGrad / n
+    }
+    (w, bias)
+  }
+
+  /** C44 applied: train then classify the corpus — (doc_id, label,
+    * logit, keep). Rows-only driver check (see [[classifierTrain]]).
+    */
+  def qualityClassifier(t: Tables, labelExpr: String = "lang = 'en'",
+                        b: Int = 1024, iters: Int = 8, lr: Double = 0.5): DataFrame = {
+    val (w, bias) = classifierTrain(t, labelExpr, b, iters, lr)
+    val z = org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.DsirScoreExpr(
+        org.apache.spark.sql.graft.DatasetShim.expression(col("text")), w, b.toLong))
+      .getField("score") + lit(bias)
+    t.documents.select(col("doc_id"), expr(labelExpr).cast("long").as("label"),
+      roundHalfUp(z, 4).as("logit"), (z >= 0).as("keep"))
+  }
+
+  /** C44b: the classifier SCORING pass in isolation, oracle-checkable —
+    * weights come from a deterministic pseudo-random rule both engines
+    * compute exactly (w[bk] = ((bk·2654435761) mod 1000 − 500)/1000, a
+    * rational with an exact /1000 double), the logit folds them in
+    * feature order through the same fused kernel, and `keep = logit ≥ 0`
+    * needs no transcendentals — the whole output is bit-stable across
+    * engines. This is the shape a DEPLOYED classifier runs (weights are
+    * a frozen artifact; scoring is the 100 TB pass): one zero-shuffle
+    * narrow scan, no join, no exchange.
+    */
+  def classifierScore(t: Tables, b: Int = 1024): DataFrame = {
+    val w = Array.tabulate(b)(bk => ((bk.toLong * 2654435761L) % 1000L - 500L).toDouble / 1000.0)
+    val s = org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.DsirScoreExpr(
+        org.apache.spark.sql.graft.DatasetShim.expression(col("text")), w, b.toLong))
+    t.documents.select(col("doc_id"),
+      s.getField("n_feats").as("n_feats"),
+      roundHalfUp(s.getField("score"), 4).as("logit"),
+      (s.getField("score") >= 0).as("keep"))
+  }
+
   /** C40: intra-document segment deduplication — drop repeated
     * lines/paragraphs/sentences WITHIN each document, keeping the first
     * occurrence in original order (the FineWeb/CCNet "remove duplicated

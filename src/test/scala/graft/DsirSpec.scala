@@ -36,6 +36,7 @@ class DsirSpec extends AnyFunSuite {
     (ws ++ bigs).map(t => rh(t) % b)
   }
   private def r3(x: Double): Double = math.floor(x * 1000.0 + 0.5) / 1000.0
+  private def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
 
   test("dsir_weights matches hand-computed add-alpha importance weights") {
     val rows = Seq((1L, "a b", "en"), (2L, "a c", "de"), (3L, "b b", "en"))
@@ -144,6 +145,34 @@ class DsirSpec extends AnyFunSuite {
     val kept = spark.sql("SELECT docId FROM dsirgate2").collect().map(_.getLong(0)).toSet
     q2.stop()
     assert(kept == got.filter(_._2._2 >= cut).keySet)
+  }
+
+  test("quality classifier separates a planted separable corpus") {
+    // positives share vocabulary; negatives share a disjoint one — an
+    // easily separable problem 8 GD iterations must solve exactly
+    val pos = (0L until 20L).map(i => (i, s"good clean prose text sample $i", "en"))
+    val neg = (20L until 40L).map(i => (i, s"zz$i qq xx junkjunk spam$i", "de"))
+    val t = docs(pos ++ neg)
+    val got = TextAnalysis.qualityClassifier(t, labelExpr = "lang = 'en'",
+      b = 256, iters = 12, lr = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    got.foreach { case (id, (label, keep)) =>
+      assert(keep == (label == 1L), s"doc $id misclassified: label=$label keep=$keep")
+    }
+  }
+
+  test("classifierScore is the deterministic pseudo-weight fold (hand-check)") {
+    val t = docs(Seq((1L, "a b", "en"), (2L, "", "en")))
+    val b = 1024
+    def w(bk: Long): Double = ((bk * 2654435761L) % 1000L - 500L).toDouble / 1000.0
+    val fs = feats("a b", b) // uni a, uni b, bigram "a b"
+    val expectZ = fs.foldLeft(0.0)((acc, bk) => acc + w(bk))
+    val got = TextAnalysis.classifierScore(t, b).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == r4(expectZ), s"logit: ${got(1L)._2} vs ${r4(expectZ)}")
+    assert(got(1L)._3 == (expectZ >= 0))
+    assert(got(2L) == ((0L, 0.0, true)), s"empty doc: ${got(2L)}")
   }
 
   test("native featurize/score kernels match the HOF formulations row-for-row") {
