@@ -189,4 +189,16 @@ class ExpressionsSpec extends AnyFunSuite {
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall (probing half the cells)")
   }
+
+  test("graft_keep_first and graft_dsir_feats are SQL-reachable with exact semantics") {
+    import spark.implicits._
+    val got = spark.sql(
+      """SELECT graft_keep_first(array('A ', 'a', 'b', 'B', 'a')) AS k,
+                graft_dsir_feats('x y', 1024L) AS f""").collect()(0)
+    assert(got.getSeq[String](0) == Seq("A ", "b"), s"keep_first: ${got.getSeq[String](0)}")
+    // feats = [h('x')%b, h('y')%b, h('x y')%b] with the base-31 rolling hash
+    def rh(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    assert(got.getSeq[Long](1) == Seq(rh("x") % 1024, rh("y") % 1024, rh("x y") % 1024),
+      s"dsir_feats: ${got.getSeq[Long](1)}")
+  }
 }
