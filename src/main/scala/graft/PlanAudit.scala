@@ -127,7 +127,11 @@ object PlanAudit {
       // C44b: frozen-weight classifier scoring is the 100 TB deployment
       // pass — one fused-kernel narrow scan, no join, no hash exchange
       ("classifier_score", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
-        "classifier scoring is a zero-shuffle fused-kernel scan"))
+        "classifier scoring is a zero-shuffle fused-kernel scan"),
+      // C45: the projection matrix derives from integer constants inside
+      // the expression — no stats pass, no join, no hash exchange
+      ("embed_project", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "JL projection is a zero-shuffle narrow scan (hash-derived matrix)"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

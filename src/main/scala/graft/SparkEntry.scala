@@ -95,6 +95,7 @@ object SparkEntry {
     "source_cap"      -> Seq(col("source"), col("rk")),
     "dsir_weights"    -> Seq(col("doc_id")),
     "embed_quantize"  -> Seq(col("vec_id")),
+    "embed_project"   -> Seq(col("vec_id")),
     "line_dedup"      -> Seq(col("doc_id")),
     "rrf_fusion"      -> Seq(col("rk")),
     "semdedup"        -> Seq(col("vec_id")),
@@ -229,6 +230,7 @@ object SparkEntry {
     "dsir_weights"    -> q(TextAnalysis.dsirWeights(_)),
     "dsir_select"     -> q(TextAnalysis.dsirSelect(_)),
     "embed_quantize"  -> q(Similarity.embedQuantize(_)),
+    "embed_project"   -> q(Similarity.embedProject(_)),
     // word-granularity separator: the synthetic corpus is single-line, so
     // " " is the segment split that actually exercises keep-first/reassemble
     "line_dedup"      -> q(TextAnalysis.lineDedup(_, sep = " ")),
@@ -1262,6 +1264,25 @@ object SparkEntry {
                  (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
              (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
          FROM rc ORDER BY vec_id""",
+    "embed_project" ->
+      """WITH p AS (SELECT vec_id,
+             list_transform(generate_series(0, 15), i ->
+               sqrt(3.0/16.0) * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(embedding)), j ->
+                   CASE (CAST(i AS BIGINT)*len(embedding) + (j-1)) * 2654435761 % 1000000007 % 6
+                     WHEN 0 THEN CAST(embedding[j] AS DOUBLE)
+                     WHEN 1 THEN -CAST(embedding[j] AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END)),
+                 (a, b) -> a + b)) AS proj
+           FROM embeddings)
+         SELECT vec_id,
+           floor(proj[1] * 1000000.0 + 0.5) / 1000000.0 AS proj_0,
+           floor(proj[2] * 1000000.0 + 0.5) / 1000000.0 AS proj_1,
+           floor(proj[3] * 1000000.0 + 0.5) / 1000000.0 AS proj_2,
+           floor(proj[4] * 1000000.0 + 0.5) / 1000000.0 AS proj_3,
+           floor(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(proj, x -> x * x)), (a, b) -> a + b)) * 10000.0 + 0.5) / 10000.0 AS pnorm
+         FROM p ORDER BY vec_id""",
     "line_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
          n AS (SELECT doc_id, segs, list_transform(segs, x -> lower(trim(x))) AS nm FROM s),
