@@ -131,7 +131,11 @@ object PlanAudit {
       // C45: the projection matrix derives from integer constants inside
       // the expression — no stats pass, no join, no hash exchange
       ("embed_project", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
-        "JL projection is a zero-shuffle narrow scan (hash-derived matrix)"))
+        "JL projection is a zero-shuffle narrow scan (hash-derived matrix)"),
+      // C46: the pair stream leaves the scan array-side (no per-doc
+      // window); top-k is a bounded ordered take
+      ("pmi_top", p => !p.contains("Window") && p.contains("TakeOrderedAndProject"),
+        "PMI pairing is array-side; top-k bounded, no global sort"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -231,6 +231,7 @@ object SparkEntry {
     "dsir_select"     -> q(TextAnalysis.dsirSelect(_)),
     "embed_quantize"  -> q(Similarity.embedQuantize(_)),
     "embed_project"   -> q(Similarity.embedProject(_)),
+    "pmi_top"         -> q(TextAnalysis.pmiTop(_)),
     // word-granularity separator: the synthetic corpus is single-line, so
     // " " is the segment split that actually exercises keep-first/reassemble
     "line_dedup"      -> q(TextAnalysis.lineDedup(_, sep = " ")),
@@ -1264,6 +1265,26 @@ object SparkEntry {
                  (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
              (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
          FROM rc ORDER BY vec_id""",
+    "pmi_top" ->
+      """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+         tokr AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM tok0),
+         tok AS (SELECT doc_id, i AS pos, ws[i] AS token FROM tokr WHERE len(ws[i]) > 0),
+         pairs AS (SELECT doc_id,
+                 lag(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                 token AS w2
+               FROM tok),
+         pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM pairs
+               WHERE w1 IS NOT NULL GROUP BY 1, 2),
+         l AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cl FROM pc GROUP BY 1),
+         r AS (SELECT w2, CAST(sum(cnt) AS BIGINT) AS cr FROM pc GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pc)
+         SELECT p.w1, p.w2, p.cnt, l.cl, r.cr,
+           floor(ln((CAST(p.cnt AS DOUBLE) * tot) / (CAST(l.cl AS DOUBLE) * r.cr))
+             * 10000.0 + 0.5) / 10000.0 AS pmi
+         FROM pc p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         WHERE p.cnt >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
     "embed_project" ->
       """WITH p AS (SELECT vec_id,
              list_transform(generate_series(0, 15), i ->

@@ -1134,4 +1134,50 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
       .select(col("rk"), col("doc_id"), col("bm25_rank"), col("dense_rank"), col("rrf"))
   }
+
+  /** C46: PMI collocation mining — the top-k adjacent token pairs by
+    * pointwise mutual information, pmi = ln(c(a,b)·N / (cl(a)·cr(b)))
+    * with a min-count floor (Church & Hanks, CL 1990). The phrase-mining
+    * signal behind tokenizer/vocabulary curation and boilerplate
+    * discovery: high-PMI pairs are multi-word units ("new york"),
+    * high-count/low-PMI pairs are incidental adjacency.
+    *
+    * Scale shape: ONE tokenize scan — the pair stream leaves the scan
+    * already formed (the C37 `zip_with` shape: no per-doc window, no
+    * doc-keyed exchange) into a map-side-combinable (w1, w2) count whose
+    * key space is the corpus's distinct-bigram relation; left/right
+    * marginals and the grand total all DERIVE from that aggregated
+    * relation (no second corpus scan), and the marginal joins attach to
+    * the bounded pair relation, broadcast when AQE sees they fit. Top-k
+    * is a bounded ordered take on the ROUNDED pmi (ties broken by the
+    * pair), so the cut is deterministic cross-engine.
+    */
+  def pmiTop(t: Tables, minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    val prs = when(size(arr) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(
+        slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+        slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val pc = t.documents
+      .select(explode(prs).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val left = pc.groupBy("w1").agg(sum(col("cnt")).as("cl"))
+    val right = pc.groupBy("w2").agg(sum(col("cnt")).as("cr"))
+    val tot = pc.agg(sum(col("cnt")).as("tot"))
+    // double-domain ratio (cnt·N up to ~1e26 at corpus scale would
+    // overflow BIGINT; the double product is exact enough and the
+    // formula string is identical on both engines)
+    val pmi = log((col("cnt").cast("double") * col("tot")) /
+      (col("cl").cast("double") * col("cr")))
+    pc.filter(col("cnt") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cnt"), col("cl"), col("cr"),
+        roundHalfUp(pmi, 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
