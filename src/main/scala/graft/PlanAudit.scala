@@ -135,7 +135,13 @@ object PlanAudit {
       // C46: the pair stream leaves the scan array-side (no per-doc
       // window); top-k is a bounded ordered take
       ("pmi_top", p => !p.contains("Window") && p.contains("TakeOrderedAndProject"),
-        "PMI pairing is array-side; top-k bounded, no global sort"))
+        "PMI pairing is array-side; top-k bounded, no global sort"),
+      // C47: pair stats explode over the DISTINCT-word dict, top-k is a
+      // bounded take; frozen-merge encoding is a pure narrow scan
+      ("bpe_pairs", p => !p.contains("Window") && p.contains("TakeOrderedAndProject"),
+        "BPE pair stats aggregate the word dict; top-k bounded"),
+      ("bpe_encode", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "frozen-merge BPE encoding is a zero-shuffle narrow scan"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

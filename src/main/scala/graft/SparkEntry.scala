@@ -96,6 +96,7 @@ object SparkEntry {
     "dsir_weights"    -> Seq(col("doc_id")),
     "embed_quantize"  -> Seq(col("vec_id")),
     "embed_project"   -> Seq(col("vec_id")),
+    "bpe_encode"      -> Seq(col("doc_id")),
     "line_dedup"      -> Seq(col("doc_id")),
     "rrf_fusion"      -> Seq(col("rk")),
     "semdedup"        -> Seq(col("vec_id")),
@@ -232,6 +233,9 @@ object SparkEntry {
     "embed_quantize"  -> q(Similarity.embedQuantize(_)),
     "embed_project"   -> q(Similarity.embedProject(_)),
     "pmi_top"         -> q(TextAnalysis.pmiTop(_)),
+    "bpe_pairs"       -> q(Bpe.bpePairs(_)),
+    "bpe_train"       -> q(Bpe.bpeTrain(_)),
+    "bpe_encode"      -> q(Bpe.bpeEncode(_, bpeFrozenMerges)),
     // word-granularity separator: the synthetic corpus is single-line, so
     // " " is the segment split that actually exercises keep-first/reassemble
     "line_dedup"      -> q(TextAnalysis.lineDedup(_, sep = " ")),
@@ -1265,6 +1269,30 @@ object SparkEntry {
                  (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
              (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
          FROM rc ORDER BY vec_id""",
+    "bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS word FROM documents),
+         d AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+         p AS (SELECT freq, unnest(list_transform(generate_series(1, len(word) - 1),
+               i -> substring(word, i, 2))) AS pair FROM d)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+         GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""",
+    "bpe_encode" -> {
+      val sep = "\u001f"
+      val enc = graft.operators.Bpe.encodeSqlExpr(bpeFrozenMerges, "w")
+      """WITH wd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS ws FROM documents),
+         e AS (SELECT doc_id, ws, list_transform(ws, w -> """ + enc + """) AS encs FROM wd),
+         e2 AS (SELECT doc_id, ws, encs,
+                CASE WHEN len(encs) = 0 THEN NULL ELSE string_split(encs[1], '""" + sep + """') END AS ft
+              FROM e)
+         SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(encs, s -> CAST(len(string_split(s, '""" + sep + """')) - 2 AS BIGINT))),
+             (a, b) -> a + b) AS BIGINT) AS n_bpe,
+           CASE WHEN ft IS NULL THEN NULL ELSE array_to_string(ft[2:len(ft)-1], ' ') END AS first_enc
+         FROM e2 ORDER BY doc_id"""
+    },
     "pmi_top" ->
       """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
                FROM documents),
@@ -1513,6 +1541,15 @@ object SparkEntry {
     * vocabulary-maps — the corner the operators/TextAnalysis.scala
     * scaladoc calls out). 128.5 = k·(V+1) with k = 0.5, V = 256.
     */
+  /** Frozen merge table for the bpe_encode driver query — the C44b
+    * frozen-artifact precedent: common English merges in rank order,
+    * literal on both engines. bpeTrain-produced merges run through the
+    * same code path (BpeSpec round-trips them).
+    */
+  private[graft] val bpeFrozenMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("an", "d"), ("in", "g"), ("o", "r"))
+
   private val lmSql: String =
     """WITH tok0 AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
                FROM documents),
