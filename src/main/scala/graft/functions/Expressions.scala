@@ -426,6 +426,32 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** C45 kernel: JL random projection — out[i] = √(3/r)·Σ_j w(i,j)·x[j]
+    * with w(i,j) from the shared multiplicative hash of the flat index
+    * i·d + j (residue 0 → +1, 1 → −1, else 0: the Achlioptas 1/6, 1/6,
+    * 2/3 split). Fold order j-ascending with one final √(3/r) multiply —
+    * bit-identical to the HOF twin and the DuckDB oracle.
+    */
+  def randProj(vec: ArrayData, r: Int): ArrayData = {
+    val d = vec.numElements()
+    val scale = math.sqrt(3.0 / r)
+    val out = new Array[Any](r)
+    var i = 0
+    while (i < r) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val m = (i.toLong * d + j) * 2654435761L % 1000000007L % 6L
+        if (m == 0L) acc += vec.getFloat(j).toDouble
+        else if (m == 1L) acc -= vec.getFloat(j).toDouble
+        j += 1
+      }
+      out(i) = scale * acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** C7/C18/C42 kernel: nearest-centroid POSITION by cosine — the
     * assignment argmax as one tight JIT loop. Fold order and tie/NaN
     * handling identical to the HOF formulation (centroids ascending,
@@ -784,6 +810,25 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Float], k: Int, d
   }
 
   override protected def withNewChildInternal(c: Expression): NearestCentroidExpr = copy(child = c)
+}
+
+/** D3 / C45: native JL random projection — the r·d fold as one tight
+  * JIT loop (the interpreted transform/aggregate HOF twin pays ~1000
+  * interpreted steps per row at r=16, d=64). No reference object at
+  * all: the matrix derives from two integer constants inside the loop.
+  */
+case class RandProjExpr(child: Expression, r: Int) extends UnaryExpression {
+  require(r > 0 && r <= 4096, s"graft_randproj target dim must be in (0, 4096], got $r")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.randProj(v.asInstanceOf[ArrayData], r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.randProj($c, $r)")
+
+  override protected def withNewChildInternal(c: Expression): RandProjExpr = copy(child = c)
 }
 
 /** D3 / C38: one-pass DSIR feature buckets (unigram then bigram hashes

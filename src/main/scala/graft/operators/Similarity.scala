@@ -803,6 +803,19 @@ object Similarity {
     */
   def embedProject(t: Tables, r: Int = 16): DataFrame = {
     require(r > 0 && r <= 4096, s"embedProject target dim must be in (0, 4096], got $r")
+    import org.apache.spark.sql.graft.DatasetShim
+    // native single-pass kernel (one JIT loop for the r·d fold);
+    // [[embedProjectProjHof]] is the independent parity reference
+    val proj = DatasetShim.column(graft.functions.RandProjExpr(
+      DatasetShim.expression(col("embedding")), r))
+    projectOutput(t.embeddings.withColumn("proj", proj))
+  }
+
+  /** The HOF formulation of [[embedProject]]'s projection column —
+    * retained as the kernel's independent parity reference (fuzz-tested
+    * for row identity in ProjectSpec).
+    */
+  private[graft] def embedProjectProjHof(r: Int): Column = {
     val scale = math.sqrt(3.0 / r)
     val d = size(col("embedding"))
     // weight(i, j) from the shared multiplicative hash: 0 -> +1, 1 -> -1,
@@ -816,17 +829,19 @@ object Similarity {
       })
       lit(scale) * folded
     })
+    // d == 0 guard: sequence(0, -1) would DESCEND in Spark while the
+    // oracle's generate_series(1, 0) is empty — both sides then agree
+    // the projection of an empty vector is the r-dim zero vector
+    when(d === 0, typedLit(Seq.fill(r)(0.0d))).otherwise(proj)
+  }
+
+  private[graft] def projectOutput(withProj: DataFrame): DataFrame = {
     val pn = sqrt(aggregate(col("proj"), lit(0.0d), (acc, x) => acc + x * x))
-    t.embeddings
-      // d == 0 guard: sequence(0, -1) would DESCEND in Spark while the
-      // oracle's generate_series(1, 0) is empty — both sides then agree
-      // the projection of an empty vector is the r-dim zero vector
-      .withColumn("proj", when(d === 0, typedLit(Seq.fill(r)(0.0d))).otherwise(proj))
-      .select(col("vec_id"),
-        roundHalfUp(get(col("proj"), lit(0)), 6).as("proj_0"),
-        roundHalfUp(get(col("proj"), lit(1)), 6).as("proj_1"),
-        roundHalfUp(get(col("proj"), lit(2)), 6).as("proj_2"),
-        roundHalfUp(get(col("proj"), lit(3)), 6).as("proj_3"),
-        roundHalfUp(pn, 4).as("pnorm"))
+    withProj.select(col("vec_id"),
+      roundHalfUp(get(col("proj"), lit(0)), 6).as("proj_0"),
+      roundHalfUp(get(col("proj"), lit(1)), 6).as("proj_1"),
+      roundHalfUp(get(col("proj"), lit(2)), 6).as("proj_2"),
+      roundHalfUp(get(col("proj"), lit(3)), 6).as("proj_3"),
+      roundHalfUp(pn, 4).as("pnorm"))
   }
 }

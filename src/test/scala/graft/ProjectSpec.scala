@@ -63,6 +63,24 @@ class ProjectSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("native kernel == HOF parity reference, row-identical on fuzz incl. NaN") {
+    val rng = new scala.util.Random(41)
+    val rows = (0L until 30L).map { i =>
+      val dims = Seq(1, 3, 16, 64)(rng.nextInt(4))
+      val e = Seq.fill(dims)(rng.nextFloat() * 4f - 2f)
+      // plant NaN into a few vectors — the fold must propagate identically
+      (i, if (i % 7 == 0) e.updated(0, Float.NaN) else e, 0)
+    }
+    val t = embeddings(rows)
+    val kernel = Similarity.embedProject(t, r = 16).collect()
+      .map(_.toSeq).sortBy(_.head.toString)
+    val hof = Similarity.projectOutput(
+        t.embeddings.withColumn("proj", Similarity.embedProjectProjHof(16)))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    // NaN != NaN under ==, so compare string forms for exact row identity
+    assert(kernel.map(_.toString).toSeq == hof.map(_.toString).toSeq)
+  }
+
   test("JL norm preservation: projected norms track input norms in aggregate") {
     val rng = new scala.util.Random(23)
     val rows = (0L until 40L).map(i => (i, Seq.fill(64)(rng.nextFloat() * 2f - 1f), 0))
