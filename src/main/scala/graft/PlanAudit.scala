@@ -141,7 +141,16 @@ object PlanAudit {
       ("bpe_pairs", p => !p.contains("Window") && p.contains("TakeOrderedAndProject"),
         "BPE pair stats aggregate the word dict; top-k bounded"),
       ("bpe_encode", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
-        "frozen-merge BPE encoding is a zero-shuffle narrow scan"))
+        "frozen-merge BPE encoding is a zero-shuffle narrow scan"),
+      // C48: chunking scope is the row — scan + explode only
+      ("chunk_text", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning") &&
+          !p.contains("Window"),
+        "RAG chunking is a zero-shuffle scan + explode"),
+      // B19/B20: static integer algebra + bounded aggregations only
+      ("zorder_layout", p => !p.contains("Join") && !p.contains("Window"),
+        "Z-order layout evidence: narrow interleave + one bucket aggregate"),
+      ("skew_profile", p => !p.contains("Join") && !p.contains("Window"),
+        "skew profile: two map-side-combinable aggregations, no window"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -39,6 +39,8 @@ object SparkEntry {
     "skew_agg"     -> Seq(col("event_type")),
     "approx_stats" -> Seq(col("l_returnflag")),
     "range_join"   -> Seq(col("band")),
+    "zorder_layout" -> Seq(col("zbucket")),
+    "skew_profile"  -> Seq(col("digits")),
     "ts_calibrate"     -> Seq(col("event_id")),
     "ts_expand"        -> Seq(col("user_id"), col("k")),
     "ts_gap_chunks"    -> Seq(col("event_type"), col("chunk_id")),
@@ -97,6 +99,7 @@ object SparkEntry {
     "embed_quantize"  -> Seq(col("vec_id")),
     "embed_project"   -> Seq(col("vec_id")),
     "bpe_encode"      -> Seq(col("doc_id")),
+    "chunk_text"      -> Seq(col("doc_id"), col("chunk_id")),
     "line_dedup"      -> Seq(col("doc_id")),
     "rrf_fusion"      -> Seq(col("rk")),
     "semdedup"        -> Seq(col("vec_id")),
@@ -144,6 +147,8 @@ object SparkEntry {
     "pivot_events" -> q(Analytics.pivotEvents),
     "percentiles"  -> q(Analytics.percentiles),
     "range_join"   -> q(Analytics.rangeJoin),
+    "zorder_layout" -> q(Analytics.zorderLayout(_)),
+    "skew_profile"  -> q(Analytics.skewProfile),
     "ts_calibrate"     -> q(TimeSeries.calibrate(_)),
     "ts_expand"        -> q(TimeSeries.tsExpand(_)),
     "ts_gap_chunks"    -> q(TimeSeries.tsGapChunks(_)),
@@ -233,6 +238,7 @@ object SparkEntry {
     "embed_quantize"  -> q(Similarity.embedQuantize(_)),
     "embed_project"   -> q(Similarity.embedProject(_)),
     "pmi_top"         -> q(TextAnalysis.pmiTop(_)),
+    "chunk_text"      -> q(TextAnalysis.chunkText(_)),
     "bpe_pairs"       -> q(Bpe.bpePairs(_)),
     "bpe_train"       -> q(Bpe.bpeTrain(_)),
     "bpe_encode"      -> q(Bpe.bpeEncode(_, bpeFrozenMerges)),
@@ -1269,6 +1275,30 @@ object SparkEntry {
                  (CAST(embedding[i] AS DOUBLE) - recon[i]) * (CAST(embedding[i] AS DOUBLE) - recon[i]))),
              (a, b) -> a + b) / len(embedding) * 100000000.0 + 0.5) / 100000000.0 AS mse
          FROM rc ORDER BY vec_id""",
+    "zorder_layout" -> (
+      """WITH z AS (SELECT l_partkey, l_suppkey, """ +
+        graft.operators.Analytics.zorderKeySql("l_partkey", "l_suppkey", 16) +
+      """ AS zkey FROM lineitem)
+         SELECT CAST(zkey >> 16 AS BIGINT) AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         FROM z GROUP BY 1 ORDER BY zbucket"""),
+    "skew_profile" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1)
+         SELECT CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS digits,
+           CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(max(cnt) AS BIGINT) AS max_cnt
+         FROM k GROUP BY 1 ORDER BY digits""",
+    "chunk_text" ->
+      """WITH wd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS ws FROM documents),
+         cr AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 48)) AS cid
+               FROM wd WHERE len(ws) > 0),
+         ck AS (SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+                 ws[cid * 48 + 1 : cid * 48 + 64] AS toks FROM cr)
+         SELECT doc_id, chunk_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           array_to_string(toks, ' ') AS chunk_text
+         FROM ck ORDER BY doc_id, chunk_id""",
     "bpe_pairs" ->
       """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> len(x) > 0)) AS word FROM documents),

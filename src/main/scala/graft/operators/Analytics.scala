@@ -262,6 +262,71 @@ object Analytics {
         round(element_at(col("pq"), 2), 2).as("approx_p90_price"),
         col("n_rows"))
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two integer
+    * key columns — the multi-dimensional clustering key behind
+    * Z-ordered data layout (Delta/Iceberg OPTIMIZE ZORDER lineage;
+    * Morton 1966): sorting by zkey places rows close in BOTH key
+    * dimensions into the same file, so parquet footer min/max stats
+    * prune scans filtered on EITHER dimension — the layout-level
+    * complement to partition pruning at 100 TB.
+    *
+    * Pure unrolled integer Column algebra (2·bits shift/mask/add terms,
+    * static plan, codegen'd; no UDF, no HOF) — bit-exact on both
+    * engines. Values above 2^bits alias into the low bits: clamp
+    * `bits` to the real key domain when laying out production data.
+    */
+  def zorderKeyCol(a: Column, b: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"zorder bits must be in (0, 31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }
+  }
+
+  /** SQL text of the same interleave for the DuckDB oracle — generated
+    * from the same loop so the two formulas can never drift.
+    */
+  def zorderKeySql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)}) + ((($b >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  /** B19: Z-order layout evidence query — zkey over (l_partkey,
+    * l_suppkey), then per-zbucket (zkey >> bucketShift) row counts and
+    * min/max of BOTH dimensions. The narrow per-bucket spans in the
+    * output are exactly the parquet footer stats a Z-ordered file
+    * layout would expose to multi-dim predicate pruning; the aggregate
+    * is map-side combinable with one bucket-cardinality shuffle.
+    */
+  def zorderLayout(t: Tables, bits: Int = 16, bucketShift: Int = 16): DataFrame =
+    t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        zorderKeyCol(col("l_partkey"), col("l_suppkey"), bits).as("zkey"))
+      .groupBy(shiftright(col("zkey"), bucketShift).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+
+  /** B20: join-key skew profile — the per-key-count distribution in
+    * integer decimal-digit buckets (digit count of cnt: exact on both
+    * engines, no float log) with per-bucket key counts, row volume and
+    * the heaviest key size. This is the diagnostic that sizes
+    * `spark.sql.shuffle.partitions` and decides when a key needs the
+    * B12 salting treatment BEFORE a 100 TB join runs: a fat top bucket
+    * = a straggler task in any hash-partitioned plan.
+    *
+    * Two aggregations: per-key counts (map-side combinable, the same
+    * shuffle shape the diagnosed join itself would pay) and the
+    * ≤ 19-row digit rollup.
+    */
+  def skewProfile(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .groupBy(length(col("cnt").cast("string")).cast("long").as("digits"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

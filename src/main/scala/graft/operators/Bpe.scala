@@ -191,4 +191,5 @@ object Bpe {
         val rep = s"'$Sep$x$y$Sep'"
         s"replace(replace($s, $pat, $rep), $pat, $rep)"
     }
+
 }

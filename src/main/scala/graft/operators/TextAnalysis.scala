@@ -1135,6 +1135,42 @@ object TextAnalysis {
       .select(col("rk"), col("doc_id"), col("bm25_rank"), col("dense_rank"), col("rrf"))
   }
 
+  /** C48: sliding-window text chunking — split each document into
+    * `window`-token chunks every `stride` tokens (overlap = window −
+    * stride), the corpus-prep step for RAG indexing and long-document
+    * training: each chunk becomes an embedding/indexing unit. Chunk
+    * starts are the multiples of `stride` below the token count, so
+    * every token belongs to ≥ 1 chunk, tail chunks run short, and an
+    * empty document emits no chunks. Emits (doc_id, chunk_id,
+    * n_tokens, chunk_text).
+    *
+    * Scale shape: ONE zero-shuffle narrow scan + the chunk explode —
+    * chunking scope is the document, which the row already holds, so
+    * there is no join, no window, no exchange at any corpus size
+    * (plan-audited); all arithmetic is integer, so the oracle compare
+    * is exact. Output size ≈ corpus × window/stride — the explode is
+    * the point (downstream embeds each chunk), not overhead.
+    */
+  def chunkText(t: Tables, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkText needs 0 < stride <= window, got window=$window stride=$stride")
+    val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    val n = size(arr)
+    // chunk starts: 0, stride, 2·stride, ... < n  (ceil(n/stride) chunks;
+    // Column `/` is true division — cast truncates, exact for n ≥ 1)
+    val nChunks = when(n === 0, lit(0))
+      .otherwise(((n - 1) / lit(stride)).cast("int") + 1)
+    val chunks = when(n === 0, array().cast("array<struct<cid:int,toks:array<string>>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.cast("int").as("cid"),
+          slice(arr, i * lit(stride) + 1, lit(window)).as("toks"))))
+    t.documents
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.cid").cast("long").as("chunk_id"),
+        size(col("c.toks")).cast("long").as("n_tokens"),
+        array_join(col("c.toks"), " ").as("chunk_text"))
+  }
+
   /** C46: PMI collocation mining — the top-k adjacent token pairs by
     * pointwise mutual information, pmi = ln(c(a,b)·N / (cl(a)·cr(b)))
     * with a min-count floor (Church & Hanks, CL 1990). The phrase-mining

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** B19/B20 tests: the Morton interleave hand-checked bit by bit, the
+  * locality guarantee Z-order exists for (bounded per-bucket spans in
+  * BOTH dimensions), and the skew profile on a planted hot key.
+  */
+class ZorderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("zorderKeyCol interleaves bits exactly (hand-computed)") {
+    import spark.implicits._
+    // a = 0b101, b = 0b011 at 3 bits: even positions from a -> 1 + 16,
+    // odd positions from b -> 2 + 8; zkey = 27
+    val df = Seq((5L, 3L)).toDF("a", "b")
+      .select(Analytics.zorderKeyCol(col("a"), col("b"), 3).as("z"))
+    assert(df.collect()(0).getLong(0) == 27L)
+    // scalar reference across a grid
+    def ref(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).sum
+    val grid = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = grid.toDF("a", "b")
+      .select(col("a"), col("b"), Analytics.zorderKeyCol(col("a"), col("b"), 4).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    grid.foreach { case (a, b) => assert(got((a, b)) == ref(a, b, 4)) }
+  }
+
+  test("per-zbucket spans are bounded in BOTH dimensions — the pruning guarantee") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 4000).map(_ => (rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    // bucket = zkey >> 12 fixes bits 6..9 of each 10-bit dim, so every
+    // bucket spans < 2^6 = 64 in a AND in b — that bound is exactly what
+    // parquet footer min/max stats prune on for predicates on either dim
+    val spans = rows.toDF("a", "b")
+      .select(col("a"), col("b"), Analytics.zorderKeyCol(col("a"), col("b"), 10).as("z"))
+      .groupBy(shiftright(col("z"), 12).as("bucket"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"), (max(col("b")) - min(col("b"))).as("sb"))
+      .collect()
+    assert(spans.length > 16, s"expected many buckets, got ${spans.length}")
+    spans.foreach { r =>
+      assert(r.getLong(1) < 64 && r.getLong(2) < 64,
+        s"bucket ${r.getLong(0)} spans ${r.getLong(1)}/${r.getLong(2)}")
+    }
+  }
+
+  /** events rows: (event_id, ts_ns, user_id, event_type, value). */
+  private def events(rows: Seq[(Long, Long, Long, String, Double)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables(spark, dir)
+  }
+
+  test("skew profile surfaces a planted hot key in its own digit bucket") {
+    val hot = (0 until 1000).map(i => (i.toLong, i.toLong, 99L, "click", 1.0))
+    val cold = (0 until 50).flatMap(u =>
+      (0 until 5).map(i => (10000L + u * 5 + i, i.toLong, u.toLong, "view", 1.0)))
+    val t = events(hot ++ cold)
+    val got = Analytics.skewProfile(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 50 cold keys at 5 events (1 digit), 1 hot key at 1000 (4 digits)
+    assert(got == Map(1L -> ((50L, 250L, 5L)), 4L -> ((1L, 1000L, 1000L))))
+  }
+}
