@@ -308,6 +308,27 @@ object Analytics {
         min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
 
+  /** B19 write path: materialize a relation Z-ordered on two integer
+    * keys — range-partition by zkey (contiguous zkey runs per output
+    * file), sort within partitions, write parquet. Each output file
+    * then covers a narrow range in BOTH key dimensions, so parquet
+    * footer min/max stats let predicates on EITHER dimension skip
+    * whole files/row groups — the layout-level pruning complement to
+    * partition pruning (ZorderSpec measures the per-file spans against
+    * an unclustered baseline write).
+    *
+    * The range exchange samples zkey for balanced output files; the
+    * sortWithinPartitions is the only sort and is file-local. At 100 TB
+    * this is the one-off layout job whose cost every later scan repays.
+    */
+  def zorderWrite(df: DataFrame, a: String, b: String, bits: Int,
+                  dir: String, nFiles: Int): Unit =
+    df.withColumn("zkey", zorderKeyCol(col(a), col(b), bits))
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode("overwrite").parquet(dir)
+
   /** B20: join-key skew profile — the per-key-count distribution in
     * integer decimal-digit buckets (digit count of cnt: exact on both
     * engines, no float log) with per-bucket key counts, row volume and
