@@ -150,7 +150,24 @@ object PlanAudit {
       ("zorder_layout", p => !p.contains("Join") && !p.contains("Window"),
         "Z-order layout evidence: narrow interleave + one bucket aggregate"),
       ("skew_profile", p => !p.contains("Join") && !p.contains("Window"),
-        "skew profile: two map-side-combinable aggregations, no window"))
+        "skew profile: two map-side-combinable aggregations, no window"),
+      // C49: negatives selected by the bounded heap aggregate after ONE
+      // broadcast of the query set — no window sort, no corpus shuffle
+      // beyond the q_id-keyed buffer exchange
+      ("hard_negatives", p => !p.contains("Window") && p.contains("partial_graft_topk") &&
+          p.contains("BroadcastNestedLoopJoin"),
+        "hard-negative mining: queries broadcast, bounded heap top-k, no window"),
+      // C50: everything past the (source, slot) min-aggregate is
+      // #sources-bounded; the pair stage must join broadcast and the
+      // slot mins must combine map-side
+      ("source_similarity", p => p.contains("partial_min") && p.contains("BroadcastHashJoin") &&
+          !p.contains("Window") && !p.contains("CartesianProduct"),
+        "source signatures combine map-side; pair stage joins the bounded slot relation broadcast"),
+      // C51: band assignment is a literal fold over the score — the scan
+      // pass must carry no join and no window (pass 1's histogram runs
+      // at plan-build time, outside this plan)
+      ("curriculum_bands", p => !p.contains("Join") && !p.contains("Window"),
+        "curriculum banding scores+assigns in one narrow scan (literal cutoffs)"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -117,6 +117,9 @@ object SparkEntry {
     "embed_neardup_lsh" -> Seq(col("id_a"), col("id_b")),
     "ann_batch"     -> Seq(col("q_id"), col("rk")),
     "ann_batch_agg" -> Seq(col("q_id"), col("rk")),
+    "hard_negatives" -> Seq(col("q_id"), col("rk")),
+    "source_similarity" -> Seq(col("src_a"), col("src_b")),
+    "curriculum_bands" -> Seq(col("doc_id")),
     "kmeans"        -> Seq(col("vec_id")),
     "funnel"        -> Seq(col("stage")),
     "retention"     -> Seq(col("cohort_day"), col("day_offset")),
@@ -195,6 +198,9 @@ object SparkEntry {
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
     "ann_batch"          -> q(Similarity.annBatch(_)),
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
+    "hard_negatives"     -> q(Similarity.hardNegatives(_)),
+    "source_similarity"  -> q(Dedup.sourceSimilarity(_)),
+    "curriculum_bands"   -> q(Sampling.curriculumBands(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
@@ -386,6 +392,48 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "ann_batch" -> annBatchOracle,
     "ann_batch_agg" -> annBatchOracle,
+    "hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe, label AS q_label FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id, floor((
+             list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(embedding)), i -> CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM embeddings, q WHERE label <> q_label),
+         r AS (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+               FROM s)
+         SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+    "source_similarity" ->
+      """WITH tk AS (SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT source, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT source, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         slots AS (SELECT source, j, min(sig[j+1]) AS v
+           FROM sigs, (SELECT unnest(generate_series(0, 31)) AS j) jj GROUP BY 1, 2)
+         SELECT a.source AS src_a, b.source AS src_b,
+           CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+           floor((CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS DOUBLE)/32)*10000.0 + 0.5)/10000.0 AS est_jaccard
+         FROM slots a JOIN slots b ON a.j = b.j AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "curriculum_bands" ->
+      """WITH sc AS (SELECT doc_id,
+             CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS score
+           FROM documents),
+         h AS (SELECT score, count(*) AS cnt FROM sc GROUP BY 1),
+         nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+         cum AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum FROM h),
+         cut AS (SELECT i, min(score) AS c
+           FROM cum, (SELECT unnest(generate_series(1, 3)) AS i) ii, nn
+           WHERE cum >= (i*n + 3) // 4 GROUP BY i),
+         cutd AS (SELECT DISTINCT c FROM cut)
+         SELECT sc.doc_id, CAST(sc.score AS BIGINT) AS score,
+           CAST(sum(CASE WHEN sc.score > cutd.c THEN 1 ELSE 0 END) AS BIGINT) AS band
+         FROM sc CROSS JOIN cutd
+         GROUP BY 1, 2 ORDER BY doc_id""",
     "mix_plan" ->
       """WITH w(lang, weight) AS (SELECT * FROM (VALUES ('en',0.4),('de',0.2),('es',0.2),('fr',0.1),('zh',0.1)) v(lang, weight)),
          a AS (SELECT lang, count(*) AS n_docs,

@@ -103,6 +103,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** C50: source-level similarity matrix — the corpus-composition
+    * diagnostic that tells a curation pipeline which providers/dumps
+    * substantially overlap (e.g. two CommonCrawl snapshots, a mirror
+    * site) BEFORE paying a doc-level cross-source dedup. A source's
+    * signature is the slot-wise MIN of its documents' MinHash
+    * signatures — exactly the MinHash of the UNION of the documents'
+    * shingle sets — so slot agreement between two sources estimates the
+    * Jaccard similarity of their union shingle sets.
+    *
+    * Scale shape: one narrow signature pass over the corpus, then a
+    * `(source, slot) → min` aggregation whose map-side partial bounds
+    * every task's shuffle output at #sources × nPerms rows regardless of
+    * corpus size; the pairwise stage self-joins a relation of that same
+    * bounded size (broadcast). Nothing downstream of the first aggregate
+    * ever scales with rows.
+    */
+  def sourceSimilarity(t: Tables, k: Int = 3, nPerms: Int = 32): DataFrame = {
+    val slots = t.documents
+      .withColumn("hs", expr(shingleHashExpr(k)))
+      .select(col("source"), posexplode(expr(minhashSigExpr(nPerms))).as(Seq("j", "v")))
+      .groupBy(col("source"), col("j"))
+      .agg(min(col("v")).as("v"))
+    val a = slots.select(col("source").as("src_a"), col("j"), col("v").as("va"))
+    val b = slots.select(col("source").as("src_b"), col("j").as("jb"), col("v").as("vb"))
+    a.join(broadcast(b), col("j") === col("jb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        roundHalfUp(col("n_agree").cast("double") / nPerms, 4).as("est_jaccard"))
+  }
+
   /** 48-bit SimHash from distinct shingle hashes (bit j set when the
     * ±1 vote sum over hash bit j is positive). 48 bits keeps every
     * intermediate comfortably inside signed-64 for both engines.

@@ -174,6 +174,47 @@ object Sampling {
         col("col.id").as("doc_id"), negate(col("col.score")).cast("long").as("h"))
   }
 
+  /** C51: curriculum banding — assign every document to one of `nBands`
+    * difficulty bands at exact token-count quantile cutoffs (the
+    * curriculum-learning data-ordering pass: stage training easy → hard
+    * without ever globally sorting the corpus).
+    *
+    * Two passes, neither a global sort: (1) a `score → count` aggregate
+    * whose map-side partial bounds shuffle output at the distinct-score
+    * count (token counts, not docs — `maxDistinct` guards the driver
+    * fold the way `maxAllPairs` guards [[Similarity.embedNearDup]]);
+    * the exact i/nBands quantile cutoffs fall out of the cumulative
+    * counts in closed integer form (ceil(i·n/nBands) via
+    * (i·n + nBands − 1) div nBands — no float boundary). (2) a
+    * zero-shuffle narrow scan assigns band = #cutoffs strictly below the
+    * doc's score: value-based, so ties land in the lower band
+    * deterministically on every engine and partitioning. A
+    * row_number()/ntile() formulation would range-sort 100 TB for ranks
+    * it immediately coarsens; this plan's cost is one combine-bounded
+    * aggregate plus a literal fold.
+    */
+  def curriculumBands(t: Tables, nBands: Int = 4, maxDistinct: Long = 1L << 20): DataFrame = {
+    import graft.operators.TextAnalysis.wsTokens
+    val scored = t.documents.select(col("doc_id"),
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(wsTokens(col("text"))).cast("long")).as("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("score")).collect()
+    require(hist.length <= maxDistinct,
+      s"curriculumBands: ${hist.length} distinct scores exceed maxDistinct=$maxDistinct — " +
+        "bucket the score (e.g. score div 16) before banding a corpus this heterogeneous")
+    val n = hist.map(_.getLong(1)).sum
+    val cum = hist.map(_.getLong(1)).scanLeft(0L)(_ + _).tail
+    val cutoffs = (1 until nBands).map { i =>
+      val target = (i * n + nBands - 1) / nBands
+      hist(cum.indexWhere(_ >= target)).getLong(0)
+    }.distinct
+    val band = cutoffs.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(col("score") > c, 1L).otherwise(0L)
+    }
+    scored.select(col("doc_id"), col("score"), band.as("band"))
+  }
+
   def corpusShuffle(t: Tables, nShards: Int = 64): DataFrame = {
     val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
     val docs = t.documents

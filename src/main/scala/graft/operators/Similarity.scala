@@ -411,6 +411,36 @@ object Similarity {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
         col("e.id").as("vec_id"), col("e.score").as("sim"))
 
+  /** C49: hard-negative mining — for each query vector, the top-k most
+    * cosine-similar corpus vectors carrying a DIFFERENT label (the
+    * contrastive-training shape: a query's hardest negatives are the
+    * near-misses outside its own class/cluster; see e.g. DPR/Contriever
+    * training recipes). The label here stands in for whatever positive
+    * grouping the pipeline has — a dedup cluster id or a source would
+    * slot into the same plan.
+    *
+    * Shape is [[annBatchAgg]]'s: queries broadcast, ONE narrow scoring
+    * pass with the label-exclusion predicate fused into it (negatives
+    * are filtered before any state accrues), and selection through the
+    * native bounded `graft_topk` aggregate — every map task reduces to a
+    * k-entry buffer per query BEFORE the exchange, so the shuffle moves
+    * k-sized buffers and no window sort runs. `vec_id == q_id` needs no
+    * explicit exclusion: a row always shares its own label.
+    */
+  def hardNegatives(t: Tables, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val qs = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("label").as("q_label"))
+    t.embeddings.select(col("vec_id"), col("embedding"), col("label"))
+      .crossJoin(broadcast(qs))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), roundHalfUp(cos("embedding", "qe"), 4).as("sim"))
+      .groupBy(col("q_id"))
+      .agg(expr(s"graft_topk(struct(sim, vec_id), $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("vec_id"), col("e.score").as("sim"))
+  }
+
   /** C18: spherical k-means clustering of the embedding corpus (Lloyd's
     * iterations, cosine assignment, elementwise-mean update) —
     * deterministic init from the first k vectors, so results are

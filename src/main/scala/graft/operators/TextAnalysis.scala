@@ -21,7 +21,7 @@ object TextAnalysis {
   private def norm: Column =
     lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
-  private def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+  private[operators] def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
   /** C10: token counting — whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation).

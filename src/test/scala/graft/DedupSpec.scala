@@ -314,4 +314,29 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.substringDedup(many, maxDocsPerFp = 4L).count() == 0L,
       "cap below sharer count drops the boilerplate fingerprint entirely")
   }
+
+  test("sourceSimilarity: mirrored sources estimate 1.0, disjoint sources stay low") {
+    import spark.implicits._
+    // srcA and srcB hold the same TEXTS under different doc ids (a mirror
+    // dump): their union shingle sets are identical, so every MinHash
+    // slot min agrees. srcC is disjoint content.
+    val texts = Seq(base, nearDup, unrelated,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven twelve")
+    val rows =
+      texts.zipWithIndex.map { case (s, i) => (i.toLong, s, "en", "srcA") } ++
+      texts.zipWithIndex.map { case (s, i) => (100L + i, s, "en", "srcB") } ++
+      Seq((200L, "nothing here resembles the mirrored corpora in any window of three words", "en", "srcC"),
+          (201L, "entirely fresh sentences about submarines exploring luminous oceanic trenches", "en", "srcC"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.sourceSimilarity(Tables(spark, dir))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("srcA", "srcB")) == ((32L, 1.0)), s"mirror sources agree on all slots: $got")
+    assert(got(("srcA", "srcC"))._2 < 0.3, s"disjoint sources estimate low: $got")
+    assert(got(("srcB", "srcC")) == got(("srcA", "srcC")),
+      "mirrored sources see srcC identically (signature is a pure set function)")
+  }
 }

@@ -113,4 +113,34 @@ class SamplingSpec extends AnyFunSuite {
     // cap above group size degrades to identity membership
     assert(Sampling.sourceCap(t, cap = 1000).count() == 300L)
   }
+
+  test("curriculumBands: exact quantile cutoffs, value-determined ties, degenerate corpus") {
+    import spark.implicits._
+    def tab(tokens: Seq[Int]): Tables = {
+      val df = tokens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(_ => "w").mkString(" "), "en")
+      }.toDF("doc_id", "text", "lang")
+        .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+      val dir = java.nio.file.Files.createTempDirectory("docs").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      Tables(spark, dir)
+    }
+    // 12 docs with 1..12 tokens, 4 bands: cutoffs at ceil(12i/4) = scores
+    // 3/6/9, band = #cutoffs strictly below the score
+    val got = Sampling.curriculumBands(tab(1 to 12), nBands = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    (1 to 12).foreach { s =>
+      val want = Seq(3, 6, 9).count(c => s > c)
+      assert(got(s.toLong) == want.toLong, s"score $s -> band ${got(s.toLong)}, want $want")
+    }
+    // all-equal scores: every cutoff is the same value, distinct collapses
+    // them, and no score exceeds it -> everyone in band 0
+    val flat = Sampling.curriculumBands(tab(Seq.fill(9)(5)), nBands = 4).collect()
+    assert(flat.forall(_.getLong(2) == 0L), "degenerate corpus lands in one band")
+    // distinct-score gate names the remedy
+    val e = intercept[IllegalArgumentException] {
+      Sampling.curriculumBands(tab(1 to 50), nBands = 4, maxDistinct = 10L)
+    }
+    assert(e.getMessage.contains("bucket the score"), e.getMessage)
+  }
 }

@@ -154,4 +154,22 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = lsh.size.toDouble / truth.size
     assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${truth.size})")
   }
+
+  test("hardNegatives excludes the query's own label and ranks cross-label by similarity") {
+    // query v0 (label a); v1 is a same-label near-clone (MUST be excluded
+    // even though it is the global nearest); v2/v3 are cross-label with
+    // v2 strictly closer than v3; v4 is cross-label but anti-aligned
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), "a"),
+      (1L, Seq(1f, 0.01f, 0f, 0f), "a"),
+      (2L, Seq(1f, 0.2f, 0f, 0f), "b"),
+      (3L, Seq(1f, 1f, 0f, 0f), "b"),
+      (4L, Seq(-1f, 0f, 0f, 0f), "c"))
+    val t = embeddings(rows)
+    val got = Similarity.hardNegatives(t, nQueries = 1, k = 3)
+      .orderBy("q_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L)),
+      s"hardest cross-label negatives in similarity order, same-label clone excluded: ${got.toSeq}")
+  }
 }
