@@ -167,7 +167,21 @@ object PlanAudit {
       // pass must carry no join and no window (pass 1's histogram runs
       // at plan-build time, outside this plan)
       ("curriculum_bands", p => !p.contains("Join") && !p.contains("Window"),
-        "curriculum banding scores+assigns in one narrow scan (literal cutoffs)"))
+        "curriculum banding scores+assigns in one narrow scan (literal cutoffs)"),
+      // C43d: both stages bounded takes — never a global sort — and the
+      // shortlist's exact re-rank must not re-touch the corpus (no
+      // second scan join; the shortlist carries its vectors)
+      ("pq_refine", p => p.contains("TakeOrderedAndProject") && !p.contains("Window") &&
+          !p.contains("SortMergeJoin"),
+        "ADC shortlist and exact re-rank are bounded ordered takes, no global sort"),
+      // C52: fingerprint bucket join only — no cross product, native
+      // winnow kernel feeding it
+      ("containment", p => !p.contains("CartesianProduct") && p.contains("winnowhashes"),
+        "containment pairs via the fingerprint bucket join over the native winnow kernel"),
+      // C53: normalization is a pure narrow scan (pii_redact precedent:
+      // the driver-boundary orderBy adds a range exchange, never hash)
+      ("normalize_text", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "normalization is one narrow scan (native NFC kernel, no join/hash shuffle)"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

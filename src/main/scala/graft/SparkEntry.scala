@@ -106,6 +106,9 @@ object SparkEntry {
     "pq_encode"       -> Seq(col("vec_id")),
     "ann_pq"          -> Seq(col("adist"), col("vec_id")),
     "ann_ivf_pq"      -> Seq(col("adist"), col("vec_id")),
+    "pq_refine"       -> Seq(col("sim").desc, col("vec_id")),
+    "containment"     -> Seq(col("id_a"), col("id_b")),
+    "normalize_text"  -> Seq(col("doc_id")),
     "quality_classifier" -> Seq(col("doc_id")),
     "classifier_score"   -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
@@ -201,6 +204,9 @@ object SparkEntry {
     "hard_negatives"     -> q(Similarity.hardNegatives(_)),
     "source_similarity"  -> q(Dedup.sourceSimilarity(_)),
     "curriculum_bands"   -> q(Sampling.curriculumBands(_)),
+    "pq_refine"          -> q(Similarity.pqRefine(_)),
+    "containment"        -> q(Dedup.containment(_)),
+    "normalize_text"     -> q(TextAnalysis.normalizeText(_)),
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
@@ -1264,6 +1270,24 @@ object SparkEntry {
          FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
          JOIN cool c ON c.fp = a.fp
          GROUP BY 1, 2 ORDER BY id_a, id_b"""),
+    "containment" -> (winnowFpSql +
+      """, hot AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) > 1000),
+         cf AS (SELECT f.doc_id, f.fp FROM fpd f ANTI JOIN hot h USING (fp)),
+         sz AS (SELECT doc_id, count(*) AS n_fp FROM cf GROUP BY 1),
+         sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id <> b.doc_id GROUP BY 1, 2),
+         sc AS (SELECT sh.id_a, sh.id_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+                  floor((CAST(sh.n_shared AS DOUBLE)/sz.n_fp)*10000.0 + 0.5)/10000.0 AS containment
+                FROM sh JOIN sz ON sz.doc_id = sh.id_a)
+         SELECT id_a, id_b, n_shared, containment FROM sc
+         WHERE containment >= 0.5 ORDER BY id_a, id_b"""),
+    "normalize_text" ->
+      """WITH n AS (SELECT doc_id, text,
+             nfc_normalize(regexp_replace(trim(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')), '\s+', ' ', 'g')) AS norm_text
+           FROM documents)
+         SELECT doc_id, norm_text, (norm_text <> text) AS changed,
+           length(norm_text) AS n_chars_norm
+         FROM n ORDER BY doc_id""",
     "bm25_search" -> (bm25Sql +
       """ SELECT doc_id, n_terms, score FROM bm
          ORDER BY score DESC, doc_id LIMIT 20"""),
@@ -1482,6 +1506,27 @@ object SparkEntry {
                   + max(CASE WHEN s=2 THEN qd END) + max(CASE WHEN s=3 THEN qd END)) * 1000000.0 + 0.5)/1000000.0 AS adist
            FROM ad GROUP BY vec_id)
          SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT 10"""),
+    "pq_refine" -> (pqSql +
+      """, qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         ad AS (SELECT b.vec_id, b.s,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(qe)//4), j ->
+                 (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE))
+                 * (CAST(qe[b.s*(len(qe)//4)+j] AS DOUBLE) - CAST(cb.cent[b.s*(len(qe)//4)+j] AS DOUBLE)))),
+               (a, x) -> a + x) AS qd
+           FROM bz b JOIN cb ON cb.c = b.c, qv
+           WHERE b.vec_id <> 0),
+         tot AS (SELECT vec_id,
+             floor((max(CASE WHEN s=0 THEN qd END) + max(CASE WHEN s=1 THEN qd END)
+                  + max(CASE WHEN s=2 THEN qd END) + max(CASE WHEN s=3 THEN qd END)) * 1000000.0 + 0.5)/1000000.0 AS adist
+           FROM ad GROUP BY vec_id),
+         short AS (SELECT vec_id, adist FROM tot ORDER BY adist, vec_id LIMIT 50),
+         ex AS (SELECT s.vec_id, s.adist, floor((
+             list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(e.embedding)), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(qe)), i -> CAST(qe[i] AS DOUBLE)*CAST(qe[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+           FROM short s JOIN embeddings e ON e.vec_id = s.vec_id, qv)
+         SELECT vec_id, adist, sim FROM ex ORDER BY sim DESC, vec_id LIMIT 10"""),
     "ann_ivf_pq" -> (pqSql +
       """, cents AS (SELECT vec_id AS cell_id, embedding AS cent FROM embeddings ORDER BY vec_id LIMIT 16),
          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -217,6 +217,20 @@ object Kernels {
     * term-for-term in O(n·l·w): the rolling + deque form is the same
     * arithmetic, just never re-visiting a codepoint.
     */
+  /** Unicode NFC normalization (canonical decomposition + canonical
+    * composition, UAX #15) via the JDK's Normalizer — the same Unicode
+    * data tables every conforming engine ships, so outputs are
+    * byte-identical to DuckDB's `nfc_normalize`. Fast path: NFC quick
+    * check via `isNormalized` avoids allocating for the (at web scale,
+    * overwhelmingly dominant) already-normalized case.
+    */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def winnowHashes(s: UTF8String, l: Int, w: Int): ArrayData = {
     val str = s.toString
     var n = 0
@@ -748,6 +762,25 @@ case class WinnowHashes(child: Expression, l: Int, w: Int) extends UnaryExpressi
   override protected def withNewChildInternal(c: Expression): WinnowHashes = copy(child = c)
 }
 
+/** D3 / C53: Unicode NFC normalization — Spark has no built-in
+  * normalizer (SPARK's `lower`/`trim` are not canonical-equivalence
+  * aware), so this wraps the JDK's UAX #15 implementation as a
+  * codegen'd unary expression. Null-intolerant, zero-allocation on
+  * already-NFC input (the quick-check fast path).
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
 /** D3 / C40: one-pass first-occurrence segment filter (normalized on
   * trim+lower, original text preserved) — O(L) per document where the
   * HOF array_position formulation is O(L²).
@@ -981,6 +1014,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowHashes].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowHashes(es(0), litInt(es(1), "l"), litInt(es(2), "w"))))
+    ext.injectFunction((FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))

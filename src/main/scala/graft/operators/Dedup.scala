@@ -538,6 +538,39 @@ object Dedup {
     * selected fingerprints they share; n_shared ≥ 2 ⇒ either one long
     * shared run or several independent shared runs.
     */
+  /** C52: near-containment detection — the DIRECTIONAL companion to
+    * [[substringDedup]]: containment(A→B) = |shared winnow fingerprints|
+    * / |A's fingerprints|, the asymmetric overlap that symmetric
+    * Jaccard/pair counts miss. A short doc quoted wholesale inside a
+    * long wrapper page scores near 1.0 in the A→B direction while the
+    * pair's Jaccard stays tiny — exactly the quote/wrapper/aggregator
+    * reuse a curation pipeline wants to catch without flagging the
+    * wrapper itself as a duplicate.
+    *
+    * Same scale skeleton as C34 (hash-only fingerprint bucket join,
+    * hot-fingerprint boilerplate cap); the denominator counts only
+    * pairing-ELIGIBLE (post-cap) fingerprints on both engines, and the
+    * per-doc size join keys on doc_id — an even hash join, never a
+    * window. Both directions emit (A⊂B and B⊂A are different rows).
+    */
+  def containment(t: Tables, l: Int = 24, w: Int = 8,
+                  minContain: Double = 0.5, maxDocsPerFp: Long = 1000L): DataFrame = {
+    val fps = substringFingerprints(t, l, w)
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocsPerFp).select(col("fp"))
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    val sizes = cool.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = cool.select(col("fp"), col("doc_id").as("id_a"))
+      .join(cool.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes.select(col("doc_id").as("id_a"), col("n_fp")), Seq("id_a"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        roundHalfUp(col("n_shared").cast("double") / col("n_fp"), 4).as("containment"))
+      .filter(col("containment") >= minContain)
+  }
+
   def substringDedup(t: Tables, l: Int = 24, w: Int = 8,
                      maxDocsPerFp: Long = 1000L): DataFrame = {
     val fps = substringFingerprints(t, l, w)

@@ -809,6 +809,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** C43d: two-stage retrieval — PQ/ADC shortlist, exact re-rank (the
+    * "refine" stage every production IVF-PQ deployment runs: approximate
+    * distances order the full corpus cheaply, then the top `nShort`
+    * candidates are re-scored with exact cosine so the final top-k ranks
+    * on true similarity, recovering most of the recall PQ compression
+    * gave up).
+    *
+    * Scale shape: stage 1 is [[annPq]]'s zero-shuffle code scan +
+    * bounded ordered take (at 100 TB the scan reads 16-bit codes, not
+    * vectors); stage 2 re-scores only the nShort survivors — the full
+    * vectors of a bounded candidate set, i.e. the expensive arithmetic
+    * runs on k-scale rows, never corpus-scale. nShort = corpus degrades
+    * to exact search by construction (pinned in SemDedupPqSpec).
+    */
+  def pqRefine(t: Tables, queryVecId: Long = 0L, m: Int = 4, ksub: Int = 16,
+               nShort: Int = 50, k: Int = 10): DataFrame = {
+    val (cbs, sub) = pqCodebooks(t, m, ksub)
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    import org.apache.spark.sql.graft.DatasetShim
+    val adist = DatasetShim.column(graft.functions.PqAdcExpr(
+      DatasetShim.expression(col("q_embedding")),
+      DatasetShim.expression(col("codes")),
+      pqFlat(cbs, m, ksub, sub), m, ksub, sub))
+    val short = t.embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("codes",
+        transform(pqEncCol(col("embedding"), cbs, m, ksub, sub), e => e("c")))
+      .select(col("vec_id"), col("embedding"), col("q_embedding"),
+        roundHalfUp(adist, 6).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id"))
+      .limit(nShort)
+    short
+      .select(col("vec_id"), col("adist"),
+        roundHalfUp(cos("embedding", "q_embedding"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** C45: Johnson–Lindenstrauss random projection of the embedding
     * column to `r` dimensions — the dimensionality-reduction step that
     * makes downstream ANN/clustering affordable when the native

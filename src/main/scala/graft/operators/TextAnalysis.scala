@@ -34,6 +34,27 @@ object TextAnalysis {
           .otherwise(size(wsTokens(col("text"))).cast("long")).as("n_ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
 
+  /** C53: text normalization — the canonical-form pass web-scale corpora
+    * run before any hashing/dedup touches the text (a byte-different,
+    * canonically-equivalent doc would otherwise evade every exact and
+    * near-dup hash): strip C0/DEL control characters (keeping \t \n \r,
+    * which the whitespace collapse then folds), collapse whitespace runs
+    * to one space, and apply Unicode NFC (UAX #15) via the native
+    * `graft_nfc` expression — Spark has no built-in normalizer; the JDK
+    * and DuckDB both implement the same Unicode tables, so the oracle
+    * compare is byte-exact. Zero-shuffle narrow scan; the NFC kernel's
+    * quick-check fast path makes already-normalized text allocation-free.
+    */
+  def normalizeText(t: Tables): DataFrame = {
+    val stripped = regexp_replace(col("text"),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val norm = call_function("graft_nfc",
+      regexp_replace(trim(stripped), "\\s+", " "))
+    t.documents.select(col("doc_id"), norm.as("norm_text"),
+      (norm =!= col("text")).as("changed"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** C9: document quality scoring — length, word, punctuation and stopword

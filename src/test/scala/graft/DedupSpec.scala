@@ -315,6 +315,23 @@ class DedupSpec extends AnyFunSuite {
       "cap below sharer count drops the boilerplate fingerprint entirely")
   }
 
+  test("containment is directional: quoted doc ~1.0 into its wrapper, wrapper low into quote") {
+    val quote = "the five boxing wizards jump quickly over the lazy dog while zephyrs vex a daft jim"
+    val wrapper = "posted yesterday by an aggregator bot with banner navigation text " + quote +
+      " click here to subscribe and share this wonderful content with all your friends today"
+    val other = "completely unrelated musings about distributed shuffle hash joins and broadcast exchanges"
+    val t = docs(Seq((1L, quote, "en"), (2L, wrapper, "en"), (3L, other, "en")))
+    val got = Dedup.containment(t, minContain = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == 1.0, s"quote fully contained in wrapper: $got")
+    assert(got((2L, 1L)) < 0.6, s"wrapper only partially contained in quote: $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)), s"unrelated docs share nothing: $got")
+    // the shipped threshold keeps the contained direction only
+    val thresholded = Dedup.containment(t, minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thresholded == Set((1L, 2L)), s"threshold keeps A-in-B only: $thresholded")
+  }
+
   test("sourceSimilarity: mirrored sources estimate 1.0, disjoint sources stay low") {
     import spark.implicits._
     // srcA and srcB hold the same TEXTS under different doc ids (a mirror

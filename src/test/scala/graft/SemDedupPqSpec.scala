@@ -245,6 +245,39 @@ class SemDedupPqSpec extends AnyFunSuite {
     assert(top == (3L until 24L by 3L).toSet, s"blob-0 members via probed cells: $top")
   }
 
+  test("pqRefine with a full-corpus shortlist degenerates to exact search") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() * 6f - 3f), "x"))
+    val t = embeddings(rows)
+    val exact = Similarity.annTopK(t, queryVecId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val refined = Similarity.pqRefine(t, queryVecId = 0L, m = 4, ksub = 8,
+      nShort = 60, k = 10).collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(refined == exact, s"full-shortlist refine != exact top-k:\n$refined\n$exact")
+  }
+
+  test("pqRefine re-ranking beats raw ADC order against the exact ranking") {
+    // blobs as in the annPq recall test: ADC ordering inside the winning
+    // blob is quantization-noisy; the exact re-rank must reproduce the
+    // true top-k ORDER, which raw ADC generally does not
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(
+      Seq(10f, 0f, 0f, 0f, 10f, 0f, 0f, 0f),
+      Seq(0f, 10f, 0f, 0f, 0f, 10f, 0f, 0f),
+      Seq(0f, 0f, 10f, 0f, 0f, 0f, 10f, 0f))
+    val rows = (0 until 24).map { i =>
+      (i.toLong, bases(i % 3).map(v => v + rnd.nextFloat() * 0.05f), s"b${i % 3}")
+    }
+    val t = embeddings(rows)
+    val exactIds = Similarity.annTopK(t, queryVecId = 0L, k = 7)
+      .collect().map(_.getLong(0)).toSeq
+    val refinedIds = Similarity.pqRefine(t, queryVecId = 0L, m = 4, ksub = 8,
+      nShort = 12, k = 7).collect().map(_.getLong(0)).toSeq
+    assert(refinedIds == exactIds,
+      s"refined order must equal the exact order on shortlist survivors: $refinedIds vs $exactIds")
+  }
+
   test("native keepFirstSegs kernel matches the HOF formulation row-for-row") {
     val rnd = new scala.util.Random(11)
     val words = Seq("a", "b", "A ", " b", "cc", "Dd", "dd", "", "eÉ", "eé")

@@ -23,6 +23,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     Tables(spark, dir)
   }
 
+  test("normalizeText: NFC composition, control strip, whitespace collapse, identity fast path") {
+    val t = docs(Seq(
+      (1L, "cafe\u0301 menu"),                // e + combining acute -> precomposed
+      (2L, "a\u0000\u0007bc\u007Fd"),          // C0/DEL controls stripped
+      (3L, "  spaced\t\tout\n\nlines  "),      // runs collapse, ends trim
+      (4L, "already normal"),                  // byte-identical fast path
+      (5L, "\u212B vs \u00C5")))               // ANGSTROM SIGN composes to ARING
+    val got = TextAnalysis.normalizeText(t)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2), r.getLong(3))).toMap
+    assert(got(1L) == (("caf\u00E9 menu", true, 9L)), s"NFC composes: ${got(1L)}")
+    assert(got(2L) == (("abcd", true, 4L)), s"controls stripped: ${got(2L)}")
+    assert(got(3L) == (("spaced out lines", true, 16L)), s"whitespace: ${got(3L)}")
+    assert(got(4L) == (("already normal", false, 14L)), s"identity: ${got(4L)}")
+    assert(got(5L) == (("\u00C5 vs \u00C5", true, 6L)), s"singleton composition: ${got(5L)}")
+  }
+
   test("bm25 matches the hand-computed Okapi formula on a tiny corpus") {
     val t = docs(Seq(
       (1L, "apple banana apple"),
