@@ -181,7 +181,32 @@ object PlanAudit {
       // C53: normalization is a pure narrow scan (pii_redact precedent:
       // the driver-boundary orderBy adds a range exchange, never hash)
       ("normalize_text", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
-        "normalization is one narrow scan (native NFC kernel, no join/hash shuffle)"))
+        "normalization is one narrow scan (native NFC kernel, no join/hash shuffle)"),
+      // C54: the survivor pick must be a partial-aggregable struct min —
+      // a Window here would funnel hot clusters through one task — and
+      // the map-back join stays on the same hash key (no cross product)
+      ("canonical_select", p => !p.contains("Window") && p.contains("partial_min") &&
+          !p.contains("CartesianProduct"),
+        "survivor pick is a map-side-combinable struct min, no window sort"),
+      // C55: pass 1 (df aggregation) runs eagerly at call time; the
+      // RETURNED plan is pass 2 — the boilerplate set rides as a literal
+      // array, so the filter scan carries no join and no hash exchange
+      ("boilerplate_segs", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "boilerplate filtering is a zero-shuffle narrow scan (literal segment set)"),
+      // C56: n-grams assemble array-side (no token-level window); the
+      // head is a bounded ordered take, never a global sort
+      ("ngram_counts", p => !p.contains("Window") && p.contains("TakeOrderedAndProject"),
+        "n-gram profile: array-side assembly, bounded top-k"),
+      // C57: scoring inherits C37b's window-free plan; band assignment
+      // is a literal fold — no per-lang ntile/range sort anywhere
+      ("ppl_bucket", p => !p.contains("Window") && p.contains("BroadcastHashJoin"),
+        "per-lang perplexity banding: no window sort; vocab joins broadcast"),
+      // C58: full bands admit via a literal-map fold (no join); ONLY the
+      // one boundary band per source pays a window — one Window node
+      // (tree line + detail line) in the final plan, none elsewhere
+      ("budget_select", p => !p.contains("Join") &&
+          "Window".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
+        "token-budget admission: literal-fold full bands, window only on the boundary band"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -111,6 +111,10 @@ object SparkEntry {
     "normalize_text"  -> Seq(col("doc_id")),
     "quality_classifier" -> Seq(col("doc_id")),
     "classifier_score"   -> Seq(col("doc_id")),
+    "canonical_select"   -> Seq(col("doc_id")),
+    "boilerplate_segs"   -> Seq(col("doc_id")),
+    "ppl_bucket"         -> Seq(col("doc_id")),
+    "budget_select"      -> Seq(col("doc_id")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -263,7 +267,12 @@ object SparkEntry {
     "ann_pq"          -> q(Similarity.annPq(_)),
     "ann_ivf_pq"      -> q(Similarity.annIvfPq(_)),
     "quality_classifier" -> q(TextAnalysis.qualityClassifier(_)),  // rows-only: GD float-sum order has no SQL oracle
-    "classifier_score"   -> q(TextAnalysis.classifierScore(_))
+    "classifier_score"   -> q(TextAnalysis.classifierScore(_)),
+    "canonical_select"   -> q(TextAnalysis.canonicalSelect(_)),
+    "boilerplate_segs"   -> q(TextAnalysis.boilerplateSegs(_)),
+    "ngram_counts"       -> q(TextAnalysis.ngramCounts(_)),
+    "ppl_bucket"         -> q(TextAnalysis.pplBucket(_)),
+    "budget_select"      -> q(Sampling.budgetSelect(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1567,7 +1576,79 @@ object SparkEntry {
                (a, c) -> a + c) AS z
            FROM ft)
          SELECT doc_id, n_feats, floor(z * 10000.0 + 0.5) / 10000.0 AS logit, z >= 0 AS keep
-         FROM sc ORDER BY doc_id"""
+         FROM sc ORDER BY doc_id""",
+    "canonical_select" ->
+      """WITH sc AS (SELECT doc_id,
+             md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_hash,
+             CAST(CASE source WHEN 'src3' THEN 0 WHEN 'src7' THEN 1 WHEN 'src11' THEN 2
+                  ELSE 3 END AS BIGINT) AS pri
+           FROM documents),
+         b AS (SELECT content_hash,
+             (min(struct_pack(p := pri, d := doc_id))).d AS keep_doc_id,
+             count(*) AS n_copies
+           FROM sc GROUP BY 1)
+         SELECT sc.doc_id, sc.content_hash, b.keep_doc_id, b.n_copies,
+           sc.doc_id = b.keep_doc_id AS is_canonical
+         FROM sc JOIN b USING (content_hash) ORDER BY doc_id""",
+    "boilerplate_segs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS segs FROM documents),
+         nn AS (SELECT count(*) AS n FROM documents),
+         f AS (SELECT seg, count(*) AS df FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(segs, s -> lower(trim(s))))) AS seg
+             FROM d) s
+           WHERE len(seg) > 0 GROUP BY 1),
+         bl AS (SELECT coalesce(list(seg), []) AS b
+           FROM f, nn WHERE df >= (n * 300 + 999) // 1000),
+         k AS (SELECT doc_id, segs,
+             list_filter(segs, s -> NOT list_contains(b, lower(trim(s)))) AS kept
+           FROM d CROSS JOIN bl)
+         SELECT doc_id, CAST(len(segs) AS BIGINT) AS n_segs,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           coalesce(array_to_string(kept, ' '), '') AS kept_text
+         FROM k ORDER BY doc_id""",
+    "ngram_counts" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END) AS gram
+           FROM tk)
+         SELECT gram, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM g WHERE len(gram) > 0 GROUP BY 1 ORDER BY tf DESC, gram LIMIT 20""",
+    "ppl_bucket" -> (lmSql +
+      """, sc AS (SELECT p.doc_id, ln((b.cnt + 0.5) / (c.ctx + 128.5)) AS lp
+           FROM pairs p JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+                        JOIN ctx c ON p.w1 = c.w1),
+         ds AS (SELECT doc_id, floor(exp(-(sum(lp) / count(*))) * 100.0 + 0.5) / 100.0 AS ppl
+           FROM sc GROUP BY doc_id),
+         dl AS (SELECT ds.doc_id, d.lang, ds.ppl FROM ds JOIN documents d USING (doc_id)),
+         h AS (SELECT lang, ppl, count(*) AS cnt FROM dl GROUP BY 1, 2),
+         nn AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+         cm AS (SELECT lang, ppl, sum(cnt) OVER (PARTITION BY lang ORDER BY ppl) AS cum FROM h),
+         ct AS (SELECT cm.lang, ii.i, min(cm.ppl) AS c
+           FROM cm JOIN nn USING (lang)
+           CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS i) ii
+           WHERE cm.cum >= (ii.i * nn.n + 2) // 3 GROUP BY 1, 2),
+         ctd AS (SELECT DISTINCT lang, c FROM ct)
+         SELECT dl.doc_id, dl.lang, dl.ppl,
+           CAST(sum(CASE WHEN dl.ppl > ctd.c THEN 1 ELSE 0 END) AS BIGINT) AS band
+         FROM dl JOIN ctd USING (lang)
+         GROUP BY 1, 2, 3 ORDER BY doc_id"""),
+    "budget_select" ->
+      """WITH b AS (SELECT doc_id, source, length(text) AS n_chars,
+           CASE WHEN length(trim(text))=0 THEN 0 ELSE len(regexp_split_to_array(trim(text),'\s+')) END AS n_words,
+           len(list_filter(regexp_split_to_array(trim(lower(text)),'\s+'),
+             w -> w IN ('the','a','of','and','to','in','is','it'))) AS n_stop,
+           len(regexp_extract_all(text,'[.!?,;:]')) AS n_punct
+         FROM documents),
+         q AS (SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_tokens,
+           floor((0.4*least(CAST(n_words AS DOUBLE)/100.0, 1.0)
+             + 0.3*(CASE WHEN n_words=0 THEN 0.0 ELSE floor((CAST(n_stop AS DOUBLE)/n_words)*10000.0 + 0.5)/10000.0 END)*5.0
+             + 0.3*(1.0 - CASE WHEN n_chars=0 THEN 0.0 ELSE floor((CAST(n_punct AS DOUBLE)/n_chars)*10000.0 + 0.5)/10000.0 END))*10000.0 + 0.5)/10000.0 AS quality
+         FROM b),
+         w AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM q)
+         SELECT doc_id, source, n_tokens, quality, cum_before < 500 AS selected
+         FROM w ORDER BY doc_id"""
   )
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,

@@ -215,6 +215,72 @@ object Sampling {
     scored.select(col("doc_id"), col("score"), band.as("band"))
   }
 
+  /** C58: token-budget selection — per source, admit documents in
+    * (quality desc, doc_id) order while the running token total stays
+    * under `budgetTokens` (the "N tokens from each provider, best
+    * first" curation step every mixture build runs; a doc is admitted
+    * iff the budget is not yet exhausted BEFORE it, so the last
+    * admission may overshoot). Returns (doc_id, source, n_tokens,
+    * quality, selected).
+    *
+    * Scale shape: the naive plan — a per-source window cumsum over the
+    * corpus — range-sorts every source's full document list through
+    * single tasks. Instead: ONE scan scores docs (C9's rounded
+    * formula), ONE map-side-combinable (source, quality) histogram of
+    * token sums (bounded: quality is rounded to 1e-4), and the driver
+    * resolves each source's admission threshold closed-form. Bands
+    * strictly above the threshold are admitted by a zero-shuffle
+    * literal fold; ONLY the single boundary band per source — the band
+    * the budget crosses inside — pays a window cumsum, and that window
+    * sees one quality-band of one source, not the corpus. Ordering is
+    * value-based, so admission is deterministic on any partitioning.
+    */
+  def budgetSelect(t: Tables, budgetTokens: Long = 500L,
+                   maxDistinct: Long = 1L << 20): DataFrame = {
+    val scored = graft.operators.TextAnalysis.qualityScored(t)
+    val hist = scored.groupBy(col("source"), col("quality"))
+      .agg(sum(col("n_tokens")).as("toks")).collect()
+    require(hist.length <= maxDistinct,
+      s"budgetSelect: ${hist.length} distinct (source, quality) bands exceed maxDistinct=$maxDistinct — " +
+        "coarsen the quality rounding before budget-selecting a corpus this heterogeneous")
+    // per source, walk bands best-first: full bands fit strictly under
+    // the budget; the FIRST band that reaches/crosses it is the boundary
+    // (resolved by the windowed path); everything after is rejected
+    val perSource = hist.groupBy(_.getString(0)).map { case (src, rows) =>
+      val bands = rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(-_._1)
+      var cum = 0L
+      var fullCut = Double.NegativeInfinity  // quality > fullCut => admitted outright
+      var boundary: Option[(Double, Long)] = None
+      val it = bands.iterator
+      while (it.hasNext && boundary.isEmpty) {
+        val (q, toks) = it.next()
+        if (cum + toks < budgetTokens) cum += toks
+        else { boundary = Some((q, cum)); fullCut = q }
+      }
+      src -> (fullCut, boundary)
+    }
+    val srcs = perSource.keys.toSeq.sorted
+    val fullMap = map(srcs.flatMap(s => Seq(lit(s),
+      lit(perSource(s)._1))): _*)
+    val bSrcs = srcs.filter(s => perSource(s)._2.isDefined)
+    val (bQMap, bOffMap) =
+      if (bSrcs.isEmpty) (lit(null).cast("map<string,double>"), lit(null).cast("map<string,bigint>"))
+      else (map(bSrcs.flatMap(s => Seq(lit(s), lit(perSource(s)._2.get._1))): _*),
+            map(bSrcs.flatMap(s => Seq(lit(s), lit(perSource(s)._2.get._2))): _*))
+    val isBoundary = coalesce(
+      element_at(bQMap, col("source")) === col("quality"), lit(false))
+    val rest = scored.filter(!isBoundary)
+      .withColumn("selected", col("quality") > element_at(fullMap, col("source")))
+    val wIn = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bRows = scored.filter(isBoundary)
+      .withColumn("cum_in", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("selected",
+        element_at(bOffMap, col("source")) + col("cum_in") < budgetTokens)
+      .drop("cum_in")
+    rest.unionByName(bRows)
+  }
+
   def corpusShuffle(t: Tables, nShards: Int = 64): DataFrame = {
     val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
     val docs = t.documents

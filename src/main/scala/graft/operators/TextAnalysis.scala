@@ -779,6 +779,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C57: CCNet perplexity bucketing (Wenzek et al. 2020) — per
+    * LANGUAGE, split the corpus into head/middle/tail bands at exact
+    * perplexity quantiles under the C37 LM (CCNet trains per-language
+    * KenLMs and keeps the low-perplexity head; a global cut would judge
+    * every non-English doc "disfluent" against English statistics).
+    * Returns (doc_id, lang, ppl, band) with band 0 = most fluent.
+    *
+    * Scale shape: scoring is [[lmScore]]'s plan (array-side pairing, no
+    * window; vocabulary joins broadcast); the per-(lang, ppl) histogram
+    * is map-side combinable and bounded — ppl is ROUNDED to 2 decimals
+    * upstream, so distinct (lang, bucket) pairs are structurally capped
+    * far below corpus rows (`maxDistinct` gate with named remedy, the
+    * C51 precedent); band assignment is a zero-shuffle literal fold
+    * (value-based cutoffs → ties land deterministically on any
+    * partitioning, where per-lang ntile would range-sort the corpus).
+    * Docs with no scoreable bigram (empty text) are absent, as in C37b.
+    */
+  def pplBucket(t: Tables, nBands: Int = 3, vocabSize: Int = 256, k: Double = 0.5,
+                maxDistinct: Long = 1L << 20): DataFrame = {
+    val pairs = lmPairs(t, vocabSize)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
+    val vTerm = lit(k * (vocabSize + 1))
+    val lp = when(col("cnt").isNotNull,
+        log((col("cnt") + lit(k)) / (col("ctx") + vTerm)))
+      .otherwise(log(lit(k) / (col("ctx") + vTerm)))
+    val ds = pairs.join(big, Seq("w1", "w2"), "left").join(ctx, Seq("w1"))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg((sum(col("lp")) / count(lit(1))).as("avg_raw"))
+      .select(col("doc_id"), roundHalfUp(exp(-col("avg_raw")), 2).as("ppl"))
+    val dl = ds.join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val hist = dl.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("cnt")).collect()
+    require(hist.length <= maxDistinct,
+      s"pplBucket: ${hist.length} distinct (lang, ppl) buckets exceed maxDistinct=$maxDistinct — " +
+        "coarsen the ppl rounding before banding a corpus this heterogeneous")
+    val cutsByLang: Map[Option[String], Seq[Double]] =
+      hist.groupBy(r => Option(r.getString(0))).map { case (l, rows) =>
+        val sorted = rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+        val n = sorted.map(_._2).sum
+        val cum = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+        val cuts = (1 until nBands).map { i =>
+          val target = (i * n + nBands - 1) / nBands
+          sorted(cum.indexWhere(_ >= target))._1
+        }.distinct
+        l -> cuts
+      }
+    val bandCol = cutsByLang.foldLeft(lit(null).cast("long")) { case (acc, (l, cuts)) =>
+      val b = cuts.foldLeft(lit(0L)) { (a, c) =>
+        a + when(col("ppl") > c, 1L).otherwise(0L)
+      }
+      when(col("lang") <=> lit(l.orNull).cast("string"), b).otherwise(acc)
+    }
+    dl.select(col("doc_id"), col("lang"), col("ppl"), bandCol.as("band"))
+  }
+
+  /** (doc_id, source, n_tokens, quality) — the C9 quality score with the
+    * grouping columns budget-style curation needs; shares C9's exact
+    * rounded formula so the two surfaces can never drift.
+    */
+  private[operators] def qualityScored(t: Tables): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val nWords = when(length(trim(col("text"))) === 0, 0L).otherwise(size(toks).cast("long"))
+    val nStop = expr(s"element_at(graft_stopword_hits(text, '${stopwords.mkString(",")}'), 1)")
+    val nPunct = regexp_count(col("text"), lit("[.!?,;:]")).cast("long")
+    t.documents
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"),
+        nWords.as("n_words"), nStop.as("n_stop"), nPunct.as("n_punct"))
+      .withColumn("stop_ratio",
+        when(col("n_words") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_stop").cast("double") / col("n_words"), 4)))
+      .withColumn("punct_ratio",
+        when(col("n_chars") === 0, 0.0)
+          .otherwise(roundHalfUp(col("n_punct").cast("double") / col("n_chars"), 4)))
+      .withColumn("quality",
+        roundHalfUp(lit(0.4) * least(col("n_words").cast("double") / 100.0, lit(1.0))
+          + lit(0.3) * col("stop_ratio") * 5.0
+          + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4))
+      .select(col("doc_id"), col("source"), col("n_words").as("n_tokens"), col("quality"))
+  }
+
   /** Hashed n-gram feature buckets of a document — unigrams then
     * bigrams, each polynomial-rolling-hashed (base 31 mod 1e9+7, the
     * engine's shared cross-engine string hash) into `b` buckets. Order
@@ -1236,5 +1317,115 @@ object TextAnalysis {
         roundHalfUp(pmi, 4).as("pmi"))
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** C54: canonical selection — per exact-content cluster, pick ONE
+    * survivor by source priority (curated sources beat crawl dumps when
+    * the same text arrives from several providers), tie-broken by
+    * doc_id, and emit the per-document mapping every downstream filter
+    * consumes: (doc_id, content_hash, keep_doc_id, n_copies,
+    * is_canonical). C1 (dedup_exact) answers "which copy is first";
+    * this answers "which copy do we KEEP" when first-by-id is the wrong
+    * policy.
+    *
+    * Scale shape: text collapses to md5 at the scan (the shuffle moves
+    * 16-byte hashes, never documents); the survivor pick is a single
+    * `min(struct(priority, doc_id))` — lexicographic struct min is a
+    * partial aggregate, so hot clusters (the same boilerplate page
+    * crawled a million times) combine map-side instead of funneling
+    * through one task the way a row_number window would. The map-back
+    * join is keyed on the same hash as the aggregate, so AQE reuses the
+    * exchange rather than shuffling twice.
+    */
+  def canonicalSelect(t: Tables,
+                      preferred: Seq[String] = Seq("src3", "src7", "src11")): DataFrame = {
+    val pri = preferred.zipWithIndex.foldRight(lit(preferred.length.toLong)) {
+      case ((s, i), acc) => when(col("source") === s, lit(i.toLong)).otherwise(acc)
+    }
+    val scored = t.documents.select(col("doc_id"),
+      md5(norm).as("content_hash"), pri.as("pri"))
+    val best = scored.groupBy(col("content_hash"))
+      .agg(min(struct(col("pri").as("p"), col("doc_id").as("d"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("best.d").as("keep_doc_id"), col("n_copies"))
+    scored.join(best, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"), col("keep_doc_id"), col("n_copies"),
+        (col("doc_id") === col("keep_doc_id")).as("is_canonical"))
+  }
+
+  /** C55: boilerplate segment removal (RefinedWeb-style line-wise
+    * filtering, Penedo et al. 2023 §G) — segments whose document
+    * frequency reaches `minDfPermille`/1000 of the corpus are navigation
+    * chrome / cookie banners / license headers, and EVERY occurrence is
+    * dropped (C25/C40 keep a first occurrence; boilerplate has no
+    * first occurrence worth keeping). Returns (doc_id, n_segs, n_kept,
+    * kept_text) with surviving segments reassembled in order.
+    *
+    * Scale shape: pass 1 aggregates per-doc-DISTINCT normalized segments
+    * to document frequencies (map-side combinable; the threshold bounds
+    * the surviving set at total-occurrences/minDf, so a 0.1 % floor on a
+    * 100-billion-segment corpus caps it structurally). Pass 2 is a
+    * zero-shuffle narrow scan: the boilerplate set rides into the filter
+    * as ONE literal array column (the A21/C38 literal-fold precedent),
+    * gated at `maxBoiler` entries — past the gate the honest fallback is
+    * the explode + broadcast-anti + reassemble shuffle, which this
+    * raises loudly instead of silently planning.
+    *
+    * The threshold is integer permille arithmetic ((n·minDfPermille +
+    * 999) div 1000) so no float boundary can flip a segment between
+    * engines.
+    */
+  def boilerplateSegs(t: Tables, sep: String = " ", minDfPermille: Int = 300,
+                      maxBoiler: Int = 1 << 16): DataFrame = {
+    val segs = split(col("text"), java.util.regex.Pattern.quote(sep))
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val distinctSegs = array_distinct(transform(segs, s => lower(trim(s))))
+    val df = docs.select(explode(distinctSegs).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .groupBy(col("seg")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val minDf = (n * minDfPermille + 999L) / 1000L
+    val boiler = df.filter(col("df") >= minDf)
+      .select(col("seg")).collect().map(_.getString(0)).sorted
+    require(boiler.length <= maxBoiler,
+      s"boilerplateSegs: ${boiler.length} boilerplate segments exceed maxBoiler=$maxBoiler — " +
+        "raise the df threshold or switch to the explode + broadcast-anti reassembly path")
+    val blArr = array(boiler.map(lit(_)): _*)
+    val kept = filter(col("segs"), s => !array_contains(blArr, lower(trim(s))))
+    docs
+      .withColumn("segs", segs)
+      .withColumn("kept", kept)
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), sep).as("kept_text"))
+  }
+
+  /** C56: corpus n-gram profile (WIMBD-style "what's in my big data"
+    * audit, Elazar et al. 2024) — the `topK` most frequent word
+    * `n`-grams with term and document frequency. vocab_topk (C26) is
+    * the unigram special case; contamination and memorization audits
+    * want the n≥3 head.
+    *
+    * Scale shape: n-grams assemble ARRAY-SIDE inside the scan row
+    * (transform over an index sequence — no token explode, no per-doc
+    * window), then one map-side-combinable (gram) aggregation; the
+    * top-k is TakeOrderedAndProject (bounded k, no global sort). The
+    * shuffle carries one row per distinct gram — the same weight class
+    * as any corpus count — and df's distinct-rewrite shuffles
+    * (gram, doc_id) pairs exactly like C26.
+    */
+  def ngramCounts(t: Tables, n: Int = 3, topK: Int = 20): DataFrame = {
+    val toks = wsTokens(lower(col("text")))
+    val grams = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    t.documents
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("gram"))
+      .limit(topK)
   }
 }

@@ -104,4 +104,47 @@ class NgramLmSpec extends AnyFunSuite {
     val mass = TextAnalysis.ngramLm(t).agg(sum("cnt")).collect()(0).getLong(0)
     assert(mass == 7L)
   }
+
+  test("pplBucket: per-language quantile cutoffs match the closed form; bands monotone in ppl") {
+    import spark.implicits._
+    // two langs with very different fluency mixes; repeated phrases give
+    // low ppl, one-off token soup gives high ppl
+    val rows = (0 until 30).map { i =>
+      val (lang, text) =
+        if (i < 15) ("en", if (i % 3 == 0) "a b a b a b" else s"tok$i x$i y$i z$i")
+        else ("de", if (i % 3 == 0) "c d c d c d" else s"w$i v$i u$i t$i")
+      (i.toLong, text, lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("lmdocs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.pplBucket(Tables(spark, dir), nBands = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == 30, "every scoreable doc banded")
+    assert(got.forall(r => r._4 >= 0 && r._4 < 3), "bands in range")
+    // reference: recompute cutoffs per lang from the ppl values alone
+    got.groupBy(_._2).foreach { case (lang, rs) =>
+      val sorted = rs.map(_._3).sorted
+      val n = sorted.length.toLong
+      val cuts = (1 until 3).map { i =>
+        val target = ((i * n + 2) / 3).toInt
+        sorted(target - 1)
+      }.distinct
+      rs.foreach { case (id, _, ppl, band) =>
+        val want = cuts.count(c => ppl > c).toLong
+        assert(band == want, s"$lang doc $id: ppl $ppl -> band $band, want $want")
+      }
+      // monotone: lower ppl never lands in a higher band
+      val byPpl = rs.sortBy(_._3)
+      byPpl.zip(byPpl.tail).foreach { case (a, b) =>
+        assert(a._4 <= b._4, s"$lang: ppl ${a._3} band ${a._4} vs ppl ${b._3} band ${b._4}")
+      }
+    }
+    // per-language independence: en and de cutoffs derive from their own
+    // distributions, so the low-ppl repeated-phrase docs land in band 0
+    // in BOTH langs even though their absolute ppl values differ
+    val low = got.filter(r => r._1 % 3 == 0)
+    assert(low.forall(_._4 == 0L), s"repeated-phrase docs are the per-lang head: ${low.toSeq}")
+  }
 }

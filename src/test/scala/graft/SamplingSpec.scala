@@ -143,4 +143,52 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("bucket the score"), e.getMessage)
   }
+
+  private def srcDocs(rows: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("budgetSelect: quality-first admission, prefix rule with overshoot, per-source budgets") {
+    // source A qualities strictly ordered: all-stopword > some-stopword > none
+    val t = srcDocs(Seq(
+      (1L, "the a of and to in is it the a", "A"), // 10 tokens, highest quality
+      (2L, "the cat sat on mat", "A"),             //  5 tokens, middle
+      (3L, "zz!!! yy!!!", "A"),                    //  2 tokens, lowest
+      // source B: three IDENTICAL docs (one quality band) -> the prefix
+      // rule resolves the boundary inside the band by doc_id
+      (4L, "the same four tokens", "B"),
+      (5L, "the same four tokens", "B"),
+      (6L, "the same four tokens", "B")))
+    val got = Sampling.budgetSelect(t, budgetTokens = 9L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    // A: doc1 cum_before=0 < 9 (admits, overshoots to 10); doc2 cum=10 >= 9; doc3 cum=15 >= 9
+    assert(got(1L) && !got(2L) && !got(3L), s"quality-first prefix rule: $got")
+    // B: 4-token ties resolve by doc_id: cum_before 0, 4, 8 all < 9
+    val b = Seq(4L, 5L, 6L).map(got)
+    assert(b == Seq(true, true, true), s"cum_before 0/4/8 all < 9 -> all admitted: $b")
+    val got6 = Sampling.budgetSelect(t, budgetTokens = 8L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val b6 = Seq(4L, 5L, 6L).map(got6)
+    assert(b6 == Seq(true, true, false), s"budget 8: cum_before 8 is not < 8 -> third rejected: $b6")
+  }
+
+  test("budgetSelect: schema, total coverage, and determinism across runs") {
+    val t = srcDocs((0 until 40).map(i =>
+      (i.toLong, Seq.fill(i % 7 + 1)("word").mkString(" "), s"s${i % 3}")))
+    val a = Sampling.budgetSelect(t, budgetTokens = 10L).orderBy("doc_id").collect()
+    val b = Sampling.budgetSelect(t, budgetTokens = 10L).orderBy("doc_id").collect()
+    assert(a.length == 40, "every doc appears exactly once with a verdict")
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "value-based admission is run-stable")
+    // per-source admitted token totals stay within budget + one overshoot doc
+    val bySrc = a.filter(_.getBoolean(4)).groupBy(_.getString(1))
+    bySrc.foreach { case (s, rows) =>
+      val toks = rows.map(_.getLong(2))
+      assert(toks.sum - toks.max < 10L, s"$s: all but the overshoot doc fit the budget")
+    }
+  }
 }

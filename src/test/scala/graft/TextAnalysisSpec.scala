@@ -271,4 +271,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == ((6L, 5L, 2L, 0.6)), s"alternating text: ${got(1L)}")
     assert(got(2L) == ((6L, 5L, 5L, 0.0)), s"distinct text: ${got(2L)}")
   }
+
+  private def docsWithSource(rows: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("canonicalSelect: preferred source wins over lower doc_id; ties break by doc_id") {
+    val t = docsWithSource(Seq(
+      (1L, "same text", "crawl"),       // lower id, but crawl loses to curated
+      (2L, "same  TEXT ", "curated"),   // whitespace/case-normalized equal; wins
+      (3L, "same text", "crawl"),
+      (4L, "unique doc", "crawl"),      // singleton cluster keeps itself
+      (5L, "other dup", "crawl"),       // same priority -> min doc_id wins
+      (6L, "other dup", "crawl")))
+    val got = TextAnalysis.canonicalSelect(t, preferred = Seq("curated"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((2L, 3L, false)), s"crawl copy maps to curated survivor: ${got(1L)}")
+    assert(got(2L) == ((2L, 3L, true)), s"curated copy is canonical: ${got(2L)}")
+    assert(got(3L) == ((2L, 3L, false)), s"third copy maps too: ${got(3L)}")
+    assert(got(4L) == ((4L, 1L, true)), s"singleton keeps itself: ${got(4L)}")
+    assert(got(5L) == ((5L, 2L, true)), s"equal priority -> min doc_id: ${got(5L)}")
+    assert(got(6L) == ((5L, 2L, false)), s"loser maps to min doc_id: ${got(6L)}")
+  }
+
+  test("boilerplateSegs: frequent segments drop everywhere, rare ones survive in order") {
+    // "menu" in 4 of 5 docs (800 permille), all other words rarer; at
+    // minDfPermille=700 -> minDf = ceil(0.7*5) = 4, only "menu" is boilerplate
+    val t = docs(Seq(
+      (1L, "menu alpha menu beta"),    // both menu occurrences drop, order kept
+      (2L, "Menu gamma"),              // case-insensitive match drops
+      (3L, "menu"),                    // fully-boilerplate doc goes empty
+      (4L, "delta menu epsilon"),
+      (5L, "zeta zeta")))              // repeat of a rare word is preserved
+    val got = TextAnalysis.boilerplateSegs(t, minDfPermille = 700)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((4L, 2L, "alpha beta")), s"every occurrence drops: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, "gamma")), s"case-insensitive: ${got(2L)}")
+    assert(got(3L) == ((1L, 0L, "")), s"fully boilerplate -> empty: ${got(3L)}")
+    assert(got(4L) == ((3L, 2L, "delta epsilon")), s"interior drop keeps order: ${got(4L)}")
+    assert(got(5L) == ((2L, 2L, "zeta zeta")), s"rare repeats preserved: ${got(5L)}")
+  }
+
+  test("boilerplateSegs: gate refuses an oversized boilerplate set loudly") {
+    val t = docs(Seq((1L, "a b"), (2L, "a b"), (3L, "a b")))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.boilerplateSegs(t, minDfPermille = 100, maxBoiler = 1).collect()
+    }
+    assert(e.getMessage.contains("maxBoiler"), s"gate message names the knob: ${e.getMessage}")
+  }
+
+  test("ngramCounts: trigram tf/df, short-doc collapse, tie order") {
+    val t = docs(Seq(
+      (1L, "a b c d"),        // trigrams: "a b c", "b c d"
+      (2L, "a b c"),          // trigram: "a b c"
+      (3L, "x y"),            // shorter than n -> whole doc is one gram
+      (4L, "a b c a b c a"))) // sliding window: "a b c","b c a","c a b","a b c","b c a"
+    val got = TextAnalysis.ngramCounts(t, n = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.head == (("a b c", 4L, 3L)), s"most frequent first: ${got.head}")
+    assert(got.toSet == Set(
+      ("a b c", 4L, 3L), ("b c a", 2L, 1L), ("b c d", 1L, 1L),
+      ("c a b", 1L, 1L), ("x y", 1L, 1L)), s"exact tf/df: ${got.toSeq}")
+    // tf ties are ordered by gram ascending
+    val ties = got.filter(_._2 == 1L).map(_._1).toSeq
+    assert(ties == ties.sorted, s"deterministic tie order: $ties")
+  }
 }
