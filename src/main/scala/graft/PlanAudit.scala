@@ -206,7 +206,16 @@ object PlanAudit {
       // (tree line + detail line) in the final plan, none elsewhere
       ("budget_select", p => !p.contains("Join") &&
           "Window".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
-        "token-budget admission: literal-fold full bands, window only on the boundary band"))
+        "token-budget admission: literal-fold full bands, window only on the boundary band"),
+      // C59: the entropy pass is one narrow kernel scan (pii_redact
+      // precedent: the driver-boundary orderBy adds a range exchange)
+      ("entropy_score", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "char entropy is a zero-shuffle narrow scan (native one-pass kernel)"),
+      // C60: vocabulary maps broadcast; everything past the (source,
+      // token) count is (sources x vocab)-bounded; no window anywhere
+      ("source_kl", p => p.contains("BroadcastHashJoin") && !p.contains("Window") &&
+          !p.contains("CartesianProduct"),
+        "source KL: broadcast vocab mapping, bounded post-aggregate relations, no window"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

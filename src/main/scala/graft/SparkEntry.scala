@@ -115,6 +115,8 @@ object SparkEntry {
     "boilerplate_segs"   -> Seq(col("doc_id")),
     "ppl_bucket"         -> Seq(col("doc_id")),
     "budget_select"      -> Seq(col("doc_id")),
+    "entropy_score"      -> Seq(col("doc_id")),
+    "source_kl"          -> Seq(col("source")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -272,7 +274,9 @@ object SparkEntry {
     "boilerplate_segs"   -> q(TextAnalysis.boilerplateSegs(_)),
     "ngram_counts"       -> q(TextAnalysis.ngramCounts(_)),
     "ppl_bucket"         -> q(TextAnalysis.pplBucket(_)),
-    "budget_select"      -> q(Sampling.budgetSelect(_))
+    "budget_select"      -> q(Sampling.budgetSelect(_)),
+    "entropy_score"      -> q(TextAnalysis.entropyScore(_)),
+    "source_kl"          -> q(TextAnalysis.sourceKl(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1648,7 +1652,43 @@ object SparkEntry {
          w AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM q)
          SELECT doc_id, source, n_tokens, quality, cum_before < 500 AS selected
-         FROM w ORDER BY doc_id"""
+         FROM w ORDER BY doc_id""",
+    "entropy_score" ->
+      """WITH cs AS (SELECT doc_id, list_transform(
+             list_filter(string_split(text, ''), c -> len(c) > 0), c -> unicode(c)) AS cps
+           FROM documents),
+         g AS (SELECT doc_id, cp, count(*) AS c FROM (SELECT doc_id, unnest(cps) AS cp FROM cs) s GROUP BY 1, 2),
+         n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_cps, count(*) AS n_distinct FROM g GROUP BY 1),
+         e AS (SELECT g.doc_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(-(CAST(c AS DOUBLE)/n_cps) * ln(CAST(c AS DOUBLE)/n_cps) ORDER BY cp)),
+               (a, b) -> a + b) AS h
+           FROM g JOIN n USING (doc_id) GROUP BY g.doc_id,
+             n.n_cps)
+         SELECT d.doc_id,
+           coalesce(n.n_cps, 0) AS n_cps, coalesce(n.n_distinct, 0) AS n_distinct,
+           coalesce(floor(e.h * 10000.0 + 0.5) / 10000.0, 0.0) AS entropy
+         FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN e USING (doc_id)
+         ORDER BY d.doc_id""",
+    "source_kl" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> len(x) > 0)) AS w
+           FROM documents),
+         v AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, w LIMIT 256) t),
+         m AS (SELECT source, CASE WHEN v.w IS NULL THEN '<unk>' ELSE tok.w END AS w
+           FROM tok LEFT JOIN v ON tok.w = v.w),
+         sc AS (SELECT source, w, count(*) AS cnt FROM m GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM sc GROUP BY 1),
+         cw AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS c FROM sc GROUP BY 1),
+         nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM sc),
+         term AS (SELECT sc.source, sc.w,
+             (CAST(sc.cnt AS DOUBLE)/ns.n) * ln((CAST(sc.cnt AS DOUBLE)/ns.n) / (CAST(cw.c AS DOUBLE)/nn.tot)) AS kt
+           FROM sc JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN nn),
+         k AS (SELECT source, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(kt ORDER BY w)),
+             (a, b) -> a + b) AS kl
+           FROM term GROUP BY 1)
+         SELECT k.source, ns.n AS n_tokens, floor(k.kl * 10000.0 + 0.5) / 10000.0 AS kl
+         FROM k JOIN ns USING (source) ORDER BY source"""
   )
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,

@@ -231,6 +231,39 @@ object Kernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** C59 kernel: codepoint-level Shannon entropy in ONE pass — returns
+    * (n codepoints, k distinct, H in nats). Codepoints are sorted and
+    * run-length counted, and the -p·ln(p) terms fold in ASCENDING
+    * CODEPOINT order — the exact order of the oracle's
+    * list_reduce(list(... ORDER BY cp)), so the float sum is
+    * bit-identical cross-engine, not just close.
+    */
+  def charEntropy(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var n = 0
+    var i = 0
+    while (i < str.length) { n += 1; i += Character.charCount(str.codePointAt(i)) }
+    if (n == 0) return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0.0)
+    val cps = new Array[Int](n)
+    i = 0; var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i); cps(j) = cp; j += 1; i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    var h = 0.0
+    var k = 0L
+    i = 0
+    while (i < n) {
+      var run = i + 1
+      while (run < n && cps(run) == cps(i)) run += 1
+      val p = (run - i).toDouble / n
+      h += -p * math.log(p)
+      k += 1L
+      i = run
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, k, h)
+  }
+
   def winnowHashes(s: UTF8String, l: Int, w: Int): ArrayData = {
     val str = s.toString
     var n = 0
@@ -781,6 +814,25 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
 }
 
+/** D3 / C59: one-pass codepoint Shannon entropy —
+  * struct<n: long, k: long, h: double> (count, distinct, nats).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("h", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.charEntropy(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
+}
+
 /** D3 / C40: one-pass first-occurrence segment filter (normalized on
   * trim+lower, original text preserved) — O(L) per document where the
   * HOF array_position formulation is O(L²).
@@ -1017,6 +1069,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_char_entropy"),
+      (es: Seq[Expression]) => CharEntropy(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_sortable_bits"),
       new ExpressionInfo(classOf[SortableBits].getName, "graft_sortable_bits"),
       (es: Seq[Expression]) => SortableBits(es.head)))

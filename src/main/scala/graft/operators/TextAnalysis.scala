@@ -1319,6 +1319,70 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C59: character-entropy quality signal — codepoint Shannon entropy
+    * (nats) with codepoint/distinct counts. Near-zero entropy flags
+    * degenerate repetition (aaaa…, padding); implausibly high entropy
+    * flags binary-in-text/mojibake — both tails are dropped or reviewed
+    * in web-corpus builds where word-level heuristics (C9/C27) miss
+    * byte-level garbage.
+    *
+    * ONE zero-shuffle narrow scan through the native `graft_char_entropy`
+    * kernel (sort + run-length in one pass; the HOF formulation would
+    * re-scan the text per distinct char). The -p·ln(p) terms fold in
+    * ascending-codepoint order — the oracle folds the identically
+    * ordered list, so the float sum is bit-identical cross-engine.
+    */
+  def entropyScore(t: Tables): DataFrame =
+    t.documents
+      .withColumn("e", expr("graft_char_entropy(text)"))
+      .select(col("doc_id"), col("e.n").as("n_cps"), col("e.k").as("n_distinct"),
+        roundHalfUp(col("e.h"), 4).as("entropy"))
+
+  /** C60: per-source unigram KL divergence vs the corpus mixture — the
+    * domain-shift audit run before adding a new provider/dump: KL(source
+    * ‖ corpus) ≈ 0 means the source looks like everything else;
+    * a large value flags a distribution the mixture weights (C19) and
+    * importance resampling (C38) should know about. Tokens outside the
+    * top-`vocabSize` vocabulary fold into `<unk>` (the C37 vocabulary
+    * rule), which also bounds every post-tokenize relation.
+    *
+    * Scale shape: corpus-sized work is the two tokenize scans (vocab
+    * build + mapping — C37's cost class, vocabulary joins broadcast);
+    * everything past the (source, token) count is (sources × (V+1))-
+    * bounded — the corpus marginals DERIVE from that bounded relation
+    * rather than a third scan. The KL sum folds over a sort_array'd
+    * collect_list (bounded at V+1 per source), fixing the float add
+    * order to ascending token — the oracle's list(ORDER BY) fold —
+    * so the divergence is bit-stable cross-engine. KL(p‖q) needs no
+    * smoothing: p(w)=0 terms vanish and q(w)>0 whenever any source
+    * carries w.
+    */
+  def sourceKl(t: Tables, vocabSize: Int = 256): DataFrame = {
+    val tok = t.documents.select(col("source"),
+      explode(filter(wsTokens(lower(col("text"))), x => length(x) > 0)).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("inv"))
+    val mapped = tok.join(broadcast(vocab), Seq("w"), "left")
+      .select(col("source"),
+        when(col("inv").isNotNull, col("w")).otherwise(lit("<unk>")).as("w"))
+    val sc = mapped.groupBy("source", "w").agg(count(lit(1)).as("cnt"))
+    val ns = sc.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val cw = sc.groupBy("w").agg(sum(col("cnt")).as("c"))
+    val nn = sc.agg(sum(col("cnt")).as("tot"))
+    val p = col("cnt").cast("double") / col("n")
+    val q = col("c").cast("double") / col("tot")
+    val term = sc.join(ns, Seq("source")).join(cw, Seq("w"))
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("w"), (p * log(p / q)).as("kt"))
+    term.groupBy(col("source"))
+      .agg(collect_list(struct(col("w"), col("kt"))).as("terms"))
+      .join(ns, Seq("source"))
+      .select(col("source"), col("n").as("n_tokens"),
+        roundHalfUp(aggregate(sort_array(col("terms")), lit(0.0),
+          (a, x) => a + x.getField("kt")), 4).as("kl"))
+  }
+
   /** C54: canonical selection — per exact-content cluster, pick ONE
     * survivor by source priority (curated sources beat crawl dumps when
     * the same text arrives from several providers), tie-broken by

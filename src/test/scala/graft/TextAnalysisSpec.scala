@@ -325,6 +325,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBoiler"), s"gate message names the knob: ${e.getMessage}")
   }
 
+  test("entropyScore: hand-computed entropy, degenerate/empty/non-BMP corners") {
+    def h(counts: Seq[Int]): Double = {
+      val n = counts.sum.toDouble
+      val raw = counts.map(c => -(c / n) * math.log(c / n)).sum
+      math.floor(raw * 10000.0 + 0.5) / 10000.0
+    }
+    val t = docs(Seq(
+      (1L, "aab b"),        // counts {' ':1, a:2, b:2}
+      (2L, ""),             // empty -> all zeros
+      (3L, "aaaa"),         // one symbol -> zero entropy
+      (4L, "abcd"),         // uniform over 4 -> ln 4
+      (5L, "𝄞𝄞a")))  // U+1D11E twice + 'a': 3 CODEPOINTS, not 5 chars
+    val got = TextAnalysis.entropyScore(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((5L, 3L, h(Seq(1, 2, 2)))), s"mixed text: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0.0)), s"empty: ${got(2L)}")
+    assert(got(3L) == ((4L, 1L, 0.0)), s"degenerate repetition: ${got(3L)}")
+    assert(got(4L) == ((4L, 4L, h(Seq(1, 1, 1, 1)))), s"uniform: ${got(4L)}")
+    assert(got(5L) == ((3L, 2L, h(Seq(2, 1)))), s"codepoint counting (non-BMP): ${got(5L)}")
+  }
+
+  test("sourceKl: zero for identical distributions, hand-computed skew, <unk> folding") {
+    val t0 = docsWithSource(Seq(
+      (1L, "a a b", "s0"), (2L, "a b b", "s1")))
+    val got = TextAnalysis.sourceKl(t0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus q = (a: .5, b: .5); s0 p = (2/3, 1/3): KL = 2/3 ln(4/3) + 1/3 ln(2/3)
+    val kl = math.floor((2.0/3 * math.log(4.0/3) + 1.0/3 * math.log(2.0/3)) * 10000.0 + 0.5) / 10000.0
+    assert(got("s0") == ((3L, kl)), s"skewed source: ${got("s0")}")
+    assert(got("s1") == ((3L, kl)), s"mirror source: ${got("s1")}")
+    val tEq = docsWithSource(Seq((1L, "a b", "s0"), (2L, "a b", "s1")))
+    val gotEq = TextAnalysis.sourceKl(tEq).collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotEq.values.forall(_ == 0.0), s"identical distributions -> 0: $gotEq")
+    // vocabSize=1: only the top token survives, the rest fold to <unk> and
+    // the two sources become indistinguishable
+    val tU = docsWithSource(Seq((1L, "a x", "s0"), (2L, "a y", "s1")))
+    val gotU = TextAnalysis.sourceKl(tU, vocabSize = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(gotU.values.forall(_ == 0.0), s"<unk> folding equalizes: $gotU")
+  }
+
   test("ngramCounts: trigram tf/df, short-doc collapse, tie order") {
     val t = docs(Seq(
       (1L, "a b c d"),        // trigrams: "a b c", "b c d"
