@@ -117,6 +117,8 @@ object SparkEntry {
     "budget_select"      -> Seq(col("doc_id")),
     "entropy_score"      -> Seq(col("doc_id")),
     "source_kl"          -> Seq(col("source")),
+    "html_strip"         -> Seq(col("doc_id")),
+    "ngram_diversity"    -> Seq(col("source"), col("n")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -276,7 +278,12 @@ object SparkEntry {
     "ppl_bucket"         -> q(TextAnalysis.pplBucket(_)),
     "budget_select"      -> q(Sampling.budgetSelect(_)),
     "entropy_score"      -> q(TextAnalysis.entropyScore(_)),
-    "source_kl"          -> q(TextAnalysis.sourceKl(_))
+    "source_kl"          -> q(TextAnalysis.sourceKl(_)),
+    "html_strip"         -> q(TextAnalysis.htmlStrip),
+    "ngram_diversity"    -> q(TextAnalysis.ngramDiversity),
+    "cooccur_top"        -> q(TextAnalysis.cooccurTop(_)),
+    "zipf_fit"           -> q(TextAnalysis.zipfFit(_)),
+    "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1688,8 +1695,99 @@ object SparkEntry {
              (a, b) -> a + b) AS kl
            FROM term GROUP BY 1)
          SELECT k.source, ns.n AS n_tokens, floor(k.kl * 10000.0 + 0.5) / 10000.0 AS kl
-         FROM k JOIN ns USING (source) ORDER BY source"""
+         FROM k JOIN ns USING (source) ORDER BY source""",
+    "html_strip" ->
+      """WITH s AS (SELECT doc_id,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '\s+', ' ', 'g')) AS clean,
+             length(text) AS raw_len
+           FROM documents)
+         SELECT doc_id, clean, raw_len, length(clean) AS clean_len,
+           floor(((raw_len - length(clean)) * 1.0 / greatest(raw_len, 1)) * 10000.0 + 0.5) / 10000.0 AS markup_frac
+         FROM s ORDER BY doc_id""",
+    "ngram_diversity" ->
+      """WITH toks AS (SELECT source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         uni AS (SELECT source, 1 AS n, unnest(tk) AS gram FROM toks),
+         bi AS (SELECT source, 2 AS n,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+           FROM toks WHERE len(tk) >= 2),
+         g AS (SELECT source, n, gram, count(*) AS c
+           FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u GROUP BY 1, 2, 3)
+         SELECT source, n, CAST(sum(c) AS BIGINT) AS total, count(*) AS distinct_grams,
+           floor((count(*) * 1.0 / CAST(sum(c) AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS diversity
+         FROM g GROUP BY 1, 2 ORDER BY source, n""",
+    "cooccur_top" ->
+      """WITH toks AS (SELECT
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         p1 AS (SELECT unnest(list_transform(range(1, len(tk)),
+               i -> {'w1': tk[i], 'w2': tk[i+1]})) AS p, CAST(2 AS BIGINT) AS u
+           FROM toks WHERE len(tk) >= 2),
+         p2 AS (SELECT unnest(list_transform(range(1, len(tk) - 1),
+               i -> {'w1': tk[i], 'w2': tk[i+2]})) AS p, CAST(1 AS BIGINT) AS u
+           FROM toks WHERE len(tk) >= 3),
+         a AS (SELECT (p).w1 AS w1, (p).w2 AS w2, u FROM p1
+           UNION ALL SELECT (p).w1, (p).w2, u FROM p2),
+         g AS (SELECT w1, w2, count(*) AS cnt, CAST(sum(u) AS BIGINT) AS units
+           FROM a GROUP BY 1, 2)
+         SELECT w1, w2, cnt, units,
+           floor((units / 2.0) * 10000.0 + 0.5) / 10000.0 AS weight
+         FROM g ORDER BY units DESC, w1, w2 LIMIT 50""",
+    "zipf_fit" ->
+      """WITH c AS (SELECT w, count(*) AS c FROM (
+             SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> len(x) > 0)) AS w
+             FROM documents) s
+           GROUP BY 1 ORDER BY c DESC, w LIMIT 128),
+         rk AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y, row_number() OVER (ORDER BY c DESC, w) AS r
+           FROM c),
+         sums AS (SELECT CAST(count(*) AS INTEGER) AS n_terms,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY r)), (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(y ORDER BY r)), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * x ORDER BY r)), (a, b) -> a + b) AS sxx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * y ORDER BY r)), (a, b) -> a + b) AS sxy
+           FROM rk),
+         fit AS (SELECT n_terms, sx, sy,
+             (sxy * n_terms - sx * sy) / (sxx * n_terms - sx * sx) AS slope_raw
+           FROM sums WHERE n_terms >= 2)
+         SELECT n_terms,
+           floor(slope_raw * 10000.0 + 0.5) / 10000.0 AS slope,
+           floor(((sy - slope_raw * sx) / n_terms) * 10000.0 + 0.5) / 10000.0 AS intercept
+         FROM fit""",
+    "graph_pagerank" -> pagerankSql(5, 20)
   )
+
+  /** DuckDB SQL for B21's fixed-point PageRank, the `iters` iterations
+    * unrolled as CTEs GENERATED from one loop (the zorderKeySql
+    * precedent) so the oracle's integer arithmetic cannot drift from the
+    * Scala loop's. `//` (DuckDB) and `div` (Spark) are both truncating
+    * integer division — identical on the non-negative ranks here.
+    */
+  private def pagerankSql(iters: Int, k: Int): String = {
+    val scale = 1000000000000L
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (SELECT r.node, r.deg, r.n,
+            (($scale * 15 // 100) // r.n) + (85 * coalesce(f.inflow, 0)) // 100 AS rank
+          FROM r${i - 1} r LEFT JOIN (
+            SELECT e.dst AS node, CAST(sum(r.rank // r.deg) AS BIGINT) AS inflow
+            FROM r${i - 1} r JOIN e ON r.node = e.src GROUP BY 1) f USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM d),
+         r0 AS (SELECT node, deg, n, $scale // n AS rank FROM d CROSS JOIN nn),
+         $iterCtes
+         SELECT node, deg, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k"""
+  }
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,
     * doc-length stats, per-term Okapi weights, and the fixed-order

@@ -348,6 +348,72 @@ object Analytics {
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
         max(col("cnt")).as("max_cnt"))
 
+  /** B21: iterative graph analytics — PageRank over the customer↔supplier
+    * trade graph (distinct (o_custkey, l_suppkey) pairs from orders⋈
+    * lineitem, symmetrized so the bipartite graph has no rank sinks),
+    * `iters` synchronous iterations, top-`k` nodes.
+    *
+    * ALL rank arithmetic is fixed-point INTEGER (ranks in units of
+    * 1/SCALE; contribution = rank div degree; damping as (85·sum) div
+    * 100): long sums are associative-commutative-EXACT, so the
+    * distributed aggregation order — which Spark does not define — can
+    * never change a result bit, and the DuckDB oracle unrolls the same
+    * iterations with `//` arithmetic to an exact hash match. A
+    * float-rank formulation would need a per-node ordered fold of
+    * contributions (unbounded collect_list per high-degree node) to be
+    * deterministic; integer units get exactness for free at any degree.
+    *
+    * Scale shape per iteration: ONE join of the node-sized rank relation
+    * against the edge relation on src (ranks exchange hash(src); the
+    * edge side's exchange is produced once and REUSED every iteration —
+    * the loop body's plan is identical so AQE/stage reuse serves the
+    * cached edges), then one map-side-combinable sum keyed by dst.
+    * Degrees fold into the rank relation once up front. No driver-side
+    * graph state: the driver holds only loop control; ranks stay a
+    * DataFrame throughout (the C18 iterate-a-bounded-relation shape,
+    * except here the relation is node-sized and stays distributed).
+    */
+  def graphPagerank(t: Tables, iters: Int = 5, k: Int = 20): DataFrame = {
+    val scale = 1000000000000L // 1e12: rank units of 1/SCALE
+    val edgesCS = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val edges = edgesCS.unionAll(edgesCS.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.select(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), col("deg"), col("n"),
+        expr(s"${scale}L div n").as("rank"))
+      .persist()
+    for (_ <- 1 to iters) {
+      val contrib = ranks.withColumn("contrib", expr("rank div deg"))
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      val next = ranks.drop("rank")
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"), col("deg"), col("n"),
+          (expr(s"(${scale}L * 15 div 100) div n") +
+            expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
+        .persist()
+      next.count() // materialize so the lineage does not re-run prior iterations
+      ranks.unpersist(false)
+      ranks = next
+    }
+    // bounded top-k: localCheckpoint truncates the 5-iteration lineage so
+    // the caches can be released before the caller consumes the result
+    val out = ranks.select(col("node"), col("deg"), col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(k)
+      .localCheckpoint()
+    ranks.unpersist(false)
+    edges.unpersist(false)
+    out
+  }
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

@@ -1492,4 +1492,144 @@ object TextAnalysis {
       .orderBy(col("tf").desc, col("gram"))
       .limit(topK)
   }
+
+  /** C61: HTML/markup strip — the extraction step every web-crawl corpus
+    * runs before any text heuristic (trafilatura-lite): drop tags, unescape
+    * the five XML entities plus nbsp, collapse whitespace. A document that
+    * loses most of its length to markup is boilerplate-dominated — the
+    * `markup_frac` output feeds the C24 curation gates.
+    *
+    * ONE zero-shuffle narrow scan; every replace is a codegen'd built-in
+    * with RE2-compatible patterns, so the oracle applies the literally
+    * identical chain (DuckDB needs the 'g' flag to match Java's
+    * replace-all default).
+    */
+  def htmlStrip(t: Tables): DataFrame = {
+    val noTags = regexp_replace(col("text"), "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    t.documents.select(
+      col("doc_id"),
+      trim(regexp_replace(unescaped, "\\s+", " ")).as("clean"),
+      length(col("text")).as("raw_len"))
+      .withColumn("clean_len", length(col("clean")))
+      .withColumn("markup_frac", roundHalfUp(
+        (col("raw_len") - col("clean_len")).cast("double") /
+          greatest(col("raw_len"), lit(1)).cast("double"), 4))
+  }
+
+  /** C62: n-gram diversity (distinct-n) per source — the memorization /
+    * templating audit: a source whose bigram distinct-ratio is far below
+    * its peers is template-generated or heavily duplicated even when
+    * no single document repeats (C13 is per-doc; this is the corpus-level
+    * complement).
+    *
+    * Scale shape: unigram and bigram streams are array-side assembled
+    * (no self-join), then ONE map-side-combinable (source, n, gram)
+    * count collapses the corpus; everything after is
+    * (sources × 2)-bounded. Ratios are exact integer quotients rounded
+    * at the boundary.
+    */
+  def ngramDiversity(t: Tables): DataFrame = {
+    val toks = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    val bi = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b)))
+    val grams = t.documents.select(col("source"),
+        explode(concat(
+          transform(toks, tk => struct(lit(1).as("n"), tk.as("gram"))),
+          transform(bi, g => struct(lit(2).as("n"), g.as("gram"))))).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.gram").as("gram"))
+    grams.groupBy(col("source"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("distinct_grams"))
+      .withColumn("diversity", roundHalfUp(
+        col("distinct_grams").cast("double") / col("total").cast("double"), 4))
+  }
+
+  /** C63: windowed co-occurrence mining (the SGNS/word2vec pair-prep):
+    * directional (center, context) pairs at offsets 1..`window`, weighted
+    * 1/distance. Weights are integer HALF-units (offset 1 → 2, offset 2
+    * → 1), so the distributed sum is exact long arithmetic — no float
+    * ordering anywhere — and `weight` divides back out at the boundary.
+    *
+    * Scale shape: pairs assemble ARRAY-SIDE per document (one zip_with
+    * per offset — no explode-join, no window function), then one
+    * map-side-combinable (w1, w2) count; top-k is
+    * TakeOrderedAndProject. The shuffle carries one row per distinct
+    * ordered pair — C45's (pmi_top) cost class with the window
+    * generalized past adjacency.
+    */
+  def cooccurTop(t: Tables, window: Int = 2, k: Int = 50): DataFrame = {
+    require(window >= 1 && window <= 8, s"window out of range: $window")
+    // weight 1/d in exact integer units of 1/L, L = lcm(1..window)
+    val L = (1 to window).foldLeft(1L) { (a, d) =>
+      @annotation.tailrec def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
+      a / gcd(a, d.toLong) * d
+    }
+    val toks = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    val pairs = (1 to window).map { d =>
+      when(size(toks) <= d, array().cast("array<struct<w1:string,w2:string,u:bigint>>"))
+        .otherwise(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - d, lit(0))),
+          slice(toks, lit(d + 1), greatest(size(toks) - d, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2"), lit(L / d).as("u"))))
+    }
+    t.documents
+      .select(explode(concat(pairs: _*)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.u").as("u"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("u")).cast("long").as("units"))
+      .withColumn("weight", roundHalfUp(col("units").cast("double") / L.toDouble, 4))
+      .orderBy(col("units").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** C64: Zipf-exponent fit — OLS slope of ln(count) on ln(rank) over the
+    * top-`v` tokens. Natural corpora sit near slope ≈ −1; a flat slope
+    * flags synthetic/templated text, a cliff flags a degenerate
+    * vocabulary. Run as a per-source/per-dump admission check next to
+    * C60's KL drift.
+    *
+    * Scale shape: ONE map-side-combinable token count collapses the
+    * corpus; the top-`v` take is bounded; ranks and the five OLS sums
+    * live on a ≤v-row relation folded in ascending-rank order through a
+    * sorted collect_list, so the float arithmetic is bit-identical to
+    * the oracle's list(ORDER BY) fold. No window over corpus data, no
+    * driver arithmetic.
+    */
+  def zipfFit(t: Tables, v: Int = 128): DataFrame = {
+    val counts = t.documents
+      .select(explode(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(v)
+    // rank via sorted fold: collect (-c, w) keys; ascending sort = count-desc
+    // order with token tie-break, so zip position i is rank i+1
+    val agg = counts
+      .agg(sort_array(collect_list(struct((-col("c")).as("nc"), col("w"), col("c")))).as("xs"))
+      .select(size(col("xs")).as("n_terms"),
+        aggregate(
+          zip_with(col("xs"), sequence(lit(1), size(col("xs"))),
+            (s, r) => struct(log(r.cast("double")).as("x"), log(s.getField("c").cast("double")).as("y"))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxx"), lit(0.0).as("sxy")),
+          (acc, p) => struct(
+            (acc.getField("sx") + p.getField("x")).as("sx"),
+            (acc.getField("sy") + p.getField("y")).as("sy"),
+            (acc.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx"),
+            (acc.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"))).as("s"))
+    agg
+      .filter(col("n_terms") >= 2)
+      .withColumn("slope_raw",
+        (col("s.sxy") * col("n_terms") - col("s.sx") * col("s.sy")) /
+          (col("s.sxx") * col("n_terms") - col("s.sx") * col("s.sx")))
+      .select(col("n_terms"),
+        roundHalfUp(col("slope_raw"), 4).as("slope"),
+        roundHalfUp((col("s.sy") - col("slope_raw") * col("s.sx")) / col("n_terms"), 4)
+          .as("intercept"))
+  }
 }

@@ -72,4 +72,47 @@ class AnalyticsSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  private def pagerankFixture(): Tables = {
+    import spark.implicits._
+    // trade graph: c1-{s1,s2}, c2-{s1} (order 10 -> c1 buys from s1+s2,
+    // order 20 -> c2 buys from s1); duplicate lineitem rows must collapse
+    val dir = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (10L, 1L), (20L, 1L)).toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Tables(spark, dir)
+  }
+
+  test("graphPagerank: one iteration matches exact integer fixed-point arithmetic") {
+    val tt = pagerankFixture()
+    val got = Analytics.graphPagerank(tt, iters = 1, k = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // n=4, scale=1e12: r0=250e9 each; deg c1=2,c2=1,s1=2,s2=1
+    // base=(15e10)//4=37_500_000_000
+    // inflow(c1)=125e9(s1)+250e9(s2)=375e9 -> rank=37.5e9+85*375e9//100=356_250_000_000
+    // inflow(c2)=125e9 -> 37.5e9+106_250_000_000=143_750_000_000; s1==c1, s2==c2 by symmetry
+    assert(got("c1") == ((2L, 356250000000L)), s"c1: ${got("c1")}")
+    assert(got("c2") == ((1L, 143750000000L)), s"c2: ${got("c2")}")
+    assert(got("s1") == ((2L, 356250000000L)), s"s1 symmetric to c1: ${got("s1")}")
+    assert(got("s2") == ((1L, 143750000000L)), s"s2: ${got("s2")}")
+  }
+
+  test("graphPagerank: 5 iterations conserve total rank and keep hub order") {
+    val tt = pagerankFixture()
+    val rows = Analytics.graphPagerank(tt, iters = 5, k = 10).collect()
+    val ranks = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // integer floor-division loses < 1 unit per node per step: total stays
+    // within n*(iters+2) units of SCALE
+    val total = ranks.values.sum
+    assert(math.abs(total - 1000000000000L) <= 4L * 7L * 100L,
+      s"rank conservation: $total")
+    // the two degree-2 hubs tie and outrank the degree-1 leaves
+    assert(ranks("c1") == ranks("s1") && ranks("c2") == ranks("s2"), s"symmetry: $ranks")
+    assert(ranks("c1") > ranks("c2"), s"hubs outrank leaves: $ranks")
+    // output is rank desc with node tie-break
+    val order = rows.map(_.getString(0)).toSeq
+    assert(order == Seq("c1", "s1", "c2", "s2"), s"deterministic order: $order")
+  }
 }

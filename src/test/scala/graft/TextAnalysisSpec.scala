@@ -382,4 +382,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     val ties = got.filter(_._2 == 1L).map(_._1).toSeq
     assert(ties == ties.sorted, s"deterministic tie order: $ties")
   }
+
+  test("htmlStrip: tags dropped, entities unescaped, whitespace collapsed") {
+    val t = docs(Seq(
+      (1L, "<p>Hello <b>world</b></p>"),
+      (2L, "a &lt;tag&gt; &amp; &quot;quotes&quot; &#39;s&nbsp;end"),
+      (3L, "plain text stays"),
+      (4L, "<div class=\"x\">nested <span>deep</span>\n\n text</div>")))
+    val got = TextAnalysis.htmlStrip(t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(got(1L)._1 == "Hello world", s"tags: ${got(1L)}")
+    assert(got(2L)._1 == "a <tag> & \"quotes\" 's end", s"entities: ${got(2L)}")
+    assert(got(3L)._1 == "plain text stays", s"identity: ${got(3L)}")
+    assert(got(4L)._1 == "nested deep text", s"nested: ${got(4L)}")
+    assert(got(3L)._2 == 0.0, "no markup -> zero markup_frac")
+    assert(got(1L)._2 > 0.5, s"tag-heavy doc flags high markup_frac: ${got(1L)._2}")
+  }
+
+  test("ngramDiversity: exact distinct-n ratios per source") {
+    val t = docs(Seq(
+      (1L, "a b a"),    // uni: 3 total / 2 distinct; bi: "a b","b a" -> 2/2
+      (2L, "a b a")))   // same source doubles totals, not distincts
+    val got = TextAnalysis.ngramDiversity(t).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1) == ((6L, 2L, 0.3333)), s"unigram: ${got(1)}")
+    assert(got(2) == ((4L, 2L, 0.5)), s"bigram: ${got(2)}")
+  }
+
+  test("cooccurTop: window-2 pairs with exact 1/d half-unit weights") {
+    val t = docs(Seq((1L, "x y z"), (2L, "x y")))
+    // d=1: (x,y)x2, (y,z); d=2: (x,z). units: d1=2, d2=1
+    val got = TextAnalysis.cooccurTop(t, window = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("x", "y")) == ((2L, 4L, 2.0)), s"xy: ${got(("x", "y"))}")
+    assert(got(("y", "z")) == ((1L, 2L, 1.0)), s"yz: ${got(("y", "z"))}")
+    assert(got(("x", "z")) == ((1L, 1L, 0.5)), s"xz half weight at distance 2: ${got(("x", "z"))}")
+    // ordering: units desc, then lexicographic
+    val order = TextAnalysis.cooccurTop(t, window = 2, k = 10).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(order == Seq(("x", "y"), ("y", "z"), ("x", "z")), s"order: $order")
+  }
+
+  test("zipfFit: exact power-law counts fit slope -1") {
+    // counts 12/r for ranks 1..4 -> ln c = ln 12 - 1 * ln r exactly
+    val text = (Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++ Seq.fill(4)("w3") ++ Seq.fill(3)("w4")).mkString(" ")
+    val got = TextAnalysis.zipfFit(docs(Seq((1L, text)))).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getInt(0) == 4, s"n_terms: ${r.getInt(0)}")
+    assert(r.getDouble(1) == -1.0, s"slope on exact power law: ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-3, s"intercept ~ ln 12: ${r.getDouble(2)}")
+  }
 }
