@@ -215,7 +215,30 @@ object PlanAudit {
       // token) count is (sources x vocab)-bounded; no window anywhere
       ("source_kl", p => p.contains("BroadcastHashJoin") && !p.contains("Window") &&
           !p.contains("CartesianProduct"),
-        "source KL: broadcast vocab mapping, bounded post-aggregate relations, no window"))
+        "source KL: broadcast vocab mapping, bounded post-aggregate relations, no window"),
+      // C61: strip chain is one narrow scan (pii_redact precedent: the
+      // driver-boundary orderBy adds a range exchange, never hash)
+      ("html_strip", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "markup strip is a zero-shuffle narrow scan (codegen'd replace chain)"),
+      // C62: grams assemble array-side; two map-side-combinable
+      // aggregations, no window, no join
+      ("ngram_diversity", p => !p.contains("Join") && !p.contains("Window"),
+        "distinct-n: array-side grams, two map-side-combinable aggregations"),
+      // C63: pairs assemble array-side per offset; top-k bounded
+      ("cooccur_top", p => !p.contains("Window") && !p.contains("Join") &&
+          p.contains("TakeOrderedAndProject"),
+        "co-occurrence pairs array-side; bounded top-k, no window"),
+      // C64: one corpus count, bounded top-V take, rank-ordered fold —
+      // no window over corpus data (row_number only exists in the oracle)
+      ("zipf_fit", p => !p.contains("Window") && !p.contains("Join") &&
+          p.contains("TakeOrderedAndProject"),
+        "Zipf fit: bounded top-V take + ordered fold, no window/join"),
+      // B21: per-iteration shape — rank relation joins the cached edges
+      // (broadcast or co-partitioned hash, never a cross product), final
+      // top-k is a bounded take; no Window anywhere in 5 iterations
+      ("graph_pagerank", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("TakeOrderedAndProject"),
+        "PageRank: rank x edges joins, bounded final take, no window/cross product"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

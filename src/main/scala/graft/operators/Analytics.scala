@@ -403,15 +403,13 @@ object Analytics {
       ranks.unpersist(false)
       ranks = next
     }
-    // bounded top-k: localCheckpoint truncates the 5-iteration lineage so
-    // the caches can be released before the caller consumes the result
-    val out = ranks.select(col("node"), col("deg"), col("rank"))
+    // the loop's count() left the FINAL ranks materialized in cache
+    // (node-sized — it stays resident for the caller's consumption);
+    // the edge cache is corpus-pair-sized and can be released now
+    edges.unpersist(false)
+    ranks.select(col("node"), col("deg"), col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(k)
-      .localCheckpoint()
-    ranks.unpersist(false)
-    edges.unpersist(false)
-    out
   }
 
   /** B11: non-equi range join against a broadcast band table. */
