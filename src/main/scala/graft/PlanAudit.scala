@@ -233,6 +233,12 @@ object PlanAudit {
       ("zipf_fit", p => !p.contains("Window") && !p.contains("Join") &&
           p.contains("TakeOrderedAndProject"),
         "Zipf fit: bounded top-V take + ordered fold, no window/join"),
+      // C65: the sketch must combine map-side (one 4 KiB buffer per task
+      // crosses the exchange, not the distinct tokens) — and the exact
+      // count(distinct) expand/double-shuffle rewrite must be absent
+      ("hll_distinct", p => "graft_hll".r.findAllIn(p).size >= 2 && p.contains("partial_graft_hll") &&
+          !p.contains("Expand"),
+        "distinct sketch combines map-side; no exact-distinct expand rewrite"),
       // B21: per-iteration shape — rank relation joins the cached edges
       // (broadcast or co-partitioned hash, never a cross product), final
       // top-k is a bounded take; no Window anywhere in 5 iterations

@@ -119,6 +119,7 @@ object SparkEntry {
     "source_kl"          -> Seq(col("source")),
     "html_strip"         -> Seq(col("doc_id")),
     "ngram_diversity"    -> Seq(col("source"), col("n")),
+    "hll_distinct"       -> Seq(col("source")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -283,6 +284,7 @@ object SparkEntry {
     "ngram_diversity"    -> q(TextAnalysis.ngramDiversity),
     "cooccur_top"        -> q(TextAnalysis.cooccurTop(_)),
     "zipf_fit"           -> q(TextAnalysis.zipfFit(_)),
+    "hll_distinct"       -> q(TextAnalysis.hllDistinct(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 

@@ -1493,6 +1493,28 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** C65: sketched per-source distinct-token counts — the vocabulary-size
+    * audit at a scale where exact distinct is the bottleneck: the native
+    * `graft_hll` TypedImperativeAggregate reduces each map task to one
+    * 2^p-byte register array before the exchange (4 KiB at p=12,
+    * ±1.6 % standard error), where the exact `count(distinct)` rewrite
+    * this replaces shuffles EVERY distinct token. Sketch merge is
+    * pointwise register max — associative/commutative/IDEMPOTENT, so
+    * partitioning, AQE re-plans and task retries cannot move the
+    * estimate (HllSpec asserts partition-layout invariance exactly).
+    *
+    * Rows-only driver check by documented design (DuckDB's
+    * approx_count_distinct is a different HLL — cross-engine equality is
+    * not defined); the spec pins the error bound against exact distinct
+    * at two scales plus the merge-invariance property.
+    */
+  def hllDistinct(t: Tables, p: Int = 12): DataFrame =
+    t.documents
+      .select(col("source"),
+        explode(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)).as("token"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"), expr(s"graft_hll(token, $p)").as("est_distinct"))
+
   /** C61: HTML/markup strip — the extraction step every web-crawl corpus
     * runs before any text heuristic (trafilatura-lite): drop tags, unescape
     * the five XML entities plus nbsp, collapse whitespace. A document that

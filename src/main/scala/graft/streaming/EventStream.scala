@@ -314,6 +314,30 @@ object EventStream {
       .select(col("window_start"), col("e.item").as("token"), col("e.count").as("cnt"))
   }
 
+  /** C65b: streaming distinct-token sketch — per-window vocabulary-size
+    * estimates through the native `graft_hll` aggregate (C65's batch
+    * twin). The sketch's register-max merge is associative, commutative
+    * and IDEMPOTENT, which is exactly what a streaming aggregate's
+    * incremental state update needs: each microbatch merges its partial
+    * registers into the window's state, and the estimate after any
+    * arrival order / microbatch split equals the batch estimate over
+    * the same rows (StreamingSpec asserts stream == batch exactly).
+    * State per open window is one 2^p-byte register array — bounded by
+    * (open windows), independent of token volume.
+    */
+  def streamingDistinct(docs: Dataset[TimedDoc], p: Int = 12,
+                        windowLen: String = "10 minutes",
+                        watermark: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(expr("split(trim(lower(text)), '\\\\s+')")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_tokens"), expr(s"graft_hll(token, $p)").as("est_distinct"))
+      .select(col("window.start").as("window_start"), col("n_tokens"), col("est_distinct"))
+  }
+
   /** C38c: streaming DSIR quality gate — score arriving documents
     * against a batch-fitted [[graft.operators.TextAnalysis.DsirModel]]
     * and keep those at or above `minLogw`. The live-ingest twin of the

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HllBuffer
+import graft.operators.TextAnalysis
+import org.apache.spark.unsafe.types.UTF8String
+
+/** C65/D3: HyperLogLog sketch — error bounds against exact distinct,
+  * and the merge-invariance property that makes the aggregate safe
+  * under any partitioning / AQE re-plan / task retry.
+  */
+class HllSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+    .getOrCreate()
+
+  test("local buffer: estimate within 3 sigma at 1k and 100k distinct") {
+    for (n <- Seq(1000, 100000)) {
+      val buf = new HllBuffer(12)
+      (0 until n).foreach(i => buf.add(UTF8String.fromString(s"item-$i-x")))
+      // duplicates must not move the estimate (idempotent add)
+      (0 until n by 7).foreach(i => buf.add(UTF8String.fromString(s"item-$i-x")))
+      val err = math.abs(buf.estimate - n).toDouble / n
+      assert(err < 3 * 1.04 / math.sqrt(4096.0), s"n=$n est=${buf.estimate} err=$err")
+    }
+  }
+
+  test("merge of split buffers equals the single-pass buffer exactly") {
+    val whole = new HllBuffer(12)
+    val parts = Array.fill(8)(new HllBuffer(12))
+    (0 until 50000).foreach { i =>
+      val s = UTF8String.fromString(s"k$i")
+      whole.add(s)
+      parts(i % 8).add(s)
+    }
+    val merged = new HllBuffer(12)
+    parts.foreach(merged.mergeFrom)
+    assert(java.util.Arrays.equals(merged.regs, whole.regs),
+      "register-max merge reconstructs the single-pass registers bit-for-bit")
+    assert(merged.estimate == whole.estimate)
+  }
+
+  test("hllDistinct: partition-layout invariance and error vs exact on the corpus") {
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val est = TextAnalysis.hllDistinct(t).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // same data shuffled into a different layout -> identical estimates
+    import org.apache.spark.sql.DataFrame
+    val redocs: DataFrame = t.documents.repartition(17, col("doc_id"))
+    val dir = java.nio.file.Files.createTempDirectory("hll").toString
+    redocs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val est2 = TextAnalysis.hllDistinct(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(est == est2, "estimate is a pure function of the value set, not the layout")
+    // error bound vs exact distinct per source
+    val exact = t.documents
+      .select(col("source"), explode(split(trim(lower(col("text"))), "\\s+")).as("tk"))
+      .filter(length(col("tk")) > 0)
+      .groupBy(col("source")).agg(countDistinct(col("tk")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, d) =>
+      val err = math.abs(est(src) - d).toDouble / d
+      assert(err < 0.05, s"source=$src exact=$d est=${est(src)} err=$err")
+    }
+  }
+}

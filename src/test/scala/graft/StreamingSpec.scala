@@ -324,6 +324,38 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-batch merged counts for the closed window: ${got.toSeq}")
   }
 
+  test("streamingDistinct: sketch merges across microbatches; stream == batch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.TimedDoc]
+    val q = EventStream.streamingDistinct(mem.toDS(), p = 12,
+      windowLen = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hll_win").outputMode("append").start()
+    val docs = Seq(
+      EventStream.TimedDoc(1, ts(0), (0 until 400).map(i => s"tok$i").mkString(" ")),
+      EventStream.TimedDoc(2, ts(1), (200 until 600).map(i => s"tok$i").mkString(" ")),
+      EventStream.TimedDoc(3, ts(2), (0 until 100).map(i => s"tok$i").mkString(" ")))
+    mem.addData(docs(0)); q.processAllAvailable()      // microbatch 1
+    mem.addData(docs(1), docs(2)); q.processAllAvailable() // microbatch 2, same window
+    mem.addData(EventStream.TimedDoc(4, ts(120), "closer")) // advance watermark
+    q.processAllAvailable()
+    val got = spark.sql("SELECT n_tokens, est_distinct FROM hll_win ORDER BY window_start LIMIT 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    q.stop()
+    assert(got._1 == 900L, s"token volume: $got")
+    // batch twin over the same rows: the sketch is a pure function of the
+    // value set, so the incremental streaming merge must land on the SAME
+    // estimate, not just a close one
+    import org.apache.spark.sql.functions.{explode, expr}
+    val batchEst = docs.toDF("docId", "tsv", "text")
+      .select(explode(expr("split(trim(lower(text)), '\\\\s+')")).as("token"))
+      .agg(expr("graft_hll(token, 12)")).collect().head.getLong(0)
+    assert(got._2 == batchEst, s"stream ${got._2} != batch $batchEst")
+    // true distinct is 600; p=12 keeps the estimate inside 3 sigma
+    assert(math.abs(got._2 - 600).toDouble / 600 < 3 * 1.04 / math.sqrt(4096.0),
+      s"estimate within bound: ${got._2}")
+  }
+
   test("gapSessionize closes chunks across microbatches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
