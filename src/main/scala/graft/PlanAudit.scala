@@ -239,6 +239,16 @@ object PlanAudit {
       ("hll_distinct", p => "graft_hll".r.findAllIn(p).size >= 2 && p.contains("partial_graft_hll") &&
           !p.contains("Expand"),
         "distinct sketch combines map-side; no exact-distinct expand rewrite"),
+      // B22: every stage is a min-aggregate join of a type-FILTERED scan
+      // against the user-cardinality previous stage — no per-user event
+      // collection, no window, no cross product
+      ("window_funnel", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,"),
+        "windowed funnel: stage filters pushed to scan, min-agg joins, no window"),
+      // C66: the split is a zero-shuffle projection over C17's labels —
+      // no window beyond C17's own cluster_size window, no cross product
+      ("split_safe", p => !p.contains("CartesianProduct"),
+        "leakage-safe split inherits the cluster pipeline, no cross product"),
       // B21: per-iteration shape — rank relation joins the cached edges
       // (broadcast or co-partitioned hash, never a cross product), final
       // top-k is a bounded take; no Window anywhere in 5 iterations

@@ -120,6 +120,8 @@ object SparkEntry {
     "html_strip"         -> Seq(col("doc_id")),
     "ngram_diversity"    -> Seq(col("source"), col("n")),
     "hll_distinct"       -> Seq(col("source")),
+    "split_safe"         -> Seq(col("doc_id")),
+    "window_funnel"      -> Seq(col("stage")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -285,6 +287,8 @@ object SparkEntry {
     "cooccur_top"        -> q(TextAnalysis.cooccurTop(_)),
     "zipf_fit"           -> q(TextAnalysis.zipfFit(_)),
     "hll_distinct"       -> q(TextAnalysis.hllDistinct(_)),
+    "split_safe"         -> q(Dedup.leakageSafeSplit(_)),
+    "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -475,40 +479,29 @@ object SparkEntry {
            CAST(floor(weight * budget) AS BIGINT) AS take_tokens,
            floor((weight * budget / n_tokens)*10000.0 + 0.5)/10000.0 AS rate
          FROM j ORDER BY lang""",
-    "dedup_clusters" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
-         hs AS (SELECT doc_id, list_distinct(list_transform(
-             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
-             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
-           FROM tk),
-         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
-             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
-         bands AS (SELECT doc_id, band_idx,
-             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
-           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
-         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
-                   GROUP BY 1,2),
-         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
-         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
-         cm AS (SELECT c.id_a, c.id_b, count(*) AS common
-                FROM cands c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
-                GROUP BY 1,2),
-         j AS (SELECT c.id_a, c.id_b, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
-               FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
-               JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id),
-         e AS (SELECT id_a AS a, id_b AS b FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8
-               UNION ALL
-               SELECT id_b, id_a FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8),
-         r AS (SELECT a AS node, a AS lbl FROM e
-               UNION
-               SELECT e.a, r.lbl FROM e JOIN r ON r.node = e.b),
-         cl AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY 1),
-         assigned AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
-                      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node)
+    "dedup_clusters" -> (clusterAssignSql +
+      """
          SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-         FROM assigned ORDER BY doc_id""",
+         FROM assigned ORDER BY doc_id"""),
+    "split_safe" -> (clusterAssignSql +
+      """
+         SELECT doc_id, cluster_id,
+           CASE WHEN ((cluster_id % 1000000007) * 2654435761) % 97 < 87 THEN 'train' ELSE 'val' END AS split
+         FROM assigned ORDER BY doc_id"""),
+    "window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t, min(us) AS t0 FROM e WHERE event_type='view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS t, min(s1.t0) AS t0 FROM e JOIN s1
+                ON e.user_id=s1.user_id AND e.us > s1.t AND e.us <= s1.t0 + 21600000000
+                WHERE e.event_type='click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS t, min(s2.t0) AS t0 FROM e JOIN s2
+                ON e.user_id=s2.user_id AND e.us > s2.t AND e.us <= s2.t0 + 21600000000
+                WHERE e.event_type='purchase' GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name, count(*) AS n_users FROM s1
+           UNION ALL SELECT 2, 'click', count(*) FROM s2
+           UNION ALL SELECT 3, 'purchase', count(*) FROM s3) u
+         ORDER BY stage""",
     "q3_shipping" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
          round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
@@ -1790,6 +1783,45 @@ object SparkEntry {
          $iterCtes
          SELECT node, deg, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k"""
   }
+
+  /** Shared near-dup cluster-labeling CTE chain (dedup_clusters /
+    * split_safe): shingle → minhash → band join → Jaccard verify →
+    * recursive component labeling → per-doc cluster assignment, ending
+    * at the `assigned(doc_id, cluster_id)` relation. One string so the
+    * C66 split can never use a different cluster definition than C17.
+    */
+  private val clusterAssignSql: String =
+    """WITH RECURSIVE tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         cands AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+                   GROUP BY 1,2),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         cm AS (SELECT c.id_a, c.id_b, count(*) AS common
+                FROM cands c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+                GROUP BY 1,2),
+         j AS (SELECT c.id_a, c.id_b, coalesce(cm.common, 0) AS common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM cands c LEFT JOIN cm ON c.id_a = cm.id_a AND c.id_b = cm.id_b
+               JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id),
+         e AS (SELECT id_a AS a, id_b AS b FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8
+               UNION ALL
+               SELECT id_b, id_a FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.8),
+         r AS (SELECT a AS node, a AS lbl FROM e
+               UNION
+               SELECT e.a, r.lbl FROM e JOIN r ON r.node = e.b),
+         cl AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY 1),
+         assigned AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                      FROM documents d LEFT JOIN cl ON d.doc_id = cl.node)"""
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,
     * doc-length stats, per-term Okapi weights, and the fixed-order

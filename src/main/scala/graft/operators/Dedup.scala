@@ -366,6 +366,30 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** C66: leakage-safe train/validation split — the assignment unit is
+    * the NEAR-DUP CLUSTER (C17's labels), not the document: a random
+    * per-doc split puts one member of a duplicate pair in train and its
+    * twin in validation, silently turning the eval set into memorized
+    * training data. Splitting on a deterministic hash of the cluster id
+    * keeps every near-dup family on one side.
+    *
+    * The bucket hash is pure bounded integer arithmetic —
+    * ((cluster_id mod p) · K) mod 97 with p = 1e9+7 keeping the product
+    * inside int64 under ANSI overflow checking — so the assignment is
+    * bit-identical cross-engine and stable across reruns/backfills
+    * (re-splitting a grown corpus moves only docs whose CLUSTER
+    * changed). Scale = C17's cost plus a zero-shuffle projection.
+    */
+  def leakageSafeSplit(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
+                       trainBuckets: Int = 87): DataFrame = {
+    require(trainBuckets > 0 && trainBuckets < 97, s"trainBuckets in (0,97): $trainBuckets")
+    dedupClusters(t, k, jaccardThreshold)
+      .withColumn("split",
+        when(expr("((cluster_id % 1000000007) * 2654435761) % 97") < trainBuckets, lit("train"))
+          .otherwise(lit("val")))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
   /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
     * candidates — the scalable two-phase near-dup pipeline: LSH bounds the
     * pair space to O(n·bands) candidates, then the exact intersection runs

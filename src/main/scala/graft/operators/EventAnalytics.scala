@@ -51,6 +51,41 @@ object EventAnalytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** B22: time-constrained funnel (the windowFunnel analytic): users who
+    * completed stage 1, then each later stage in order, ALL within
+    * `windowUs` of their FIRST stage-1 event. The chain is the
+    * earliest-completion chain anchored at min(stage-1 ts) — fully
+    * deterministic, and expressible identically in SQL (the oracle's
+    * CTEs mirror each scanLeft step), unlike "best chain over any
+    * anchor" semantics which need per-user backtracking.
+    *
+    * Same scale shape as B15: each stage joins the type-filtered event
+    * subset (filter pushed to scan) against the user-cardinality
+    * previous-stage relation — the full stream is never re-shuffled,
+    * and no per-user event collection exists anywhere, so a power user
+    * with millions of events costs map-side partial min, not memory.
+    */
+  def windowFunnel(t: Tables, stages: Seq[String] = Seq("view", "click", "purchase"),
+                   windowUs: Long = 6L * 3600L * 1000000L): DataFrame = {
+    require(stages.nonEmpty, "windowFunnel needs at least one stage")
+    val ev = t.events.select(col("user_id"), col("event_type"), tsUs.as("us"))
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("us")).as("t"))
+      .withColumn("t0", col("t"))
+    val completed = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("t_prev"), col("t0")), Seq("user_id"))
+        .filter(col("us") > col("t_prev") && col("us") <= col("t0") + windowUs)
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("t"), min(col("t0")).as("t0"))
+    }
+    completed.zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"),
+          lit(name).as("stage_name"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** B16: cohort retention — cohort = a user's first active day; one row
     * per (cohort day, day offset) with the count of users active again
     * that day. Day arithmetic is integer µs (86400000000 per day), exact

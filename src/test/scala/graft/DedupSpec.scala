@@ -356,4 +356,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(("srcB", "srcC")) == got(("srcA", "srcC")),
       "mirrored sources see srcC identically (signature is a pure set function)")
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster on ONE side, split by the exact bucket formula") {
+    val words = (0 until 50).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = words.updated(10, "xx").mkString(" ")          // near-dup of a
+    val t = docs(Seq((1L, a, "en"), (2L, b, "en"), (3L, unrelated, "en"),
+      (4L, "another entirely separate text about gardening tools and soil preparation methods", "en")))
+    val got = Dedup.leakageSafeSplit(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = got.map(r => r._1 -> (r._2, r._3)).toMap
+    // cluster cohesion: the near-dup pair shares cluster AND split
+    assert(byDoc(1L)._1 == byDoc(2L)._1 && byDoc(1L)._2 == byDoc(2L)._2,
+      s"near-dup family assigned atomically: $byDoc")
+    // the split is the documented deterministic function of cluster_id
+    got.foreach { case (_, cid, split) =>
+      val expected = if (((cid % 1000000007L) * 2654435761L) % 97L < 87L) "train" else "val"
+      assert(split == expected, s"bucket formula for cluster $cid: got $split")
+    }
+    // rerun -> identical assignment (stable across backfills)
+    val again = Dedup.leakageSafeSplit(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic across runs")
+  }
 }

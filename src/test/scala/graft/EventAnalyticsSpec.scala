@@ -88,4 +88,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got((1L, "profile")) == ((40000000L, 3L, 9.0, 1L)))
     assert(got((2L, "cart")) == ((30000000L, 5L, 8.0, 2L)), s"ts tie → max event_id: ${got((2L, "cart"))}")
   }
+
+  test("windowFunnel bounds every stage by the window from the FIRST entry event") {
+    val H = 3600L * S // ns per hour
+    val rows = Seq(
+      // user 1: all three inside 6h of the first view -> depth 3
+      (0L, 0L * H, 1L, "view", 0.0), (1L, 1L * H, 1L, "click", 0.0),
+      (2L, 2L * H, 1L, "purchase", 0.0),
+      // user 2: click 7h after the view — outside the window -> depth 1
+      (3L, 0L * H, 2L, "view", 0.0), (4L, 7L * H, 2L, "click", 0.0),
+      // user 3: click in window, purchase outside -> depth 2
+      (5L, 0L * H, 3L, "view", 0.0), (6L, 1L * H, 3L, "click", 0.0),
+      (7L, 7L * H, 3L, "purchase", 0.0),
+      // user 4: the window anchors at the FIRST view (t=0), not the later
+      // one — click at 8h is outside even though it is 1h after view#2
+      (8L, 0L * H, 4L, "view", 0.0), (9L, 7L * H, 4L, "view", 0.0),
+      (10L, 8L * H, 4L, "click", 0.0),
+      // user 5: order still required — purchase before click never counts
+      (11L, 0L * H, 5L, "view", 0.0), (12L, 1L * H, 5L, "purchase", 0.0))
+    val got = EventAnalytics.windowFunnel(events(rows), windowUs = 6L * 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 2L, 3L -> 1L),
+      s"stage survivors (5 viewed, u1+u3 clicked in window, u1 purchased): $got")
+  }
 }
