@@ -249,6 +249,12 @@ object PlanAudit {
       // no window beyond C17's own cluster_size window, no cross product
       ("split_safe", p => !p.contains("CartesianProduct"),
         "leakage-safe split inherits the cluster pipeline, no cross product"),
+      // C67: the index read must carry bucket PartitionFilters (only the
+      // query terms' partition dirs are listed/scanned), broadcast the
+      // bucket-pruned df relation, and end in a bounded take
+      ("bm25_indexed", p => p.contains("PartitionFilters: [bucket") &&
+          p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"),
+        "indexed BM25: bucket partition pruning, broadcast df, bounded top-k"),
       // B21: per-iteration shape — rank relation joins the cached edges
       // (broadcast or co-partitioned hash, never a cross product), final
       // top-k is a bounded take; no Window anywhere in 5 iterations

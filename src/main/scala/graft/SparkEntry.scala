@@ -289,6 +289,7 @@ object SparkEntry {
     "hll_distinct"       -> q(TextAnalysis.hllDistinct(_)),
     "split_safe"         -> q(Dedup.leakageSafeSplit(_)),
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
+    "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -1304,6 +1305,11 @@ object SparkEntry {
            length(norm_text) AS n_chars_norm
          FROM n ORDER BY doc_id""",
     "bm25_search" -> (bm25Sql +
+      """ SELECT doc_id, n_terms, score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 20"""),
+    // C67 is DEFINED row-identical to C35 (same formulas over the
+    // materialized index) — shared oracle string, the C22/C22b precedent
+    "bm25_indexed" -> (bm25Sql +
       """ SELECT doc_id, n_terms, score FROM bm
          ORDER BY score DESC, doc_id LIMIT 20"""),
     "source_cap" ->

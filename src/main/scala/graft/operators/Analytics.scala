@@ -381,7 +381,16 @@ object Analytics {
       .select(concat(lit("c"), col("o_custkey")).as("src"),
         concat(lit("s"), col("l_suppkey")).as("dst"))
       .distinct()
+    // cache the edges ALREADY hash-partitioned on the join key: the
+    // cached InMemoryRelation then reports hashpartitioning(src), so
+    // every iteration's rank⋈edges join exchanges only the node-sized
+    // rank relation, not the 2|E|-row edge side. Measured at 60M
+    // lineitem rows (100M directed edges): 195 → 169 s for the full
+    // warm+2-pass bench — the remaining cost is the per-iteration
+    // contribution sum keyed by dst, which IS PageRank's irreducible
+    // shuffle (map-side partial sums bound it at edge cardinality).
     val edges = edgesCS.unionAll(edgesCS.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.select(count(lit(1)).as("n"))

@@ -664,6 +664,112 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C67: materialize the offline inverted index for [[bm25Indexed]] —
+    * postings (term, doc_id, tf, dl), per-term document frequencies,
+    * and the corpus stats, with the two term-keyed relations
+    * PARTITIONED by `bucket = pmod(xxhash64(term), nBuckets)`. A query
+    * for q terms then reads ≤ q of the nBuckets partition directories:
+    * Catalyst turns the bucket predicate into PartitionFilters and the
+    * other buckets are never listed, let alone scanned — the file-layout
+    * pruning that takes retrieval from C35's two-corpus-scan floor to
+    * index-bytes/nBuckets per query.
+    *
+    * The one-off build is ONE corpus tokenize scan + the (term, doc)
+    * aggregate (map-side combinable); df derives from the postings
+    * relation, not a second scan. tf/dl/df/n_docs/avgdl are stored
+    * EXACTLY as C35's live formulas define them, so indexed search is
+    * row-identical to scan search (asserted in the spec).
+    */
+  def buildInvertedIndex(t: Tables, dir: String, nBuckets: Int = 64): Unit = {
+    val dl = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+    val postings = t.documents
+      .select(col("doc_id"), dl.as("dl"),
+        explode(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
+    postings
+      .withColumn("bucket", bucket)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+    // df reads off the landed postings (one row per (doc, term)) — no
+    // second corpus scan, and the landed copy is the one queried later
+    val landed = t.documents.sparkSession.read.parquet(s"$dir/postings")
+    landed.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+      .withColumn("bucket", bucket)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/terms")
+    t.documents.agg(count(lit(1)).cast("long").as("n_docs"), avg(dl).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Driver-side xxhash64 of a literal term — the SAME function the
+    * index writer's bucket column evaluates, so query-time bucket ids
+    * always agree with the layout.
+    */
+  private def termBucket(term: String, nBuckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types.StringType
+    // seed 42L is the default the Column-API xxhash64(...) uses
+    val h = XxHash64(Seq(Literal.create(term, StringType)), 42L).eval(null).asInstanceOf[Long]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
+  /** C67: BM25 over the materialized index — reads ONLY the query
+    * terms' partition buckets (PartitionFilters, plan-audited), joins
+    * the bucket-pruned df relation broadcast, and scores with C35's
+    * exact formulas/fold order, so results are row-identical to
+    * [[bm25Search]] while touching index-bytes/nBuckets instead of two
+    * corpus scans.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                  query: String = "spark stream filter", k: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25Indexed needs at least one query term")
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val tf = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val df = spark.read.parquet(s"$indexDir/terms")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val wTerm = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val weighted = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), wTerm.as("w"))
+    val pivoted = weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        terms.map(tm => max(when(col("term") === tm, col("w"))).as(s"w_$tm")): _*)
+    val score = terms.map(tm => coalesce(col(s"w_$tm"), lit(0.0))).reduce(_ + _)
+    pivoted.select(col("doc_id"), col("n_terms"), roundHalfUp(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Index cache for the driver-contract [[bm25IndexedQuery]]: the index
+    * is a materialized artifact in production — building it per query
+    * would bench the build, not the retrieval path.
+    */
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C67 driver query: index-backed BM25 over the corpus dir (index
+    * built once per dir and memoized; the oracle string is SHARED with
+    * C35 because the results are defined to be row-identical).
+    */
+  def bm25IndexedQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = indexCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("bm25idx").toString
+      buildInvertedIndex(t, d)
+      d
+    })
+    bm25Indexed(spark, dir)
+  }
+
   /** Tokens of a document as an array column, lowercased, empties
     * dropped — shared by the n-gram LM pair (C37/C37b). Stays a
     * higher-order array op so bigram construction below never needs a

@@ -383,6 +383,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ties == ties.sorted, s"deterministic tie order: $ties")
   }
 
+  test("bm25Indexed == bm25Search row-for-row; index layout prunes to the query buckets") {
+    val t = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "banana cherry"),
+      (3L, "dog grass field"),
+      (4L, ""),
+      (5L, "apple apple apple")))
+    val dir = java.nio.file.Files.createTempDirectory("idx").toString
+    TextAnalysis.buildInvertedIndex(t, dir, nBuckets = 16)
+    val scan = TextAnalysis.bm25Search(t, query = "apple banana", k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val idx = TextAnalysis.bm25Indexed(spark, dir, query = "apple banana", k = 10, nBuckets = 16)
+    val got = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == scan, s"indexed == scan: $got vs $scan")
+    // the scan leaf must carry the bucket partition predicate
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning reaches the index scan:\n$plan")
+  }
+
   test("htmlStrip: tags dropped, entities unescaped, whitespace collapsed") {
     val t = docs(Seq(
       (1L, "<p>Hello <b>world</b></p>"),
