@@ -255,6 +255,12 @@ object PlanAudit {
       ("bm25_indexed", p => p.contains("PartitionFilters: [bucket") &&
           p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"),
         "indexed BM25: bucket partition pruning, broadcast df, bounded top-k"),
+      // B23: wedge/closure are hash equi-joins on the degree-ORIENTED
+      // edge relation — no cross product anywhere, and the closure is a
+      // semi join (existence, never a multiplying inner join)
+      ("triangle_count", p => !p.contains("CartesianProduct") &&
+          (p.contains("LeftSemi") || p.contains("ExistenceJoin")),
+        "triangle census: oriented wedge join + semi-join closure, no cross product"),
       // B21: per-iteration shape — rank relation joins the cached edges
       // (broadcast or co-partitioned hash, never a cross product), final
       // top-k is a bounded take; no Window anywhere in 5 iterations

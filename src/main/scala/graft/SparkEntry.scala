@@ -290,6 +290,7 @@ object SparkEntry {
     "split_safe"         -> q(Dedup.leakageSafeSplit(_)),
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
+    "triangle_count"     -> q(Analytics.triangleCount),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -1761,7 +1762,23 @@ object SparkEntry {
            floor(slope_raw * 10000.0 + 0.5) / 10000.0 AS slope,
            floor(((sy - slope_raw * sx) / n_terms) * 10000.0 + 0.5) / 10000.0 AS intercept
          FROM fit""",
-    "graph_pagerank" -> pagerankSql(5, 20)
+    "graph_pagerank" -> pagerankSql(5, 20),
+    "triangle_count" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+         e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+         deg AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) u GROUP BY 1),
+         o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+                      CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+               FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+         w AS (SELECT o1.src AS src, o1.dst AS x, o2.dst AS y
+               FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         c AS (SELECT count(*) AS n_triangles FROM w
+               SEMI JOIN (SELECT src AS x, dst AS y FROM o
+                          UNION ALL SELECT dst AS x, src AS y FROM o) oo USING (x, y))
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                (SELECT count(*) FROM e) AS n_edges,
+                n_triangles
+         FROM c"""
   )
 
   /** DuckDB SQL for B21's fixed-point PageRank, the `iters` iterations

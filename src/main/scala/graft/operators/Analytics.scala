@@ -421,6 +421,63 @@ object Analytics {
       .limit(k)
   }
 
+  /** B23: triangle counting over the co-purchase graph — parts are
+    * linked when they appear in one order ("bought together"); the
+    * triangle count is the classic clustering/community-density signal
+    * on interaction graphs (a co-purchase graph with many triangles has
+    * strong basket structure; near-zero means independent purchases).
+    *
+    * Scale design is the standard degree-ordered orientation (Cohen
+    * 2009 / Suri-Vassilvitskii 2011): every undirected edge is directed
+    * from the LOWER-(degree, id) endpoint to the higher, which turns
+    * the wedge join into low-out-degree fan-outs — a high-degree hub
+    * contributes wedges only through its (few) higher-ranked neighbors,
+    * so no single key explodes the intermediate even on a skewed graph
+    * (the n³ wedge blowup of the naive formulation becomes Σ C(d⁺, 2)
+    * with d⁺ bounded by √m-ish under this orientation). Edge
+    * construction is bounded by construction: pairs form WITHIN an
+    * order (self-join on o_orderkey, dedup'd), so the pair stream is
+    * Σ(items-per-order choose 2) — basket-size-quadratic, corpus-
+    * linear — not parts². Wedge and closure joins are plain hash
+    * equi-joins (no cross product, plan-audited).
+    */
+  def triangleCount(t: Tables): DataFrame = {
+    val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    // undirected co-supply edges (a < b as canonical form), deduplicated
+    val e = li.join(li.withColumnRenamed("s", "s2"), Seq("ok"))
+      .filter(col("s") < col("s2"))
+      .select(col("s").as("a"), col("s2").as("b"))
+      .distinct()
+    // total degree per node (graph is undirected)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient each edge from the lower (degree, id) endpoint to the higher
+    val da = deg.select(col("n").as("a"), col("d").as("da"))
+    val db = deg.select(col("n").as("b"), col("d").as("db"))
+    val oriented = e.join(da, Seq("a")).join(db, Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    // wedges: two out-edges of one src; triangle iff the third edge exists
+    val o1 = oriented.select(col("src"), col("dst").as("x"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = o1.join(o2, Seq("src")).filter(col("x") < col("y"))
+    // unionByName, NOT positional unionAll: the reversed arm's columns
+    // come in (y, x) order and a positional union would silently re-add
+    // the forward orientation instead (it did — caught by the oracle at
+    // half the true triangle count)
+    val closed = wedges.join(
+      oriented.select(col("src").as("x"), col("dst").as("y"))
+        .unionByName(oriented.select(col("src").as("y"), col("dst").as("x"))),
+      Seq("x", "y"), "left_semi")
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes"))))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

@@ -85,6 +85,20 @@ class AnalyticsSpec extends AnyFunSuite {
     Tables(spark, dir)
   }
 
+  test("triangleCount: hand-built baskets give the exact triangle census") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    // o1 {1,2,3}: 1 triangle; o2 {3,4}: bridge edge; o3 {4,5,6,7}: K4 = 4
+    // triangles; o4 {1,2}: duplicate edge must not double-count
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (3L, 5L), (3L, 6L), (3L, 7L), (4L, 1L), (4L, 2L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.triangleCount(Tables(spark, dir)).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((7L, 10L, 5L)),
+      s"nodes=7 edges=10 triangles=1+C(4,3)... : $got")
+  }
+
   test("graphPagerank: one iteration matches exact integer fixed-point arithmetic") {
     val tt = pagerankFixture()
     val got = Analytics.graphPagerank(tt, iters = 1, k = 10).collect()
