@@ -1099,6 +1099,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    // D6: opt-in count(DISTINCT) -> graft_hll sketch rewrite (off unless
+    // spark.graft.approxDistinct=true; see ApproxDistinctRewrite)
+    ext.injectOptimizerRule(session => graft.plans.ApproxDistinctRewrite(session))
 
     // SQL-only entry points: flagship operators as table-valued
     // functions — `SELECT * FROM graft_curate('/data/sf0.1')`. The plan

@@ -42,6 +42,40 @@ class HllSpec extends AnyFunSuite {
     assert(merged.estimate == whole.estimate)
   }
 
+  test("ApproxDistinctRewrite: off by default (exact plan); flag rewrites count(DISTINCT) to the sketch") {
+    import spark.implicits._
+    val df = (0 until 30000).map(i => (s"k${i % 7919}", i % 3)).toDF("k", "g")
+    df.createOrReplaceTempView("adr_t")
+    val q = "SELECT g, count(DISTINCT k) AS d FROM adr_t GROUP BY g"
+    def planOf = spark.sql(q).queryExecution.executedPlan.toString
+    def result = spark.sql(q).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // default: exact — no sketch in the plan, exact distinct counts
+    spark.conf.unset("spark.graft.approxDistinct")
+    assert(!planOf.contains("graft_hll"), "no rewrite without the flag")
+    val exact = result
+    assert(exact.values.forall(_ > 2500), s"sanity: $exact")
+    try {
+      spark.conf.set("spark.graft.approxDistinct", "true")
+      // SAME query text now plans the sketch: no Expand double-aggregate,
+      // map-side partial_graft_hll
+      val p = planOf
+      assert(p.contains("graft_hll") && !p.contains("Expand"),
+        s"flag rewrites to the sketch and drops the distinct Expand:\n$p")
+      val approx = result
+      exact.foreach { case (g, d) =>
+        val err = math.abs(approx(g) - d).toDouble / d
+        assert(err < 0.05, s"g=$g exact=$d approx=${approx(g)} err=$err")
+      }
+      // non-distinct counts and non-atomic children are untouched
+      val other = spark.sql("SELECT count(k) FROM adr_t").queryExecution.executedPlan.toString
+      assert(!other.contains("graft_hll"), "plain count stays exact")
+      // numeric child rewrites through an injective string cast
+      val num = spark.sql("SELECT count(DISTINCT g) FROM adr_t")
+      assert(num.queryExecution.executedPlan.toString.contains("graft_hll"))
+      assert(num.collect().head.getLong(0) == 3L, "tiny-cardinality sketch is exact")
+    } finally spark.conf.unset("spark.graft.approxDistinct")
+  }
+
   test("hllDistinct: partition-layout invariance and error vs exact on the corpus") {
     val t = Tables(spark, "/root/testdata/sf0.01")
     val est = TextAnalysis.hllDistinct(t).collect()
