@@ -291,6 +291,7 @@ object SparkEntry {
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount),
+    "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -1763,6 +1764,7 @@ object SparkEntry {
            floor(((sy - slope_raw * sx) / n_terms) * 10000.0 + 0.5) / 10000.0 AS intercept
          FROM fit""",
     "graph_pagerank" -> pagerankSql(5, 20),
+    "mmr_select" -> mmrSql(50, 10, "0.7", "0.3"),
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
@@ -1845,6 +1847,36 @@ object SparkEntry {
          cl AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY 1),
          assigned AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
                       FROM documents d LEFT JOIN cl ON d.doc_id = cl.node)"""
+
+  /** DuckDB SQL for C68's greedy MMR selection, the k steps unrolled as
+    * GENERATED CTEs (the pagerankSql precedent). λ/μ arrive as decimal
+    * strings so both engines parse the identical IEEE754 constants
+    * (`1.0 - 0.7` ≠ the literal `0.3` in doubles). All rel/sim terms
+    * round to 4 dp before the greedy arithmetic — matching the Scala
+    * driver loop exactly, so the argmax at every step agrees bit-wise.
+    */
+  private def mmrSql(n: Int, k: Int, lambda: String, mu: String): String = {
+    def cos4(a: String, b: String): String =
+      s"""floor((list_sum(list_transform(generate_series(1,len($a)), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(generate_series(1,len($a)), i -> CAST($a[i] AS DOUBLE)*CAST($a[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(generate_series(1,len($b)), i -> CAST($b[i] AS DOUBLE)*CAST($b[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0"""
+    val steps = (1 to k).map { i =>
+      val pre = if (i == 1) ""
+        else s"pre$i AS MATERIALIZED (${(1 until i).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")}),\n         "
+      val pen = if (i == 1) "0.0"
+        else s"coalesce((SELECT max(${cos4("c.embedding", "p.embedding")}) FROM pre$i p), 0.0)"
+      val notin = if (i == 1) "" else s"WHERE c.vec_id NOT IN (SELECT vec_id FROM pre$i) "
+      s"""${pre}sel$i AS MATERIALIZED (SELECT c.vec_id, c.embedding, c.rel, $lambda*c.rel - $mu*$pen AS mmr
+           FROM cand c ${notin}ORDER BY mmr DESC, c.vec_id LIMIT 1)"""
+    }.mkString(",\n         ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cand AS MATERIALIZED (SELECT vec_id, embedding, ${cos4("embedding", "qe")} AS rel
+           FROM embeddings, q WHERE vec_id <> 0 ORDER BY rel DESC, vec_id LIMIT $n),
+         $steps
+         SELECT rk, vec_id, rel, floor(mmr*10000.0+0.5)/10000.0 AS mmr FROM (
+           ${(1 to k).map(i => s"SELECT CAST($i AS BIGINT) AS rk, vec_id, rel, mmr FROM sel$i").mkString(" UNION ALL ")}) u
+         ORDER BY rk"""
+  }
 
   /** Shared BM25 CTE chain (bm25_search / rrf_fusion): term filter,
     * doc-length stats, per-term Okapi weights, and the fixed-order

@@ -51,6 +51,71 @@ object Similarity {
       .limit(k)
   }
 
+  /** C68: MMR diverse selection (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the data-selection/RAG shape "most relevant to
+    * the query, least redundant with what's already picked": greedily
+    * take argmax of λ·rel(c) − μ·max_{s∈S} sim(c, s) for k steps.
+    *
+    * λ and μ are SEPARATE parameters, not λ and 1−λ: `1.0 - 0.7` is
+    * 0.30000000000000004 in IEEE754 while the SQL literal `0.3` is not —
+    * the oracle and the engine must evaluate the SAME constants or the
+    * argmax can flip on near-ties. All rel/sim inputs are rounded to
+    * 4 dp first (the ann_topk convention), so the greedy arithmetic
+    * runs on bit-identical doubles cross-engine, with vec_id breaking
+    * exact ties.
+    *
+    * Scale shape: the corpus-sized work is C6's scored scan + bounded
+    * top-n shortlist (TakeOrderedAndProject); the greedy loop is
+    * DRIVER-side over the collected n-row shortlist — k·n bounded
+    * cosine evaluations on ≤ n vectors (the budget_select/centroid
+    * precedent: driver compute over a deliberately bounded relation,
+    * never the corpus). The oracle unrolls the same k steps as
+    * GENERATED CTEs (`mmrSql`).
+    */
+  def mmrSelect(t: Tables, queryVecId: Long = 0L, n: Int = 50, k: Int = 10,
+                lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val q = t.embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val short = t.embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), roundHalfUp(cos("embedding", "q_embedding"), 4).as("rel"),
+        col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    // sequential-fold cosine in double — the list_sum/graft_cosine order
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      r4(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Array[Float])]
+    val remaining = scala.collection.mutable.ArrayBuffer(short: _*)
+    var step = 0
+    while (step < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => cos4(v, s._4)).max
+        (id, rel, lambda * rel - mu * pen, v)
+      }
+      val best = scored.minBy { case (id, _, mmr, _) => (-mmr, id) }
+      selected += best
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+      step += 1
+    }
+    selected.zipWithIndex.toSeq
+      .map { case ((id, rel, mmr, _), i) => (i + 1L, id, rel, r4(mmr)) }
+      .toDF("rk", "vec_id", "rel", "mmr")
+  }
+
   /** C5: embedding near-duplicate pairs — cosine above threshold inside
     * label blocks. Blocking bounds the pair count (n² within block, not
     * global); at scale the block key would be an LSH bucket (see

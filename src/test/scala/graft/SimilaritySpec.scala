@@ -155,6 +155,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${truth.size})")
   }
 
+  test("mmrSelect demotes redundant near-duplicates that pure relevance top-k would take") {
+    // q points along x; ids 1 and 2 are the SAME direction (sim 1.0),
+    // id 3 is relevant-but-diverse
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f), "q"),
+      (1L, Seq(0.99f, 0.14f), "a"),
+      (2L, Seq(1.98f, 0.28f), "a_dup"),   // exact scalar multiple of id 1
+      (3L, Seq(0.6f, 0.8f), "b")))
+    val got = Similarity.mmrSelect(t, queryVecId = 0L, n = 10, k = 3,
+      lambda = 0.5, mu = 0.7).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // step 1: ids 1/2 tie on relevance -> id asc; step 2: the exact dup's
+    // mmr = 0.5*0.99 - 0.7*1.0 loses to the diverse 0.5*0.6 - 0.7*0.706;
+    // step 3: the dup finally admits
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"diverse pick beats the duplicate: ${got.toSeq}")
+    // pure relevance order would have been 1, 2, 3
+    val rel = Similarity.annTopK(t, 0L, 3).collect().map(_.getLong(0)).toSeq
+    assert(rel == Seq(1L, 2L, 3L), s"baseline confirms MMR changed the pick: $rel")
+  }
+
   test("hardNegatives excludes the query's own label and ranks cross-label by similarity") {
     // query v0 (label a); v1 is a same-label near-clone (MUST be excluded
     // even though it is the global nearest); v2/v3 are cross-label with
