@@ -122,6 +122,7 @@ object SparkEntry {
     "hll_distinct"       -> Seq(col("source")),
     "split_safe"         -> Seq(col("doc_id")),
     "window_funnel"      -> Seq(col("stage")),
+    "tok_fertility"      -> Seq(col("lang")),
     "sample_stratified" -> Seq(col("doc_id")),
     "mix_plan"       -> Seq(col("lang")),
     "mix_apply"      -> Seq(col("doc_id")),
@@ -292,6 +293,7 @@ object SparkEntry {
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
+    "tok_fertility"      -> q(TextAnalysis.tokFertility),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -1765,6 +1767,20 @@ object SparkEntry {
          FROM fit""",
     "graph_pagerank" -> pagerankSql(5, 20),
     "mmr_select" -> mmrSql(50, 10, "0.7", "0.3"),
+    "tok_fertility" ->
+      """WITH b AS (SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re,
+             strlen(text) AS bytes
+           FROM documents),
+         g AS (SELECT lang, count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(re) AS BIGINT) AS n_re_tokens, CAST(sum(bytes) AS BIGINT) AS n_bytes
+           FROM b GROUP BY 1)
+         SELECT lang, n_docs, n_ws_tokens, n_re_tokens, n_bytes,
+           floor((n_re_tokens * 1.0 / greatest(n_ws_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS fertility,
+           floor((n_bytes * 1.0 / greatest(n_re_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token
+         FROM g ORDER BY lang""",
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),

@@ -34,6 +34,33 @@ object TextAnalysis {
           .otherwise(size(wsTokens(col("text"))).cast("long")).as("n_ws_tokens"),
         regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long").as("n_re_tokens"))
 
+  /** C69: tokenizer-fertility audit per language — subword-ish tokens
+    * per whitespace word and UTF-8 bytes per token, the numbers that
+    * decide whether a tokenizer is fair to a language (high fertility =
+    * more sequence positions per word = more compute per unit text) and
+    * that convert corpus bytes into training-token budgets (C28/C58's
+    * planning input). Uses C10's exact token definitions so the two
+    * audits can never disagree.
+    *
+    * ONE zero-shuffle narrow scan + one language-cardinality map-side-
+    * combinable aggregate; ratios are exact integer quotients rounded
+    * at the boundary.
+    */
+  def tokFertility(t: Tables): DataFrame = {
+    val ws = when(length(trim(col("text"))) === 0, 0L)
+      .otherwise(size(wsTokens(col("text"))).cast("long"))
+    val re = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+    t.documents
+      .select(col("lang"), ws.as("ws"), re.as("re"), octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("n_ws_tokens"),
+        sum(col("re")).as("n_re_tokens"), sum(col("bytes")).as("n_bytes"))
+      .withColumn("fertility", roundHalfUp(
+        col("n_re_tokens").cast("double") / greatest(col("n_ws_tokens"), lit(1L)).cast("double"), 4))
+      .withColumn("bytes_per_token", roundHalfUp(
+        col("n_bytes").cast("double") / greatest(col("n_re_tokens"), lit(1L)).cast("double"), 4))
+  }
+
   /** C53: text normalization — the canonical-form pass web-scale corpora
     * run before any hashing/dedup touches the text (a byte-different,
     * canonically-equivalent doc would otherwise evade every exact and

@@ -403,6 +403,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"bucket pruning reaches the index scan:\n$plan")
   }
 
+  test("tokFertility: exact token/byte ratios per language") {
+    import spark.implicits._
+    // punctuation splits re-tokens ("a-b" -> a, -, b); é is 2 UTF-8 bytes
+    val df = Seq((1L, "ab cd", "en"), (2L, "a-b x", "en"), (3L, "é", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("t")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("tf").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.tokFertility(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    // en: ws 2+2=4, re 2+4=6, bytes 5+5=10 -> fertility 1.5, bpt 1.6667
+    assert(got("en") == ((2L, 4L, 6L, 10L, 1.5, 1.6667)), s"en: ${got("en")}")
+    // fr: ws 1, re 1, bytes 2 -> fertility 1.0, bpt 2.0
+    assert(got("fr") == ((1L, 1L, 1L, 2L, 1.0, 2.0)), s"fr: ${got("fr")}")
+  }
+
   test("htmlStrip: tags dropped, entities unescaped, whitespace collapsed") {
     val t = docs(Seq(
       (1L, "<p>Hello <b>world</b></p>"),
