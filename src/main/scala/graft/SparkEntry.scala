@@ -294,6 +294,7 @@ object SparkEntry {
     "triangle_count"     -> q(Analytics.triangleCount),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
+    "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_))
   )
 
@@ -1767,6 +1768,15 @@ object SparkEntry {
          FROM fit""",
     "graph_pagerank" -> pagerankSql(5, 20),
     "mmr_select" -> mmrSql(50, 10, "0.7", "0.3"),
+    "domain_counts" ->
+      """WITH u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+', 0)) AS url
+           FROM documents),
+         h AS (SELECT doc_id,
+             regexp_replace(regexp_extract(url, 'https?://([^/:?#\s]+)', 1), '^www\.', '') AS domain
+           FROM u),
+         m AS (SELECT domain, doc_id, count(*) AS c FROM h WHERE len(domain) > 0 GROUP BY 1, 2)
+         SELECT domain, CAST(sum(c) AS BIGINT) AS mentions, count(*) AS n_docs
+         FROM m GROUP BY 1 ORDER BY mentions DESC, domain LIMIT 50""",
     "tok_fertility" ->
       """WITH b AS (SELECT lang,
              CASE WHEN length(trim(text)) = 0 THEN 0

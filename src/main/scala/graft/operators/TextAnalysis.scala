@@ -61,6 +61,35 @@ object TextAnalysis {
         col("n_bytes").cast("double") / greatest(col("n_re_tokens"), lit(1L)).cast("double"), 4))
   }
 
+  /** C70: per-domain URL profile — extract every linked host and report
+    * mentions / distinct docs per domain. This is the input to domain-
+    * level curation (blocklists, per-domain caps, provenance audits) —
+    * the web-corpus complement to C36's per-SOURCE caps, at the
+    * granularity crawls are actually filtered at.
+    *
+    * Host parsing is pure regex algebra on C15's URL pattern (scheme ·
+    * host stops at `/ : ? #`, then a leading `www.` strips) — RE2-safe
+    * constructs only, so the oracle runs the literally identical chain.
+    * Scale shape: one narrow scan with array-side extraction, one
+    * map-side-combinable (domain, doc) distinct-free aggregate pair —
+    * mentions = count, docs = count over the (domain, doc_id) distinct
+    * relation, same cost class as C26.
+    */
+  def domainCounts(t: Tables, topK: Int = 50): DataFrame = {
+    val hosts = transform(
+      regexp_extract_all(col("text"), lit(piiUrlPattern), lit(0)),
+      u => regexp_replace(
+        regexp_extract(u, "https?://([^/:?#\\s]+)", 1), "^www\\.", ""))
+    val m = t.documents
+      .select(col("doc_id"), explode(hosts).as("domain"))
+      .filter(length(col("domain")) > 0)
+    m.groupBy(col("domain"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("domain"))
+      .agg(sum(col("c")).cast("long").as("mentions"), count(lit(1)).as("n_docs"))
+      .orderBy(col("mentions").desc, col("domain"))
+      .limit(topK)
+  }
+
   /** C53: text normalization — the canonical-form pass web-scale corpora
     * run before any hashing/dedup touches the text (a byte-different,
     * canonically-equivalent doc would otherwise evade every exact and

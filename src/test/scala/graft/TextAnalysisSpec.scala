@@ -420,6 +420,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got("fr") == ((1L, 1L, 1L, 2L, 1.0, 2.0)), s"fr: ${got("fr")}")
   }
 
+  test("domainCounts: host extraction, www-strip, port/path/query stops, per-doc distinct") {
+    val t = docs(Seq(
+      (1L, "see https://www.example.com/page and http://example.com:8080/x?q=1 plus https://other.org"),
+      (2L, "again https://example.com/deep/path#frag here"),
+      (3L, "no links at all")))
+    val got = TextAnalysis.domainCounts(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("example.com") == ((3L, 2L)), s"3 mentions across 2 docs: ${got("example.com")}")
+    assert(got("other.org") == ((1L, 1L)), s"other.org: ${got("other.org")}")
+    assert(got.size == 2, s"no empty/garbage domains: $got")
+  }
+
   test("htmlStrip: tags dropped, entities unescaped, whitespace collapsed") {
     val t = docs(Seq(
       (1L, "<p>Hello <b>world</b></p>"),
