@@ -266,7 +266,22 @@ object PlanAudit {
       // top-k is a bounded take; no Window anywhere in 5 iterations
       ("graph_pagerank", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
           p.contains("TakeOrderedAndProject"),
-        "PageRank: rank x edges joins, bounded final take, no window/cross product"))
+        "PageRank: rank x edges joins, bounded final take, no window/cross product"),
+      // B24: exactly one user-keyed window (the lead), no join at all —
+      // the aggregation collapses to type² before any further exchange
+      ("event_transitions", p => p.contains("Window") && !p.contains("Join") &&
+          p.contains("TakeOrderedAndProject") && p.contains("partial_count"),
+        "transition mining: one lead window, map-side-combined type-pair counts, no join"),
+      // B25: one scan, one map-side-combinable aggregation — no join, no
+      // window; the 1-field from_json stays in the project
+      ("props_profile", p => !p.contains("Join") && !p.contains("Window") &&
+          p.contains("from_json") && p.contains("partial_count"),
+        "JSON profile: single scan, map-side-combined per-type stats, no join/window"),
+      // C71: the join is hash-only on shingle hashes (text never crosses
+      // the exchange), final per-doc aggregation map-side combinable
+      ("novelty_score", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("shinglehashes") && p.contains("partial_count"),
+        "novelty: hash-only reference join, no window/cross product"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

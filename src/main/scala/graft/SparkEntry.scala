@@ -139,7 +139,10 @@ object SparkEntry {
     "funnel"        -> Seq(col("stage")),
     "retention"     -> Seq(col("cohort_day"), col("day_offset")),
     "user_sessions" -> Seq(col("user_id"), col("session_id")),
-    "latest_state"  -> Seq(col("user_id"), col("event_type"))
+    "latest_state"  -> Seq(col("user_id"), col("event_type")),
+    "event_transitions" -> Seq(col("n").desc, col("from_type"), col("to_type")),
+    "props_profile"     -> Seq(col("event_type")),
+    "novelty_score"     -> Seq(col("doc_id"))
   )
 
   /** One entry per implemented operator from SURVEY.md §2 (library plan +
@@ -295,7 +298,10 @@ object SparkEntry {
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
-    "graph_pagerank"     -> q(Analytics.graphPagerank(_))
+    "graph_pagerank"     -> q(Analytics.graphPagerank(_)),
+    "event_transitions"  -> q(EventAnalytics.eventTransitions(_)),
+    "props_profile"      -> q(EventAnalytics.propsProfile(_)),
+    "novelty_score"      -> q(TextAnalysis.noveltyScore(_))
   )
 
   /** ann_batch and ann_batch_agg are documented oracle-identical — one
@@ -1806,7 +1812,39 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM deg) AS n_nodes,
                 (SELECT count(*) FROM e) AS n_edges,
                 n_triangles
-         FROM c"""
+         FROM c""",
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
+         p AS (SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+               FROM e)
+         SELECT from_type, to_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM p WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 20""",
+    "props_profile" ->
+      """WITH e AS (SELECT event_type,
+             CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+           count(DISTINCT k) AS n_distinct, min(k) AS k_min, max(k) AS k_max,
+           floor(avg(CAST(k AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS k_mean
+         FROM e GROUP BY 1 ORDER BY event_type""",
+    "novelty_score" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         ref AS (SELECT DISTINCT s.h FROM s JOIN documents d USING (doc_id)
+                 WHERE d.source IN ('src0','src1','src2','src3')),
+         pr AS (SELECT s.doc_id, count(*) AS n,
+                  sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS known
+                FROM s LEFT JOIN ref r ON s.h = r.h GROUP BY 1)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_shingles,
+           floor((1.0 - CAST(known AS DOUBLE)/n) * 10000.0 + 0.5) / 10000.0 AS novelty
+         FROM pr ORDER BY doc_id"""
   )
 
   /** DuckDB SQL for B21's fixed-point PageRank, the `iters` iterations

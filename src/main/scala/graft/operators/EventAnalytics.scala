@@ -148,4 +148,62 @@ object EventAnalytics {
         count(lit(1)).as("n_versions"))
       .select(col("user_id"), col("event_type"), col("r.us").as("ts_us"),
         col("r.event_id").as("event_id"), col("r.value").as("value"), col("n_versions"))
+
+  /** B24: event-sequence transition mining — the first-order Markov
+    * profile of the event stream: every consecutive (from → to) pair of
+    * event types in a user's timeline, counted globally and by distinct
+    * users, top-k by frequency. The behavioral twin of n-gram mining
+    * (C56) over event sequences: the profile that sizes session-model
+    * features, flags never-seen transitions as anomalies, and tells
+    * funnel design which stage orders actually occur.
+    *
+    * One shuffle by user_id for the lead window (per-user time order IS
+    * the semantics — no shuffle-free formulation exists), sharing B17's
+    * partitioning shape; then the aggregation collapses to type²
+    * cardinality with map-side partial counts before its exchange, and
+    * the top-k is a bounded TakeOrdered, never a global sort. At 100 TB
+    * the only stream-sized cost is the per-user sort inside user-hash
+    * partitions — Spark's standard sessionization price.
+    */
+  def eventTransitions(t: Tables, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_type"), tsUs.as("us"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("from_type"), col("to_type"))
+      .limit(k)
+  }
+
+  /** B25: schema-on-read JSON property profiling — extract the typed
+    * payload field from the freeform `props` JSON column and profile it
+    * per event type: coverage (rows whose value parsed), distinct
+    * values, min/max/mean. The gate a pipeline runs over semi-structured
+    * telemetry before promoting a JSON field to a real column.
+    *
+    * `from_json` with an explicit one-field schema is the production
+    * path (PERMISSIVE mode: malformed JSON or a missing key → null,
+    * counted as uncovered, never an error), and parsing a 1-field
+    * struct skips the rest of each payload. The profile itself is one
+    * map-side-combinable aggregation at event-type cardinality — the
+    * scan dominates at any scale, exactly as a profiling pass should.
+    * The oracle extracts the same field with regex algebra (DuckDB has
+    * no bundled JSON path in this harness) — identical values on
+    * well-formed input; the spec pins malformed/missing-key behavior
+    * the synthetic corpus can't exercise.
+    */
+  def propsProfile(t: Tables, field: String = "k"): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val schema = StructType(Seq(StructField(field, IntegerType)))
+    t.events
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField(field).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        graft.functions.roundHalfUp(avg(col("k").cast("double")), 4).as("k_mean"))
+  }
 }

@@ -1816,4 +1816,40 @@ object TextAnalysis {
         roundHalfUp((col("s.sy") - col("slope_raw") * col("s.sx")) / col("n_terms"), 4)
           .as("intercept"))
   }
+
+  /** C71: per-doc n-gram novelty against a trusted reference slice — the
+    * regurgitation/memorization audit: novelty(doc) = fraction of the
+    * doc's distinct word-k-gram hashes ABSENT from the reference set.
+    * Synthetic-data pipelines run exactly this gate on generated text
+    * (novelty ≈ 0 → the generator replayed its sources; curation keeps
+    * the middle band), and it generalizes C23's boolean decontamination
+    * to a graded score. Reference docs themselves score 0 by
+    * construction — their shingles are subsets of the set.
+    *
+    * Shares C2/C4's shingle kernel (`graft_shingle_hashes`, distinct
+    * hashes in one pass, bit-identical to the oracle's CTE chain). The
+    * join is HASH-ONLY — text never travels past the kernel: explode to
+    * (doc_id, h), left-join the distinct reference hash set on h, count
+    * hits per doc with map-side partial aggregation. At 100 TB the
+    * shuffle carries 8-byte hashes keyed on h (uniform by construction,
+    * no skew), and the doc-side re-aggregation is doc-cardinality. When
+    * the reference fits a filter budget, C23b's broadcast-bloom shape
+    * drops the shuffle entirely at the price of FP-rate novelty
+    * underestimates — this exact-join form is the oracle-checkable
+    * ground truth that path is measured against.
+    */
+  def noveltyScore(t: Tables, k: Int = 3,
+      refExpr: String = "source IN ('src0','src1','src2','src3')"): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"), expr(refExpr).as("is_ref"),
+        explode(expr(s"graft_shingle_hashes(text, $k)")).as("h"))
+    val ref = sh.filter(col("is_ref")).select(col("h")).distinct()
+    sh.join(ref.withColumn("known", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("known"), lit(0L))).as("nk"))
+      .select(col("doc_id"), col("n_shingles"),
+        roundHalfUp(lit(1.0) - col("nk").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+  }
 }

@@ -111,4 +111,69 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 5L, 2L -> 2L, 3L -> 1L),
       s"stage survivors (5 viewed, u1+u3 clicked in window, u1 purchased): $got")
   }
+
+  test("eventTransitions counts consecutive pairs per user, never across users") {
+    val rows = Seq(
+      // user 1: view -> click -> view  (transitions: view→click, click→view)
+      (0L, 10L * S, 1L, "view", 0.0), (1L, 20L * S, 1L, "click", 0.0),
+      (2L, 30L * S, 1L, "view", 0.0),
+      // user 2: view -> click (one transition; its LAST event emits none,
+      // and no cross-user pair forms between user 1's tail and user 2's head)
+      (3L, 40L * S, 2L, "view", 0.0), (4L, 50L * S, 2L, "click", 0.0),
+      // user 3: a single event — no transitions at all
+      (5L, 60L * S, 3L, "purchase", 0.0))
+    val got = EventAnalytics.eventTransitions(events(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      ("view", "click") -> ((2L, 2L)),   // both users, once each
+      ("click", "view") -> ((1L, 1L))),  // user 1 only
+      s"got $got")
+  }
+
+  test("eventTransitions orders same-timestamp events by event_id") {
+    val rows = Seq(
+      (0L, 10L * S, 1L, "a", 0.0),
+      (2L, 10L * S, 1L, "c", 0.0),  // same ts as event 1: id order decides
+      (1L, 10L * S, 1L, "b", 0.0))
+    val got = EventAnalytics.eventTransitions(events(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")), s"got $got")
+  }
+
+  /** events rows with an explicit props payload. */
+  private def eventsP(rows: Seq[(Long, Long, Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "props")
+      .withColumn("value", lit(0.0))
+    val dir = java.nio.file.Files.createTempDirectory("eventsp").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables(spark, dir)
+  }
+
+  test("propsProfile: malformed JSON, missing key and null props are uncovered, not errors") {
+    val rows = Seq(
+      (0L, 10L * S, 1L, "click", """{"k": 10}"""),
+      (1L, 20L * S, 1L, "click", """{"k": 30}"""),
+      (2L, 30L * S, 1L, "click", """{"other": 5}"""), // key missing -> null
+      (3L, 40L * S, 1L, "click", """{"k": broken"""), // malformed -> null
+      (4L, 50L * S, 1L, "click", null),               // null props -> null
+      (5L, 60L * S, 1L, "view", """{"k": 10}"""),
+      (6L, 70L * S, 1L, "view", """{"k": 10}"""))     // duplicate value
+    val got = EventAnalytics.propsProfile(eventsP(rows)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5), r.getDouble(6))))
+      .toMap
+    assert(got("click") == ((5L, 2L, 2L, 10, 30, 20.0)), s"click: ${got("click")}")
+    assert(got("view") == ((2L, 2L, 1L, 10, 10, 10.0)), s"view: ${got("view")}")
+  }
+
+  test("propsProfile rounds the mean half-up at 4 decimals") {
+    val rows = Seq( // mean of 1 and 2 = 1.5; of 0,0,1 = 0.3333...
+      (0L, 10L * S, 1L, "a", """{"k": 1}"""), (1L, 20L * S, 1L, "a", """{"k": 2}"""),
+      (2L, 30L * S, 1L, "b", """{"k": 0}"""), (3L, 40L * S, 1L, "b", """{"k": 0}"""),
+      (4L, 50L * S, 1L, "b", """{"k": 1}"""))
+    val got = EventAnalytics.propsProfile(eventsP(rows)).collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(got == Map("a" -> 1.5, "b" -> 0.3333), s"got $got")
+  }
 }

@@ -481,4 +481,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getDouble(1) == -1.0, s"slope on exact power law: ${r.getDouble(1)}")
     assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-3, s"intercept ~ ln 12: ${r.getDouble(2)}")
   }
+
+  /** docs with explicit sources, for reference-slice operators. */
+  private def docsSrc(rows: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docsrc").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("noveltyScore: replayed text scores 0, half-overlap 0.5, fresh text 1") {
+    val t = docsSrc(Seq(
+      (1L, "alpha beta gamma delta", "ref1"),   // reference: shingles {abg, bgd}
+      (10L, "alpha beta gamma delta", "other"), // exact replay -> 0.0
+      (11L, "alpha beta gamma zeta", "other"),  // abg known, bgz fresh -> 0.5
+      (12L, "one two three four", "other")))    // nothing known -> 1.0
+    val got = TextAnalysis.noveltyScore(t, refExpr = "source = 'ref1'").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 0.0)), s"ref doc scores 0 by construction: ${got(1L)}")
+    assert(got(10L) == ((2L, 0.0)), s"replay: ${got(10L)}")
+    assert(got(11L) == ((2L, 0.5)), s"half overlap: ${got(11L)}")
+    assert(got(12L) == ((2L, 1.0)), s"fresh: ${got(12L)}")
+  }
+
+  test("noveltyScore: short docs fall back to the whole-text shingle") {
+    // under k=3 words the single shingle is the full text — a replayed
+    // short doc is caught, a reworded one is fully novel
+    val t = docsSrc(Seq(
+      (1L, "hello world", "ref1"),
+      (10L, "hello world", "other"),
+      (11L, "goodbye world", "other")))
+    val got = TextAnalysis.noveltyScore(t, refExpr = "source = 'ref1'").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(10L) == ((1L, 0.0)), s"short replay: ${got(10L)}")
+    assert(got(11L) == ((1L, 1.0)), s"short fresh: ${got(11L)}")
+  }
 }
