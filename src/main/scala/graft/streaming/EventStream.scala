@@ -361,6 +361,41 @@ object EventStream {
       .filter(col("logw") >= minLogw)
   }
 
+  /** A consecutive-pair transition observed on the event stream. */
+  final case class Transition(userId: Long, fromType: String, toType: String, us: Long)
+
+  /** Streaming state for transition mining: the user's last event. */
+  final case class LastEvent(us: Long, eventId: Long, eventType: String)
+
+  /** B24b: streaming transition mining — the live-ingest twin of
+    * EventAnalytics.eventTransitions. State = the LAST event per user
+    * (one tiny row), so consecutive pairs are detected across microbatch
+    * boundaries exactly as the batch lead-window sees them; the emitted
+    * transition stream feeds the same type²-cardinality count the batch
+    * op runs (stream==batch parity asserted in the spec). In-batch
+    * events sort by (event time, event_id) — the batch op's exact tie
+    * rule. State is O(users) regardless of stream length, the same
+    * bound the B17 sessionizer carries; nothing per-event is retained.
+    */
+  def streamingTransitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[LastEvent, Transition](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsToUs(e.ts), e.eventId))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            val us = tsToUs(e.ts)
+            last.foreach(p => out += Transition(user, p.eventType, e.eventType, us))
+            last = Some(LastEvent(us, e.eventId, e.eventType))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

@@ -535,4 +535,55 @@ class StreamingSpec extends AnyFunSuite {
       .load((1 to 5).map(i => s"$watch/b$i.edf"): _*).collect().map(_.mkString("|"))
     assert(got.sorted == expected.toSeq.sorted, "drained rows identical to a batch read")
   }
+
+  test("streamingTransitions pairs across microbatch boundaries, never across users") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    // batch 1: user 1 view->click in-batch; user 2 a lone view
+    mem.addData(Event(1, ts(0), 1, "view", 0.0), Event(2, ts(1), 1, "click", 0.0),
+      Event(3, ts(2), 2, "view", 0.0))
+    q.processAllAvailable()
+    // batch 2: user 1 continues (click->purchase ACROSS the boundary via
+    // state); user 2's click pairs with its OWN last view, not user 1's
+    mem.addData(Event(4, ts(3), 1, "purchase", 0.0), Event(5, ts(4), 2, "click", 0.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT userId, fromType, toType FROM trans ORDER BY us, userId")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    q.stop()
+    assert(got == Seq((1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "view", "click")), s"got $got")
+  }
+
+  test("streamingTransitions aggregated == batch eventTransitions (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, 0, 1L, "view"), (2L, 10, 1L, "click"), (3L, 20, 1L, "view"),
+      (4L, 30, 2L, "view"), (5L, 40, 2L, "click"), (6L, 50, 3L, "purchase"))
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("transp").outputMode("append").start()
+    // feed in two arbitrary microbatches
+    rows.take(3).foreach { case (id, s, u, et) => mem.addData(Event(id, ts(s), u, et, 0.0)) }
+    q.processAllAvailable()
+    rows.drop(3).foreach { case (id, s, u, et) => mem.addData(Event(id, ts(s), u, et, 0.0)) }
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      """SELECT fromType, toType, count(*) AS n, count(DISTINCT userId) AS n_users
+         FROM transp GROUP BY 1, 2""")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    q.stop()
+    // batch twin over the same rows
+    val dir = java.nio.file.Files.createTempDirectory("transev").toString
+    rows.map { case (id, s, u, et) => (id, s.toLong * 1000000000L, u, et, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.eventTransitions(Tables(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
 }
