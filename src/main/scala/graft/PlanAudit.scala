@@ -272,6 +272,16 @@ object PlanAudit {
       ("event_transitions", p => p.contains("Window") && !p.contains("Join") &&
           p.contains("TakeOrderedAndProject") && p.contains("partial_count"),
         "transition mining: one lead window, map-side-combined type-pair counts, no join"),
+      // B26: the whole sessionize+truncate+collect pipeline must reuse
+      // ONE user-keyed exchange (HashPartitioning(user) satisfies the
+      // (user, session) clustered distributions) — count the Exchanges
+      // in the FINAL plan: one for the user shuffle, one for the
+      // path-cardinality count, one for the distinct-user expand side
+      ("session_paths", p => !p.contains("Join") &&
+          p.contains("TakeOrderedAndProject") &&
+          p.split("== Initial Plan ==")(0).count(_ == '+') > 0 &&
+          "Exchange ".r.findAllIn(p.split("== Initial Plan ==")(0)).size <= 3,
+        "session paths: one user shuffle serves both windows + row_number + collect"),
       // B25: one scan, one map-side-combinable aggregation — no join, no
       // window; the 1-field from_json stays in the project
       ("props_profile", p => !p.contains("Join") && !p.contains("Window") &&

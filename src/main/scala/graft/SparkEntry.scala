@@ -141,6 +141,7 @@ object SparkEntry {
     "user_sessions" -> Seq(col("user_id"), col("session_id")),
     "latest_state"  -> Seq(col("user_id"), col("event_type")),
     "event_transitions" -> Seq(col("n").desc, col("from_type"), col("to_type")),
+    "session_paths"     -> Seq(col("n_sessions").desc, col("path")),
     "props_profile"     -> Seq(col("event_type")),
     "novelty_score"     -> Seq(col("doc_id"))
   )
@@ -300,6 +301,7 @@ object SparkEntry {
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_)),
     "event_transitions"  -> q(EventAnalytics.eventTransitions(_)),
+    "session_paths"      -> q(EventAnalytics.sessionPaths(_)),
     "props_profile"      -> q(EventAnalytics.propsProfile(_)),
     "novelty_score"      -> q(TextAnalysis.noveltyScore(_))
   )
@@ -1813,6 +1815,17 @@ object SparkEntry {
                 (SELECT count(*) FROM e) AS n_edges,
                 n_triangles
          FROM c""",
+    "session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_id FROM f),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS rn FROM s),
+         p AS (SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+               FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
          p AS (SELECT user_id, event_type AS from_type,

@@ -177,6 +177,44 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** B26: session path mining — the top-k event-type journeys: sessions
+    * under B17's exact gap rule, each truncated to its first `maxLen`
+    * events and serialized as "a>b>c", counted by sessions and distinct
+    * users. The product-analytics complement of B24: transitions give
+    * the edge weights, paths give the whole walks users actually take.
+    *
+    * Scale shape: ONE user-keyed exchange serves the whole pipeline —
+    * the gap window, the running-sum window, the per-session row_number
+    * AND the session aggregation all require only user-hash clustering
+    * (HashPartitioning(user) satisfies the (user, session) clustered
+    * distributions), so Catalyst plans local sorts, never a second
+    * shuffle, until the path counts collapse to path cardinality. The
+    * truncation filter runs BEFORE the collect, so per-session state is
+    * ≤ maxLen rows even for a million-event pathological session.
+    */
+  def sessionPaths(t: Tables, gapUs: Long = 1800L * 1000000,
+      maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val w2 = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"), tsUs.as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs || lag(col("us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(w))
+      .withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        concat_ws(">", transform(col("evs"), e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** B25: schema-on-read JSON property profiling — extract the typed
     * payload field from the freeform `props` JSON column and profile it
     * per event type: coverage (rows whose value parsed), distinct

@@ -140,6 +140,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Set(("a", "b"), ("b", "c")), s"got $got")
   }
 
+  test("sessionPaths: gap-split journeys, order within path, truncation at maxLen") {
+    val rows = Seq(
+      // user 1, session 1: view>click; after a >30min gap, session 2: view
+      (0L, 10L * S, 1L, "view", 0.0), (1L, 20L * S, 1L, "click", 0.0),
+      (2L, 4000L * S, 1L, "view", 0.0),
+      // user 2: same first journey view>click (distinct user, one session)
+      (3L, 10L * S, 2L, "view", 0.0), (4L, 20L * S, 2L, "click", 0.0),
+      // user 3: four events truncate to the first three at maxLen=3
+      (5L, 10L * S, 3L, "a", 0.0), (6L, 20L * S, 3L, "b", 0.0),
+      (7L, 30L * S, 3L, "c", 0.0), (8L, 40L * S, 3L, "d", 0.0))
+    val got = EventAnalytics.sessionPaths(events(rows), maxLen = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "view>click" -> ((2L, 2L)),  // users 1 and 2, one session each
+      "view" -> ((1L, 1L)),        // user 1's post-gap second session
+      "a>b>c" -> ((1L, 1L))),      // user 3 truncated: d dropped
+      s"got $got")
+  }
+
   /** events rows with an explicit props payload. */
   private def eventsP(rows: Seq[(Long, Long, Long, String, String)]): Tables = {
     import spark.implicits._
