@@ -282,6 +282,14 @@ object PlanAudit {
           p.split("== Initial Plan ==")(0).count(_ == '+') > 0 &&
           "Exchange ".r.findAllIn(p.split("== Initial Plan ==")(0)).size <= 3,
         "session paths: one user shuffle serves both windows + row_number + collect"),
+      // B27: all joins are over user-cardinality chain relations (never a
+      // cross product), quantiles go through the bucketed rank-select
+      // kernel (graft_sortable_bits in the plan) — NOT Spark's value-map
+      // `percentile` aggregate, whose per-group hashmap is unbounded
+      ("funnel_latency", p => !p.contains("CartesianProduct") &&
+          p.toLowerCase.contains("sortablebits") && !p.contains("percentile(") &&
+          p.contains("BroadcastHashJoin"),
+        "funnel latency: user-sized joins, bucketed rank-select quantiles, broadcast target buckets"),
       // B25: one scan, one map-side-combinable aggregation — no join, no
       // window; the 1-field from_json stays in the project
       ("props_profile", p => !p.contains("Join") && !p.contains("Window") &&

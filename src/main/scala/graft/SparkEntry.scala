@@ -142,6 +142,7 @@ object SparkEntry {
     "latest_state"  -> Seq(col("user_id"), col("event_type")),
     "event_transitions" -> Seq(col("n").desc, col("from_type"), col("to_type")),
     "session_paths"     -> Seq(col("n_sessions").desc, col("path")),
+    "funnel_latency"    -> Seq(col("stage")),
     "props_profile"     -> Seq(col("event_type")),
     "novelty_score"     -> Seq(col("doc_id"))
   )
@@ -301,6 +302,7 @@ object SparkEntry {
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
     "graph_pagerank"     -> q(Analytics.graphPagerank(_)),
     "event_transitions"  -> q(EventAnalytics.eventTransitions(_)),
+    "funnel_latency"     -> q(EventAnalytics.funnelLatency(_)),
     "session_paths"      -> q(EventAnalytics.sessionPaths(_)),
     "props_profile"      -> q(EventAnalytics.propsProfile(_)),
     "novelty_score"      -> q(TextAnalysis.noveltyScore(_))
@@ -1826,6 +1828,23 @@ object SparkEntry {
                FROM r WHERE rn <= 5 GROUP BY 1, 2)
          SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
          FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
+    "funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
+         s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type='view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s1 ON e.user_id=s1.user_id AND e.us > s1.t
+                WHERE e.event_type='click' GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.us) AS t FROM e JOIN s2 ON e.user_id=s2.user_id AND e.us > s2.t
+                WHERE e.event_type='purchase' GROUP BY 1),
+         u AS (SELECT CAST(1 AS BIGINT) AS stage, 'view>click' AS transition, s2.t - s1.t AS lat
+                 FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+               UNION ALL
+               SELECT 2, 'click>purchase', s3.t - s2.t
+                 FROM s2 JOIN s3 ON s2.user_id = s3.user_id)
+         SELECT stage, transition, count(*) AS n_users,
+           floor((CAST(sum(lat) AS DOUBLE) / count(*)) * 10000.0 + 0.5)/10000.0 AS mean_us,
+           round(quantile_cont(CAST(lat AS DOUBLE), 0.5),4) AS p50_us,
+           round(quantile_cont(CAST(lat AS DOUBLE), 0.9),4) AS p90_us
+         FROM u GROUP BY 1,2 ORDER BY 1""",
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
          p AS (SELECT user_id, event_type AS from_type,

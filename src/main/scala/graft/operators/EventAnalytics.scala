@@ -32,23 +32,70 @@ object EventAnalytics {
     */
   def funnel(t: Tables, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val spark = t.events.sparkSession
-    import spark.implicits._
     val ev = t.events.select(col("user_id"), col("event_type"), tsUs.as("us"))
-    // completed(i) = (user_id, t_i) for users who reached stage i in order
+    completionChain(ev, stages).zip(stages).zipWithIndex.map { case ((df, name), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"),
+          lit(name).as("stage_name"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** B15's earliest-completion chain: element i = (user_id, t) for users
+    * who reached stage i in order, t = their earliest in-order completion
+    * time. Each stage joins the type-filtered event subset (filter pushed
+    * to the scan) against the user-cardinality previous-stage relation —
+    * the full stream is never re-shuffled. Shared by funnel / funnelLatency.
+    */
+  private def completionChain(ev: DataFrame, stages: Seq[String]): Seq[DataFrame] = {
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("us")).as("t"))
-    val completed = stages.tail.scanLeft(first) { (prev, stage) =>
+    stages.tail.scanLeft(first) { (prev, stage) =>
       ev.filter(col("event_type") === stage)
         .join(prev.withColumnRenamed("t", "t_prev"), Seq("user_id"))
         .filter(col("us") > col("t_prev"))
         .groupBy(col("user_id")).agg(min(col("us")).as("t"))
     }
-    completed.zip(stages).zipWithIndex.map { case ((df, name), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).cast("long").as("stage"),
-          lit(name).as("stage_name"), col("n_users"))
+  }
+
+  /** B27: funnel conversion latency — for each adjacent stage pair of the
+    * B15 earliest-completion chain, the time-to-convert distribution over
+    * converting users: count, mean, and exact interpolated p50/p90 of
+    * `t_to − t_from` in µs. The question product analytics asks right
+    * after "how many converted" is "how long did it take" — and tail
+    * percentiles, not means, are what reveal a stuck cohort.
+    *
+    * Scale shape: the chain relations are user-cardinality, so every join
+    * here shuffles per-user rows, never raw events. The mean is summed in
+    * INT64 (exact, order-independent — a float sum over a billion users
+    * is not reproducible run-to-run) and divided once at the end. The
+    * percentiles reuse [[Analytics.exactQuantiles]]'s two-pass bucketed
+    * rank selection, so pooled-per-transition quantiles never materialize
+    * a per-group value map (Spark's `percentile`) or cap parallelism at
+    * the transition count (a per-group sort window).
+    */
+  def funnelLatency(t: Tables, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    val ev = t.events.select(col("user_id"), col("event_type"), tsUs.as("us"))
+    val lat = completionChain(ev, stages).zip(stages).zipWithIndex.sliding(2).map {
+      case Seq(((a, na), i), ((b, nb), _)) =>
+        a.select(col("user_id"), col("t").as("t_from"))
+          .join(b.select(col("user_id"), col("t").as("t_to")), Seq("user_id"))
+          .select(lit(i + 1).cast("long").as("stage"),
+            lit(s"$na>$nb").as("transition"),
+            (col("t_to") - col("t_from")).as("lat_us"))
     }.reduce(_.unionAll(_))
+    val stats = lat.groupBy(col("stage"), col("transition"))
+      .agg(count(lit(1)).as("n_users"), sum(col("lat_us")).as("sum_lat"))
+      .select(col("stage"), col("transition"), col("n_users"),
+        graft.functions.roundHalfUp(
+          col("sum_lat").cast("double") / col("n_users").cast("double"), 4).as("mean_us"))
+    val quants = Analytics.exactQuantiles(
+      lat.select(col("transition"), col("lat_us").cast("double").as("lat_us")),
+      "transition", Seq("lat_us" -> Seq("p50_us" -> 0.5, "p90_us" -> 0.9)))
+    stats.join(quants, Seq("transition"))
+      .select(col("stage"), col("transition"), col("n_users"),
+        col("mean_us"), col("p50_us"), col("p90_us"))
+      .orderBy(col("stage"))
   }
 
   /** B22: time-constrained funnel (the windowFunnel analytic): users who

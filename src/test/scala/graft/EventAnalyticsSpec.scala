@@ -159,6 +159,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("funnelLatency: per-transition converting-user count, mean, interpolated p50/p90") {
+    val rows = Seq(
+      // u1 full chain: view→click 10s, click→purchase 10s
+      (0L, 10L * S, 1L, "view", 0.0), (1L, 20L * S, 1L, "click", 0.0),
+      (2L, 30L * S, 1L, "purchase", 0.0),
+      // u2: view→click 30s, never purchases
+      (3L, 10L * S, 2L, "view", 0.0), (4L, 40L * S, 2L, "click", 0.0),
+      // u3: click with no prior view — converts nowhere
+      (5L, 10L * S, 3L, "click", 0.0))
+    val got = EventAnalytics.funnelLatency(events(rows)).collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // view>click lats {1e7, 3e7} µs: mean 2e7, p50 = interp midpoint 2e7,
+    // p90 = 1e7 + 0.9·2e7 = 2.8e7; click>purchase lat {1e7}: all stats 1e7
+    assert(got == Map(
+      "view>click" -> ((1L, 2L, 2.0e7, 2.0e7, 2.8e7)),
+      "click>purchase" -> ((2L, 1L, 1.0e7, 1.0e7, 1.0e7))), s"got $got")
+  }
+
   /** events rows with an explicit props payload. */
   private def eventsP(rows: Seq[(Long, Long, Long, String, String)]): Tables = {
     import spark.implicits._
