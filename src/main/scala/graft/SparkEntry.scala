@@ -143,6 +143,7 @@ object SparkEntry {
     "event_transitions" -> Seq(col("n").desc, col("from_type"), col("to_type")),
     "session_paths"     -> Seq(col("n_sessions").desc, col("path")),
     "funnel_latency"    -> Seq(col("stage")),
+    "anomaly_days"      -> Seq(col("event_type"), col("day")),
     "props_profile"     -> Seq(col("event_type")),
     "novelty_score"     -> Seq(col("doc_id"))
   )
@@ -303,6 +304,7 @@ object SparkEntry {
     "graph_pagerank"     -> q(Analytics.graphPagerank(_)),
     "event_transitions"  -> q(EventAnalytics.eventTransitions(_)),
     "funnel_latency"     -> q(EventAnalytics.funnelLatency(_)),
+    "anomaly_days"       -> q(EventAnalytics.anomalyDays(_)),
     "session_paths"      -> q(EventAnalytics.sessionPaths(_)),
     "props_profile"      -> q(EventAnalytics.propsProfile(_)),
     "novelty_score"      -> q(TextAnalysis.noveltyScore(_))
@@ -1828,6 +1830,17 @@ object SparkEntry {
                FROM r WHERE rn <= 5 GROUP BY 1, 2)
          SELECT path, count(*) AS n_sessions, count(DISTINCT user_id) AS n_users
          FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
+    "anomaly_days" ->
+      """WITH d AS (SELECT event_type, epoch_ns(ts)//1000//86400000000 AS day, count(*) AS n_events
+                    FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type, round(quantile_cont(CAST(n_events AS DOUBLE), 0.5),4) AS med
+               FROM d GROUP BY 1),
+         e AS (SELECT d.*, m.med, abs(n_events - med) AS dev FROM d JOIN m USING (event_type)),
+         md AS (SELECT event_type, round(quantile_cont(dev, 0.5),4) AS mad FROM e GROUP BY 1)
+         SELECT e.event_type, e.day, e.n_events, e.med, md.mad
+         FROM e JOIN md USING (event_type)
+         WHERE e.dev > 2.0 * md.mad
+         ORDER BY 1, 2""",
     "funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us FROM events),
          s1 AS (SELECT user_id, min(us) AS t FROM e WHERE event_type='view' GROUP BY 1),

@@ -262,6 +262,44 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** B28: daily-volume anomaly flagging — the pipeline-health monitor run
+    * over ingest telemetry: per event type, the (type, day) event counts
+    * whose deviation from that type's median daily volume exceeds
+    * `k` × MAD (median absolute deviation) — the robust outlier rule
+    * (A21's per-channel logic, lifted to aggregated series) that a mean/
+    * stddev z-score can't match when the anomaly itself pollutes the
+    * baseline. Emits the flagged days with their n, median and MAD.
+    *
+    * Scale shape: ONE pass over raw events builds the (type, day) count
+    * relation — map-side combinable, collapsing to type×day cardinality
+    * (a decade × 1000 types ≈ 4M rows) — which is then persisted so the
+    * two quantile passes and the final flag scan all reuse that tiny
+    * relation instead of re-scanning the corpus. Medians/MADs are exact
+    * interpolated quantiles via [[Analytics.exactQuantiles]]'s bucketed
+    * rank selection and join back as type-cardinality broadcasts. Every
+    * value compared sits on an exact binary fraction grid (counts are
+    * integers; interpolated medians land on quarters), so the strict
+    * `dev > k·mad` boundary is engine-parity-safe with no rounding.
+    */
+  def anomalyDays(t: Tables, k: Double = 2.0): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist()
+    val med = Analytics.exactQuantiles(
+      daily.select(col("event_type"), col("n_events").cast("double").as("n")),
+      "event_type", Seq("n" -> Seq("med" -> 0.5)))
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("n_events").cast("double") - col("med")))
+    val mad = Analytics.exactQuantiles(dev.select(col("event_type"), col("dev")),
+      "event_type", Seq("dev" -> Seq("mad" -> 0.5)))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("day"), col("n_events"), col("med"), col("mad"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** B25: schema-on-read JSON property profiling — extract the typed
     * payload field from the freeform `props` JSON column and profile it
     * per event type: coverage (rows whose value parsed), distinct

@@ -178,6 +178,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "click>purchase" -> ((2L, 1L, 1.0e7, 1.0e7, 1.0e7))), s"got $got")
   }
 
+  test("anomalyDays: k-MAD flag over daily counts, strict boundary, zero-MAD type") {
+    val D = 86400L
+    // type a: seven quiet days of 2 then a 10-spike (median 2, MAD 0 —
+    // any deviation flags); type b: counts 1,2,3,4,9 (median 3, MAD 1) —
+    // day 0's dev of exactly 2 = k·mad must NOT flag (strict >), day 4 must
+    val spec = Seq("a" -> Seq(2, 2, 2, 2, 2, 2, 2, 10), "b" -> Seq(1, 2, 3, 4, 9))
+    val evs = for {
+      (ty, counts) <- spec
+      (c, d) <- counts.zipWithIndex
+      i <- 0 until c
+    } yield (ty, d, i)
+    val rows = evs.zipWithIndex.map { case ((ty, d, i), id) =>
+      (id.toLong, (d * D + i) * S, 1L, ty, 0.0) }
+    val got = EventAnalytics.anomalyDays(events(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(("a", 7L, 10L, 2.0, 0.0), ("b", 4L, 9L, 3.0, 1.0)), s"got $got")
+  }
+
   /** events rows with an explicit props payload. */
   private def eventsP(rows: Seq[(Long, Long, Long, String, String)]): Tables = {
     import spark.implicits._
