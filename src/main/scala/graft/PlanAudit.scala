@@ -306,7 +306,20 @@ object PlanAudit {
       // the exchange), final per-doc aggregation map-side combinable
       ("novelty_score", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
           p.contains("shinglehashes") && p.contains("partial_count"),
-        "novelty: hash-only reference join, no window/cross product"))
+        "novelty: hash-only reference join, no window/cross product"),
+      // B29: pair generation is an equi-join keyed on the order (never a
+      // cross product over items), pair counts combine map-side, the
+      // basket total is ONE broadcast scalar, final top-k bounded
+      ("assoc_rules", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("partial_count") && p.contains("TakeOrderedAndProject"),
+        "assoc rules: within-order pair join, map-side pair counts, bounded top-k"),
+      // B30: customer metrics combine map-side (min/count/long-sum — no
+      // window, no Spark value-map percentile), cutoffs go through the
+      // bucketed rank-select kernel and ride back as one broadcast row
+      ("rfm_segments", p => !p.contains("CartesianProduct") &&
+          p.toLowerCase.contains("sortablebits") && !p.contains("percentile(") &&
+          p.contains("partial_min"),
+        "RFM: map-side customer rollup, rank-select cutoffs, broadcast band bounds"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -41,6 +41,8 @@ object SparkEntry {
     "range_join"   -> Seq(col("band")),
     "zorder_layout" -> Seq(col("zbucket")),
     "skew_profile"  -> Seq(col("digits")),
+    "assoc_rules"   -> Seq(col("lift").desc, col("antecedent"), col("consequent")),
+    "rfm_segments"  -> Seq(col("c_custkey")),
     "ts_calibrate"     -> Seq(col("event_id")),
     "ts_expand"        -> Seq(col("user_id"), col("k")),
     "ts_gap_chunks"    -> Seq(col("event_type"), col("chunk_id")),
@@ -173,6 +175,8 @@ object SparkEntry {
     "range_join"   -> q(Analytics.rangeJoin),
     "zorder_layout" -> q(Analytics.zorderLayout(_)),
     "skew_profile"  -> q(Analytics.skewProfile),
+    "assoc_rules"   -> q(Analytics.assocRules(_)),
+    "rfm_segments"  -> q(Analytics.rfmSegments),
     "ts_calibrate"     -> q(TimeSeries.calibrate(_)),
     "ts_expand"        -> q(TimeSeries.tsExpand(_)),
     "ts_gap_chunks"    -> q(TimeSeries.tsGapChunks(_)),
@@ -1399,6 +1403,46 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
            CAST(max(cnt) AS BIGINT) AS max_cnt
          FROM k GROUP BY 1 ORDER BY digits""",
+    "assoc_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+         nb AS (SELECT count(DISTINCT ok) AS nb FROM i),
+         s AS (SELECT item, count(*) AS supp FROM i GROUP BY 1),
+         p AS (SELECT a.item AS ia, b.item AS ib, count(*) AS supp_ab
+               FROM i a JOIN i b ON a.ok = b.ok AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT ia AS antecedent, ib AS consequent, supp_ab FROM p
+               UNION ALL SELECT ib, ia, supp_ab FROM p)
+         SELECT d.antecedent, d.consequent, d.supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+           floor((CAST(d.supp_ab AS DOUBLE) / sa.supp) * 10000.0 + 0.5) / 10000.0 AS conf,
+           floor((CAST(d.supp_ab AS DOUBLE) * nb.nb / sa.supp / sb.supp) * 10000.0 + 0.5) / 10000.0 AS lift
+         FROM d JOIN s sa ON d.antecedent = sa.item JOIN s sb ON d.consequent = sb.item CROSS JOIN nb
+         ORDER BY lift DESC, antecedent, consequent LIMIT 50""",
+    "rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+         m AS (SELECT o_custkey AS c_custkey,
+                 CAST(min(date_diff('day', CAST(o_orderdate AS DATE), (SELECT mxd FROM mx))) AS BIGINT) AS recency_days,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+               FROM orders GROUP BY 1),
+         c AS (SELECT
+                 round(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 4) AS r25,
+                 round(quantile_cont(CAST(recency_days AS DOUBLE), 0.50), 4) AS r50,
+                 round(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 4) AS r75,
+                 round(quantile_cont(CAST(frequency AS DOUBLE), 0.25), 4) AS f25,
+                 round(quantile_cont(CAST(frequency AS DOUBLE), 0.50), 4) AS f50,
+                 round(quantile_cont(CAST(frequency AS DOUBLE), 0.75), 4) AS f75,
+                 round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.25), 4) AS m25,
+                 round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.50), 4) AS m50,
+                 round(quantile_cont(CAST(monetary_cents AS DOUBLE), 0.75), 4) AS m75
+               FROM m)
+         SELECT m.c_custkey, m.recency_days, m.frequency, m.monetary_cents,
+           CASE WHEN m.recency_days <= c.r25 THEN 1 WHEN m.recency_days <= c.r50 THEN 2
+                WHEN m.recency_days <= c.r75 THEN 3 ELSE 4 END AS r_band,
+           CASE WHEN m.frequency <= c.f25 THEN 1 WHEN m.frequency <= c.f50 THEN 2
+                WHEN m.frequency <= c.f75 THEN 3 ELSE 4 END AS f_band,
+           CASE WHEN m.monetary_cents <= c.m25 THEN 1 WHEN m.monetary_cents <= c.m50 THEN 2
+                WHEN m.monetary_cents <= c.m75 THEN 3 ELSE 4 END AS m_band
+         FROM m CROSS JOIN c ORDER BY m.c_custkey""",
     "chunk_text" ->
       """WITH wd AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                x -> len(x) > 0) AS ws FROM documents),

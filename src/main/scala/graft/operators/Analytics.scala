@@ -478,6 +478,103 @@ object Analytics {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  /** B29: market-basket association rules — support / confidence / lift
+    * over order baskets (items = parts bought together in one order),
+    * the classic recommendation/affinity miner. Emits both rule
+    * directions A→B and B→A from each canonical co-purchase pair, with
+    * exact integer support counts and the float ratios computed only at
+    * the output boundary.
+    *
+    * Scale shape: the (order, item) relation is a map-side-combinable
+    * distinct; pair generation self-joins WITHIN an order, so the
+    * intermediate is Σ C(basket, 2) — basket-size-quadratic,
+    * corpus-linear — never items². Pair counts collapse to pair
+    * cardinality with map-side partial aggregation and the
+    * `minPairSupport` filter thins the relation BEFORE the two
+    * item-support joins (equi-joins keyed on item — AQE broadcasts them
+    * when small; at catalog scale they stay shuffled hash joins at
+    * item cardinality). The basket total rides as a broadcast scalar.
+    * All ratio arithmetic is in one fixed literal order (double cast →
+    * multiply → two divisions) so conf/lift are bit-identical
+    * cross-engine before the shared 4 dp floor-rounding.
+    */
+  def assocRules(t: Tables, minPairSupport: Long = 2, k: Int = 50): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val nb = items.agg(countDistinct(col("ok")).as("nb"))
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = items.join(items.withColumnRenamed("item", "item_b"), Seq("ok"))
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item"), col("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minPairSupport)
+    val rules = pairs
+      .select(col("item").as("antecedent"), col("item_b").as("consequent"), col("supp_ab"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item").as("consequent"), col("supp_ab")))
+    val joined = rules
+      .join(supp.select(col("item").as("antecedent"), col("supp").as("supp_a")), Seq("antecedent"))
+      .join(supp.select(col("item").as("consequent"), col("supp").as("supp_b")), Seq("consequent"))
+      .crossJoin(broadcast(nb))
+    joined.select(
+        col("antecedent"), col("consequent"), col("supp_ab"), col("supp_a"), col("supp_b"),
+        graft.functions.roundHalfUp(
+          col("supp_ab").cast("double") / col("supp_a"), 4).as("conf"),
+        graft.functions.roundHalfUp(
+          col("supp_ab").cast("double") * col("nb") / col("supp_a") / col("supp_b"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  /** B30: RFM segmentation — per-customer recency (days since last order,
+    * relative to the corpus's latest order date), frequency (order
+    * count) and monetary value (lifetime spend in exact integer cents),
+    * each banded into quartiles 1–4 by exact interpolated quantile
+    * cutoffs. The standard marketing-analytics customer segmentation,
+    * built the scale-correct way: NO ntile/row_number over a global
+    * sort anywhere.
+    *
+    * Scale shape: one pass over orders collapses to customer
+    * cardinality (map-side combinable: max / count / integer-cent sum —
+    * the cent cast makes the monetary total an exact long, immune to
+    * float summation order). Quartile cutoffs come from
+    * [[exactQuantiles]]'s two-pass bucketed rank selection over that
+    * customer-sized relation under a constant group key, then ride back
+    * as ONE broadcast row; band assignment is a zero-shuffle scan.
+    * Integer metrics against quarter-grid cutoffs make every `<=`
+    * boundary comparison engine-parity-safe.
+    */
+  def rfmSegments(t: Tables): DataFrame = {
+    val mx = t.orders.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+    val m = t.orders
+      .crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        // min over per-order deltas ≡ delta to the most recent order —
+        // stays a plain map-side-combinable min
+        min(datediff(col("mxd"), col("o_orderdate").cast("date"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("monetary_cents"))
+    val cuts = Analytics.exactQuantiles(
+      m.select(lit(1).as("g"),
+          col("recency_days").cast("double").as("r"),
+          col("frequency").cast("double").as("f"),
+          col("monetary_cents").cast("double").as("mo")),
+      "g",
+      Seq(
+        "r" -> Seq("r25" -> 0.25, "r50" -> 0.5, "r75" -> 0.75),
+        "f" -> Seq("f25" -> 0.25, "f50" -> 0.5, "f75" -> 0.75),
+        "mo" -> Seq("m25" -> 0.25, "m50" -> 0.5, "m75" -> 0.75)))
+    def band(v: Column, c25: Column, c50: Column, c75: Column): Column =
+      when(v <= c25, 1).when(v <= c50, 2).when(v <= c75, 3).otherwise(4)
+    m.crossJoin(broadcast(cuts.drop("g")))
+      .select(col("c_custkey"), col("recency_days"), col("frequency"), col("monetary_cents"),
+        band(col("recency_days").cast("double"), col("r25"), col("r50"), col("r75")).as("r_band"),
+        band(col("frequency").cast("double"), col("f25"), col("f50"), col("f75")).as("f_band"),
+        band(col("monetary_cents").cast("double"), col("m25"), col("m50"), col("m75")).as("m_band"))
+  }
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

@@ -129,4 +129,48 @@ class AnalyticsSpec extends AnyFunSuite {
     val order = rows.map(_.getString(0)).toSeq
     assert(order == Seq("c1", "s1", "c2", "s2"), s"deterministic order: $order")
   }
+
+  test("assocRules: planted baskets give exact support/confidence/lift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ar").toString
+    // baskets: o1{1,2} o2{1,2} o3{1,2,3} o4{3}; the duplicate (1,1) row
+    // must collapse in the distinct. supp(1)=3 supp(2)=3 supp(3)=2 nb=4;
+    // pair (1,2) appears 3x, (1,3)/(2,3) once (below minPairSupport=2).
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 2L), (3L, 3L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = Analytics.assocRules(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSet
+    // conf = 3/3 = 1.0 both ways; lift = 3*4/(3*3) = 1.3333
+    assert(rows == Set(
+      (1L, 2L, 3L, 3L, 3L, 1.0, 1.3333),
+      (2L, 1L, 3L, 3L, 3L, 1.0, 1.3333)), s"got $rows")
+  }
+
+  test("rfmSegments: planted customers band exactly on interpolated quartiles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rfm").toString
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    // c1: 1 order day0 $10; c2: 2 orders days1-2 $20; c3: 3 orders
+    // days3-5 $30; c4: 4 orders days6-9 $40. Metrics are fully distinct,
+    // so each quartile cutoff interpolates between known order stats.
+    val orders =
+      Seq((1L, day(0), 10.0)) ++
+      (1 to 2).map(d => (2L, day(d), 20.0)) ++
+      (3 to 5).map(d => (3L, day(d), 30.0)) ++
+      (6 to 9).map(d => (4L, day(d), 40.0))
+    orders.toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.rfmSegments(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    // recency [0,4,7,9] -> cuts 3.0/5.5/7.5; freq [1,2,3,4] -> 1.75/2.5/3.25;
+    // monetary cents [1000,4000,9000,16000] -> 3250/6500/10750
+    assert(got(1L) == ((9L, 1L, 1000L, 4, 1, 1)), s"c1: ${got(1L)}")
+    assert(got(2L) == ((7L, 2L, 4000L, 3, 2, 2)), s"c2: ${got(2L)}")
+    assert(got(3L) == ((4L, 3L, 9000L, 2, 3, 3)), s"c3: ${got(3L)}")
+    assert(got(4L) == ((0L, 4L, 16000L, 1, 4, 4)), s"c4: ${got(4L)}")
+  }
 }
