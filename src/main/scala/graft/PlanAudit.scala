@@ -319,7 +319,22 @@ object PlanAudit {
       ("rfm_segments", p => !p.contains("CartesianProduct") &&
           p.toLowerCase.contains("sortablebits") && !p.contains("percentile(") &&
           p.contains("partial_min"),
-        "RFM: map-side customer rollup, rank-select cutoffs, broadcast band bounds"))
+        "RFM: map-side customer rollup, rank-select cutoffs, broadcast band bounds"),
+      // C73: block-keyed equi-join pair space, native bounded heap with
+      // map-side partial — no window sort, no cross product
+      ("knn_graph", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("partial_graft_topk"),
+        "kNN graph: block equi-join pairs, heap top-k with map-side partial"),
+      // C73b: candidates from the banded kernel (bucket join, never a
+      // cross product), same heap selection
+      ("knn_graph_lsh", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("partial_graft_topk") && p.toLowerCase.contains("hyperplanebands"),
+        "LSH kNN graph: banded candidates, heap top-k, no cross product"),
+      // C72: C17's per-doc cluster_size window must be PRUNED out of
+      // this plan (the histogram recomputes sizes by aggregation)
+      ("cluster_hist", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          p.contains("partial_count"),
+        "cluster histogram: window-free double count collapse"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

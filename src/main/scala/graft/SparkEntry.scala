@@ -132,6 +132,9 @@ object SparkEntry {
     "corpus_shuffle" -> Seq(col("rank")),
     "embed_neardup"     -> Seq(col("label"), col("id_a"), col("id_b")),
     "embed_neardup_lsh" -> Seq(col("id_a"), col("id_b")),
+    "knn_graph"     -> Seq(col("vec_id"), col("rk")),
+    "knn_graph_lsh" -> Seq(col("vec_id"), col("rk")),
+    "cluster_hist"  -> Seq(col("cluster_size")),
     "ann_batch"     -> Seq(col("q_id"), col("rk")),
     "ann_batch_agg" -> Seq(col("q_id"), col("rk")),
     "hard_negatives" -> Seq(col("q_id"), col("rk")),
@@ -221,6 +224,9 @@ object SparkEntry {
     "mix_plan"           -> q(Sampling.mixPlan(_)),
     "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
+    "knn_graph"          -> q(Similarity.knnGraph(_)),
+    "knn_graph_lsh"      -> q(Similarity.knnGraphLsh(_)),
+    "cluster_hist"       -> q(Dedup.clusterHist(_)),
     "ann_batch"          -> q(Similarity.annBatch(_)),
     "ann_batch_agg"      -> q(Similarity.annBatchAgg(_)),
     "hard_negatives"     -> q(Similarity.hardNegatives(_)),
@@ -505,6 +511,11 @@ object SparkEntry {
       """
          SELECT doc_id, cluster_id, count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          FROM assigned ORDER BY doc_id"""),
+    "cluster_hist" -> (clusterAssignSql +
+      """, cs AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM cs GROUP BY 1 ORDER BY cluster_size"""),
     "split_safe" -> (clusterAssignSql +
       """
          SELECT doc_id, cluster_id,
@@ -1013,34 +1024,23 @@ object SparkEntry {
                 * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          SELECT label, id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY label, id_a, id_b""",
-    "embed_neardup_lsh" ->
-      """WITH par0 AS (SELECT GREATEST(3, LEAST(15,
-               LENGTH(BIN(CAST((GREATEST(count(*), 1) - 1) // 32 AS BIGINT))))) AS bb,
-             count(*) AS cnt
-           FROM embeddings),
-         par AS (SELECT CASE WHEN cnt >= bb THEN bb ELSE GREATEST(cnt, 1) END AS bb,
-             CASE WHEN cnt >= bb THEN LEAST(4 + 2 * GREATEST(0, bb - 11), cnt // bb)
-                  ELSE 1 END AS nb
-           FROM par0),
-         pl0 AS (SELECT embedding AS p, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i
-           FROM embeddings),
-         pl AS (SELECT pl0.p, pl0.i FROM pl0, par WHERE pl0.i < par.nb * par.bb),
-         banded AS (SELECT e.vec_id, CAST(pl.i // par.bb AS INT) AS band,
-             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
-                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(pl.p[j] AS DOUBLE))) >= 0
-                  THEN CAST(1 AS BIGINT) << CAST(pl.i % par.bb AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
-           FROM embeddings e CROSS JOIN pl CROSS JOIN par
-           GROUP BY e.vec_id, pl.i // par.bb),
-         hot AS (SELECT band, bval FROM banded GROUP BY 1, 2 HAVING count(*) > 100000),
-         ok AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bval)),
-         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM ok a JOIN ok b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
-         s AS (SELECT id_a, id_b, floor((
-             list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
-                * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0 AS sim
+    "embed_neardup_lsh" -> (lshCandCte + s""",
+         s AS (SELECT id_a, id_b, $lshCosSim AS sim
            FROM cand JOIN embeddings a ON a.vec_id = cand.id_a JOIN embeddings b ON b.vec_id = cand.id_b)
-         SELECT id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY id_a, id_b""",
+         SELECT id_a, id_b, sim FROM s WHERE sim >= 0.25 ORDER BY id_a, id_b"""),
+    "knn_graph" ->
+      s"""WITH p AS (SELECT a.label, a.vec_id, b.vec_id AS nbr_id, $lshCosSim AS sim
+               FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rk FROM p)
+         SELECT label, vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, sim
+         FROM r WHERE rk <= 5 ORDER BY vec_id, rk""",
+    "knn_graph_lsh" -> (lshCandCte + s""",
+         sym AS (SELECT id_a AS vid, id_b AS nid FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         sc AS (SELECT sym.vid AS vec_id, sym.nid AS nbr_id, $lshCosSim AS sim
+                FROM sym JOIN embeddings a ON a.vec_id = sym.vid JOIN embeddings b ON b.vec_id = sym.nid),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rk FROM sc)
+         SELECT vec_id, CAST(rk AS BIGINT) AS rk, nbr_id, sim
+         FROM r WHERE rk <= 5 ORDER BY vec_id, rk"""),
     "minhash_sig" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(
@@ -1961,6 +1961,46 @@ object SparkEntry {
          $iterCtes
          SELECT node, deg, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k"""
   }
+
+  /** Shared hyperplane-LSH candidate CTE chain (embed_neardup_lsh /
+    * knn_graph_lsh): self-sized band width + count, the tiny-corpus
+    * clamp, sign-bit banding, hot-bucket cap, ending at the
+    * `cand(id_a, id_b)` relation. One string so the k-NN graph can
+    * never use a different candidate definition than the near-dup
+    * pipeline it feeds.
+    */
+  private val lshCandCte: String =
+    """WITH par0 AS (SELECT GREATEST(3, LEAST(15,
+               LENGTH(BIN(CAST((GREATEST(count(*), 1) - 1) // 32 AS BIGINT))))) AS bb,
+             count(*) AS cnt
+           FROM embeddings),
+         par AS (SELECT CASE WHEN cnt >= bb THEN bb ELSE GREATEST(cnt, 1) END AS bb,
+             CASE WHEN cnt >= bb THEN LEAST(4 + 2 * GREATEST(0, bb - 11), cnt // bb)
+                  ELSE 1 END AS nb
+           FROM par0),
+         pl0 AS (SELECT embedding AS p, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS i
+           FROM embeddings),
+         pl AS (SELECT pl0.p, pl0.i FROM pl0, par WHERE pl0.i < par.nb * par.bb),
+         banded AS (SELECT e.vec_id, CAST(pl.i // par.bb AS INT) AS band,
+             CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    j -> CAST(e.embedding[j] AS DOUBLE) * CAST(pl.p[j] AS DOUBLE))) >= 0
+                  THEN CAST(1 AS BIGINT) << CAST(pl.i % par.bb AS INT) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bval
+           FROM embeddings e CROSS JOIN pl CROSS JOIN par
+           GROUP BY e.vec_id, pl.i // par.bb),
+         hot AS (SELECT band, bval FROM banded GROUP BY 1, 2 HAVING count(*) > 100000),
+         ok AS (SELECT b.* FROM banded b ANTI JOIN hot USING (band, bval)),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM ok a JOIN ok b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)"""
+
+  /** Exact-cosine scoring text over `a.embedding`/`b.embedding` aliases,
+    * with the shared 4 dp floor-rounding — one string so every consumer
+    * (near-dup verify, k-NN ranking) folds the identical arithmetic.
+    */
+  private val lshCosSim: String =
+    """floor((
+             list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(generate_series(1,len(a.embedding)), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1,len(b.embedding)), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))))))*10000.0 + 0.5)/10000.0"""
 
   /** Shared near-dup cluster-labeling CTE chain (dedup_clusters /
     * split_safe): shingle → minhash → band join → Jaccard verify →

@@ -390,6 +390,31 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("split"))
   }
 
+  /** C72: near-dup cluster-size histogram — the duplication-structure
+    * audit run before choosing dedup policy: how many clusters exist at
+    * each size, and how many documents they hold. A corpus whose mass
+    * sits in a few giant clusters needs boilerplate/template handling;
+    * long-tail 2-doc clusters are ordinary near-dups — this is the
+    * query that tells them apart (and sizes the expected row reduction
+    * of [[dedupApply]] before paying for it).
+    *
+    * Scale shape: C17's cluster assignment, then two map-side-combinable
+    * count collapses — docs → cluster cardinality → size cardinality.
+    * The per-doc `cluster_size` window C17 materializes is NOT used
+    * (Catalyst prunes the window expression out of the plan entirely —
+    * plan-audited window-free), so the histogram costs cluster labeling
+    * plus two thin aggregations, no doc-cardinality sort anywhere.
+    */
+  def clusterHist(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8): DataFrame = {
+    val sizes = dedupClusters(t, k, jaccardThreshold)
+      .select(col("doc_id"), col("cluster_id"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+  }
+
   /** C4: exact shingle-set Jaccard as the verify stage over MinHash-LSH
     * candidates — the scalable two-phase near-dup pipeline: LSH bounds the
     * pair space to O(n·bands) candidates, then the exact intersection runs

@@ -438,6 +438,64 @@ object Similarity {
                    k: Int = 10, trainIters: Int = 3): DataFrame =
     probedSearch(t, kmeansCentroids(t, nCells, trainIters), queryVecId, nProbe, k)
 
+  /** C73: k-NN graph construction, exact within blocks — for every
+    * vector, its k most cosine-similar neighbors inside the same block
+    * (here the `label` column; a dedup cluster id, IVF cell or LSH
+    * bucket slots into the same plan). The k-NN graph is the substrate
+    * of graph-based curation — SemDeDup-style pruning, connected-
+    * component near-dup clusters over embeddings, label propagation —
+    * and the blocked-exact form is the correctness baseline the
+    * LSH-blocked [[knnGraphLsh]] is judged against.
+    *
+    * Scale shape: the pair space is an equi-join on the block key
+    * (never a global cross product), so cost is Σ block², bounded by
+    * the blocking choice, and selection goes through the native bounded
+    * `graft_topk` aggregate — map tasks reduce to k-entry buffers
+    * before the exchange, no window sort at any cardinality.
+    */
+  def knnGraph(t: Tables, k: Int = 5): DataFrame = {
+    val b = t.embeddings.select(col("label").as("label_b"),
+      col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+      .join(b, col("label") === col("label_b") && col("vec_id") =!= col("nbr_id"))
+      .select(col("label"), col("vec_id"), col("nbr_id"),
+        roundHalfUp(cos("embedding", "eb"), 4).as("sim"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(expr(s"graft_topk(struct(sim, nbr_id), $k)").as("top"))
+      .select(col("label"), col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nbr_id"), col("e.score").as("sim"))
+  }
+
+  /** C73b: the SCALE path for k-NN graph construction — neighbor
+    * candidates come from the random-hyperplane LSH bands
+    * ([[embedNearDupLshCandidates]]: self-sized width and band count,
+    * hot-bucket cap), so the pair space is O(n·bands·bucket) instead of
+    * any block². Each candidate pair feeds BOTH endpoints' neighbor
+    * lists (the graph is symmetric in candidates, not in rank), then
+    * the bounded `graft_topk` heap picks per-node top-k — identical
+    * output contract to [[knnGraph]] minus the block restriction.
+    * Candidate recall is the LSH recall story measured in
+    * LshRecallProbe; a node whose true neighbor never collides in any
+    * band misses it here — the planted-cluster spec pins the
+    * within-cluster case at recall 1.0.
+    */
+  def knnGraphLsh(t: Tables, k: Int = 5, nPlanes: Int = 0, bandBits: Int = 0,
+                  maxBucket: Long = 100000L): DataFrame = {
+    val cand = embedNearDupLshCandidates(t, nPlanes, bandBits, maxBucket)
+    val sym = cand.select(col("id_a").as("vec_id"), col("id_b").as("nbr_id"))
+      .unionByName(cand.select(col("id_b").as("vec_id"), col("id_a").as("nbr_id")))
+    val a = t.embeddings.select(col("vec_id"), col("embedding").as("ea"))
+    val b = t.embeddings.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"))
+    sym.join(a, Seq("vec_id")).join(b, Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), roundHalfUp(cos("ea", "eb"), 4).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(expr(s"graft_topk(struct(sim, nbr_id), $k)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("e.id").as("nbr_id"), col("e.score").as("sim"))
+  }
+
   /** C22: batch ANN — cosine top-k for MANY query vectors at once (the
     * training-dedup / batch-inference shape). Queries broadcast; scoring
     * is one narrow pass. Top-k selection is TWO-LEVEL so parallelism is

@@ -89,6 +89,18 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(4L) == ((4L, 1L)), "unrelated doc is its own singleton cluster")
   }
 
+  test("clusterHist: planted chain + singleton give the exact size histogram") {
+    val words = (0 until 50).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = words.updated(10, "xx").mkString(" ")
+    val c = words.updated(10, "xx").updated(30, "yy").mkString(" ")
+    val t = docs(Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"), (4L, unrelated, "en")))
+    val hist = Dedup.clusterHist(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(1L -> ((1L, 1L)), 3L -> ((1L, 3L))),
+      s"one singleton + one 3-doc chain cluster: $hist")
+  }
+
   test("null-text documents dedup against each other (null-safe hash join)") {
     val t = docs(Seq((1L, null, "en"), (2L, null, "en"), (3L, base, "en")))
     val kept = Dedup.dedupApply(t).collect().map(_.getLong(0)).toSet

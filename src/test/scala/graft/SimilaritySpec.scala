@@ -155,6 +155,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${truth.size})")
   }
 
+  test("knnGraph: in-block ranking, id-asc ties, singleton blocks emit nothing") {
+    // label x: v0 along e1, v1 near-clone of v0, v2/v3 both orthogonal
+    // (equal sim 0 from v0 -> id-asc tie order); label y: singleton
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 0f), "x"),
+      (1L, Seq(0.99f, 0.14f), "x"),
+      (2L, Seq(0f, 1f), "x"),
+      (3L, Seq(0f, 2f), "x"),
+      (10L, Seq(1f, 0f), "y")))
+    val got = Similarity.knnGraph(t, k = 3).orderBy("vec_id", "rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val v0 = got.filter(_._1 == 0L).map(x => (x._2, x._3)).toSeq
+    assert(v0 == Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"v0: clone first, then the orthogonal pair in id order: $v0")
+    // v2/v3 are scalar multiples: each ranks the other at sim 1.0 first
+    val v2 = got.filter(_._1 == 2L).map(x => (x._2, x._3)).head
+    assert(v2 == ((1L, 3L)), s"v2's nearest is its scalar multiple v3: $v2")
+    assert(!got.exists(_._1 == 10L), "singleton block contributes no rows")
+  }
+
+  test("knnGraphLsh: planted near-dup partners surface at rank 1") {
+    def vec(seed: Long): Seq[Float] =
+      (0 until 16).map(d => ((seed * 31 + d) * 2654435761L % 1000L - 500L) / 500.0f)
+    val base = (0 until 60).map(i => (i.toLong, vec(i), "all"))
+    val dups = (0 until 20).map { i =>
+      val v = vec(i).zipWithIndex.map { case (x, d) => x + 0.02f * ((i + d) % 3 - 1) }
+      (100L + i, v, "all")
+    }
+    val t = embeddings(base ++ dups)
+    val rank1 = Similarity.knnGraphLsh(t, k = 3).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // each jittered copy's best neighbor is its source (cos ~0.999) —
+    // IF the pair collided in some band; demand >= 18/20 surfacing to
+    // leave room for band-miss on this self-sized tiny config.
+    // (The reverse direction is NOT planted: the deterministic generator
+    // is affine in the seed — vec(a)[d] = (591a + 761d) mod 1000 — so a
+    // BASE vector's true nearest is often another base vector at a tiny
+    // constant offset, e.g. seeds 22 apart; the copy only ranks second.)
+    val hits = (0 until 20).count(i => rank1.get(100L + i).contains(i.toLong))
+    assert(hits >= 18, s"planted partners at rank 1: $hits/20")
+    // graph-level recall vs the exact kNN graph (one shared label makes
+    // knnGraph the global brute force): rank-1 must agree on >= 90%
+    val exact1 = Similarity.knnGraph(t, k = 3).collect()
+      .filter(_.getLong(2) == 1L).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val agree = exact1.count { case (v, nbr) => rank1.get(v).contains(nbr) }
+    assert(agree >= (exact1.size * 9) / 10,
+      s"rank-1 agreement with exact graph: $agree/${exact1.size}")
+  }
+
   test("mmrSelect demotes redundant near-duplicates that pure relevance top-k would take") {
     // q points along x; ids 1 and 2 are the SAME direction (sim 1.0),
     // id 3 is relevant-but-diverse
