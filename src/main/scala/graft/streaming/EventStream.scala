@@ -396,6 +396,58 @@ object EventStream {
       }
   }
 
+  /** A closed user session (the streaming analogue of
+    * EventAnalytics.userSessions output).
+    */
+  final case class SessionOut(userId: Long, sessionId: Long, startUs: Long,
+                              endUs: Long, nEvents: Long, nTypes: Long)
+
+  /** Streaming state: the one open session per user. The distinct-type
+    * set is bounded by event-TYPE cardinality (a product catalog of
+    * event names), never by session length.
+    */
+  final case class OpenSession(sessionId: Long, startUs: Long, lastUs: Long,
+                               n: Long, types: Set[String])
+
+  /** B17b: streaming gap sessionization per user — the live-ingest twin
+    * of EventAnalytics.userSessions. One open session per user lives in
+    * GroupState (O(users) state, independent of stream length); an
+    * event beyond `gapUs` of the session's last activity CLOSES it —
+    * emitting the same (session_id, start, end, n_events, n_types) row
+    * the batch window pipeline derives — and opens the next with the
+    * batch op's 1-based session numbering. In-batch events sort by
+    * (event time, event_id), the batch tie rule, so stream==batch
+    * parity holds row-for-row on closed sessions (spec-asserted); the
+    * final still-open session per user is intentionally unemitted —
+    * on a live stream it is not over yet.
+    */
+  def streamingSessions(events: Dataset[Event],
+                        gapUs: Long = 1800L * 1000000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[OpenSession, SessionOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsToUs(e.ts), e.eventId))
+          var open = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val us = tsToUs(e.ts)
+            open match {
+              case Some(s) if us - s.lastUs > gapUs =>
+                out += SessionOut(user, s.sessionId, s.startUs, s.lastUs, s.n, s.types.size.toLong)
+                open = Some(OpenSession(s.sessionId + 1, us, us, 1, Set(e.eventType)))
+              case Some(s) =>
+                open = Some(s.copy(lastUs = us, n = s.n + 1, types = s.types + e.eventType))
+              case None =>
+                open = Some(OpenSession(1L, us, us, 1, Set(e.eventType)))
+            }
+          }
+          open.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stateful gap sessionization: one open chunk per channel lives in
     * GroupState; a gap > gapUs closes and emits the chunk. Mirrors
     * discontinuous_chunks (reference base.py:322-342) incrementally.

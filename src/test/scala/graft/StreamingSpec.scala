@@ -557,6 +557,68 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "view", "click")), s"got $got")
   }
 
+  test("streamingSessions closes on the gap across microbatches, keeps the open session in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200L // 2024-01-01 epoch seconds
+    def tsS(s: Int) = new Timestamp((base + s) * 1000L)
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingSessions(mem.toDS(), gapUs = 10L * 1000000)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // batch 1: user 1 two close events (one open session); user 2 one
+    mem.addData(Event(1, tsS(0), 1, "view", 0.0), Event(2, tsS(5), 1, "click", 0.0),
+      Event(3, tsS(0), 2, "view", 0.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess").count() == 0, "nothing closed yet")
+    // batch 2: user 1 jumps past the gap -> session 1 closes via STATE;
+    // user 2 stays within the gap -> still open
+    mem.addData(Event(4, tsS(30), 1, "view", 0.0), Event(5, tsS(8), 2, "click", 0.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT userId, sessionId, startUs, endUs, nEvents, nTypes FROM sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    q.stop()
+    assert(got == Seq((1L, 1L, base * 1000000L, (base + 5) * 1000000L, 2L, 2L)), s"got $got")
+  }
+
+  test("streamingSessions closed sessions == batch userSessions (stream-batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three users, mixed inter-event gaps; 1800s default gap in batch op
+    val rows = Seq(
+      (1L, 0, 1L, "view"), (2L, 100, 1L, "click"), (3L, 4000, 1L, "view"),
+      (4L, 4100, 1L, "purchase"), (5L, 50, 2L, "view"), (6L, 9000, 2L, "view"),
+      (7L, 0, 3L, "click"))
+    val base = 1704067200L // 2024-01-01 epoch seconds
+    def tsS(s: Int) = new Timestamp((base + s) * 1000L)
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingSessions(mem.toDS())
+      .writeStream.format("memory").queryName("sessp").outputMode("append").start()
+    rows.take(4).foreach { case (id, s, u, et) => mem.addData(Event(id, tsS(s), u, et, 0.0)) }
+    q.processAllAvailable()
+    rows.drop(4).foreach { case (id, s, u, et) => mem.addData(Event(id, tsS(s), u, et, 0.0)) }
+    q.processAllAvailable()
+    // flush: one far-future sentinel per user closes every real session
+    Seq(1L, 2L, 3L).zipWithIndex.foreach { case (u, i) =>
+      mem.addData(Event(900 + i, tsS(1000000), u, "flush", 0.0))
+    }
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT userId, sessionId, startUs, endUs, nEvents, nTypes FROM sessp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    q.stop()
+    val dir = java.nio.file.Files.createTempDirectory("sessev").toString
+    rows.map { case (id, s, u, et) => (id, (base + s) * 1000000000L, u, et, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.userSessions(Tables(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
   test("streamingTransitions aggregated == batch eventTransitions (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
