@@ -334,7 +334,13 @@ object PlanAudit {
       // this plan (the histogram recomputes sizes by aggregation)
       ("cluster_hist", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
           p.contains("partial_count"),
-        "cluster histogram: window-free double count collapse"))
+        "cluster histogram: window-free double count collapse"),
+      // C67b: the segmented read keeps C67's bucket partition pruning,
+      // applies liveDocs as a broadcast ANTI join (tombstones are
+      // delta-sized), and stays a bounded take
+      ("bm25_delta", p => p.contains("PartitionFilters: [bucket") &&
+          p.contains("LeftAnti") && p.contains("TakeOrderedAndProject"),
+        "segmented BM25: bucket pruning + broadcast tombstone anti-join + bounded top-k"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

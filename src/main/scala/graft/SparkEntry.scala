@@ -307,6 +307,7 @@ object SparkEntry {
     "split_safe"         -> q(Dedup.leakageSafeSplit(_)),
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
+    "bm25_delta"         -> ((s, dir) => TextAnalysis.bm25DeltaQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
@@ -1331,6 +1332,11 @@ object SparkEntry {
     // C67 is DEFINED row-identical to C35 (same formulas over the
     // materialized index) — shared oracle string, the C22/C22b precedent
     "bm25_indexed" -> (bm25Sql +
+      """ SELECT doc_id, n_terms, score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 20"""),
+    // C67b's segmented state (base minus every 97th doc + that delta)
+    // equals the full corpus BY CONSTRUCTION — same shared string again
+    "bm25_delta" -> (bm25Sql +
       """ SELECT doc_id, n_terms, score FROM bm
          ORDER BY score DESC, doc_id LIMIT 20"""),
     "source_cap" ->

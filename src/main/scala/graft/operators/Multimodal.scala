@@ -642,27 +642,108 @@ object Multimodal {
         val grid = decodeImage(m.bytes).orElse {
           if (m.width > 0 && m.height > 0) Some(DecodedImage(m.width, m.height, m.bytes)) else None
         }
-        grid.map { g =>
-          val out = new Array[Byte](outW * outH)
-          var y = 0
-          while (y < outH) {
-            // Long arithmetic: y*height and sy*width overflow Int for large
-            // (unvalidated, ingested) metadata dims, and a wrapped-negative
-            // src would slip past the bounds guard below
-            val sy = math.min(g.height - 1L, y.toLong * g.height / outH)
-            var x = 0
-            while (x < outW) {
-              val sx = math.min(g.width - 1L, x.toLong * g.width / outW)
-              val src = sy * g.width + sx
-              out(y * outW + x) = if (src >= 0 && src < g.gray.length) g.gray(src.toInt) else 0
-              x += 1
-            }
-            y += 1
-          }
-          Resized(m.mediaId, outW, outH, out)
-        }
+        grid.map(g => Resized(m.mediaId, outW, outH, resample(g, outW, outH)))
       }
     }
+  }
+
+  /** Nearest-neighbor resample of a luminance grid to (outW, outH) —
+    * shared by [[resize]] and the perceptual hash so the two can never
+    * sample differently. Long arithmetic: y*height and sy*width overflow
+    * Int for large (unvalidated, ingested) metadata dims, and a
+    * wrapped-negative src would slip past the bounds guard.
+    */
+  private[graft] def resample(g: DecodedImage, outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(g.height - 1L, y.toLong * g.height / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(g.width - 1L, x.toLong * g.width / outW)
+        val src = sy * g.width + sx
+        out(y * outW + x) = if (src >= 0 && src < g.gray.length) g.gray(src.toInt) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A 64-bit perceptual image hash. */
+  final case class MediaHash(mediaId: Long, phash: Long)
+
+  /** Difference hash (dHash) of a luminance grid: resample to 9×8, bit
+    * (y, x) = left pixel brighter than its right neighbor. Integer-only
+    * and decode-deterministic, so the same pixels hash identically on
+    * every JVM; small pixel noise / re-encode / mild resize flip few
+    * bits, unrelated images differ in ~32.
+    */
+  private[graft] def dhash64(g: DecodedImage): Long = {
+    val px = resample(g, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if ((px(y * 9 + x) & 0xff) > (px(y * 9 + x + 1) & 0xff)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** C74: perceptual hashes for image payloads — the multimodal analogue
+    * of C3's text SimHash: one decode+hash pass reduces every image to
+    * 8 bytes, after which near-dup detection is pure hash relational
+    * algebra (pixels never cross an exchange). Undecodable image-kind
+    * rows fall back to the metadata-shaped raw grid (the [[resize]]
+    * contract); rows with neither are dropped.
+    */
+  def imagePhash(media: Dataset[Media]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        val grid = decodeImage(m.bytes).orElse {
+          if (m.width > 0 && m.height > 0) Some(DecodedImage(m.width, m.height, m.bytes)) else None
+        }
+        grid.map(g => MediaHash(m.mediaId, dhash64(g)))
+      }
+    }
+  }
+
+  /** C74b: near-duplicate image detection — re-encodes, mild noise,
+    * small crops/rescales of the same picture — by banded perceptual
+    * hash + exact Hamming verify. The image-side dedup a multimodal
+    * training pipeline runs next to text near-dup.
+    *
+    * Scale shape is EXACTLY C3's: the 64-bit hash splits into 4×16-bit
+    * bands (pigeonhole: any pair within Hamming 3 shares a band
+    * verbatim; 4–6 detect with the standard banding probability), ONE
+    * repartition by (band, value) feeds both join sides (exchange
+    * reuse), candidates join on 10-byte keys, and the popcount verify
+    * filters BEFORE distinct so only survivors hit the final shuffle.
+    * After [[imagePhash]]'s decode pass, image bytes are out of the
+    * plan entirely.
+    */
+  def phashDedup(media: Dataset[Media], maxHamming: Int = 6): DataFrame = {
+    val hashes = imagePhash(media).toDF().select(col("mediaId").as("media_id"), col("phash"))
+    val bandArr = expr("array(" +
+      (0 until 4).map(i => s"shiftright(phash, ${i * 16}) & 65535").mkString(", ") + ")")
+    val bands = hashes.select(col("media_id"), col("phash"),
+      posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    val parted = bands.repartition(col("band_idx"), col("band_val"))
+    val a = parted.select(col("band_idx"), col("band_val"),
+      col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val b = parted.select(col("band_idx").as("bi"), col("band_val").as("bv"),
+      col("media_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ph_a ^ ph_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: survivors only
+      .distinct()
   }
 
   /** Frame sampling for video-kind payloads through the [[VideoDecoder]]

@@ -453,7 +453,14 @@ object Similarity {
     * `graft_topk` aggregate — map tasks reduce to k-entry buffers
     * before the exchange, no window sort at any cardinality.
     */
-  def knnGraph(t: Tables, k: Int = 5): DataFrame = {
+  def knnGraph(t: Tables, k: Int = 5, maxRows: Long = 100000L): DataFrame = {
+    // same budget stance as embedNearDup: block² cost needs a blocking
+    // the caller actually controls — refuse silently-quadratic corpora
+    val n = corpusRows(t.embeddings)
+    require(n <= maxRows,
+      s"knnGraph pairs within blocks (Σ block²): corpus has $n rows " +
+        s"(> maxRows=$maxRows). Use knnGraphLsh — the LSH-candidate scale " +
+        "path with the same output contract — for corpora this size.")
     val b = t.embeddings.select(col("label").as("label_b"),
       col("vec_id").as("nbr_id"), col("embedding").as("eb"))
     t.embeddings.select(col("label"), col("vec_id"), col("embedding"))

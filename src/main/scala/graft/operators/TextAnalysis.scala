@@ -736,26 +736,153 @@ object TextAnalysis {
     * EXACTLY as C35's live formulas define them, so indexed search is
     * row-identical to scan search (asserted in the spec).
     */
-  def buildInvertedIndex(t: Tables, dir: String, nBuckets: Int = 64): Unit = {
-    val dl = when(length(trim(col("text"))) === 0, 0L)
-      .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
-    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
-    val postings = t.documents
-      .select(col("doc_id"), dl.as("dl"),
+  /** Per-doc token length column shared by every index writer — one
+    * definition so segments can never disagree on dl.
+    */
+  private def indexDl: Column = when(length(trim(col("text"))) === 0, 0L)
+    .otherwise(size(wsTokens(lower(col("text")))).cast("long"))
+
+  /** The (doc_id, term, tf, dl) postings relation of a document set —
+    * shared by the base build and every delta segment.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), indexDl.as("dl"),
         explode(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"), max(col("dl")).as("dl"))
-    postings
+
+  def buildInvertedIndex(t: Tables, dir: String, nBuckets: Int = 64): Unit =
+    buildInvertedIndexDocs(t.documents, dir, nBuckets)
+
+  private[graft] def buildInvertedIndexDocs(documents: DataFrame, dir: String,
+                                            nBuckets: Int = 64): Unit = {
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+    postingsOf(documents)
+      .withColumn("gen", lit(0L))
       .withColumn("bucket", bucket)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
     // df reads off the landed postings (one row per (doc, term)) — no
     // second corpus scan, and the landed copy is the one queried later
-    val landed = t.documents.sparkSession.read.parquet(s"$dir/postings")
+    val landed = documents.sparkSession.read.parquet(s"$dir/postings")
     landed.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
       .withColumn("bucket", bucket)
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/terms")
-    t.documents.agg(count(lit(1)).cast("long").as("n_docs"), avg(dl).as("avgdl"))
+    documents.agg(count(lit(1)).cast("long").as("n_docs"), avg(indexDl).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    // segment bookkeeping for the C67b incremental path: per-doc lengths
+    // (so a future delta can net out the docs it supersedes WITHOUT
+    // touching term-keyed data) and per-segment count/length totals
+    // (exact longs — query-time avgdl is one tiny segment-sum away)
+    documents.select(col("doc_id"), indexDl.as("dl"), lit(0L).as("gen"))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+    documents.agg(lit(0L).as("gen"), count(lit(1)).cast("long").as("n_docs"),
+        sum(indexDl).cast("long").as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/segstats")
+  }
+
+  /** Live rows of a generation-segmented relation: a row written at
+    * `gen` g is dead iff some tombstone for its doc_id carries gen > g
+    * (the Lucene segments+liveDocs rule — an updated doc's NEW rows
+    * share the tombstone's gen, so only its older incarnations die).
+    */
+  private def liveRows(rows: DataFrame, tombs: DataFrame): DataFrame =
+    rows.join(broadcast(tombs.select(col("doc_id").as("t_doc"), col("gen").as("t_gen"))),
+      col("doc_id") === col("t_doc") && col("t_gen") > col("gen"), "left_anti")
+
+  /** C67b: incremental index maintenance — apply a corpus delta
+    * (changed/new docs + deleted ids) as a NEW SEGMENT instead of
+    * rebuilding: delta postings land under the same bucket partitioning,
+    * superseded/removed docs get tombstones, and per-segment stats keep
+    * query-time n_docs/avgdl a tiny segment-sum. The base segments are
+    * never rewritten — the shape that makes a 100 TB index maintainable
+    * at all (a rebuild re-tokenizes the corpus; a delta re-tokenizes the
+    * delta).
+    *
+    * Scale shape: everything is delta-sized except one broadcast
+    * semi-join of the doc-length relation against the superseded ids
+    * (needed to net their count/length out of the running stats — the
+    * index's own bookkeeping answers it; no corpus access, no
+    * term-keyed read).
+    */
+  def indexDelta(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 changed: DataFrame, removedIds: Seq[Long],
+                 nBuckets: Int = 64): Unit = {
+    val seg = spark.read.parquet(s"$dir/segstats")
+    val gen = seg.agg(max(col("gen"))).collect().head.getLong(0) + 1L
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+    postingsOf(changed)
+      .withColumn("gen", lit(gen))
+      .withColumn("bucket", bucket)
+      .write.partitionBy("bucket").mode("append").parquet(s"$dir/postings")
+    val gone = changed.select(col("doc_id"))
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(removedIds.map(org.apache.spark.sql.Row(_)), 1),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)))
+      .distinct()
+    val tombPath = s"$dir/tombstones"
+    gone.withColumn("gen", lit(gen)).write.mode("append").parquet(tombPath)
+    // net out the docs this delta supersedes, using rows LIVE before it
+    val docs = spark.read.parquet(s"$dir/docs")
+    // the write above guarantees the dir exists; rows of THIS gen are
+    // excluded so "live before this delta" is evaluated correctly
+    val prevTombs = spark.read.parquet(tombPath).filter(col("gen") < gen)
+    val removedStats = liveRows(docs, prevTombs)
+      .join(broadcast(gone), Seq("doc_id"), "left_semi")
+      .agg(coalesce(count(lit(1)), lit(0L)).as("rn"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long").as("rsum"))
+      .collect().head
+    changed.select(col("doc_id"), indexDl.as("dl"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$dir/docs")
+    changed.agg(lit(gen).as("gen"),
+        (count(lit(1)).cast("long") - lit(removedStats.getLong(0))).as("n_docs"),
+        (coalesce(sum(indexDl), lit(0L)).cast("long") - lit(removedStats.getLong(1))).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/segstats")
+  }
+
+  /** C67b: BM25 over the segmented index — [[bm25Indexed]]'s
+    * bucket-pruned read plus the liveDocs rule: postings from ALL
+    * segments of the query's buckets, tombstoned rows anti-joined out
+    * (tombstones are broadcast — they are delta-sized), per-term df
+    * derived from the kept postings (bucket-local work; the stored
+    * terms relation is the full-rebuild fast path), n_docs/avgdl from
+    * the per-segment running totals. Defined to be row-identical to a
+    * fresh [[bm25Search]] over the post-delta corpus — the spec and the
+    * shared C35 oracle string hold it to that.
+    */
+  def bm25IndexedInc(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     query: String = "spark stream filter", k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25IndexedInc needs at least one query term")
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val tombPath = new java.io.File(s"$indexDir/tombstones")
+    val tombs =
+      if (tombPath.isDirectory) spark.read.parquet(tombPath.toString)
+      else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("gen")).limit(0)
+    val tf = liveRows(
+      spark.read.parquet(s"$indexDir/postings")
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)), tombs)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val stats = spark.read.parquet(s"$indexDir/segstats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs")).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val wTerm = idf * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    val weighted = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), wTerm.as("w"))
+    val pivoted = weighted.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        terms.map(tm => max(when(col("term") === tm, col("w"))).as(s"w_$tm")): _*)
+    val score = terms.map(tm => coalesce(col(s"w_$tm"), lit(0.0))).reduce(_ + _)
+    pivoted.select(col("doc_id"), col("n_terms"), roundHalfUp(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Driver-side xxhash64 of a literal term — the SAME function the
@@ -824,6 +951,27 @@ object TextAnalysis {
       d
     })
     bm25Indexed(spark, dir)
+  }
+
+  private val deltaIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C67b driver query: the corpus lands as a base segment MINUS every
+    * 97th doc, then those docs arrive as a DELTA segment — so the
+    * segmented read exercises real tombstone/stat merging while the
+    * queryable state equals the full corpus, which is why the oracle
+    * string is SHARED with C35/C67 (results are defined row-identical).
+    */
+  def bm25DeltaQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = deltaIndexCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("bm25idxd").toString
+      buildInvertedIndexDocs(t.documents.filter(col("doc_id") % 97 =!= 0), d)
+      indexDelta(spark, d,
+        t.documents.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")),
+        removedIds = Seq.empty)
+      d
+    })
+    bm25IndexedInc(spark, dir)
   }
 
   /** Tokens of a document as an array column, lowercased, empties

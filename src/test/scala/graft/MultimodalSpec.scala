@@ -362,6 +362,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g1 == q, s"skip inherits block0, 8-color quadrants land: $g1")
   }
 
+  test("imagePhash: gradient hashes are exact; dedup pairs the noisy re-render only") {
+    // base = horizontal gradient (left < right at every 9x8 sample with
+    // margin >= 24) -> dHash all-zero; dup adds +/-1 noise (inside the
+    // margin -> IDENTICAL hash); rev = reversed gradient -> all-ones;
+    // topRev reverses only resampled row 0 -> bits 0..7 -> hamming 8
+    val base = Media(1, "image", encoded("png", 32, 32)((x, _) => x * 8), 0, 0, 0)
+    val dup = Media(2, "image",
+      encoded("png", 32, 32)((x, y) => math.max(0, math.min(255, x * 8 + ((x + y) % 3) - 1))), 0, 0, 0)
+    val rev = Media(3, "image", encoded("png", 32, 32)((x, _) => 248 - x * 8), 0, 0, 0)
+    val topRev = Media(4, "image",
+      encoded("png", 32, 32)((x, y) => if (y < 4) 248 - x * 8 else x * 8), 0, 0, 0)
+    val vid = Media(9, "video", Array.fill[Byte](64)(7), 0, 0, 0)
+    val ds = Multimodal.ingest(spark, Seq(base, dup, rev, topRev, vid))
+    val hashes = Multimodal.imagePhash(ds).collect().map(h => h.mediaId -> h.phash).toMap
+    assert(hashes == Map(1L -> 0L, 2L -> 0L, 3L -> -1L, 4L -> 255L),
+      s"exact dHash values (video-kind excluded): $hashes")
+    val pairs = Multimodal.phashDedup(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L)),
+      s"only the noisy re-render pairs at maxHamming 6: $pairs")
+    // at hamming 8 the top-reversed variant shares 3 of 4 bands, so the
+    // banded candidate generation surfaces it once the verify allows it
+    val loose = Multimodal.phashDedup(ds, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(loose == Set((1L, 2L, 0L), (1L, 4L, 8L), (2L, 4L, 8L)),
+      s"banded recall at hamming 8: $loose")
+  }
+
   test("summarize aggregates by kind") {
     val s = Multimodal.summarize(Multimodal.ingest(spark, media)).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -403,6 +403,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"bucket pruning reaches the index scan:\n$plan")
   }
 
+  test("indexDelta: update+add+delete land as a segment; queries == fresh scan of the post-delta corpus") {
+    import spark.implicits._
+    val t0 = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "banana cherry"),
+      (3L, "dog grass field"),
+      (5L, "apple apple apple")))
+    val dir = java.nio.file.Files.createTempDirectory("idxd").toString
+    TextAnalysis.buildInvertedIndex(t0, dir, nBuckets = 16)
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+      walk(new java.io.File(s"$dir/postings")).toSet
+    }
+    val baseFiles = files()
+    // delta 1: doc 2 rewritten, doc 9 added, doc 3 deleted
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((2L, "apple plum plum"), (9L, "banana banana dog")).toDF("doc_id", "text"),
+      removedIds = Seq(3L), nBuckets = 16)
+    val post1 = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "apple plum plum"),
+      (5L, "apple apple apple"),
+      (9L, "banana banana dog")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(TextAnalysis.bm25IndexedInc(spark, dir, "apple banana", 10, nBuckets = 16)) ==
+      rows(TextAnalysis.bm25Search(post1, "apple banana", 10)),
+      "segmented read == fresh scan after update+add+delete")
+    assert(rows(TextAnalysis.bm25IndexedInc(spark, dir, "dog grass", 10, nBuckets = 16)) ==
+      rows(TextAnalysis.bm25Search(post1, "dog grass", 10)),
+      "deleted doc is gone, added doc is found")
+    assert(baseFiles.subsetOf(files()), "base segment files are never rewritten")
+    // delta 2: doc 9 rewritten AGAIN — its gen-1 postings must die under
+    // the (tombstone.gen > posting.gen) rule while gen-2 rows survive
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((9L, "grass grass")).toDF("doc_id", "text"), removedIds = Seq.empty, nBuckets = 16)
+    val post2 = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "apple plum plum"),
+      (5L, "apple apple apple"),
+      (9L, "grass grass")))
+    assert(rows(TextAnalysis.bm25IndexedInc(spark, dir, "banana grass", 10, nBuckets = 16)) ==
+      rows(TextAnalysis.bm25Search(post2, "banana grass", 10)),
+      "second-generation rewrite supersedes the first")
+  }
+
   test("tokFertility: exact token/byte ratios per language") {
     import spark.implicits._
     // punctuation splits re-tokens ("a-b" -> a, -, b); é is 2 UTF-8 bytes
