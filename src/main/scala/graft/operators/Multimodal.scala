@@ -727,8 +727,14 @@ object Multimodal {
     * After [[imagePhash]]'s decode pass, image bytes are out of the
     * plan entirely.
     */
-  def phashDedup(media: Dataset[Media], maxHamming: Int = 6): DataFrame = {
-    val hashes = imagePhash(media).toDF().select(col("mediaId").as("media_id"), col("phash"))
+  def phashDedup(media: Dataset[Media], maxHamming: Int = 6): DataFrame =
+    hashBandDedup(imagePhash(media).toDF()
+      .select(col("mediaId").as("media_id"), col("phash")), maxHamming)
+
+  /** Banded Hamming join over any (media_id, phash) relation — the one
+    * shared near-dup kernel behind [[phashDedup]] and [[audioPhashDedup]].
+    */
+  private[graft] def hashBandDedup(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val bandArr = expr("array(" +
       (0 until 4).map(i => s"shiftright(phash, ${i * 16}) & 65535").mkString(", ") + ")")
     val bands = hashes.select(col("media_id"), col("phash"),
@@ -745,6 +751,65 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming) // before distinct: survivors only
       .distinct()
   }
+
+  /** 64-bit audio fingerprint (Haitsma-Kalker lineage, grid-simplified):
+    * the clip splits into 8 equal time segments; each segment's energy
+    * is probed at 9 fixed normalized frequencies (Goertzel — no FFT
+    * dependency, fixed fold order so the doubles are bit-stable); bit
+    * (t, b) = E[t][b] > E[t][b+1], the spectral-slope sign grid. Signs
+    * are invariant under uniform amplitude scaling (every E scales by
+    * c²), which is the robustness a volume-normalized re-encode needs;
+    * a different melody flips band orderings wholesale.
+    */
+  private[graft] def audioHash64(a: DecodedAudio): Long = {
+    val seg = a.samples.length / 8
+    if (seg == 0) return 0L
+    var bits = 0L
+    var t = 0
+    while (t < 8) {
+      val off = t * seg
+      val e = new Array[Double](9)
+      var b = 0
+      while (b < 9) {
+        val coeff = 2.0 * math.cos(math.Pi * (b + 1) / 10.0)
+        var s1 = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < seg) {
+          val s0 = a.samples(off + i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        e(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      var k = 0
+      while (k < 8) {
+        if (e(k) > e(k + 1)) bits |= 1L << (t * 8 + k)
+        k += 1
+      }
+      t += 1
+    }
+    bits
+  }
+
+  /** C74c: audio fingerprints — one decode+Goertzel pass reduces every
+    * clip to 8 bytes; undecodable audio-kind rows are dropped (there is
+    * no honest raw-grid fallback for audio).
+    */
+  def audioPhash(media: Dataset[Media]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap(m => decodeAudio(m.bytes).map(a => MediaHash(m.mediaId, audioHash64(a))))
+    }
+  }
+
+  /** C74d: near-duplicate audio detection (re-encodes, volume changes,
+    * small noise) through the SAME banded Hamming kernel as the image
+    * path — after the fingerprint pass, modality is gone from the plan.
+    */
+  def audioPhashDedup(media: Dataset[Media], maxHamming: Int = 6): DataFrame =
+    hashBandDedup(audioPhash(media).toDF()
+      .select(col("mediaId").as("media_id"), col("phash")), maxHamming)
 
   /** Frame sampling for video-kind payloads through the [[VideoDecoder]]
     * seam — the default strides `frameBytes`-sized slices (deterministic;
