@@ -290,13 +290,14 @@ object PlanAudit {
           p.toLowerCase.contains("sortablebits") && !p.contains("percentile(") &&
           p.contains("BroadcastHashJoin"),
         "funnel latency: user-sized joins, bucketed rank-select quantiles, broadcast target buckets"),
-      // B28: the corpus is scanned ONCE into the persisted (type, day)
-      // count relation (InMemoryTableScan downstream), quantiles go
-      // through the bucketed rank-select kernel, threshold joins broadcast
+      // B28: the corpus is scanned ONCE into the checkpointed (type, day)
+      // count relation (the downstream plan reads the materialized RDD,
+      // never re-scans events), quantiles go through the bucketed
+      // rank-select kernel, threshold joins broadcast
       ("anomaly_days", p => !p.contains("CartesianProduct") &&
-          p.contains("InMemoryTableScan") &&
+          p.contains("ExistingRDD") && !p.contains("Scan parquet") &&
           p.toLowerCase.contains("sortablebits") && p.contains("BroadcastHashJoin"),
-        "anomaly days: one corpus scan persisted, rank-select medians, broadcast thresholds"),
+        "anomaly days: one corpus scan checkpointed, rank-select medians, broadcast thresholds"),
       // B25: one scan, one map-side-combinable aggregation — no join, no
       // window; the 1-field from_json stays in the project
       ("props_profile", p => !p.contains("Join") && !p.contains("Window") &&

@@ -272,9 +272,10 @@ object EventAnalytics {
     *
     * Scale shape: ONE pass over raw events builds the (type, day) count
     * relation — map-side combinable, collapsing to type×day cardinality
-    * (a decade × 1000 types ≈ 4M rows) — which is then persisted so the
-    * two quantile passes and the final flag scan all reuse that tiny
-    * relation instead of re-scanning the corpus. Medians/MADs are exact
+    * (a decade × 1000 types ≈ 4M rows) — which is then locally
+    * checkpointed so the two quantile passes and the final flag scan all
+    * reuse that tiny materialized relation instead of re-scanning the
+    * corpus (and its blocks are GC-released, never a pinned cache entry). Medians/MADs are exact
     * interpolated quantiles via [[Analytics.exactQuantiles]]'s bucketed
     * rank selection and join back as type-cardinality broadcasts. Every
     * value compared sits on an exact binary fraction grid (counts are
@@ -282,11 +283,16 @@ object EventAnalytics {
     * `dev > k·mad` boundary is engine-parity-safe with no rounding.
     */
   def anomalyDays(t: Tables, k: Double = 2.0): DataFrame = {
+    // localCheckpoint, not persist: the (type, day) relation feeds three
+    // consumers (both quantile passes + the flag scan), so the corpus is
+    // scanned ONCE here — and unlike an explicit cache, the checkpoint's
+    // blocks are released by the ContextCleaner when the result goes out
+    // of scope, so repeated calls cannot accumulate pinned cache entries
     val daily = t.events
       .select(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
-      .persist()
+      .localCheckpoint()
     val med = Analytics.exactQuantiles(
       daily.select(col("event_type"), col("n_events").cast("double").as("n")),
       "event_type", Seq("n" -> Seq("med" -> 0.5)))

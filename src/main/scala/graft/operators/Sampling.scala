@@ -198,10 +198,14 @@ object Sampling {
     val scored = t.documents.select(col("doc_id"),
       when(length(trim(col("text"))) === 0, 0L)
         .otherwise(size(wsTokens(col("text"))).cast("long")).as("score"))
+    // gate BEFORE materializing: TakeOrdered of gate+1 rows bounds the
+    // driver at O(gate) on a degenerate corpus (and keeps the sort), so
+    // the remedy below prints instead of the collect OOMing first
     val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("score")).collect()
+      .orderBy(col("score"))
+      .limit(math.min(maxDistinct + 1, Int.MaxValue.toLong).toInt).collect()
     require(hist.length <= maxDistinct,
-      s"curriculumBands: ${hist.length} distinct scores exceed maxDistinct=$maxDistinct — " +
+      s"curriculumBands: distinct scores exceed maxDistinct=$maxDistinct — " +
         "bucket the score (e.g. score div 16) before banding a corpus this heterogeneous")
     val n = hist.map(_.getLong(1)).sum
     val cum = hist.map(_.getLong(1)).scanLeft(0L)(_ + _).tail

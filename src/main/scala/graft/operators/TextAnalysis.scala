@@ -810,6 +810,18 @@ object TextAnalysis {
                  nBuckets: Int = 64): Unit = {
     val seg = spark.read.parquet(s"$dir/segstats")
     val gen = seg.agg(max(col("gen"))).collect().head.getLong(0) + 1L
+    // A doc_id in BOTH `changed` and `removedIds` would write new
+    // postings at the same gen as its tombstone; liveRows only kills
+    // strictly-older gens, so the "removed" doc would stay searchable —
+    // refuse the ambiguous delta instead of silently resolving it.
+    if (removedIds.nonEmpty) {
+      val clash = changed.select(col("doc_id"))
+        .filter(col("doc_id").isin(removedIds: _*)).limit(1).collect()
+      require(clash.isEmpty,
+        s"indexDelta: doc_id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} appears in both " +
+          "changed and removedIds; an id must be either updated or removed in one delta, not both " +
+          "(split the delta, or drop the id from removedIds if the update should win)")
+    }
     val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
     postingsOf(changed)
       .withColumn("gen", lit(gen))
@@ -1121,9 +1133,13 @@ object TextAnalysis {
       .agg((sum(col("lp")) / count(lit(1))).as("avg_raw"))
       .select(col("doc_id"), roundHalfUp(exp(-col("avg_raw")), 2).as("ppl"))
     val dl = ds.join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val hist = dl.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("cnt")).collect()
+    // gate BEFORE materializing: limit(gate+1) bounds the driver at
+    // O(gate) rows even on a degenerate corpus, so the remedy below can
+    // actually print instead of the collect OOMing first
+    val hist = dl.groupBy(col("lang"), col("ppl")).agg(count(lit(1)).as("cnt"))
+      .limit(math.min(maxDistinct + 1, Int.MaxValue.toLong).toInt).collect()
     require(hist.length <= maxDistinct,
-      s"pplBucket: ${hist.length} distinct (lang, ppl) buckets exceed maxDistinct=$maxDistinct — " +
+      s"pplBucket: distinct (lang, ppl) buckets exceed maxDistinct=$maxDistinct — " +
         "coarsen the ppl rounding before banding a corpus this heterogeneous")
     val cutsByLang: Map[Option[String], Seq[Double]] =
       hist.groupBy(r => Option(r.getString(0))).map { case (l, rows) =>
@@ -1759,10 +1775,13 @@ object TextAnalysis {
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
     val n = docs.count()
     val minDf = (n * minDfPermille + 999L) / 1000L
+    // gate BEFORE materializing: limit(gate+1) bounds the driver at
+    // O(gate) segments even when the df threshold degenerates, so the
+    // remedy below prints instead of the collect OOMing first
     val boiler = df.filter(col("df") >= minDf)
-      .select(col("seg")).collect().map(_.getString(0)).sorted
+      .select(col("seg")).limit(maxBoiler + 1).collect().map(_.getString(0)).sorted
     require(boiler.length <= maxBoiler,
-      s"boilerplateSegs: ${boiler.length} boilerplate segments exceed maxBoiler=$maxBoiler — " +
+      s"boilerplateSegs: boilerplate segments exceed maxBoiler=$maxBoiler — " +
         "raise the df threshold or switch to the explode + broadcast-anti reassembly path")
     val blArr = array(boiler.map(lit(_)): _*)
     val kept = filter(col("segs"), s => !array_contains(blArr, lower(trim(s))))

@@ -36,12 +36,30 @@ case class ApproxDistinctRewrite(spark: org.apache.spark.sql.SparkSession)
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.approxDistinct").contains("true")
 
-  private def precision: Int =
-    spark.conf.getOption("spark.graft.approxDistinct.p").map(_.toInt).getOrElse(12)
+  private def precision: Int = {
+    val key = "spark.graft.approxDistinct.p"
+    def invalid(raw: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "INVALID_CONF_VALUE.REQUIREMENT",
+        Map("confValue" -> raw, "confName" -> key,
+            "confRequirement" -> "an integer in [4, 18]"))
+    spark.conf.getOption(key) match {
+      case None => 12
+      case Some(raw) =>
+        val parsed = try raw.toInt catch { case _: NumberFormatException => invalid(raw) }
+        if (parsed < 4 || parsed > 18) invalid(raw)
+        parsed
+    }
+  }
 
   private def asStringChild(e: Expression): Option[Expression] = e.dataType match {
     case StringType => Some(e)
-    case _: NumericType | BooleanType | DateType | TimestampType => Some(Cast(e, StringType))
+    // Timestamp-to-string rendering needs the session zone: a bare Cast
+    // is injected POST-analysis, so the ResolveTimeZone rule never fills
+    // it in and execution would fail on timeZoneId.get.
+    case TimestampType =>
+      Some(Cast(e, StringType, Some(spark.sessionState.conf.sessionLocalTimeZone)))
+    case _: NumericType | BooleanType | DateType => Some(Cast(e, StringType))
     case _ => None // array/struct/map/binary distincts keep exact semantics
   }
 

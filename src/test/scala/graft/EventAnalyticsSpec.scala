@@ -194,6 +194,11 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val got = EventAnalytics.anomalyDays(events(rows)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
     assert(got == Set(("a", 7L, 10L, 2.0, 0.0), ("b", 4L, 9L, 3.0, 1.0)), s"got $got")
+    // cache lifecycle: the daily-count relation is locally checkpointed
+    // (GC-released blocks), never persist()'d — repeated calls must not
+    // accumulate pinned CacheManager entries
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "anomalyDays must not pin its daily-count relation in the cache")
   }
 
   /** events rows with an explicit props payload. */

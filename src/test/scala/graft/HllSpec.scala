@@ -76,6 +76,46 @@ class HllSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.approxDistinct")
   }
 
+  test("ApproxDistinctRewrite: timestamp child carries the session zone; bad p is a conf error") {
+    import spark.implicits._
+    val df = (0 until 5000).map(i => (i.toLong, new java.sql.Timestamp(1700000000000L + (i % 997) * 1000L)))
+      .toDF("id", "ts")
+    df.createOrReplaceTempView("adr_ts")
+    try {
+      spark.conf.set("spark.graft.approxDistinct", "true")
+      // the injected Cast(ts -> string) is built post-analysis, so it must
+      // carry the session zone itself — this executed-path check would
+      // throw timeZoneId.get on None otherwise
+      val got = spark.sql("SELECT count(DISTINCT ts) AS d FROM adr_ts").collect().head.getLong(0)
+      assert(math.abs(got - 997L).toDouble / 997 < 0.05, s"ts distinct via sketch: $got")
+      // malformed / out-of-range precision fails as a named conf error,
+      // not a NumberFormatException inside the optimizer
+      for (bad <- Seq("high", "25", "3")) {
+        spark.conf.set("spark.graft.approxDistinct.p", bad)
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql("SELECT count(DISTINCT ts) FROM adr_ts").collect()
+        }
+        assert(e.getMessage.contains("spark.graft.approxDistinct.p"), s"'$bad': ${e.getMessage}")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.approxDistinct")
+      spark.conf.unset("spark.graft.approxDistinct.p")
+    }
+  }
+
+  test("small-m alpha: p=4..6 estimates stay inside 3 sigma with the paper constants") {
+    // Flajolet alpha16/32/64 are exact-paper values; the asymptotic formula
+    // would bias these registers-few sketches beyond the documented bound
+    for ((p, n) <- Seq((4, 2000), (5, 4000), (6, 8000))) {
+      val buf = new HllBuffer(p)
+      (0 until n).foreach(i => buf.add(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"alpha-$p-$i")))
+      val sigma = 1.04 / math.sqrt(1 << p)
+      val err = math.abs(buf.estimate - n).toDouble / n
+      assert(err < 3 * sigma, s"p=$p n=$n est=${buf.estimate} err=$err bound=${3 * sigma}")
+    }
+  }
+
   test("hllDistinct: partition-layout invariance and error vs exact on the corpus") {
     val t = Tables(spark, "/root/testdata/sf0.01")
     val est = TextAnalysis.hllDistinct(t).collect()

@@ -395,4 +395,105 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(s == Map("audio" -> 256L, "image" -> 192L, "video" -> 1024L))
   }
+
+  // ---- C74c/C74d: audio fingerprints ----
+
+  // deterministic pseudo-random PCM: even-valued samples (so an exact
+  // half-amplitude copy exists in int16) in [-1000, 998]
+  private def lcgSamples(seed: Long, n: Int): Array[Short] = {
+    var x = seed
+    Array.fill(n) {
+      x = (x * 1103515245L + 12345L) & 0x7fffffffL
+      (2 * (((x >>> 16) % 1000L).toInt - 500)).toShort
+    }
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+  private def bandsOf(h: Long): Seq[Long] = (0 until 4).map(i => (h >>> (i * 16)) & 0xffffL)
+
+  test("audioHash64: exact bit grid vs an independent DFT reference") {
+    // the hash's Goertzel energy is |X(w)|^2 for ANY w (the Chebyshev
+    // identity, not just bin frequencies) — so a plain DFT computed here
+    // with different arithmetic is a true independent oracle for the
+    // segment split, probe frequencies, and (t*8+k) bit layout
+    val n = 4096
+    val samples = lcgSamples(20260815L, n).map(_.toInt)
+    val seg = n / 8
+    var expected = 0L
+    var minMargin = Double.MaxValue
+    for (t <- 0 until 8) {
+      val e = (0 until 9).map { b =>
+        val w = math.Pi * (b + 1) / 10.0
+        var re = 0.0; var im = 0.0
+        for (i <- 0 until seg) {
+          re += samples(t * seg + i) * math.cos(w * i)
+          im += samples(t * seg + i) * math.sin(w * i)
+        }
+        re * re + im * im
+      }
+      for (k <- 0 until 8) {
+        minMargin = math.min(minMargin, math.abs(e(k) - e(k + 1)) / math.max(e(k), e(k + 1)))
+        if (e(k) > e(k + 1)) expected |= 1L << (t * 8 + k)
+      }
+    }
+    assert(minMargin > 1e-6, s"fixture margin too thin for FP-stable bits: $minMargin")
+    val direct = Multimodal.audioHash64(Multimodal.DecodedAudio(8000, 1, samples))
+    assert(direct == expected, f"kernel bits 0x$direct%016x vs DFT reference 0x$expected%016x")
+    // and the full Dataset path (WAV container -> decode -> hash) agrees
+    val m = Media(41, "audio", wav(samples.map(_.toShort), 8000), 0, 0, 8000)
+    val viaDs = Multimodal.audioPhash(Multimodal.ingest(spark, Seq(m))).collect()
+    assert(viaDs.map(h => h.mediaId -> h.phash).toMap == Map(41L -> expected))
+  }
+
+  test("audioPhashDedup: amplitude-invariant; noisy re-encode pairs; different melody excluded") {
+    val n = 4096
+    val base = lcgSamples(20260815L, n)
+    val half = base.map(s => (s / 2).toShort) // exact: all base samples even
+    val noiseLcg = lcgSamples(7L, n)
+    val noisy = base.zipWithIndex.map { case (s, i) => (s + (noiseLcg(i) % 3)).toShort }
+    val other = lcgSamples(999L, n)
+    def hashOf(s: Array[Short]) =
+      Multimodal.audioHash64(Multimodal.DecodedAudio(8000, 1, s.map(_.toInt)))
+    val (hb, hh, hn, ho) = (hashOf(base), hashOf(half), hashOf(noisy), hashOf(other))
+    // energies scale by c^2 under uniform gain; halving is FP-exact, so
+    // the sign grid — hence the fingerprint — is bit-identical
+    assert(hb == hh, f"half-amplitude copy must hash identically: 0x$hb%016x vs 0x$hh%016x")
+    assert(hamming(hb, hn) <= 6, s"noisy dup drifted past the dedup bar: ${hamming(hb, hn)}")
+    assert(bandsOf(hb).zip(bandsOf(hn)).exists(p => p._1 == p._2),
+      "fixture must keep the noisy dup reachable through the banded join")
+    assert(hamming(hb, ho) >= 12, s"independent melody should differ wholesale: ${hamming(hb, ho)}")
+    val ms = Seq(
+      Media(51, "audio", wav(base, 8000), 0, 0, 8000),
+      Media(52, "audio", wav(half, 8000), 0, 0, 8000),
+      Media(53, "audio", wav(noisy, 8000), 0, 0, 8000),
+      Media(54, "audio", wav(other, 8000), 0, 0, 8000),
+      Media(55, "image", encoded("png", 8, 8)((x, _) => x * 30), 0, 0, 0))
+    // expected = the kernel's contract: candidate iff a 16-bit band
+    // matches verbatim, survivor iff popcount <= maxHamming
+    val hs = Map(51L -> hb, 52L -> hh, 53L -> hn, 54L -> ho)
+    val expect = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if hamming(hs(a), hs(b)) <= 6
+      if bandsOf(hs(a)).zip(bandsOf(hs(b))).exists(p => p._1 == p._2)
+    } yield (a, b, hamming(hs(a), hs(b)).toLong)).toSet
+    assert(expect.contains((51L, 52L, 0L)) && expect.exists(p => p._1 == 51L && p._2 == 53L))
+    assert(!expect.exists(p => p._1 == 54L || p._2 == 54L))
+    val got = Multimodal.audioPhashDedup(Multimodal.ingest(spark, ms)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"audio near-dup pairs (image row must be out of the plan): $got vs $expect")
+  }
+
+  test("hashBandDedup: pigeonhole recall — 8 flips in one band found, 2-per-band spread missed") {
+    import spark.implicits._
+    // id1/id4 identical; id3 differs from them by bits 0..7 (all in band
+    // 0 -> shares 3 bands); id2 differs from id1 by 2 bits in EVERY band
+    // -> no band matches, so banding cannot surface it at any threshold
+    val hashes = Seq((1L, 0L), (2L, 0x0003000300030003L), (3L, 255L), (4L, 0L))
+      .toDF("media_id", "phash")
+    def run(maxH: Int) = Multimodal.hashBandDedup(hashes, maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(8) == Set((1L, 3L, 8L), (1L, 4L, 0L), (3L, 4L, 8L)),
+      "hamming-8-in-one-band pairs surface at 8; the 2-per-band spread is the documented miss")
+    assert(run(6) == Set((1L, 4L, 0L)), "verify bound excludes the hamming-8 pairs at 6")
+  }
 }

@@ -146,5 +146,12 @@ class NgramLmSpec extends AnyFunSuite {
     // in BOTH langs even though their absolute ppl values differ
     val low = got.filter(r => r._1 % 3 == 0)
     assert(low.forall(_._4 == 0L), s"repeated-phrase docs are the per-lang head: ${low.toSeq}")
+    // degenerate-corpus gate: with the limit(gate+1) ordering the loud
+    // failure path materializes O(gate) rows, never O(distinct), and
+    // still names the remedy
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.pplBucket(Tables(spark, dir), nBands = 3, maxDistinct = 2L)
+    }
+    assert(e.getMessage.contains("coarsen the ppl rounding"), e.getMessage)
   }
 }

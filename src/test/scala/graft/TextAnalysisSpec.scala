@@ -449,6 +449,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(TextAnalysis.bm25IndexedInc(spark, dir, "banana grass", 10, nBuckets = 16)) ==
       rows(TextAnalysis.bm25Search(post2, "banana grass", 10)),
       "second-generation rewrite supersedes the first")
+    // a doc_id in BOTH changed and removedIds is ambiguous (same-gen
+    // tombstone would lose to the same-gen postings) — refused loudly,
+    // and the refusal leaves the index untouched
+    val before = rows(TextAnalysis.bm25IndexedInc(spark, dir, "apple banana", 10, nBuckets = 16))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.indexDelta(spark, dir,
+        Seq((2L, "pear pear")).toDF("doc_id", "text"), removedIds = Seq(2L), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("both") && e.getMessage.contains("removedIds"), e.getMessage)
+    assert(rows(TextAnalysis.bm25IndexedInc(spark, dir, "apple banana", 10, nBuckets = 16)) == before,
+      "refused delta writes nothing")
   }
 
   test("tokFertility: exact token/byte ratios per language") {
