@@ -341,7 +341,13 @@ object PlanAudit {
       // delta-sized), and stays a bounded take
       ("bm25_delta", p => p.contains("PartitionFilters: [bucket") &&
           p.contains("LeftAnti") && p.contains("TakeOrderedAndProject"),
-        "segmented BM25: bucket pruning + broadcast tombstone anti-join + bounded top-k"))
+        "segmented BM25: bucket pruning + broadcast tombstone anti-join + bounded top-k"),
+      // C67c: after a FULL compaction the tombstone relation is empty —
+      // the query plan must show bucket pruning but NO anti-join at all
+      // (the generation-rule join is the cost compaction exists to retire)
+      ("bm25_compact", p => p.contains("PartitionFilters: [bucket") &&
+          !p.contains("LeftAnti") && p.contains("TakeOrderedAndProject"),
+        "compacted BM25: bucket pruning, ZERO tombstone anti-join, bounded top-k"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

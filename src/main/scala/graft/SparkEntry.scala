@@ -308,6 +308,7 @@ object SparkEntry {
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
     "bm25_delta"         -> ((s, dir) => TextAnalysis.bm25DeltaQuery(Tables(s, dir), dir)),
+    "bm25_compact"       -> ((s, dir) => TextAnalysis.bm25CompactQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
@@ -1337,6 +1338,9 @@ object SparkEntry {
     // C67b's segmented state (base minus every 97th doc + that delta)
     // equals the full corpus BY CONSTRUCTION — same shared string again
     "bm25_delta" -> (bm25Sql +
+      """ SELECT doc_id, n_terms, score FROM bm
+         ORDER BY score DESC, doc_id LIMIT 20"""),
+    "bm25_compact" -> (bm25Sql +
       """ SELECT doc_id, n_terms, score FROM bm
          ORDER BY score DESC, doc_id LIMIT 20"""),
     "source_cap" ->

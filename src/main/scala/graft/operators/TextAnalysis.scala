@@ -853,6 +853,117 @@ object TextAnalysis {
       .coalesce(1).write.mode("append").parquet(s"$dir/segstats")
   }
 
+  /** C67c: segment compaction — merge every segment of generation ≤
+    * `upToGen` into ONE new segment at that generation, retiring the
+    * tombstones they absorbed. This is the missing half of the Lucene
+    * shape [[indexDelta]] set up: without it, every delta appends a
+    * generation forever and the query-time tombstone anti-join grows
+    * monotonically; with it, a long-lived index stays O(segments kept),
+    * and after a FULL compaction (the default) the tombstone relation is
+    * empty — queries pay zero anti-join.
+    *
+    * Generation algebra (each step preserves query row-identity):
+    *   - merged postings/docs = live rows of gens ≤ g under ALL
+    *     tombstones (including kept ones of gen > g — a doc updated
+    *     later than g must not carry its dead incarnation forward),
+    *     relabeled to gen g. A kept tombstone t > g killed exactly the
+    *     rows gen < t before, and kills the same (relabeled, still < t)
+    *     rows after.
+    *   - merged segstats row = the ARITHMETIC SUM of the replaced rows,
+    *     NOT the live count: a delta of gen d > g may have netted out a
+    *     doc living in a segment ≤ g, and that netting stays in row d —
+    *     summing preserves the total n_docs/sum_dl invariant.
+    *   - tombstones of gen ≤ g are fully applied by the merge → retired.
+    *
+    * Scale shape: one bucket-partitioned shuffle-free rewrite of the
+    * segments being merged (the live filter is the same broadcast
+    * anti-join queries already run), never a corpus re-tokenize; file
+    * surgery is per-file rename/delete (segments of gen > g keep their
+    * exact files — base immutability for everything uncompacted).
+    * Like Lucene's merge, compaction is an exclusive maintenance
+    * operation: one writer, no concurrent readers mid-swap. A crashed
+    * compaction leaves its work under the dot-prefixed staging dir
+    * (invisible to every query path) and rerunning compacts cleanly from
+    * the still-intact visible state.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   upToGen: Long = Long.MaxValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val maxGen = spark.read.parquet(s"$dir/segstats")
+      .agg(max(col("gen"))).collect().head.getLong(0)
+    val g = math.min(upToGen, maxGen)
+    val tombDirF = new java.io.File(s"$dir/tombstones")
+    val tombs =
+      if (tombDirF.isDirectory) spark.read.parquet(tombDirF.toString)
+      else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("gen")).limit(0)
+    val staging = s"$dir/.compact"
+    fs.delete(new Path(staging), true) // crashed-run leftovers are invisible; recompute
+    // data files of the segments being merged — per-file generation
+    // bounds so the later delete can never touch a gen > g row (files are
+    // single-gen by construction of the base build + every delta append)
+    def mergeFiles(df: DataFrame): Seq[String] = {
+      val per = df.groupBy(input_file_name().as("f"))
+        .agg(min(col("gen")).as("lo"), max(col("gen")).as("hi")).collect()
+      per.filter(_.getLong(1) <= g).map { r =>
+        require(r.getLong(2) <= g,
+          s"compactIndex: mixed-generation file ${r.getString(0)} spans ${r.getLong(1)}..${r.getLong(2)} across upToGen=$g")
+        r.getString(0)
+      }.toSeq
+    }
+    val postAll = spark.read.parquet(s"$dir/postings")
+    val docsAll = spark.read.parquet(s"$dir/docs")
+    val segAll = spark.read.parquet(s"$dir/segstats")
+    val oldPost = mergeFiles(postAll)
+    val oldDocs = mergeFiles(docsAll)
+    val oldSeg = mergeFiles(segAll)
+    val oldTomb = if (tombDirF.isDirectory) mergeFiles(tombs) else Seq.empty
+    // stage the merged segment (dot-dir: invisible to all query paths)
+    liveRows(postAll.filter(col("gen") <= g), tombs)
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"),
+        lit(g).as("gen"), col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$staging/postings")
+    liveRows(docsAll.filter(col("gen") <= g), tombs)
+      .select(col("doc_id"), col("dl"), lit(g).as("gen"))
+      .write.parquet(s"$staging/docs")
+    segAll.filter(col("gen") <= g)
+      .agg(lit(g).as("gen"), sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+      .coalesce(1).write.parquet(s"$staging/segstats")
+    // swap: drop the merged segments' files, slide the staged ones in
+    def dataFiles(root: Path): Seq[Path] =
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val it = fs.listFiles(root, true)
+        val out = scala.collection.mutable.ArrayBuffer[Path]()
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) out += f
+        }
+        out.toSeq
+      }
+    def moveIn(stagedRoot: String, liveRoot: String): Unit =
+      dataFiles(new Path(stagedRoot)).foreach { f =>
+        // preserve the bucket=<b> partition component when present
+        val sub = f.getParent.getName match {
+          case p if p.startsWith("bucket=") => p + Path.SEPARATOR + f.getName
+          case _ => f.getName
+        }
+        val dst = new Path(liveRoot, sub)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(f, dst), s"compactIndex: rename $f -> $dst failed")
+      }
+    (oldPost ++ oldDocs ++ oldSeg ++ oldTomb).foreach(f => fs.delete(new Path(f), false))
+    moveIn(s"$staging/postings", s"$dir/postings")
+    moveIn(s"$staging/docs", s"$dir/docs")
+    moveIn(s"$staging/segstats", s"$dir/segstats")
+    // a fully-retired tombstone set leaves queries the clean isDirectory
+    // = false fast path (an empty parquet dir would fail schema inference)
+    if (tombDirF.isDirectory && dataFiles(new Path(tombDirF.toString)).isEmpty)
+      fs.delete(new Path(tombDirF.toString), true)
+    fs.delete(new Path(staging), true)
+  }
+
   /** C67b: BM25 over the segmented index — [[bm25Indexed]]'s
     * bucket-pruned read plus the liveDocs rule: postings from ALL
     * segments of the query's buckets, tombstoned rows anti-joined out
@@ -870,12 +981,14 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25IndexedInc needs at least one query term")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val tombPath = new java.io.File(s"$indexDir/tombstones")
-    val tombs =
-      if (tombPath.isDirectory) spark.read.parquet(tombPath.toString)
-      else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("gen")).limit(0)
-    val tf = liveRows(
-      spark.read.parquet(s"$indexDir/postings")
-        .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)), tombs)
+    val matched = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    // a fully-compacted index has NO tombstone relation at all — the
+    // generation-rule anti-join drops out of the plan entirely, which is
+    // the query-side payoff compactIndex exists for (plan-audited)
+    val tf = (if (tombPath.isDirectory)
+        liveRows(matched, spark.read.parquet(tombPath.toString))
+      else matched)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
     val stats = spark.read.parquet(s"$indexDir/segstats")
@@ -981,6 +1094,33 @@ object TextAnalysis {
       indexDelta(spark, d,
         t.documents.filter(col("doc_id") % 97 === 0).select(col("doc_id"), col("text")),
         removedIds = Seq.empty)
+      d
+    })
+    bm25IndexedInc(spark, dir)
+  }
+
+  private val compactIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C67c driver query: the corpus lands as base-minus-every-97th, the
+    * missing docs arrive as TWO delta segments, one early doc is removed
+    * by a delta and re-added verbatim by the next (a full
+    * tombstone-supersede cycle), and then the index is FULLY compacted —
+    * one segment, zero tombstones. The queryable state still equals the
+    * full corpus, so the oracle string is SHARED with C35/C67/C67b:
+    * compaction is held to exact row-identity by the same hash compare.
+    */
+  def bm25CompactQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = compactIndexCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("bm25idxc").toString
+      val docs = t.documents.select(col("doc_id"), col("text"))
+      buildInvertedIndexDocs(docs.filter(col("doc_id") % 97 =!= 0), d)
+      indexDelta(spark, d, docs.filter(col("doc_id") % 194 === 0), removedIds = Seq.empty)
+      indexDelta(spark, d,
+        docs.filter(col("doc_id") % 97 === 0 && col("doc_id") % 194 =!= 0),
+        removedIds = Seq(1L))
+      indexDelta(spark, d, docs.filter(col("doc_id") === 1L), removedIds = Seq.empty)
+      compactIndex(spark, d)
       d
     })
     bm25IndexedInc(spark, dir)

@@ -462,6 +462,111 @@ class TextAnalysisSpec extends AnyFunSuite {
       "refused delta writes nothing")
   }
 
+  private def idxFiles(dir: String, rel: String): Set[String] = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f.getPath) else Seq.empty
+    val root = new java.io.File(s"$dir/$rel")
+    if (root.isDirectory) walk(root).toSet else Set.empty
+  }
+
+  test("compactIndex: full merge — one segment, zero tombstones, query row-identity, deltas keep composing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxc").toString
+    TextAnalysis.buildInvertedIndex(docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "banana cherry"),
+      (3L, "dog grass field"),
+      (5L, "apple apple apple"))), dir, nBuckets = 16)
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((2L, "apple plum plum"), (9L, "banana banana dog")).toDF("doc_id", "text"),
+      removedIds = Seq(3L), nBuckets = 16)
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((9L, "grass grass")).toDF("doc_id", "text"), removedIds = Seq.empty, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q(s: String) = rows(TextAnalysis.bm25IndexedInc(spark, dir, s, 10, nBuckets = 16))
+    val (b1, b2) = (q("apple banana"), q("dog grass plum"))
+    TextAnalysis.compactIndex(spark, dir)
+    assert(q("apple banana") == b1 && q("dog grass plum") == b2,
+      "query results are row-identical across a full compaction")
+    assert(!new java.io.File(s"$dir/tombstones").isDirectory,
+      "full compaction retires every tombstone (dir removed for the fast query path)")
+    val seg = spark.read.parquet(s"$dir/segstats").collect()
+    assert(seg.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 4L)),
+      s"one segstats row at maxGen with the live doc count: ${seg.toSeq}")
+    val gens = spark.read.parquet(s"$dir/postings").select("gen").distinct().collect().map(_.getLong(0))
+    assert(gens.toSeq == Seq(2L), s"all postings in the merged segment: ${gens.toSeq}")
+    val docsRows = spark.read.parquet(s"$dir/docs").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(docsRows.toSeq == Seq((1L, 2L), (2L, 2L), (5L, 2L), (9L, 2L)),
+      s"docs relation holds exactly the live set at the merged gen: ${docsRows.toSeq}")
+    // maintenance keeps composing after compaction: update + removal land
+    // as gen 3 and the segmented read still equals a fresh scan
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((2L, "cherry cherry field")).toDF("doc_id", "text"),
+      removedIds = Seq(5L), nBuckets = 16)
+    val post = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "cherry cherry field"),
+      (9L, "grass grass")))
+    assert(q("apple cherry field") ==
+      rows(TextAnalysis.bm25Search(post, "apple cherry field", 10)),
+      "post-compaction delta == fresh scan of the resulting corpus")
+  }
+
+  test("compactIndex: partial merge never touches newer segments; cross-gen stat netting survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("idxp").toString
+    TextAnalysis.buildInvertedIndex(docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "banana cherry"),
+      (3L, "dog grass field"),
+      (5L, "apple apple apple"))), dir, nBuckets = 16)
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((2L, "apple plum plum")).toDF("doc_id", "text"), removedIds = Seq.empty, nBuckets = 16)
+    // gen 2 removes doc 3, which LIVES in gen 0 <= upToGen: its stat
+    // netting stays in the untouched gen-2 row while its postings must
+    // not survive the merge — the arithmetic-sum invariant under test
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((9L, "banana banana dog")).toDF("doc_id", "text"), removedIds = Seq(3L), nBuckets = 16)
+    TextAnalysis.indexDelta(spark, dir,
+      Seq((9L, "grass grass")).toDF("doc_id", "text"), removedIds = Seq.empty, nBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q(s: String) = rows(TextAnalysis.bm25IndexedInc(spark, dir, s, 10, nBuckets = 16))
+    val (b1, b2) = (q("apple banana"), q("dog grass plum"))
+    val newerPost = idxFiles(dir, "postings").filter { f =>
+      spark.read.parquet(f).agg(org.apache.spark.sql.functions.min(col("gen")))
+        .collect().head.getLong(0) >= 2L
+    }
+    TextAnalysis.compactIndex(spark, dir, upToGen = 1L)
+    assert(newerPost.subsetOf(idxFiles(dir, "postings")),
+      "files of segments above upToGen are byte-identical paths — base immutability")
+    assert(q("apple banana") == b1 && q("dog grass plum") == b2,
+      "query results are row-identical across a partial compaction")
+    val segGens = spark.read.parquet(s"$dir/segstats").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(segGens.toSeq == Seq((1L, 4L), (2L, 0L), (3L, 0L)),
+      s"merged row is the arithmetic sum; newer netting rows untouched: ${segGens.toSeq}")
+    val tombGens = spark.read.parquet(s"$dir/tombstones").select("gen").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(tombGens.toSeq == Seq(2L, 3L), s"only tombstones above upToGen survive: ${tombGens.toSeq}")
+    // doc 3 was removed by the KEPT gen-2 tombstone: its rows may not sit
+    // in the merged segment either (live filter ran against ALL tombstones)
+    val merged = spark.read.parquet(s"$dir/postings").filter(col("gen") === 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(!merged.contains(3L), s"later-removed doc must not be carried forward: ${merged.toSeq}")
+    // the full corpus view still equals a fresh scan
+    val post = docs(Seq(
+      (1L, "apple banana apple cherry plum"),
+      (2L, "apple plum plum"),
+      (5L, "apple apple apple"),
+      (9L, "grass grass")))
+    assert(q("apple banana") == rows(TextAnalysis.bm25Search(post, "apple banana", 10)),
+      "partial compaction preserves the corpus view")
+  }
+
   test("tokFertility: exact token/byte ratios per language") {
     import spark.implicits._
     // punctuation splits re-tokens ("a-b" -> a, -, b); é is 2 UTF-8 bytes
