@@ -309,7 +309,7 @@ object SparkEntry {
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
     "bm25_delta"         -> ((s, dir) => TextAnalysis.bm25DeltaQuery(Tables(s, dir), dir)),
     "bm25_compact"       -> ((s, dir) => TextAnalysis.bm25CompactQuery(Tables(s, dir), dir)),
-    "triangle_count"     -> q(Analytics.triangleCount),
+    "triangle_count"     -> q(Analytics.triangleCount(_)),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),

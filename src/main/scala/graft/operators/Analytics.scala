@@ -441,8 +441,30 @@ object Analytics {
     * linear — not parts². Wedge and closure joins are plain hash
     * equi-joins (no cross product, plan-audited).
     */
-  def triangleCount(t: Tables): DataFrame = {
+  /** The (edges, degrees, oriented-edges) triple behind [[triangleCount]],
+    * exposed so the sf10 scale probe can MEASURE the oriented-wedge
+    * intermediate (Σ C(d⁺,2)) from the exact relation the operator joins,
+    * not a re-derivation that could drift.
+    */
+  /** Skew gate for the basket-quadratic operators (B23/B29): pair
+    * generation within an order is Σ C(basket, 2) — corpus-linear when
+    * baskets are bounded, but ONE pathological 100k-item basket is 5e9
+    * pairs in a single join task. The gate is a map-side-combinable
+    * per-order count + max (order-cardinality, runs before any pair is
+    * formed) and fails with the remedy named, the C42 precedent.
+    */
+  private def requireBasketBound(items: DataFrame, maxBasket: Int, op: String): Unit = {
+    val worst = items.groupBy(col("ok")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).collect().head.getLong(0)
+    require(worst <= maxBasket,
+      s"$op: largest basket has $worst items > maxBasket=$maxBasket — per-basket pair " +
+        "generation is quadratic; pre-cap baskets (e.g. keep the top-N items per order) " +
+        "or raise maxBasket deliberately for a corpus known to be this dense")
+  }
+
+  private[graft] def coPurchaseOriented(t: Tables, maxBasket: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
     val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+    requireBasketBound(li.withColumnRenamed("s", "item").distinct(), maxBasket, "triangleCount")
     // undirected co-supply edges (a < b as canonical form), deduplicated
     val e = li.join(li.withColumnRenamed("s", "s2"), Seq("ok"))
       .filter(col("s") < col("s2"))
@@ -460,6 +482,11 @@ object Analytics {
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
+    (e, deg, oriented)
+  }
+
+  def triangleCount(t: Tables, maxBasket: Int = 4096): DataFrame = {
+    val (e, deg, oriented) = coPurchaseOriented(t, maxBasket)
     // wedges: two out-edges of one src; triangle iff the third edge exists
     val o1 = oriented.select(col("src"), col("dst").as("x"))
     val o2 = oriented.select(col("src"), col("dst").as("y"))
@@ -498,10 +525,12 @@ object Analytics {
     * multiply → two divisions) so conf/lift are bit-identical
     * cross-engine before the shared 4 dp floor-rounding.
     */
-  def assocRules(t: Tables, minPairSupport: Long = 2, k: Int = 50): DataFrame = {
+  def assocRules(t: Tables, minPairSupport: Long = 2, k: Int = 50,
+                 maxBasket: Int = 4096): DataFrame = {
     val items = t.lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .distinct()
+    requireBasketBound(items, maxBasket, "assocRules")
     val nb = items.agg(countDistinct(col("ok")).as("nb"))
     val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val pairs = items.join(items.withColumnRenamed("item", "item_b"), Seq("ok"))

@@ -97,6 +97,16 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = Analytics.triangleCount(Tables(spark, dir)).collect().head
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((7L, 10L, 5L)),
       s"nodes=7 edges=10 triangles=1+C(4,3)... : $got")
+    // skew gate: the 4-item basket (o3) trips maxBasket=3 BEFORE any pair
+    // forms, with the remedy named — the last ungated quadratic surface
+    val e = intercept[IllegalArgumentException] {
+      Analytics.triangleCount(Tables(spark, dir), maxBasket = 3)
+    }
+    assert(e.getMessage.contains("maxBasket") && e.getMessage.contains("top-N"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.assocRules(Tables(spark, dir), maxBasket = 3)
+    }
+    assert(e2.getMessage.contains("assocRules"), e2.getMessage)
   }
 
   test("graphPagerank: one iteration matches exact integer fixed-point arithmetic") {
