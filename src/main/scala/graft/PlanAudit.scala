@@ -336,6 +336,13 @@ object PlanAudit {
       ("cluster_hist", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
           p.contains("partial_count"),
         "cluster histogram: window-free double count collapse"),
+      // B31: component labels aggregate map-side and the census is a
+      // bounded take — never a global sort; no cross product anywhere
+      // (at the audit SF the edge set gates to the driver union-find, so
+      // the label relation enters the plan as a distributed RDD scan)
+      ("graph_cc", p => !p.contains("CartesianProduct") &&
+          p.contains("partial_count") && p.contains("TakeOrderedAndProject"),
+        "connected components: map-side census, bounded take, no cross product"),
       // C67b: the segmented read keeps C67's bucket partition pruning,
       // applies liveDocs as a broadcast ANTI join (tombstones are
       // delta-sized), and stays a bounded take

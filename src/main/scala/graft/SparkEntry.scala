@@ -150,7 +150,8 @@ object SparkEntry {
     "funnel_latency"    -> Seq(col("stage")),
     "anomaly_days"      -> Seq(col("event_type"), col("day")),
     "props_profile"     -> Seq(col("event_type")),
-    "novelty_score"     -> Seq(col("doc_id"))
+    "novelty_score"     -> Seq(col("doc_id")),
+    "graph_cc"          -> Seq(col("n_nodes").desc, col("component"))
   )
 
   /** One entry per implemented operator from SURVEY.md §2 (library plan +
@@ -310,6 +311,7 @@ object SparkEntry {
     "bm25_delta"         -> ((s, dir) => TextAnalysis.bm25DeltaQuery(Tables(s, dir), dir)),
     "bm25_compact"       -> ((s, dir) => TextAnalysis.bm25CompactQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount(_)),
+    "graph_cc"           -> q(Analytics.graphCC(_)),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
@@ -1857,6 +1859,7 @@ object SparkEntry {
            floor((n_re_tokens * 1.0 / greatest(n_ws_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS fertility,
            floor((n_bytes * 1.0 / greatest(n_re_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token
          FROM g ORDER BY lang""",
+    "graph_cc" -> graphCcSql,
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
@@ -2086,6 +2089,34 @@ object SparkEntry {
     * pivoted per-doc summation — one string so the lexical arm of the
     * RRF fusion can never desynchronize from the standalone BM25 query.
     */
+  /** B31 oracle: min-label propagation unrolled a fixed 20 rounds — an
+    * INDEPENDENT algorithm from the engine's star contraction (DuckDB
+    * 1.0 has no keyed recursion, and an unkeyed recursive closure is
+    * reachability-pair-sized). 20 rounds bounds the min-label BFS radius
+    * the compare tolerates; the co-purchase graph's dense overlap
+    * converges in a handful (verified at both SFs), and the engine side
+    * asserts true fixpoint loudly, so disagreement = non-convergence,
+    * never silence.
+    */
+  private val graphCcSql: String = {
+    // MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs, and
+    // each round references its predecessor twice — 2^20 expansions
+    val rounds = (1 to 20).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, coalesce(m.ml, l.lbl)) AS lbl
+            FROM l${i - 1} l LEFT JOIN (
+              SELECT ed.b AS node, min(p.lbl) AS ml
+              FROM l${i - 1} p JOIN ed ON p.node = ed.a GROUP BY ed.b) m
+            ON l.node = m.node)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       e AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+       ed AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM ed),
+       $rounds
+       SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM l20 GROUP BY lbl ORDER BY n_nodes DESC, component LIMIT 20"""
+  }
+
   private val bm25Sql: String =
     """WITH terms(term) AS (SELECT * FROM (VALUES ('spark'), ('stream'), ('filter'))),
        d AS (SELECT doc_id,

@@ -604,6 +604,35 @@ object Analytics {
         band(col("monetary_cents").cast("double"), col("m25"), col("m50"), col("m75")).as("m_band"))
   }
 
+  /** B31: connected components of the co-purchase graph — component =
+    * min part id, sized and ranked. The structural complement of B21/B23:
+    * PageRank scores nodes, triangles measure density, components answer
+    * "how many disconnected markets does this graph actually have".
+    *
+    * Reuses C17's [[Dedup.starComponents]] kernel verbatim — alternating
+    * large-star/small-star contraction (Kiveris et al., CC in MapReduce),
+    * O(log²) rounds of hash-only groupBy/join with a one-job symmetric-
+    * difference fixpoint test and the same loud non-convergence refusal;
+    * sub-gate edge sets route to the driver union-find (asserted
+    * interchangeable in DedupSpec). Edge construction shares B23's
+    * basket-bounded within-order pair join ([[coPurchaseOriented]], same
+    * maxBasket gate). The oracle unrolls min-label propagation a fixed
+    * 20 rounds — the driver compare holds star contraction to the exact
+    * fixpoint labeling, so the two independent algorithms must agree on
+    * every component.
+    */
+  def graphCC(t: Tables, k: Int = 20, maxIter: Int = 20,
+              maxBasket: Int = 4096): DataFrame = {
+    val (e, _, _) = coPurchaseOriented(t, maxBasket)
+    val (labels, iters) = Dedup.starComponents(
+      e.select(col("a").as("id_a"), col("b").as("id_b")), maxIter)
+    graft.IterationLog.record("graph_cc", iters)
+    labels.groupBy(col("cluster").as("component"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("component"))
+      .limit(k)
+  }
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

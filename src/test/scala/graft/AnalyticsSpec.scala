@@ -109,6 +109,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("assocRules"), e2.getMessage)
   }
 
+  test("graphCC: exact component census on a hand-built two-component graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc").toString
+    // o1..o4 connect {1..7} (bridge 3-4); o5 {8,9} is a separate market;
+    // o6 {10} is a singleton basket -> NO edge, so 10 is not a node
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (3L, 5L), (3L, 6L), (3L, 7L), (4L, 1L), (4L, 2L),
+        (5L, 8L), (5L, 9L), (6L, 10L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.graphCC(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (8L, 2L)),
+      s"component = min part id, sized desc, edge-less parts excluded: $got")
+  }
+
   test("graphPagerank: one iteration matches exact integer fixed-point arithmetic") {
     val tt = pagerankFixture()
     val got = Analytics.graphPagerank(tt, iters = 1, k = 10).collect()
