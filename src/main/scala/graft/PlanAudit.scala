@@ -336,6 +336,17 @@ object PlanAudit {
       ("cluster_hist", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
           p.contains("partial_count"),
         "cluster histogram: window-free double count collapse"),
+      // A24: one corpus scan into map-side partial sums; phase stats join
+      // back as a broadcast; no window, no per-row second pass
+      ("ts_seasonal", p => p.contains("BroadcastHashJoin") &&
+          p.contains("partial_sum") && !p.contains("Window") &&
+          !p.contains("CartesianProduct"),
+        "seasonal profile: map-side sums, broadcast phase join, window-free"),
+      // A25: ONE map-side-combinable aggregation — open/close ride struct
+      // min/max partials; no join, no window, no sort before the agg
+      ("ts_ohlc", p => !p.contains("Join") && !p.contains("Window") &&
+          p.contains("partial_min") && p.contains("partial_max"),
+        "OHLC bars: single map-side-combined aggregation, no join/window"),
       // B31: component labels aggregate map-side and the census is a
       // bounded take — never a global sort; no cross product anywhere
       // (at the audit SF the edge set gates to the driver union-find, so

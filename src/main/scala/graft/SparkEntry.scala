@@ -56,6 +56,8 @@ object SparkEntry {
     "channel_match"    -> Seq(col("event_type")),
     "ts_session_window" -> Seq(col("event_type"), col("start_us")),
     "ts_moving"        -> Seq(col("event_type"), col("ts_us")),
+    "ts_seasonal"      -> Seq(col("event_type"), col("hod")),
+    "ts_ohlc"          -> Seq(col("event_type"), col("bucket_us")),
     "ts_corr"          -> Seq(col("type_a"), col("type_b")),
     "ts_xcorr_lag"     -> Seq(col("type_a"), col("type_b"), col("lag")),
     "ts_interp"        -> Seq(col("event_type"), col("bucket_us")),
@@ -209,6 +211,8 @@ object SparkEntry {
     "ann_ivf"       -> q(Similarity.annIvf(_)),
     "skew_agg"           -> q(Analytics.skewAgg(_)),
     "ts_moving"          -> q(TimeSeries.tsMoving(_)),
+    "ts_seasonal"        -> q(TimeSeries.tsSeasonal(_)),
+    "ts_ohlc"            -> q(TimeSeries.tsOhlc(_)),
     "ts_session_window"  -> q(TimeSeries.tsSessionWindow(_)),
     "ts_corr"            -> q(TimeSeries.tsCorr(_)),
     "ts_interp"          -> q(TimeSeries.tsInterp(_)),
@@ -687,6 +691,35 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY event_type, ts_us""",
+    "ts_seasonal" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+         b2 AS (SELECT *, (bucket_us // 3600000000) % 24 AS hod FROM b),
+         p AS (SELECT event_type, hod, CAST(sum(s) AS BIGINT) AS ps, CAST(sum(c) AS BIGINT) AS pc,
+                 CAST(count(*) AS BIGINT) AS n_buckets
+               FROM b2 GROUP BY 1, 2),
+         j AS (SELECT b2.event_type, b2.hod, p.n_buckets, p.pc,
+                 (CAST(p.ps AS DOUBLE) / p.pc) / 100.0 AS phase_mean,
+                 abs((CAST(b2.s AS DOUBLE) / b2.c) / 100.0 - (CAST(p.ps AS DOUBLE) / p.pc) / 100.0) AS dev
+               FROM b2 JOIN p ON b2.event_type = p.event_type AND b2.hod = p.hod)
+         SELECT event_type, hod, max(n_buckets) AS n_buckets, max(pc) AS n_events,
+           floor(max(phase_mean) * 10000.0 + 0.5) / 10000.0 AS phase_mean,
+           floor(max(dev) * 10000.0 + 0.5) / 10000.0 AS max_dev
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 event_id, value, us FROM e)
+         SELECT event_type, bucket_us,
+           floor(min_by(value, printf('%020d%020d', us, event_id)) * 100.0 + 0.5) / 100.0 AS open,
+           floor(max(value) * 100.0 + 0.5) / 100.0 AS high,
+           floor(min(value) * 100.0 + 0.5) / 100.0 AS low,
+           floor(max_by(value, printf('%020d%020d', us, event_id)) * 100.0 + 0.5) / 100.0 AS close,
+           CAST(count(*) AS BIGINT) AS n
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     "ts_corr" ->
       """WITH h AS (SELECT event_type, (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS bucket_us,
                       avg(value) AS v

@@ -499,6 +499,79 @@ object TimeSeries {
       .agg(count(lit(1)).as("n"),
         roundHalfUp(min(col("value")), 2).as("min_value"), roundHalfUp(max(col("value")), 2).as("max_value"))
 
+  /** A24: seasonal profile + strongest seasonal anomaly — per channel and
+    * hour-of-day phase: the phase mean ("what does 3am normally look
+    * like") and the largest absolute deviation of any single hourly
+    * bucket from its phase mean ("the 3am that wasn't"). The diurnal
+    * baseline every monitoring pipeline fits before alerting; A19/A21
+    * flag pointwise outliers, this flags the hour that breaks its
+    * phase.
+    *
+    * Determinism discipline: values ride as INTEGER CENTS (the corpus
+    * grid; B30's trick), so every sum is an exact long under any
+    * aggregation order — double sums of corpus-sized groups drift in
+    * the last ulps and flip the 4 dp round (observed at sf0.01 before
+    * this). The phase mean is ONE fixed-order expression over exact
+    * longs ((ps/pc)/100), never an average of bucket averages, and the
+    * deviation subtracts two such deterministic doubles — bit-identical
+    * cross-engine before the shared 4 dp round.
+    *
+    * Scale shape: one corpus pass → (channel, bucket) partial sums,
+    * map-side combinable; phase stats collapse to channel×24; the
+    * deviation join is a broadcast of that tiny relation. Nothing is
+    * ever corpus-sized after the first aggregation.
+    */
+  def tsSeasonal(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame = {
+    val buckets = t.events
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      .withColumn("hod", expr(s"(bucket_us div ${bucketUs}L) % 24"))
+    val phase = buckets.groupBy(col("event_type"), col("hod"))
+      .agg(sum(col("s")).as("ps"), sum(col("c")).as("pc"),
+        count(lit(1)).as("n_buckets"))
+      .withColumn("phase_mean", (col("ps").cast("double") / col("pc")) / lit(100.0))
+    buckets.join(broadcast(phase), Seq("event_type", "hod"))
+      .withColumn("dev",
+        abs((col("s").cast("double") / col("c")) / lit(100.0) - col("phase_mean")))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(max(col("n_buckets")).as("n_buckets"), max(col("pc")).as("n_events"),
+        roundHalfUp(max(col("phase_mean")), 4).as("phase_mean"),
+        roundHalfUp(max(col("dev")), 4).as("max_dev"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
+  /** A25: OHLC bar downsampling — the market-data shape of resampling:
+    * per channel and bucket, the opening value (first by (ts, event_id)),
+    * high, low, close (last), and the event count. A7's value-resample
+    * keeps means; this keeps the four order-statistics a charting or
+    * feature pipeline wants, with the (ts, event_id) tie rule making
+    * first/last exact rather than "whichever task won".
+    *
+    * One map-side-combinable aggregation: open/close ride Spark's
+    * lexicographic struct min/max ((us, event_id, value) — unique key
+    * prefix, so the value never participates in the comparison), high/
+    * low are plain min/max. The oracle mirrors first/last with
+    * min_by/max_by over a zero-padded fixed-width string key — same
+    * total order, different engine mechanics.
+    */
+  def tsOhlc(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame =
+    t.events
+      .select(col("event_type"), col("event_id"), col("value"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).getField("value").as("open"),
+        roundHalfUp(max(col("value")), 2).as("high"),
+        roundHalfUp(min(col("value")), 2).as("low"),
+        max(struct(col("us"), col("event_id"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket_us"),
+        roundHalfUp(col("open"), 2).as("open"), col("high"), col("low"),
+        roundHalfUp(col("close"), 2).as("close"), col("n"))
+
   /** A21: robust outlier detection via MAD (median absolute deviation) —
     * the resistant complement of the z-score detector A19: median and MAD
     * are unaffected by the very outliers being hunted, so a few extreme

@@ -167,4 +167,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"only the planted anomaly flagged, got ${got.map(_.getLong(1)).toSeq}")
     assert(got(0).getDouble(4) > 10.0, "planted anomaly has a huge z-score")
   }
+
+  test("tsSeasonal: phase mean from raw sums; max deviation finds the hour that broke its phase") {
+    val H = 3600L * 1000000000L // one hour in ns
+    val rows = Seq(
+      // phase hod=0: day-1 bucket mean (1+3)/2 = 2, day-2 bucket mean 4;
+      // phase mean = (1+3+4)/3 = 2.6667, max dev = |4 - 8/3| = 1.3333
+      (1L, 100L, 1L, "x", 1.0),
+      (2L, 200L, 1L, "x", 3.0),
+      (3L, 24L * H + 100L, 1L, "x", 4.0),
+      // phase hod=1: single bucket -> dev 0
+      (4L, H + 500L, 1L, "x", 10.0))
+    val got = TimeSeries.tsSeasonal(events(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("x", 0L, 2L, 3L, 2.6667, 1.3333),
+      ("x", 1L, 1L, 1L, 10.0, 0.0)), s"got ${got.toSeq}")
+  }
+
+  test("tsOhlc: open/close follow the exact (ts, event_id) order, ties broken by id") {
+    val H = 3600L * 1000000000L
+    val rows = Seq(
+      (10L, 5000000L * 1000L, 1L, "y", 7.5),  // last by us -> close
+      (11L, 1000000L * 1000L, 1L, "y", 2.25), // tied us, LOWER id -> open
+      (12L, 1000000L * 1000L, 1L, "y", 9.0),  // tied us, higher id
+      (13L, H + 1000L, 1L, "y", -1.25))       // second bucket, single event
+    val got = TimeSeries.tsOhlc(events(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("y", 0L, 2.25, 9.0, 2.25, 7.5, 3L),
+      ("y", 3600000000L, -1.25, -1.25, -1.25, -1.25, 1L)), s"got ${got.toSeq}")
+  }
 }
