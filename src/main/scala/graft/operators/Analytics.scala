@@ -451,7 +451,11 @@ object Analytics {
     * baskets are bounded, but ONE pathological 100k-item basket is 5e9
     * pairs in a single join task. The gate is a map-side-combinable
     * per-order count + max (order-cardinality, runs before any pair is
-    * formed) and fails with the remedy named, the C42 precedent.
+    * formed) over whatever relation the caller hands it — B23 passes the
+    * RAW line relation (an upper bound on the distinct basket: no dedup
+    * shuffle spent on a guard, and a duplicate-heavy pathological order
+    * trips early, the conservative direction) — and fails with the
+    * remedy named, the C42 precedent.
     */
   private def requireBasketBound(items: DataFrame, maxBasket: Int, op: String): Unit = {
     val worst = items.groupBy(col("ok")).agg(count(lit(1)).as("c"))
@@ -464,7 +468,7 @@ object Analytics {
 
   private[graft] def coPurchaseOriented(t: Tables, maxBasket: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
     val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
-    requireBasketBound(li.withColumnRenamed("s", "item").distinct(), maxBasket, "triangleCount")
+    requireBasketBound(li.withColumnRenamed("s", "item"), maxBasket, "triangleCount")
     // undirected co-supply edges (a < b as canonical form), deduplicated
     val e = li.join(li.withColumnRenamed("s", "s2"), Seq("ok"))
       .filter(col("s") < col("s2"))
@@ -527,10 +531,12 @@ object Analytics {
     */
   def assocRules(t: Tables, minPairSupport: Long = 2, k: Int = 50,
                  maxBasket: Int = 4096): DataFrame = {
+    requireBasketBound(
+      t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item")),
+      maxBasket, "assocRules")
     val items = t.lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .distinct()
-    requireBasketBound(items, maxBasket, "assocRules")
     val nb = items.agg(countDistinct(col("ok")).as("nb"))
     val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val pairs = items.join(items.withColumnRenamed("item", "item_b"), Seq("ok"))
