@@ -225,6 +225,81 @@ object EventStream {
       }
   }
 
+  /** A media fingerprint arriving on the live ingest (C74/C74c output). */
+  final case class TimedMediaHash(mediaId: Long, ts: java.sql.Timestamp, phash: Long)
+
+  /** Streaming state per live perceptual-hash band bucket: the claiming
+    * media's id AND full 64-bit hash (the Hamming verify needs it), plus
+    * the claim's expiry stamp.
+    */
+  final case class PhashBucket(firstId: Long, firstPhash: Long, expiresAtMs: Long)
+
+  /** An arriving media item flagged as a near-duplicate of an earlier one
+    * (band collision + exact Hamming verify against the claim).
+    */
+  final case class PhashFlag(mediaId: Long, firstId: Long, hamming: Int, bandIdx: Int)
+
+  /** C74e: streaming media near-dup detection — the live-ingest twin of
+    * the batch banded perceptual-hash kernel (Multimodal.hashBandDedup,
+    * shared by image C74b and audio C74d: after the fingerprint pass
+    * modality is gone, so ONE stream operator serves both). Arrivals
+    * explode to the same 4×16-bit bands as batch; state lives per ACTIVE
+    * bucket via `flatMapGroupsWithState`, and — unlike C20c's
+    * candidate-only MinHash buckets — the claim carries the full 64-bit
+    * fingerprint so the batch kernel's EXACT popcount verify runs inline:
+    * a band collision beyond `maxHamming` neither flags nor steals the
+    * claim. A flagged pair can surface once per shared band (bandIdx is
+    * in the output, C20c's contract) — Append mode cannot dedupe across
+    * band groups; consumers key by (mediaId, firstId).
+    *
+    * Same watermark-bounded state story as C20c: each bucket expires
+    * `watermark` past its newest arrival (stale-state expiry enforced
+    * in-handler too), so state is O(buckets live in the horizon) on an
+    * infinite stream, and a re-encode of media older than the horizon is
+    * NOT flagged — the documented semantic.
+    */
+  def streamingPhashDedup(hashes: Dataset[TimedMediaHash], maxHamming: Int = 6,
+                          watermarkMs: Long = 600000L): Dataset[PhashFlag] = {
+    import hashes.sparkSession.implicits._
+    val bandArr = expr("array(" +
+      (0 until 4).map(i => s"shiftright(phash, ${i * 16}) & 65535").mkString(", ") + ")")
+    val arrivals = hashes.toDF()
+      .withWatermark("ts", s"$watermarkMs milliseconds")
+      .select(col("mediaId"), col("ts"), col("phash"),
+        posexplode(bandArr).as(Seq("bandIdx", "bandHash")))
+      .as[(Long, java.sql.Timestamp, Long, Int, Long)]
+    arrivals
+      .groupByKey(a => (a._4, a._5))
+      .flatMapGroupsWithState[PhashBucket, PhashFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((bandIdx, _), batch, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var claim = state.getOption.filter(_.expiresAtMs > wm)
+              .map(b => (b.firstId, b.firstPhash))
+            val rows = batch.toSeq.sortBy(a => (tsToUs(a._2), a._1))
+            var maxTsMs = Long.MinValue
+            val out = Seq.newBuilder[PhashFlag]
+            rows.foreach { case (id, ts, ph, _, _) =>
+              maxTsMs = math.max(maxTsMs, ts.getTime)
+              claim match {
+                case Some((fid, fph)) if fid != id =>
+                  val d = java.lang.Long.bitCount(ph ^ fph)
+                  if (d <= maxHamming) out += PhashFlag(id, fid, d, bandIdx)
+                case None => claim = Some((id, ph))
+                case _ => ()
+              }
+            }
+            val expires = math.max(maxTsMs + watermarkMs,
+              state.getOption.map(_.expiresAtMs).getOrElse(Long.MinValue))
+            claim.foreach { case (fid, fph) => state.update(PhashBucket(fid, fph, expires)) }
+            state.setTimeoutTimestamp(math.max(expires, wm + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** C20b: STREAM-STATIC decontamination — the live-ingest twin of
     * TextAnalysis.decontaminate. Each arriving document's k-gram shingle
     * hashes join against a STATIC benchmark hash relation (the classic

@@ -648,4 +648,44 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
+
+  test("streamingPhashDedup: band claim + exact hamming verify; horizon expiry unflags old media") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tmh(id: Long, minute: Int, ph: Long) =
+      EventStream.TimedMediaHash(id, ts(minute), ph)
+    val mem = MemoryStream[EventStream.TimedMediaHash]
+    val q = EventStream.streamingPhashDedup(mem.toDS(), maxHamming = 6, watermarkMs = 600000L)
+      .writeStream.format("memory").queryName("phflags").outputMode("append").start()
+    // base claims its four band buckets
+    mem.addData(tmh(1, 0, 0L))
+    q.processAllAvailable()
+    // 2: hamming-2 dup of base (shares bands 1-3) -> flagged vs 1.
+    // 3: 2-bits-per-band spread -> shares NO band with base (miss), but its
+    //    band-0 value (3) was just claimed by 2 in this same batch and
+    //    hamming(3, spread)=6 -> flagged vs 2 (within-batch id order).
+    // 4: 8 flips in band 0 -> shares bands 1-3 with BASE's claim, hamming
+    //    8 > 6 -> the exact verify refuses the candidate, no flag.
+    mem.addData(tmh(2, 1, 3L), tmh(3, 1, 0x0003000300030003L), tmh(4, 1, 255L))
+    q.processAllAvailable()
+    val mid = spark.sql("SELECT DISTINCT mediaId, firstId, hamming FROM phflags").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(mid == Set((2L, 1L, 2), (3L, 2L, 6)),
+      s"verify-refused and band-missed arrivals never flag: $mid")
+    // push the watermark past the old claims (unrelated buckets), then a
+    // near-exact re-encode of base arrives OUTSIDE the horizon: its
+    // buckets expired, so it claims fresh instead of flagging...
+    mem.addData(tmh(8, 40, 0x00ff00ff00ff00ffL))
+    q.processAllAvailable()
+    mem.addData(tmh(9, 41, 1L))
+    q.processAllAvailable()
+    // ...and the NEXT near-dup inside the new horizon flags against it
+    mem.addData(tmh(10, 42, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql("SELECT DISTINCT mediaId, firstId FROM phflags").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((2L, 1L), (3L, 2L), (10L, 9L)),
+      s"old-horizon claims expire (9 claims fresh, never flags vs 1): $all")
+  }
 }
