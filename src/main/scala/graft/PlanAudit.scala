@@ -256,11 +256,14 @@ object PlanAudit {
           p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject"),
         "indexed BM25: bucket partition pruning, broadcast df, bounded top-k"),
       // B23: wedge/closure are hash equi-joins on the degree-ORIENTED
-      // edge relation — no cross product anywhere, and the closure is a
-      // semi join (existence, never a multiplying inner join)
+      // edge relation — no cross product anywhere, and the closure is the
+      // compressed-adjacency edge iterator: the wedge stream must NOT
+      // appear as a row relation (no self-join of oriented on src), only
+      // as a codegen'd array_intersect over the joined adjacency arrays
       ("triangle_count", p => !p.contains("CartesianProduct") &&
-          (p.contains("LeftSemi") || p.contains("ExistenceJoin")),
-        "triangle census: oriented wedge join + semi-join closure, no cross product"),
+          p.toLowerCase.contains("array_intersect") &&
+          p.toLowerCase.contains("collect_list"),
+        "triangle census: compressed-adjacency closure, wedges never materialize"),
       // B21: per-iteration shape — rank relation joins the cached edges
       // (broadcast or co-partitioned hash, never a cross product), final
       // top-k is a bounded take; no Window anywhere in 5 iterations

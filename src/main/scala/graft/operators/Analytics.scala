@@ -434,12 +434,17 @@ object Analytics {
     * contributes wedges only through its (few) higher-ranked neighbors,
     * so no single key explodes the intermediate even on a skewed graph
     * (the n³ wedge blowup of the naive formulation becomes Σ C(d⁺, 2)
-    * with d⁺ bounded by √m-ish under this orientation). Edge
-    * construction is bounded by construction: pairs form WITHIN an
-    * order (self-join on o_orderkey, dedup'd), so the pair stream is
-    * Σ(items-per-order choose 2) — basket-size-quadratic, corpus-
-    * linear — not parts². Wedge and closure joins are plain hash
-    * equi-joins (no cross product, plan-audited).
+    * with d⁺ bounded by √m-ish under this orientation; measured at sf10:
+    * 4.11B oriented wedges vs 14.78B naive, max d⁺ 97 vs max degree 222
+    * — tools/bench_sf10_r13_9ops.json). Edge construction is bounded by
+    * construction: pairs form WITHIN an order (self-join on o_orderkey,
+    * dedup'd), so the pair stream is Σ(items-per-order choose 2) —
+    * basket-size-quadratic, corpus-linear — not parts². The closure
+    * never materializes the wedge stream as rows: out-adjacency
+    * compresses into ≤d⁺-sized arrays (one edge-sized groupBy) and each
+    * oriented edge closes via a codegen'd array_intersect — two hash
+    * joins of edge-sized relations instead of a 34× wedge shuffle + semi
+    * join (no cross product, plan-audited).
     */
   /** The (edges, degrees, oriented-edges) triple behind [[triangleCount]],
     * exposed so the sf10 scale probe can MEASURE the oriented-wedge
@@ -491,19 +496,23 @@ object Analytics {
 
   def triangleCount(t: Tables, maxBasket: Int = 4096): DataFrame = {
     val (e, deg, oriented) = coPurchaseOriented(t, maxBasket)
-    // wedges: two out-edges of one src; triangle iff the third edge exists
-    val o1 = oriented.select(col("src"), col("dst").as("x"))
-    val o2 = oriented.select(col("src"), col("dst").as("y"))
-    val wedges = o1.join(o2, Seq("src")).filter(col("x") < col("y"))
-    // unionByName, NOT positional unionAll: the reversed arm's columns
-    // come in (y, x) order and a positional union would silently re-add
-    // the forward orientation instead (it did — caught by the oracle at
-    // half the true triangle count)
-    val closed = wedges.join(
-      oriented.select(col("src").as("x"), col("dst").as("y"))
-        .unionByName(oriented.select(col("src").as("y"), col("dst").as("x"))),
-      Seq("x", "y"), "left_semi")
-    closed.agg(count(lit(1)).as("n_triangles"))
+    // edge-iterator closure over COMPRESSED adjacency: a triangle under
+    // the orientation is an edge (u, v) plus a common out-neighbor w, so
+    // n_triangles = Σ over oriented edges of |N⁺(u) ∩ N⁺(v)|. The wedge
+    // STREAM never materializes as rows — the r13 sf10 probe measured it
+    // at 4.1B rows (tools/bench_sf10_r13_9ops.json) while the out-
+    // adjacency is one edge-sized groupBy into ≤max_outdeg arrays
+    // (measured 97), so the closure is two hash joins of edge-sized
+    // relations with a codegen'd array_intersect per edge instead of a
+    // 34×-larger wedge shuffle + semi join (446s → see bench artifact).
+    // Each triangle counts exactly once: w is the orientation-maximum of
+    // its triangle, seen from its unique generating edge (u, v).
+    val adj = oriented.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val closed = oriented
+      .join(adj.select(col("src").as("ju"), col("nbrs").as("nu")), col("src") === col("ju"))
+      .join(adj.select(col("src").as("jv"), col("nbrs").as("nv")), col("dst") === col("jv"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+    closed.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .crossJoin(broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes"))))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
