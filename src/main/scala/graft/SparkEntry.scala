@@ -1943,11 +1943,29 @@ object SparkEntry {
                UNION ALL
                SELECT 2, 'click>purchase', s3.t - s2.t
                  FROM s2 JOIN s3 ON s2.user_id = s3.user_id)
-         SELECT stage, transition, count(*) AS n_users,
-           floor((CAST(sum(lat) AS DOUBLE) / count(*)) * 10000.0 + 0.5)/10000.0 AS mean_us,
-           round(quantile_cont(CAST(lat AS DOUBLE), 0.5),4) AS p50_us,
-           round(quantile_cont(CAST(lat AS DOUBLE), 0.9),4) AS p90_us
-         FROM u GROUP BY 1,2 ORDER BY 1""",
+         , st AS (SELECT stage, transition, CAST(count(*) AS BIGINT) AS n_users,
+                  floor((CAST(sum(lat) AS DOUBLE) / count(*)) * 10000.0 + 0.5)/10000.0 AS mean_us
+                FROM u GROUP BY 1,2),
+         q AS (SELECT transition, CAST(lat AS DOUBLE) AS v,
+                 CAST(row_number() OVER (PARTITION BY transition ORDER BY lat) AS BIGINT) AS rn,
+                 CAST(count(*) OVER (PARTITION BY transition) AS BIGINT) AS n
+               FROM u),
+         -- quantile_cont is numerically a DIFFERENT expression tree; at
+         -- ~4e11 us latencies the 4 dp round needs ~16 significant digits,
+         -- so the oracle mirrors the engine's exact interpolation
+         -- lo + frac*(hi-lo) term for term (caught live at sf1)
+         pq AS (SELECT transition,
+                 floor((max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END)
+                   + ((max(n)-1)*CAST(0.5 AS DOUBLE) - floor((max(n)-1)*CAST(0.5 AS DOUBLE))) *
+                     (max(CASE WHEN rn = least(CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+2, n) THEN v END)
+                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END))) * 10000.0 + 0.5) / 10000.0 AS p50_us,
+                 floor((max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END)
+                   + ((max(n)-1)*CAST(0.9 AS DOUBLE) - floor((max(n)-1)*CAST(0.9 AS DOUBLE))) *
+                     (max(CASE WHEN rn = least(CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+2, n) THEN v END)
+                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END))) * 10000.0 + 0.5) / 10000.0 AS p90_us
+               FROM q GROUP BY transition)
+         SELECT stage, transition, n_users, mean_us, p50_us, p90_us
+         FROM st JOIN pq USING (transition) ORDER BY stage""",
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS us, event_id FROM events),
          p AS (SELECT user_id, event_type AS from_type,

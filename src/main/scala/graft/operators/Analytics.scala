@@ -213,8 +213,15 @@ object Analytics {
           max(when(col("m") === vc && col("rn") === loOf(p), frac)).as(s"${name}_frac"))
       }
     }
+    // roundHalfUp (floor(x*1e4+0.5)/1e4), NOT round(): Spark's round is
+    // BigDecimal-exact while DuckDB's round on DOUBLE is a double
+    // multiply — at ~4e11 magnitudes (funnel latencies) the two disagree
+    // in the 4th decimal (caught live at sf1). The floor idiom is pure
+    // double arithmetic, so both engines produce the identical bits; on
+    // the small-magnitude/exact-grid quantiles every other consumer
+    // feeds it agrees with round() exactly.
     val out = specs.flatMap(_._2).map { case (name, _) =>
-      round(col(s"${name}_lo") +
+      graft.functions.roundHalfUp(col(s"${name}_lo") +
         col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
     }
     ranked.filter(wanted)

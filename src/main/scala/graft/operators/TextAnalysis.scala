@@ -893,6 +893,7 @@ object TextAnalysis {
     val maxGen = spark.read.parquet(s"$dir/segstats")
       .agg(max(col("gen"))).collect().head.getLong(0)
     val g = math.min(upToGen, maxGen)
+    require(g >= 0L, s"compactIndex: upToGen must be >= 0, got $upToGen")
     val tombDirF = new java.io.File(s"$dir/tombstones")
     val tombs =
       if (tombDirF.isDirectory) spark.read.parquet(tombDirF.toString)
