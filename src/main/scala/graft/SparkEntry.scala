@@ -2009,17 +2009,21 @@ object SparkEntry {
   private def pagerankSql(iters: Int, k: Int): String = {
     val scale = 1000000000000L
     val iterCtes = (1 to iters).map { i =>
-      s"""r$i AS (SELECT r.node, r.deg, r.n,
+      s"""r$i AS MATERIALIZED (SELECT r.node, r.deg, r.n,
             (($scale * 15 // 100) // r.n) + (85 * coalesce(f.inflow, 0)) // 100 AS rank
           FROM r${i - 1} r LEFT JOIN (
             SELECT e.dst AS node, CAST(sum(r.rank // r.deg) AS BIGINT) AS inflow
             FROM r${i - 1} r JOIN e ON r.node = e.src GROUP BY 1) f USING (node))"""
     }.mkString(",\n         ")
-    s"""WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+    s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
              's' || CAST(l_suppkey AS VARCHAR) AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-         d AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+         -- MATERIALIZED is load-bearing: DuckDB 1.0 inlines plain CTEs and
+         -- every iteration references its predecessor twice, so 5 rounds
+         -- re-derive the edge join 2^5 times (exhausted 77 GB of spill at
+         -- sf1 before this)
+         e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         d AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
          nn AS (SELECT count(*) AS n FROM d),
          r0 AS (SELECT node, deg, n, $scale // n AS rank FROM d CROSS JOIN nn),
          $iterCtes
