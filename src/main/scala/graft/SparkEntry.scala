@@ -1954,16 +1954,22 @@ object SparkEntry {
          -- ~4e11 us latencies the 4 dp round needs ~16 significant digits,
          -- so the oracle mirrors the engine's exact interpolation
          -- lo + frac*(hi-lo) term for term (caught live at sf1)
-         pq AS (SELECT transition,
-                 floor((max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END)
+         pq0 AS (SELECT transition,
+                 max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END)
                    + ((max(n)-1)*CAST(0.5 AS DOUBLE) - floor((max(n)-1)*CAST(0.5 AS DOUBLE))) *
                      (max(CASE WHEN rn = least(CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+2, n) THEN v END)
-                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END))) * 10000.0 + 0.5) / 10000.0 AS p50_us,
-                 floor((max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END)
+                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.5 AS DOUBLE)) AS BIGINT)+1 THEN v END)) AS r50,
+                 max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END)
                    + ((max(n)-1)*CAST(0.9 AS DOUBLE) - floor((max(n)-1)*CAST(0.9 AS DOUBLE))) *
                      (max(CASE WHEN rn = least(CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+2, n) THEN v END)
-                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END))) * 10000.0 + 0.5) / 10000.0 AS p90_us
-               FROM q GROUP BY transition)
+                      - max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.9 AS DOUBLE)) AS BIGINT)+1 THEN v END)) AS r90
+               FROM q GROUP BY transition),
+         -- the engine's deterministic rounding contract (exactQuantiles):
+         -- floor half-up idiom under |x| < 1e14, pass-through above
+         pq AS (SELECT transition,
+                 CASE WHEN abs(r50) < 100000000000000.0 THEN floor(r50 * 10000.0 + 0.5) / 10000.0 ELSE r50 END AS p50_us,
+                 CASE WHEN abs(r90) < 100000000000000.0 THEN floor(r90 * 10000.0 + 0.5) / 10000.0 ELSE r90 END AS p90_us
+               FROM pq0)
          SELECT stage, transition, n_users, mean_us, p50_us, p90_us
          FROM st JOIN pq USING (transition) ORDER BY stage""",
     "event_transitions" ->

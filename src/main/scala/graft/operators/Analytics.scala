@@ -219,10 +219,15 @@ object Analytics {
     // in the 4th decimal (caught live at sf1). The floor idiom is pure
     // double arithmetic, so both engines produce the identical bits; on
     // the small-magnitude/exact-grid quantiles every other consumer
-    // feeds it agrees with round() exactly.
+    // feeds it agrees with round() exactly. Above |x| = 1e14 the value
+    // passes through UNROUNDED: 4 dp is below one ulp there (nothing to
+    // round), and Spark's floor returns a LONG, which would clamp a
+    // ~1e299 quantile to Long.MaxValue/1e4 (the QuantilesPropertySpec
+    // fuzz caught exactly that).
     val out = specs.flatMap(_._2).map { case (name, _) =>
-      graft.functions.roundHalfUp(col(s"${name}_lo") +
-        col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo")), 4).as(name)
+      val v = col(s"${name}_lo") +
+        col(s"${name}_frac") * (col(s"${name}_hi") - col(s"${name}_lo"))
+      when(abs(v) < 1e14, graft.functions.roundHalfUp(v, 4)).otherwise(v).as(name)
     }
     ranked.filter(wanted)
       .groupBy(col("g").as(groupCol))

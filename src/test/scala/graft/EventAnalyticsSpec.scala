@@ -191,13 +191,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } yield (ty, d, i)
     val rows = evs.zipWithIndex.map { case ((ty, d, i), id) =>
       (id.toLong, (d * D + i) * S, 1L, ty, 0.0) }
-    val got = EventAnalytics.anomalyDays(events(rows)).collect()
+    val tab = events(rows)
+    val got = EventAnalytics.anomalyDays(tab).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
     assert(got == Set(("a", 7L, 10L, 2.0, 0.0), ("b", 4L, 9L, 3.0, 1.0)), s"got $got")
     // cache lifecycle: the daily-count relation is locally checkpointed
-    // (GC-released blocks), never persist()'d — repeated calls must not
-    // accumulate pinned CacheManager entries
-    assert(spark.sharedState.cacheManager.isEmpty,
+    // (GC-released blocks), never persist()'d — probe the CacheManager
+    // for THIS operator's exact plan (a global isEmpty would race with
+    // other suites sharing the session)
+    val dailyEq = tab.events
+      .select(col("event_type"), expr("ts div 1000 div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(spark.sharedState.cacheManager.lookupCachedData(
+        dailyEq.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).isEmpty,
       "anomalyDays must not pin its daily-count relation in the cache")
   }
 

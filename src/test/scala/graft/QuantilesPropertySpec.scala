@@ -33,7 +33,11 @@ class QuantilesPropertySpec extends AnyFunSuite {
         Seq("v" -> Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)))
         .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
       val ref = df.groupBy(col("g"))
-        .agg(expr("transform(percentile(v, array(0.25, 0.5, 0.9)), x -> round(x, 4))").as("ps"))
+        .agg(expr("transform(percentile(v, array(0.25, 0.5, 0.9)), " +
+          // the engine's deterministic rounding contract: floor half-up
+          // idiom under |x| < 1e14, pass-through above (4 dp is sub-ulp
+          // there and Spark floor's LONG output would overflow)
+          "x -> CASE WHEN abs(x) < 1e14 THEN floor(x * 10000.0 + 0.5) / 10000.0 ELSE x END)").as("ps"))
         .collect().map { r =>
           val ps = r.getSeq[Double](1)
           r.getString(0) -> (ps(0), ps(1), ps(2))
