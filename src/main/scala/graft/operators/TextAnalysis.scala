@@ -881,25 +881,57 @@ object TextAnalysis {
     * surgery is per-file rename/delete (segments of gen > g keep their
     * exact files — base immutability for everything uncompacted).
     * Like Lucene's merge, compaction is an exclusive maintenance
-    * operation: one writer, no concurrent readers mid-swap. A crashed
-    * compaction leaves its work under the dot-prefixed staging dir
-    * (invisible to every query path) and rerunning compacts cleanly from
-    * the still-intact visible state.
+    * operation: one writer, no concurrent readers mid-swap.
+    *
+    * Crash safety (two regimes, split by the `_COMMIT` marker):
+    *   - crash DURING STAGING (no marker yet): the only writes live under
+    *     the dot-prefixed staging dir, invisible to every query path; a
+    *     rerun deletes the leftovers and recompacts from the intact
+    *     visible state.
+    *   - crash DURING THE SWAP (marker present): the marker records the
+    *     exact file set the completed staged segment replaces, old files
+    *     are deleted only AFTER every staged file is moved in, and a
+    *     rerun first ROLLS THE SWAP FORWARD from the marker's list
+    *     (re-moving whatever staged files remain, re-deleting whatever
+    *     listed files remain — both idempotent) before compacting anew.
+    *     No crash point leaves the index missing rows: until the swap's
+    *     deletes run, the old files still carry every live row (the
+    *     worst mid-swap state is DUPLICATED rows, which recovery — not a
+    *     query — observes, under the exclusive-writer contract).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   upToGen: Long = Long.MaxValue): Unit = {
+                   upToGen: Long = Long.MaxValue): Unit =
+    compactIndexImpl(spark, dir, upToGen, crashAfter = None)
+
+  /** Test seam for [[compactIndex]]: `crashAfter = Some("staged")` aborts
+    * right after the commit marker lands (staging complete, nothing
+    * swapped); `Some("moved")` aborts after every staged file is moved in
+    * but before any old file is deleted. Production calls pass None.
+    */
+  private[graft] class CompactionCrash(at: String)
+    extends RuntimeException(s"compactIndex: simulated crash at '$at'")
+
+  private[graft] def compactIndexImpl(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                      upToGen: Long, crashAfter: Option[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // complete an interrupted swap (marker present) or clear incomplete
+    // staging leftovers — only then is the visible state whole and safe
+    // to recompute from
+    recoverCompaction(fs, dir)
+    val staging = s"$dir/.compact"
     val maxGen = spark.read.parquet(s"$dir/segstats")
       .agg(max(col("gen"))).collect().head.getLong(0)
     val g = math.min(upToGen, maxGen)
     require(g >= 0L, s"compactIndex: upToGen must be >= 0, got $upToGen")
-    val tombDirF = new java.io.File(s"$dir/tombstones")
+    val tombDir = new Path(s"$dir/tombstones")
+    // Hadoop FS probe, NOT java.io.File — the index dir may live on any
+    // Hadoop filesystem (hdfs://, s3a://), where a local-File probe would
+    // silently report "no tombstones" and resurrect dead rows (r13 advice)
+    val hasTombs = fs.isDirectory(tombDir)
     val tombs =
-      if (tombDirF.isDirectory) spark.read.parquet(tombDirF.toString)
+      if (hasTombs) spark.read.parquet(s"$dir/tombstones")
       else spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0L).as("gen")).limit(0)
-    val staging = s"$dir/.compact"
-    fs.delete(new Path(staging), true) // crashed-run leftovers are invisible; recompute
     // data files of the segments being merged — per-file generation
     // bounds so the later delete can never touch a gen > g row (files are
     // single-gen by construction of the base build + every delta append)
@@ -918,7 +950,7 @@ object TextAnalysis {
     val oldPost = mergeFiles(postAll)
     val oldDocs = mergeFiles(docsAll)
     val oldSeg = mergeFiles(segAll)
-    val oldTomb = if (tombDirF.isDirectory) mergeFiles(tombs) else Seq.empty
+    val oldTomb = if (hasTombs) mergeFiles(tombs) else Seq.empty
     // stage the merged segment (dot-dir: invisible to all query paths)
     liveRows(postAll.filter(col("gen") <= g), tombs)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"),
@@ -931,37 +963,95 @@ object TextAnalysis {
       .agg(lit(g).as("gen"), sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
       .coalesce(1).write.parquet(s"$staging/segstats")
-    // swap: drop the merged segments' files, slide the staged ones in
-    def dataFiles(root: Path): Seq[Path] =
-      if (!fs.exists(root)) Seq.empty
-      else {
-        val it = fs.listFiles(root, true)
-        val out = scala.collection.mutable.ArrayBuffer[Path]()
-        while (it.hasNext) {
-          val f = it.next().getPath
-          if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) out += f
-        }
-        out.toSeq
+    // commit point: staging is complete and durable; persist the exact
+    // file set it replaces so a crashed swap is re-runnable from this
+    // list instead of from a mid-swap (mixed) tree
+    val old = oldPost ++ oldDocs ++ oldSeg ++ oldTomb
+    writeCommitMarker(fs, staging, g, old)
+    if (crashAfter.contains("staged")) throw new CompactionCrash("staged")
+    // swap, roll-forward order: staged files in FIRST, old files deleted
+    // only once every replacement row is already visible
+    idxMoveIn(fs, s"$staging/postings", s"$dir/postings")
+    idxMoveIn(fs, s"$staging/docs", s"$dir/docs")
+    idxMoveIn(fs, s"$staging/segstats", s"$dir/segstats")
+    if (crashAfter.contains("moved")) throw new CompactionCrash("moved")
+    old.foreach(f => fs.delete(new Path(f), false))
+    dropTombDirIfEmpty(fs, dir)
+    fs.delete(new Path(staging), true)
+  }
+
+  /** Recursive data files under `root` — `_`/`.`-prefixed names (commit
+    * markers, parquet `_SUCCESS`, hidden staging) excluded.
+    */
+  private def idxDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val it = fs.listFiles(root, true)
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) out += f
       }
-    def moveIn(stagedRoot: String, liveRoot: String): Unit =
-      dataFiles(new Path(stagedRoot)).foreach { f =>
-        // preserve the bucket=<b> partition component when present
-        val sub = f.getParent.getName match {
-          case p if p.startsWith("bucket=") => p + Path.SEPARATOR + f.getName
-          case _ => f.getName
-        }
-        val dst = new Path(liveRoot, sub)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(f, dst), s"compactIndex: rename $f -> $dst failed")
+      out.toSeq
+    }
+
+  /** Move every staged data file under the live root, preserving the
+    * bucket=<b> partition component. Idempotent across reruns: a file
+    * already moved is simply absent from the staging listing.
+    */
+  private def idxMoveIn(fs: org.apache.hadoop.fs.FileSystem,
+                        stagedRoot: String, liveRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    idxDataFiles(fs, new Path(stagedRoot)).foreach { f =>
+      val sub = f.getParent.getName match {
+        case p if p.startsWith("bucket=") => p + Path.SEPARATOR + f.getName
+        case _ => f.getName
       }
-    (oldPost ++ oldDocs ++ oldSeg ++ oldTomb).foreach(f => fs.delete(new Path(f), false))
-    moveIn(s"$staging/postings", s"$dir/postings")
-    moveIn(s"$staging/docs", s"$dir/docs")
-    moveIn(s"$staging/segstats", s"$dir/segstats")
-    // a fully-retired tombstone set leaves queries the clean isDirectory
-    // = false fast path (an empty parquet dir would fail schema inference)
-    if (tombDirF.isDirectory && dataFiles(new Path(tombDirF.toString)).isEmpty)
-      fs.delete(new Path(tombDirF.toString), true)
+      val dst = new Path(liveRoot, sub)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(f, dst), s"compactIndex: rename $f -> $dst failed")
+    }
+  }
+
+  /** A fully-retired tombstone set leaves queries the clean no-dir fast
+    * path (an empty parquet dir would fail schema inference).
+    */
+  private def dropTombDirIfEmpty(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val tomb = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    if (fs.isDirectory(tomb) && idxDataFiles(fs, tomb).isEmpty) fs.delete(tomb, true)
+  }
+
+  private def writeCommitMarker(fs: org.apache.hadoop.fs.FileSystem, staging: String,
+                                g: Long, oldFiles: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMIT"), true)
+    try out.write((s"g=$g" +: oldFiles).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Complete or discard an interrupted compaction before anything reads
+    * the index tree. Marker present ⇒ staging finished and the swap may
+    * have partially run: roll it FORWARD (move remaining staged files in,
+    * delete remaining listed old files — both idempotent, so recovery
+    * itself may crash and rerun). No marker ⇒ staging never completed:
+    * the dot-dir leftovers are invisible and simply deleted.
+    */
+  private def recoverCompaction(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$dir/.compact"
+    val marker = new Path(s"$staging/_COMMIT")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val listed = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      } finally in.close()
+      idxMoveIn(fs, s"$staging/postings", s"$dir/postings")
+      idxMoveIn(fs, s"$staging/docs", s"$dir/docs")
+      idxMoveIn(fs, s"$staging/segstats", s"$dir/segstats")
+      listed.drop(1).filter(_.nonEmpty).foreach(f => fs.delete(new Path(f), false))
+      dropTombDirIfEmpty(fs, dir)
+    }
     fs.delete(new Path(staging), true)
   }
 
@@ -981,14 +1071,19 @@ object TextAnalysis {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "bm25IndexedInc needs at least one query term")
     val buckets = terms.map(termBucket(_, nBuckets)).distinct
-    val tombPath = new java.io.File(s"$indexDir/tombstones")
+    // Hadoop FS probe, NOT java.io.File: on hdfs:// or s3a:// a local-File
+    // probe is always false, so tombstoned rows would silently resurrect
+    // (r13 advice)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val hasTombs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .isDirectory(tombPath)
     val matched = spark.read.parquet(s"$indexDir/postings")
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
     // a fully-compacted index has NO tombstone relation at all — the
     // generation-rule anti-join drops out of the plan entirely, which is
     // the query-side payoff compactIndex exists for (plan-audited)
-    val tf = (if (tombPath.isDirectory)
-        liveRows(matched, spark.read.parquet(tombPath.toString))
+    val tf = (if (hasTombs)
+        liveRows(matched, spark.read.parquet(s"$indexDir/tombstones"))
       else matched)
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))

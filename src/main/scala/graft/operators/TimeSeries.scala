@@ -41,6 +41,9 @@ object TimeSeries {
   /** µs since epoch from the int64-ns ts column (integer division — no FP). */
   private def tsUs: Column = expr("ts div 1000")
 
+  /** One hour in µs — the hour-of-day grid [[tsSeasonal]] phases against. */
+  private val HourUs: Long = 3600L * 1000000
+
   /** A3: digital→physical calibration.
     *
     * Exactly the reference transform (processor/edf_processor/edf.py:14-18):
@@ -528,7 +531,12 @@ object TimeSeries {
       .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
       .groupBy(col("event_type"), col("bucket_us"))
       .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
-      .withColumn("hod", expr(s"(bucket_us div ${bucketUs}L) % 24"))
+      // hour-of-day derives from the BUCKET START, not the bucket index:
+      // (bucket_us div bucketUs) % 24 is only an hour when bucketUs is
+      // exactly one hour — any other width silently turns "hod" into a
+      // bucket-index phase that no longer matches the documented
+      // hour-of-day semantics (r13 advice)
+      .withColumn("hod", expr(s"(bucket_us div ${HourUs}L) % 24"))
     val phase = buckets.groupBy(col("event_type"), col("hod"))
       .agg(sum(col("s")).as("ps"), sum(col("c")).as("pc"),
         count(lit(1)).as("n_buckets"))

@@ -567,6 +567,54 @@ class TextAnalysisSpec extends AnyFunSuite {
       "partial compaction preserves the corpus view")
   }
 
+  test("compactIndex: crash-safe swap — a crash at any swap point loses no rows and reruns cleanly") {
+    import spark.implicits._
+    // r13 advice (medium): the old swap deleted live files BEFORE moving
+    // the staged merge in, so a crash between the two lost the index and a
+    // rerun destroyed the only remaining copy. Now: old files are deleted
+    // only after every staged file is moved in, the _COMMIT marker records
+    // the exact replaced file set, and a rerun rolls an interrupted swap
+    // forward from that list.
+    def build(): String = {
+      val dir = java.nio.file.Files.createTempDirectory("idxcr").toString
+      TextAnalysis.buildInvertedIndex(docs(Seq(
+        (1L, "apple banana apple cherry plum"),
+        (2L, "banana cherry"),
+        (3L, "dog grass field"),
+        (5L, "apple apple apple"))), dir, nBuckets = 16)
+      TextAnalysis.indexDelta(spark, dir,
+        Seq((2L, "apple plum plum"), (9L, "banana banana dog")).toDF("doc_id", "text"),
+        removedIds = Seq(3L), nBuckets = 16)
+      dir
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def q(dir: String, s: String) = rows(TextAnalysis.bm25IndexedInc(spark, dir, s, 10, nBuckets = 16))
+    val clean = build()
+    TextAnalysis.compactIndex(spark, clean)
+    val want = (q(clean, "apple banana"), q(clean, "dog grass plum"))
+    for (at <- Seq("staged", "moved")) {
+      val dir = build()
+      assert((q(dir, "apple banana"), q(dir, "dog grass plum")) == want,
+        "fixture parity before the crash (compaction is query row-identity)")
+      intercept[TextAnalysis.CompactionCrash] {
+        TextAnalysis.compactIndexImpl(spark, dir, Long.MaxValue, crashAfter = Some(at))
+      }
+      if (at == "staged")
+        assert((q(dir, "apple banana"), q(dir, "dog grass plum")) == want,
+          "crash before the swap leaves the visible index untouched (staging + marker are dot-invisible)")
+      // rerunning compactIndex IS the documented recovery: the marker rolls
+      // the interrupted swap forward, then the rerun compacts the whole state
+      TextAnalysis.compactIndex(spark, dir)
+      assert((q(dir, "apple banana"), q(dir, "dog grass plum")) == want,
+        s"crash at '$at' + rerun equals the clean compaction result")
+      val seg = spark.read.parquet(s"$dir/segstats").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(seg.toSeq == Seq((1L, 4L)), s"single merged segstats row after recovery: ${seg.toSeq}")
+      assert(!new java.io.File(s"$dir/tombstones").isDirectory, "tombstones fully retired")
+      assert(!new java.io.File(s"$dir/.compact").exists, "staging cleared")
+    }
+  }
+
   test("tokFertility: exact token/byte ratios per language") {
     import spark.implicits._
     // punctuation splits re-tokens ("a-b" -> a, -, b); é is 2 UTF-8 bytes

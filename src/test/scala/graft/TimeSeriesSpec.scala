@@ -186,6 +186,24 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("x", 1L, 1L, 1L, 10.0, 0.0)), s"got ${got.toSeq}")
   }
 
+  test("tsSeasonal: hod is the bucket start's HOUR-OF-DAY for any bucket width, not a bucket index") {
+    // r13 advice: with bucketUs != 1h, (bucket div bucketUs) % 24 is a
+    // bucket-index phase, not an hour. With 2 h buckets the bucket starting
+    // at 02:00 must report hod=2 (the index formula would say 1), and the
+    // 26:00 bucket must fold onto the same hod=2 phase.
+    val H = 3600L * 1000000000L
+    val rows = Seq(
+      (1L, 100L, 1L, "x", 2.0),          // bucket start 00:00 -> hod 0
+      (2L, 2L * H + 100L, 1L, "x", 4.0), // bucket start 02:00 -> hod 2
+      (3L, 26L * H + 100L, 1L, "x", 6.0))// bucket start 26:00 -> hod 2 (next day)
+    val got = TimeSeries.tsSeasonal(events(rows), bucketUs = 7200L * 1000000).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("x", 0L, 1L, 1L, 2.0, 0.0),
+      ("x", 2L, 2L, 2L, 5.0, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("tsOhlc: open/close follow the exact (ts, event_id) order, ties broken by id") {
     val H = 3600L * 1000000000L
     val rows = Seq(
