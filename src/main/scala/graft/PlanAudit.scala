@@ -368,7 +368,23 @@ object PlanAudit {
       // (the generation-rule join is the cost compaction exists to retire)
       ("bm25_compact", p => p.contains("PartitionFilters: [bucket") &&
           !p.contains("LeftAnti") && p.contains("TakeOrderedAndProject"),
-        "compacted BM25: bucket pruning, ZERO tombstone anti-join, bounded top-k"))
+        "compacted BM25: bucket pruning, ZERO tombstone anti-join, bounded top-k"),
+      // A26: the STFT's window start is bucket arithmetic, so unlike
+      // ts_spectrum there is no channel-start join — every trig sum rides
+      // ONE map-side-combinable aggregation; no window, no join at all
+      ("ts_spectrogram", p => !p.contains("Window") && !p.contains("Join") &&
+          p.contains("partial_sum"),
+        "spectrogram: join-free single map-side-combined trig aggregation"),
+      // A27: the two chained lag windows and the channel aggregation all
+      // need only hash(event_type) — ONE exchange serves the whole plan
+      ("ts_hjorth", p => "Exchange hashpartitioning".r
+          .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
+        "Hjorth: one channel exchange shared by lags and aggregation, no join"),
+      // A28: epoch-scoped lags and the (channel, epoch) aggregation share
+      // one clustering — a single hash exchange, no join
+      ("ts_epoch_features", p => "Exchange hashpartitioning".r
+          .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
+        "epoch features: one exchange for lag windows + epoch aggregation, no join"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

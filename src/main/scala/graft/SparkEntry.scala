@@ -63,6 +63,9 @@ object SparkEntry {
     "ts_interp"        -> Seq(col("event_type"), col("bucket_us")),
     "ts_bandpower"     -> Seq(col("event_type")),
     "ts_spectrum"      -> Seq(col("event_type"), col("bin")),
+    "ts_spectrogram"   -> Seq(col("event_type"), col("win_us"), col("bin")),
+    "ts_hjorth"        -> Seq(col("event_type")),
+    "ts_epoch_features" -> Seq(col("event_type"), col("epoch_us")),
     "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
     "ts_histogram"     -> Seq(col("event_type"), col("bucket")),
     "mad_outlier"      -> Seq(col("event_type"), col("ts_us"), col("event_id")),
@@ -243,6 +246,9 @@ object SparkEntry {
     "decontaminate"      -> q(TextAnalysis.decontaminate(_)),
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
+    "ts_spectrogram"     -> q(TimeSeries.tsSpectrogram(_)),
+    "ts_hjorth"          -> q(TimeSeries.tsHjorth(_)),
+    "ts_epoch_features"  -> q(TimeSeries.tsEpochFeatures(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
@@ -821,6 +827,54 @@ object SparkEntry {
          UNION ALL SELECT event_type, 5, n, amp_5 FROM agg
          UNION ALL SELECT event_type, 6, n, amp_6 FROM agg
          ORDER BY event_type, bin""",
+    "ts_spectrogram" ->
+      """WITH b AS (SELECT event_type, value,
+                 (epoch_ns(ts)//1000 // 21600000000) * 21600000000 AS win_us,
+                 CAST(epoch_ns(ts)//1000 - (epoch_ns(ts)//1000 // 21600000000) * 21600000000 AS DOUBLE) / 1000000.0 AS tsec
+               FROM events),
+         agg AS (SELECT event_type, win_us, count(*) AS n,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(1/21600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(1/21600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_1,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(2/21600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(2/21600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_2,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(3/21600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(3/21600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_3,
+           floor(2.0*sqrt(pow(sum(value*cos(2.0*pi()*(4/21600.0)*tsec)),2) + pow(sum(value*sin(2.0*pi()*(4/21600.0)*tsec)),2))/count(*)*10000.0 + 0.5)/10000.0 AS amp_4
+           FROM b GROUP BY 1, 2)
+         SELECT event_type, win_us, CAST(1 AS BIGINT) AS bin, n, amp_1 AS amp FROM agg
+         UNION ALL SELECT event_type, win_us, 2, n, amp_2 FROM agg
+         UNION ALL SELECT event_type, win_us, 3, n, amp_3 FROM agg
+         UNION ALL SELECT event_type, win_us, 4, n, amp_4 FROM agg
+         ORDER BY event_type, win_us, bin""",
+    "ts_hjorth" ->
+      """WITH b AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us,
+                 CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c FROM events),
+         d1t AS (SELECT event_type, event_id, us, c,
+                   c - lag(c) OVER (PARTITION BY event_type ORDER BY us, event_id) AS d1 FROM b),
+         d2t AS (SELECT event_type, c, d1,
+                   d1 - lag(d1) OVER (PARTITION BY event_type ORDER BY us, event_id) AS d2 FROM d1t),
+         a AS (SELECT event_type,
+                 count(c) AS n0, CAST(sum(c) AS DOUBLE) AS s0, CAST(sum(CAST(c AS HUGEINT)*c) AS DOUBLE) AS q0,
+                 count(d1) AS n1, CAST(sum(d1) AS DOUBLE) AS s1, CAST(sum(CAST(d1 AS HUGEINT)*d1) AS DOUBLE) AS q1,
+                 count(d2) AS n2, CAST(sum(d2) AS DOUBLE) AS s2, CAST(sum(CAST(d2 AS HUGEINT)*d2) AS DOUBLE) AS q2
+               FROM d2t GROUP BY 1)
+         SELECT event_type, n0 AS n,
+           floor(((q0 - s0*s0/n0)/n0)/10000.0*10000.0 + 0.5)/10000.0 AS activity,
+           floor(sqrt(((q1 - s1*s1/n1)/n1)/((q0 - s0*s0/n0)/n0))*10000.0 + 0.5)/10000.0 AS mobility,
+           floor((sqrt(((q2 - s2*s2/n2)/n2)/((q1 - s1*s1/n1)/n1)) / sqrt(((q1 - s1*s1/n1)/n1)/((q0 - s0*s0/n0)/n0)))*10000.0 + 0.5)/10000.0 AS complexity
+         FROM a ORDER BY event_type""",
+    "ts_epoch_features" ->
+      """WITH b AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us,
+                 CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c,
+                 (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS epoch_us
+               FROM events),
+         d1 AS (SELECT *, c - lag(c) OVER w AS d FROM b
+                WINDOW w AS (PARTITION BY event_type, epoch_us ORDER BY us, event_id)),
+         d2 AS (SELECT *, d * lag(d) OVER w < 0 AS turn FROM d1
+                WINDOW w AS (PARTITION BY event_type, epoch_us ORDER BY us, event_id))
+         SELECT event_type, epoch_us, count(*) AS n,
+           floor(CAST(sum(c) AS DOUBLE)/count(*)/100.0*10000.0 + 0.5)/10000.0 AS mean,
+           floor(sqrt(CAST(sum(CAST(c AS HUGEINT)*c) AS DOUBLE)/count(*))/100.0*10000.0 + 0.5)/10000.0 AS rms,
+           floor(CAST(coalesce(sum(abs(d)), 0) AS DOUBLE)/100.0*10000.0 + 0.5)/10000.0 AS line_length,
+           CAST(coalesce(sum(CASE WHEN turn THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_turns
+         FROM d2 GROUP BY 1, 2 ORDER BY 1, 2""",
     "ts_outlier" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
                     FROM events GROUP BY 1),

@@ -580,6 +580,134 @@ object TimeSeries {
         roundHalfUp(col("open"), 2).as("open"), col("high"), col("low"),
         roundHalfUp(col("close"), 2).as("close"), col("n"))
 
+  /** A26: spectrogram — the k-bin harmonic spectrum of [[tsSpectrum]]
+    * computed PER TIME WINDOW (STFT shape): per channel and fixed-width
+    * window, amplitude of harmonics f_k = k/windowS with phase measured
+    * from the WINDOW START. The time-resolved featurization an EEG
+    * pipeline runs where [[tsSpectrum]] gives one global answer —
+    * band-power-over-time is the canonical spectrogram view.
+    *
+    * Spark-first shape: the window start is pure integer bucket
+    * arithmetic ((us div windowUs)·windowUs), so unlike [[tsSpectrum]]
+    * there is NO channel-start pre-aggregate and NO join at all — all
+    * 2k trig sums of every (channel, window) cell ride ONE map-side-
+    * combinable aggregation over a single narrow scan, then unpivot to
+    * long (channel, window, bin, amp). Adding a bin adds two sum
+    * buffers; adding a window adds a group, never a pass. ω is built as
+    * (2·π)·(k/windowS) in both engines so the doubles are bit-identical
+    * under the 4-dp round.
+    */
+  def tsSpectrogram(t: Tables, windowUs: Long = 21600L * 1000000, nBins: Int = 4): DataFrame = {
+    val winS = windowUs / 1e6
+    val base = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("win_us", expr(s"(us div ${windowUs}L) * ${windowUs}L"))
+      .withColumn("tsec", (col("us") - col("win_us")).cast("double") / 1e6)
+    val aggs = (1 to nBins).flatMap { k =>
+      val omega = lit(2.0 * math.Pi * (k / winS))
+      Seq(
+        sum(col("value") * cos(omega * col("tsec"))).as(s"c_$k"),
+        sum(col("value") * sin(omega * col("tsec"))).as(s"s_$k"))
+    } :+ count(lit(1)).as("n")
+    val amps = (1 to nBins).map { k =>
+      roundHalfUp(lit(2.0) * sqrt(col(s"c_$k") * col(s"c_$k") + col(s"s_$k") * col(s"s_$k"))
+        / col("n"), 4).as(s"amp_$k")
+    }
+    val stackArgs = (1 to nBins).map(k => s"${k}L, amp_$k").mkString(", ")
+    base.groupBy(col("event_type"), col("win_us"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((col("event_type") +: col("win_us") +: col("n") +: amps): _*)
+      .select(col("event_type"), col("win_us"), col("n"),
+        expr(s"stack($nBins, $stackArgs) AS (bin, amp)"))
+      .select(col("event_type"), col("win_us"), col("bin"), col("n"), col("amp"))
+  }
+
+  /** A27: Hjorth parameters (Hjorth 1970) — activity (variance),
+    * mobility (√(var(Δx)/var(x))) and complexity (√(var(Δ²x)/var(Δx))
+    * / mobility) per channel: the three time-domain EEG descriptors
+    * every clinical/sleep pipeline computes next to band power, and the
+    * signal-shape audit (mobility ≈ dominant frequency, complexity ≈
+    * bandwidth) that needs no FFT.
+    *
+    * Determinism discipline: values ride as integer cents and every
+    * variance derives from EXACT sums — Σc as a long-safe decimal, Σc²
+    * in decimal(38,0) (cents² would overflow int64 at ~10⁹ rows ×
+    * 4-digit values; decimal addition is exact and order-independent at
+    * any scale) — then var = (Q − S²/n)/n is ONE fixed-order double
+    * expression over exact inputs, bit-identical cross-engine. A
+    * float-sum variance over a corpus-sized group is not reproducible
+    * even run-to-run; this is, under any partitioning.
+    *
+    * Scale shape: one channel-keyed exchange serves the two chained lag
+    * windows AND the final aggregation (same partitioning — Catalyst
+    * adds no second exchange); the result is channel-cardinality.
+    */
+  def tsHjorth(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"), col("event_id"))
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    def exactSums(x: Column, p: String): Seq[Column] = Seq(
+      count(x).as(s"n_$p"),
+      sum(x.cast("decimal(38,0)")).as(s"s_$p"),
+      sum(x.cast("decimal(19,0)") * x.cast("decimal(19,0)")).as(s"q_$p"))
+    // population variance from exact sums — fixed-order double arithmetic
+    def varOf(p: String): Column =
+      (col(s"q_$p").cast("double") -
+        col(s"s_$p").cast("double") * col(s"s_$p").cast("double") / col(s"n_$p")) / col(s"n_$p")
+    t.events
+      .select(col("event_type"), col("event_id"), tsUs.as("us"), cents.as("c"))
+      .withColumn("d1", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("d2", col("d1") - lag(col("d1"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(exactSums(col("c"), "0").head,
+        (exactSums(col("c"), "0").tail ++ exactSums(col("d1"), "1") ++ exactSums(col("d2"), "2")): _*)
+      .select(col("event_type"), col("n_0").as("n"),
+        roundHalfUp(varOf("0") / 10000.0, 4).as("activity"),
+        roundHalfUp(sqrt(varOf("1") / varOf("0")), 4).as("mobility"),
+        roundHalfUp(sqrt(varOf("2") / varOf("1")) / sqrt(varOf("1") / varOf("0")), 4).as("complexity"))
+  }
+
+  /** A28: epoch featurization — per channel and fixed-width epoch, the
+    * time-domain feature row sleep-staging / seizure-detection pipelines
+    * extract before any model: sample count, mean, RMS, line length
+    * (Σ|Δx| — THE classic seizure-onset feature) and turning-point count
+    * (slope sign changes — local-extrema density, the nonparametric
+    * complexity signal next to [[tsHjorth]]'s variance ratios).
+    *
+    * Everything distributed is EXACT INTEGER arithmetic on cents: sums
+    * and Σc² as decimals (order-independent), |Δc| an exact long, a
+    * turning point the integer test d·d_prev < 0 — no float compare can
+    * flip a row between engines; doubles appear only in the final
+    * per-epoch division/√, fixed-order under the 4-dp round.
+    *
+    * Scale shape: ONE channel-keyed exchange serves the epoch-scoped lag
+    * windows and the (channel, epoch) aggregation (hash(event_type)
+    * satisfies the (event_type, epoch) clustering requirement — local
+    * sort, no second exchange); output is epoch-cardinality.
+    */
+  def tsEpochFeatures(t: Tables, epochUs: Long = 3600L * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"), col("epoch_us"))
+      .orderBy(col("us"), col("event_id"))
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    t.events
+      .select(col("event_type"), col("event_id"), tsUs.as("us"), cents.as("c"))
+      .withColumn("epoch_us", expr(s"(us div ${epochUs}L) * ${epochUs}L"))
+      .withColumn("d", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("turn", (col("d") * lag(col("d"), 1).over(w)) < 0L)
+      .groupBy(col("event_type"), col("epoch_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c").cast("decimal(38,0)")).as("s"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")).as("q"),
+        coalesce(sum(abs(col("d"))), lit(0L)).as("ll"),
+        coalesce(sum(when(col("turn"), 1L).otherwise(0L)), lit(0L)).as("n_turns"))
+      .select(col("event_type"), col("epoch_us"), col("n"),
+        roundHalfUp(col("s").cast("double") / col("n") / 100.0, 4).as("mean"),
+        roundHalfUp(sqrt(col("q").cast("double") / col("n")) / 100.0, 4).as("rms"),
+        roundHalfUp(col("ll").cast("double") / 100.0, 4).as("line_length"),
+        col("n_turns"))
+  }
+
   /** A21: robust outlier detection via MAD (median absolute deviation) —
     * the resistant complement of the z-score detector A19: median and MAD
     * are unaffected by the very outliers being hunted, so a few extreme

@@ -204,6 +204,61 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("x", 2L, 2L, 2L, 5.0, 1.0)), s"got ${got.toSeq}")
   }
 
+  test("tsSpectrogram: a sinusoid planted in ONE window shows up only in that window's bin") {
+    // window = 1 h, bins are harmonics of the window: bin 2 = period 1800 s.
+    // Hour 0 carries a 1800 s sine; hour 1 is flat — the spectrogram must
+    // localize the energy in (window 0, bin 2) and show ~0 elsewhere,
+    // which the global tsSpectrum cannot (it smears both hours together).
+    val rows = (0 until 240).map { i =>
+      val tSec = i * 30L
+      val v = if (tSec < 3600) 100.0 * math.sin(2 * math.Pi * tSec / 1800.0) else 42.0
+      (i.toLong, tSec * 1000000000L, 1L, "ch", v)
+    }
+    val got = TimeSeries.tsSpectrogram(events(rows), windowUs = 3600L * 1000000, nBins = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(math.abs(got((0L, 2L)) - 100.0) < 2.0, s"planted bin ~100: $got")
+    assert(got((0L, 1L)) < 2.0, s"other bin of the hot window stays cold: $got")
+    assert(got((3600000000L, 1L)) < 1.0 && got((3600000000L, 2L)) < 1.0,
+      s"flat window has no spectral content: $got")
+  }
+
+  test("tsHjorth: hand-computed variance ratios; degenerate single-sample channel") {
+    // c = [0,200,0,200] cents: var0 = 10000 -> activity 1.0;
+    // d1 = [200,-200,200]: var1 = 40000 - (200/3)^2 = 35555.5556
+    //   -> mobility = sqrt(3.5555556) = 1.8856;
+    // d2 = [-400,400]: var2 = 160000 -> sqrt(160000/35555.56)/mobility
+    //   = sqrt(4.5/3.5555556) = sqrt(1.265625) = 1.125 exactly.
+    val quad = Seq(0.0, 2.0, 0.0, 2.0).zipWithIndex.map { case (v, i) =>
+      (i.toLong, i * 1000000000L, 1L, "q", v)
+    }
+    val single = Seq((99L, 0L, 1L, "s", 7.0))
+    val got = TimeSeries.tsHjorth(events(quad ++ single)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val qr = got("q")
+    assert((qr.getLong(1), qr.getDouble(2), qr.getDouble(3), qr.getDouble(4)) ==
+      ((4L, 1.0, 1.8856, 1.125)), s"got $qr")
+    val sr = got("s")
+    assert(sr.getLong(1) == 1L && sr.getDouble(2) == 0.0 && sr.isNullAt(3) && sr.isNullAt(4),
+      s"single sample: zero activity, null mobility/complexity: $sr")
+  }
+
+  test("tsEpochFeatures: exact mean/rms/line-length/turns; diffs never chain across epochs") {
+    val H = 3600L * 1000000000L
+    val rows = Seq(
+      (1L, 0L, 1L, "e", 1.0), (2L, 1000L, 1L, "e", 3.0),
+      (3L, 2000L, 1L, "e", 2.0), (4L, 3000L, 1L, "e", 2.0),
+      // next epoch: a single sample — its d must be NULL (no cross-epoch
+      // diff against value 2.0), so ll = 0 and no turns
+      (5L, H + 1000L, 1L, "e", 9.0))
+    val got = TimeSeries.tsEpochFeatures(events(rows)).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getLong(6)))).toMap
+    // epoch 0: c=[100,300,200,200] -> mean 2.0, rms sqrt(45000)/100=2.1213,
+    // d=[200,-100,0] -> ll 3.0, one sign flip (200 then -100)
+    assert(got(0L) == ((4L, 2.0, 2.1213, 3.0, 1L)), s"got ${got(0L)}")
+    assert(got(3600000000L) == ((1L, 9.0, 9.0, 0.0, 0L)), s"got ${got(3600000000L)}")
+  }
+
   test("tsOhlc: open/close follow the exact (ts, event_id) order, ties broken by id") {
     val H = 3600L * 1000000000L
     val rows = Seq(
