@@ -384,7 +384,12 @@ object PlanAudit {
       // one clustering — a single hash exchange, no join
       ("ts_epoch_features", p => "Exchange hashpartitioning".r
           .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
-        "epoch features: one exchange for lag windows + epoch aggregation, no join"))
+        "epoch features: one exchange for lag windows + epoch aggregation, no join"),
+      // B32: change-detect lag, interval lead and version row_number all
+      // share one (user, type) clustering — a single exchange, no join
+      ("scd2_build", p => "Exchange hashpartitioning".r
+          .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
+        "SCD2 build: one keyed exchange for all three window passes, no join"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -66,6 +66,7 @@ object SparkEntry {
     "ts_spectrogram"   -> Seq(col("event_type"), col("win_us"), col("bin")),
     "ts_hjorth"        -> Seq(col("event_type")),
     "ts_epoch_features" -> Seq(col("event_type"), col("epoch_us")),
+    "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
     "ts_histogram"     -> Seq(col("event_type"), col("bucket")),
     "mad_outlier"      -> Seq(col("event_type"), col("ts_us"), col("event_id")),
@@ -263,6 +264,7 @@ object SparkEntry {
     "paragraph_dedup"    -> q(TextAnalysis.paragraphDedup(_)),
     "user_sessions"      -> q(EventAnalytics.userSessions(_)),
     "latest_state"       -> q(EventAnalytics.latestState),
+    "scd2_build"         -> q(EventAnalytics.scd2Build),
     "gopher_rules"       -> q(TextAnalysis.gopherRules(_)),
     "heavy_hitters"      -> q(TextAnalysis.heavyHitters(_)),
     "pack_sequences"     -> q(Sampling.packSequences(_)),
@@ -1303,6 +1305,18 @@ object SparkEntry {
          SELECT user_id, event_type, r.us AS ts_us, r.event_id AS event_id, r.value AS value,
            CAST(n_versions AS BIGINT) AS n_versions
          FROM m ORDER BY user_id, event_type""",
+    "scd2_build" ->
+      """WITH b AS (SELECT user_id, event_type, event_id, epoch_ns(ts)//1000 AS us, value FROM events),
+         chg AS (SELECT *, lag(value) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS pv
+                 FROM b),
+         c AS (SELECT * FROM chg WHERE pv IS NULL OR pv <> value),
+         iv AS (SELECT user_id, event_type, value, us AS valid_from_us,
+                  lead(us) OVER w AS valid_to_us,
+                  CAST(row_number() OVER w AS BIGINT) AS version
+                FROM c WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id))
+         SELECT user_id, event_type, value, valid_from_us, valid_to_us, version,
+           valid_to_us IS NULL AS is_current
+         FROM iv ORDER BY user_id, event_type, version""",
     "gopher_rules" ->
       """WITH b AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
                     FROM documents),

@@ -196,6 +196,39 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("r.us").as("ts_us"),
         col("r.event_id").as("event_id"), col("r.value").as("value"), col("n_versions"))
 
+  /** B32: SCD2 dimension build — turn the (user, event_type) changelog
+    * into type-2 slowly-changing-dimension rows: consecutive SAME-value
+    * events collapse (a heartbeat is not a change), each surviving change
+    * opens a validity interval [valid_from, valid_to) closed by the next
+    * change, the open interval is the current row, versions number the
+    * change history. [[latestState]] answers "what is the state now";
+    * this materializes "what was the state at ANY time" — the standard
+    * warehouse dimension the as-of join (A9) then probes.
+    *
+    * Scale shape: ONE (user, event_type)-keyed exchange serves all three
+    * window passes (change-detect lag, interval lead, version
+    * row_number share the same partitioning and order; the filter
+    * between them preserves clustering, so Catalyst plans no second
+    * exchange) — the B17 sessionization price, nothing more. No join,
+    * no corpus-sized aggregation. Change detection compares raw doubles
+    * for exact equality — both engines read identical parquet bits, so
+    * the collapse can never diverge.
+    */
+  def scd2Build(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_type"), col("event_id"), tsUs.as("us"), col("value"))
+      .withColumn("pv", lag(col("value"), 1).over(w))
+      .filter(col("pv").isNull || col("pv") =!= col("value"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("us").as("valid_from_us"), col("valid_to_us"), col("version"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** B24: event-sequence transition mining — the first-order Markov
     * profile of the event stream: every consecutive (from → to) pair of
     * event types in a user's timeline, counted globally and by distinct

@@ -244,4 +244,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(6)).toMap
     assert(got == Map("a" -> 1.5, "b" -> 0.3333), s"got $got")
   }
+
+  test("scd2Build: heartbeats collapse, intervals chain change-to-change, open row is current") {
+    val S = 1000000000L
+    val rows = Seq(
+      // user 1, key "s": 5,5,7,7,5 — the repeated 5 and 7 are heartbeats,
+      // not changes; intervals must chain 5@1s..3s, 7@3s..5s, 5@5s..open
+      (1L, 1L * S, 1L, "s", 5.0), (2L, 2L * S, 1L, "s", 5.0),
+      (3L, 3L * S, 1L, "s", 7.0), (4L, 4L * S, 1L, "s", 7.0),
+      (5L, 5L * S, 1L, "s", 5.0),
+      // same-ts tie: event_id orders the versions (6 then 7)
+      (6L, 1L * S, 2L, "s", 1.0), (7L, 1L * S, 2L, "s", 2.0))
+    val got = EventAnalytics.scd2Build(events(rows)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .sortBy(r => (r._1, r._6))
+    assert(got.toSeq == Seq(
+      (1L, "s", 5.0, 1000000L, 3000000L, 1L, false),
+      (1L, "s", 7.0, 3000000L, 5000000L, 2L, false),
+      (1L, "s", 5.0, 5000000L, -1L, 3L, true),
+      (2L, "s", 1.0, 1000000L, 1000000L, 1L, false),
+      (2L, "s", 2.0, 1000000L, -1L, 2L, true)), s"got ${got.toSeq}")
+  }
 }
