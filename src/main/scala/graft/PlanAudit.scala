@@ -389,7 +389,14 @@ object PlanAudit {
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r
           .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
-        "SCD2 build: one keyed exchange for all three window passes, no join"))
+        "SCD2 build: one keyed exchange for all three window passes, no join"),
+      // C75: candidate generation is a prefix-token bucket join over the
+      // native shingle kernel — never a cross product; both join sides
+      // read one repartition (ReuseExchange) or AQE broadcasts the side
+      ("jaccard_join_exact", p => !p.contains("CartesianProduct") &&
+          p.contains("shinglehashes") &&
+          (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin")),
+        "exact similarity join: prefix bucket join, no cross product, shared exchange"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

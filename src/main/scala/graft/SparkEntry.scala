@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_apply"   -> Seq(col("doc_id")),
     "dedup_clusters" -> Seq(col("doc_id")),
     "ngram_jaccard" -> Seq(col("id_a"), col("id_b")),
+    "jaccard_join_exact" -> Seq(col("id_a"), col("id_b")),
     "neardup_incremental" -> Seq(col("id_a"), col("id_b")),
     "substring_fp"    -> Seq(col("doc_id"), col("fp")),
     "substring_dedup" -> Seq(col("id_a"), col("id_b")),
@@ -211,6 +212,7 @@ object SparkEntry {
     "simhash_sig"   -> q(Dedup.simhash(_)),
     "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
     "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
+    "jaccard_join_exact" -> q(Dedup.jaccardJoinExact(_)),
     "dedup_apply"   -> q(Dedup.dedupApply(_)),
     "ann_ivf"       -> q(Similarity.annIvf(_)),
     "skew_agg"           -> q(Analytics.skewAgg(_)),
@@ -390,6 +392,26 @@ object SparkEntry {
                JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
          SELECT id_a, id_b, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
          FROM j ORDER BY id_a, id_b""",
+    // C75: the oracle is the BRUTE-FORCE complete answer (inverted-index
+    // join over ALL shingles, no prefix logic) — so the compare holds the
+    // operator's prefix filtering to provable completeness, not to a
+    // mirrored implementation
+    "jaccard_join_exact" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         s AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+         n AS (SELECT doc_id, count(*) AS nh FROM s GROUP BY 1),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+               FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT id_a, id_b, common, na.nh AS nh_a, nb.nh AS nh_b
+               FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id)
+         SELECT id_a, id_b, floor((CAST(common AS DOUBLE)/(nh_a + nh_b - common))*10000.0 + 0.5)/10000.0 AS jaccard
+         FROM j WHERE CAST(common AS DOUBLE)/(nh_a + nh_b - common) >= 0.5
+         ORDER BY id_a, id_b""",
     // incremental == full recompute (the hash-compare IS the parity
     // proof): same pair pipeline as ngram_jaccard over the current
     // corpus, plus src provenance mirroring the simulatedPrev id rules

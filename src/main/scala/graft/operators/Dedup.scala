@@ -484,6 +484,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), roundHalfUp(col("jac"), 4).as("jaccard"))
   }
 
+  /** C75: EXACT all-pairs similarity join — every document pair with
+    * shingle-set Jaccard ≥ threshold, with PROVABLY COMPLETE output
+    * (no LSH recall loss): the distributed re-expression of prefix
+    * filtering (AllPairs, Bayardo et al. WWW 2007; PPJoin, Xiao et al.
+    * WWW 2008). [[ngramJaccard]] trades recall for the banded-candidate
+    * bound (a pair missing every band is silently lost); this operator
+    * is the exact complement for the runs where "complete" is the
+    * contract — legal dedup attestations, eval-set decontamination
+    * audits.
+    *
+    * Completeness: tokens order globally by (df asc, hash) — rarest
+    * first — and each doc contributes only its first |d| − ⌈τ·|d|⌉ + 1
+    * tokens (its PREFIX) to candidate generation. If J(A,B) ≥ τ then
+    * |A∩B| ≥ τ·max(|A|,|B|), and a shared token must fall inside both
+    * prefixes (else each doc's intersection fits in its ⌈τ·|d|⌉−1
+    * suffix — too small); so the prefix self-join generates every
+    * qualifying pair, and the exact verify keeps precisely those ≥ τ.
+    *
+    * Scale shape: everything is hash-only past the tokenizing scan —
+    * text never crosses an exchange. The df join keys on the shingle
+    * hash (vocabulary-sized relation; AQE broadcasts when small), the
+    * per-doc rank is one doc-keyed window, and the candidate self-join
+    * runs on the PREFIX relation (≈ (1−τ) of the token stream) with
+    * both sides reading one repartition (ReuseExchange). df-ascending
+    * ordering puts hot boilerplate shingles LAST, so they enter a
+    * prefix only for docs with no rarer token; `maxPrefixBucket` > 0
+    * refuses a pathological prefix bucket loudly BEFORE the pair join
+    * (remedy: dedup_exact first, or raise the threshold — note a
+    * hot-bucket blowup usually means the output itself is
+    * quadratically large, which no exact algorithm can avoid).
+    */
+  def jaccardJoinExact(t: Tables, k: Int = 3, threshold: Double = 0.5,
+                       maxPrefixBucket: Int = 0): DataFrame =
+    jaccardJoinExactDocs(t.documents, k, threshold, maxPrefixBucket)
+
+  private[graft] def jaccardJoinExactDocs(docs: DataFrame, k: Int, threshold: Double,
+                       maxPrefixBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoinExact: threshold must be in (0, 1], got $threshold")
+    val toks = docs.withColumn("hs", expr(shingleHashExpr(k)))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfh = toks.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+    val ranked = toks.join(dfh, Seq("h"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1L))
+      .select(col("doc_id"), col("h"))
+    if (maxPrefixBucket > 0) {
+      val hot = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
+        .filter(col("pn") > maxPrefixBucket).limit(1).collect()
+      require(hot.isEmpty,
+        s"jaccardJoinExact: prefix token ${hot.headOption.map(_.getLong(0)).getOrElse(-1L)} lands in " +
+          s"${hot.headOption.map(_.getLong(1)).getOrElse(-1L)} prefixes (> maxPrefixBucket=$maxPrefixBucket); " +
+          "the pair join would be quadratic in that bucket. Run dedup_exact first or raise the threshold " +
+          "(a hot prefix bucket usually means the exact output itself is quadratic).")
+    }
+    // identical repartitioning on both sides -> ReuseExchange (the
+    // dedupMinhashDocs precedent): the prefix pipeline computes once
+    val parted = prefix.repartition(col("h"))
+    val a = parted.select(col("h"), col("doc_id").as("id_a"))
+    val b = parted.select(col("h").as("hb"), col("doc_id").as("id_b"))
+    val cands = a.join(b, col("h") === col("hb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cands, docs, k, threshold)
+  }
+
   /** C33b: incremental near-dup pair maintenance — [[ngramJaccard]]
     * composed over the C32/C33 refresh machinery so a snapshot refresh
     * re-LSHes only the dirty fraction of the corpus:

@@ -391,4 +391,42 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "deterministic across runs")
   }
+
+  test("jaccardJoinExact: hand-computed pairs at/above/below the threshold; boundary 0.5 included") {
+    val t = docs(Seq(
+      // A/B: 3-shingle sets {abc,bcd,cde,def} vs {abc,bcd,cde,deg}:
+      // inter 3, union 5 -> J = 0.6 (in)
+      (1L, "a b c d e f", "en"),
+      (2L, "a b c d e g", "en"),
+      // C shares ONE shingle (abc) with A: J = 1/7 (out — sharing a
+      // token is necessary, not sufficient)
+      (3L, "a b c x y z", "en"),
+      // D/E: {pqr,qrs,rst} vs {pqr,qrs,rsu}: inter 2, union 4 -> exactly
+      // J = 0.5 — the >= boundary must include it
+      (4L, "p q r s t", "en"),
+      (5L, "p q r s u", "en"),
+      // F/G: one shared shingle out of many -> far below (out)
+      (6L, "f1 f2 f3 f4 f5", "en"),
+      (7L, "f1 f2 f3 zz yy", "en"),
+      // identical twins -> J = 1.0
+      (8L, "w1 w2 w3 w4", "en"),
+      (9L, "w1 w2 w3 w4", "en")))
+    val got = Dedup.jaccardJoinExact(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(got.toSeq == Seq((1L, 2L, 0.6), (4L, 5L, 0.5), (8L, 9L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  test("jaccardJoinExact: a pathological prefix bucket is refused loudly before the pair join") {
+    // every doc's ONLY shingle is the same -> that token is in every
+    // prefix; with maxPrefixBucket=2 the gate must refuse (and name the
+    // remedy) rather than start a quadratic bucket join
+    val t = docs((1L to 5L).map(i => (i, "same text here", "en")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoinExact(t, maxPrefixBucket = 2)
+    }
+    assert(e.getMessage.contains("maxPrefixBucket") && e.getMessage.contains("dedup_exact"),
+      e.getMessage)
+    // without the gate the answer itself is fine (all C(5,2) exact dups)
+    assert(Dedup.jaccardJoinExact(t).count() == 10L, "exact output on the degenerate corpus")
+  }
 }
