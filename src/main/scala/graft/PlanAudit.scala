@@ -396,7 +396,12 @@ object PlanAudit {
       ("jaccard_join_exact", p => !p.contains("CartesianProduct") &&
           p.contains("shinglehashes") &&
           (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin")),
-        "exact similarity join: prefix bucket join, no cross product, shared exchange"))
+        "exact similarity join: prefix bucket join, no cross product, shared exchange"),
+      // C76: key computation is a zero-shuffle narrow scan; selection is a
+      // bounded ordered take — no hash exchange, no join, no global sort
+      ("sample_weighted", p => p.contains("TakeOrderedAndProject") &&
+          !p.contains("Exchange hashpartitioning") && !p.contains("Join"),
+        "weighted sampling: narrow key scan + bounded take, no shuffle/join"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -231,6 +231,7 @@ object SparkEntry {
     "tfidf_top"          -> q(TextAnalysis.tfidfTop),
     "pii_count"          -> q(TextAnalysis.piiCount),
     "sample_stratified"  -> q(Sampling.sampleStratified(_)),
+    "sample_weighted"    -> q(Sampling.sampleWeighted(_)),
     "dedup_clusters"     -> q(Dedup.dedupClusters(_)),
     "mix_plan"           -> q(Sampling.mixPlan(_)),
     "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
@@ -1502,6 +1503,16 @@ object SparkEntry {
            FROM sel)
          SELECT doc_id, in_target, logw, floor(gk * 1000.0 + 0.5) / 1000.0 AS gumbel_key
          FROM kd ORDER BY gk DESC, doc_id LIMIT 200"""),
+    "sample_weighted" ->
+      """WITH b AS (SELECT doc_id, source, n_chars + 1 AS weight,
+                 ((doc_id % 1000000007 + 1000000007) % 1000000007 * 2654435761) % 1000000007 AS hm
+               FROM documents),
+         kd AS (SELECT doc_id, source, weight,
+                 -ln((CAST(hm AS DOUBLE) + 0.5) / 1000000007.0) / CAST(weight AS DOUBLE) AS k
+               FROM b)
+         SELECT doc_id, source, CAST(weight AS BIGINT) AS weight,
+           floor(k * 1000000000.0 + 0.5) / 1000000000.0 AS key
+         FROM kd ORDER BY k, doc_id LIMIT 100""",
     "embed_quantize" ->
       """WITH ex AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
              FROM embeddings),

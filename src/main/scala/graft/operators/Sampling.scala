@@ -285,6 +285,33 @@ object Sampling {
     rest.unionByName(bRows)
   }
 
+  /** C76: deterministic weighted sampling WITHOUT replacement — k docs
+    * with inclusion probability ∝ weight (weight = chars+1: sample by
+    * mass, so a token-budget draw lands on content, not on doc count),
+    * via the Efraimidis–Vassilvitskii exponential race (Efraimidis &
+    * Spiliopoulos 2006 A-ES): doc i draws key = −ln(uᵢ)/wᵢ ~ Exp(wᵢ)
+    * and the k SMALLEST keys win — exactly a weighted draw without
+    * replacement. uᵢ derives from the C16 multiplicative doc_id hash
+    * (never rand()), so the sample is REPRODUCIBLE across runs, engines
+    * and speculative retries — the property that makes a training-set
+    * draw auditable (C38b's Gumbel-top-k is the softmax twin; this is
+    * the plain-weights form).
+    *
+    * Scale shape: one ZERO-SHUFFLE narrow scan computes every key;
+    * selection is TakeOrderedAndProject (bounded, no global sort).
+    */
+  def sampleWeighted(t: Tables, k: Int = 100): DataFrame = {
+    val u = (expr(s"((doc_id % ${P}L + ${P}L) % ${P}L * 2654435761L) % ${P}L")
+      .cast("double") + lit(0.5)) / lit(P.toDouble)
+    t.documents
+      .select(col("doc_id"), col("source"), (col("n_chars") + lit(1L)).as("weight"))
+      .withColumn("key", -log(u) / col("weight").cast("double"))
+      .orderBy(col("key"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("weight"),
+        roundHalfUp(col("key"), 9).as("key"))
+  }
+
   def corpusShuffle(t: Tables, nShards: Int = 64): DataFrame = {
     val h = expr(s"(((doc_id % ${P}L + ${P}L) % ${P}L) * 2654435761L) % ${P}L")
     val docs = t.documents

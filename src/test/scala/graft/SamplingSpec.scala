@@ -191,4 +191,35 @@ class SamplingSpec extends AnyFunSuite {
       assert(toks.sum - toks.max < 10L, s"$s: all but the overshoot doc fit the budget")
     }
   }
+
+  test("sampleWeighted: exact A-ES key formula, weight dominance, run determinism") {
+    import spark.implicits._
+    // 500 heavy docs (10000 chars) vs 500 light (10 chars): the exponential
+    // race must hand the top-200 overwhelmingly to the ~1000x heavier docs
+    val df = (0 until 1000).map { i =>
+      val heavy = i < 500
+      (i.toLong, if (heavy) "h" * 10000 else "l" * 10, "en")
+    }.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("test")).withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val got = Sampling.sampleWeighted(t, k = 200).collect()
+    assert(got.length == 200)
+    val heavyCount = got.count(_.getLong(0) < 500L)
+    assert(heavyCount >= 190, s"~1000x weights must dominate the draw: $heavyCount/200 heavy")
+    // the key is the documented closed form of (doc_id, weight) — checked
+    // against an independent scalar computation for every selected row
+    val P = 1000000007L
+    got.foreach { r =>
+      val (id, w) = (r.getLong(0), r.getLong(2))
+      val u = (((id % P + P) % P * 2654435761L) % P).toDouble + 0.5
+      val key = -math.log(u / P.toDouble) / w.toDouble
+      val expect = math.floor(key * 1e9 + 0.5) / 1e9
+      assert(r.getDouble(3) == expect, s"key formula for doc $id: ${r.getDouble(3)} vs $expect")
+    }
+    // reproducible across runs (hash-derived u, never rand())
+    val again = Sampling.sampleWeighted(t, k = 200).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "deterministic rerun")
+  }
 }
