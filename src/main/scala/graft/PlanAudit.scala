@@ -401,7 +401,14 @@ object PlanAudit {
       // bounded ordered take — no hash exchange, no join, no global sort
       ("sample_weighted", p => p.contains("TakeOrderedAndProject") &&
           !p.contains("Exchange hashpartitioning") && !p.contains("Join"),
-        "weighted sampling: narrow key scan + bounded take, no shuffle/join"))
+        "weighted sampling: narrow key scan + bounded take, no shuffle/join"),
+      // B33: interval candidates equi-join on grid cells — a plain range
+      // predicate would plan the cross product this operator exists to
+      // avoid; both sides read one repartition (or AQE broadcasts)
+      ("interval_join", p => !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") &&
+          (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin")),
+        "interval join: cell-keyed hash join, never a cross product"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -67,6 +67,7 @@ object SparkEntry {
     "ts_hjorth"        -> Seq(col("event_type")),
     "ts_epoch_features" -> Seq(col("event_type"), col("epoch_us")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
+    "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
     "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
     "ts_histogram"     -> Seq(col("event_type"), col("bucket")),
     "mad_outlier"      -> Seq(col("event_type"), col("ts_us"), col("event_id")),
@@ -251,6 +252,7 @@ object SparkEntry {
     "decontaminate_bloom" -> q(TextAnalysis.decontaminateBloom(_)),
     "ts_spectrum"        -> q(TimeSeries.tsSpectrum(_)),
     "ts_spectrogram"     -> q(TimeSeries.tsSpectrogram(_)),
+    "interval_join"      -> q(TimeSeries.chunkOverlaps(_)),
     "ts_hjorth"          -> q(TimeSeries.tsHjorth(_)),
     "ts_epoch_features"  -> q(TimeSeries.tsEpochFeatures(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
@@ -673,6 +675,25 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id FROM f)
          SELECT event_type, chunk_id, min(us) AS start_us, max(us) AS end_us, count(*) AS n_samples
          FROM g GROUP BY 1,2 ORDER BY 1,2""",
+    // B33: brute-force overlap join (no grid cells) — holds the cell-join
+    // operator to exact completeness, the C75 oracle philosophy
+    "interval_join" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us FROM events),
+         f AS (SELECT event_type, event_id, us,
+                 CASE WHEN lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) > 7200000000
+                      THEN 1 ELSE 0 END AS is_new FROM e),
+         g AS (SELECT event_type, us,
+                 CAST(sum(is_new) OVER (PARTITION BY event_type ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS chunk_id FROM f),
+         c AS (SELECT event_type, chunk_id, min(us) AS start_us, max(us) AS end_us
+               FROM g GROUP BY 1,2)
+         SELECT a.event_type AS type_a, a.chunk_id AS chunk_a,
+           b.event_type AS type_b, b.chunk_id AS chunk_b,
+           least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS overlap_us
+         FROM c a JOIN c b ON a.event_type < b.event_type
+           AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+         ORDER BY 1, 2, 3, 4""",
     "ts_channel_stats" ->
       """WITH e AS (SELECT event_type, event_id, value, epoch_ns(ts)//1000 AS us FROM events),
          s AS (SELECT event_type, min(us) AS start_us, max(us) AS end_us, count(*) AS num_values,

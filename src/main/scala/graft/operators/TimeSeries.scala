@@ -100,6 +100,60 @@ object TimeSeries {
       .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"), count(lit(1)).as("n_samples"))
   }
 
+  /** B33: distributed interval-overlap join — which intervals of relation
+    * A temporally intersect which intervals of B. The driver instance
+    * joins the gap chunks (A5) of DIFFERENT channels: "when channel X
+    * was recording, what was channel Y doing" — the concurrent-recording
+    * audit an EDF session review starts with, and the general operator
+    * behind annotation×chunk and session×outage joins.
+    *
+    * Spark has no native interval join (a plain range predicate plans a
+    * cross product); the scale shape is GRID CELLS: each interval
+    * explodes to the `cellUs` cells it touches, candidates equi-join on
+    * the cell (hash join, never a cross product; both sides read ONE
+    * repartition via ReuseExchange), the exact closed-interval predicate
+    * filters the survivors, and distinct() retires the multi-cell
+    * duplicates. Completeness: two intersecting intervals share the cell
+    * containing any intersection point. `maxCells` refuses an interval
+    * spanning too many cells BEFORE the explode (remedy: raise cellUs)
+    * — the gate runs on the interval-cardinality relation, not the
+    * corpus. Overlap arithmetic is pure integer µs.
+    */
+  def chunkOverlaps(t: Tables, gapUs: Long = 2L * 3600 * 1000000,
+                    cellUs: Long = 86400L * 1000000, maxCells: Int = 4096): DataFrame = {
+    val chunks = tsGapChunks(t, gapUs)
+      .select(col("event_type"), col("chunk_id"), col("start_us"), col("end_us"))
+    intervalJoin(chunks, cellUs, maxCells)
+  }
+
+  /** The generic kernel of [[chunkOverlaps]]: self-join a keyed interval
+    * relation (`key`, `chunk_id`, `start_us`, `end_us`) across DIFFERENT
+    * keys (key_a < key_b). Closed-interval semantics: [s1,e1] and
+    * [s2,e2] overlap iff s1 ≤ e2 ∧ s2 ≤ e1; overlap_us = min(e1,e2) −
+    * max(s1,s2) (0 = they touch at one sample instant).
+    */
+  private[graft] def intervalJoin(intervals: DataFrame, cellUs: Long, maxCells: Int): DataFrame = {
+    require(cellUs > 0, s"intervalJoin: cellUs must be positive, got $cellUs")
+    val span = expr(s"(end_us div ${cellUs}L) - (start_us div ${cellUs}L) + 1")
+    val widest = intervals.agg(max(span).as("mx")).collect().head
+    if (!widest.isNullAt(0))
+      require(widest.getLong(0) <= maxCells,
+        s"intervalJoin: an interval touches ${widest.getLong(0)} grid cells (> maxCells=$maxCells); " +
+          s"raise cellUs (currently $cellUs) so long intervals explode to fewer cells")
+    val cells = intervals.withColumn("cell",
+      explode(expr(s"sequence(start_us div ${cellUs}L, end_us div ${cellUs}L)")))
+    val parted = cells.repartition(col("cell"))
+    val a = parted.select(col("cell"), col("event_type").as("type_a"), col("chunk_id").as("chunk_a"),
+      col("start_us").as("sa"), col("end_us").as("ea"))
+    val b = parted.select(col("cell").as("cell_b"), col("event_type").as("type_b"), col("chunk_id").as("chunk_b"),
+      col("start_us").as("sb"), col("end_us").as("eb"))
+    a.join(b, col("cell") === col("cell_b") && col("type_a") < col("type_b") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("overlap_us"))
+      .distinct()
+  }
+
   /** A6: per-channel stats + rate inference.
     *
     * Rate inference is the reference's `1e6 / mode(Δts)`

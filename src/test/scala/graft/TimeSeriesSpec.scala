@@ -259,6 +259,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(3600000000L) == ((1L, 9.0, 9.0, 0.0, 0L)), s"got ${got(3600000000L)}")
   }
 
+  test("intervalJoin: exact overlap pairs across cells — dedup, touching, exclusions, gate") {
+    import spark.implicits._
+    val iv = Seq(
+      ("A", 1L, 0L, 2500L),    // spans cells 0,1,2 at cellUs=1000
+      ("B", 1L, 2400L, 3000L), // overlaps A#1 by 100
+      ("B", 2L, 500L, 1500L),  // shares TWO cells with A#1 -> must dedup to one row
+      ("C", 1L, 2500L, 2600L), // touches A#1 at one instant -> overlap 0, included
+      ("D", 1L, 5000L, 6000L)) // overlaps nothing
+      .toDF("event_type", "chunk_id", "start_us", "end_us")
+    val got = TimeSeries.intervalJoin(iv, cellUs = 1000L, maxCells = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2, r._3, r._4))
+    assert(got.toSeq == Seq(
+      ("A", 1L, "B", 1L, 100L),
+      ("A", 1L, "B", 2L, 1000L),
+      ("A", 1L, "C", 1L, 0L),
+      ("B", 1L, "C", 1L, 100L)), s"got ${got.toSeq}")
+    // an interval spanning more cells than maxCells is refused loudly
+    // BEFORE the explode, with the remedy named
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.intervalJoin(iv, cellUs = 1000L, maxCells = 2).collect()
+    }
+    assert(e.getMessage.contains("maxCells") && e.getMessage.contains("cellUs"), e.getMessage)
+  }
+
   test("tsOhlc: open/close follow the exact (ts, event_id) order, ties broken by id") {
     val H = 3600L * 1000000000L
     val rows = Seq(
