@@ -471,6 +471,55 @@ object EventStream {
       }
   }
 
+  /** An upserted latest-state row (the streaming analogue of
+    * EventAnalytics.latestState output, emitted per touched key per
+    * microbatch — the changelog an upsert sink consumes).
+    */
+  final case class StateRow(userId: Long, eventType: String, tsUs: Long,
+                            eventId: Long, value: Double, nVersions: Long)
+
+  /** Streaming state: the winning (us, event_id, value) version + count. */
+  final case class LatestVersion(us: Long, eventId: Long, value: Double, n: Long)
+
+  /** B18b: streaming latest-per-key compaction — the live-ingest twin of
+    * EventAnalytics.latestState. State = ONE row per (user, type): the
+    * version winning the batch op's exact max-struct order (us, then
+    * event_id — value never decides), plus the version count; a LATE
+    * arrival (older timestamp landing in a later microbatch) counts
+    * toward n_versions but can never displace the newer state, exactly
+    * as the batch max over the full changelog behaves. Each microbatch
+    * emits the updated compaction row for every touched key, so after
+    * any prefix of the stream the last emission per key IS the batch
+    * answer over the events so far (spec-asserted stream==batch parity).
+    * State is O(live keys), independent of changelog length.
+    */
+  def streamingLatestState(events: Dataset[Event]): Dataset[StateRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.userId, e.eventType))
+      .flatMapGroupsWithState[LatestVersion, StateRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), batch: Iterator[Event], state: GroupState[LatestVersion]) =>
+          var st = state.getOption
+          var touched = false
+          batch.foreach { e =>
+            touched = true
+            val us = tsToUs(e.ts)
+            st = Some(st match {
+              case Some(s) =>
+                val newer = us > s.us || (us == s.us && e.eventId > s.eventId)
+                if (newer) LatestVersion(us, e.eventId, e.value, s.n + 1) else s.copy(n = s.n + 1)
+              case None => LatestVersion(us, e.eventId, e.value, 1L)
+            })
+          }
+          if (!touched) Iterator.empty
+          else {
+            val s = st.get
+            state.update(s)
+            Iterator.single(StateRow(key._1, key._2, s.us, s.eventId, s.value, s.n))
+          }
+      }
+  }
+
   /** A closed user session (the streaming analogue of
     * EventAnalytics.userSessions output).
     */

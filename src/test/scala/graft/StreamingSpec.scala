@@ -619,6 +619,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream $streamed vs batch $batch")
   }
 
+  test("streamingLatestState: late arrivals count but never displace; last upsert == batch latestState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200L // 2024-01-01 epoch seconds
+    def tsS(s: Int) = new Timestamp((base + s) * 1000L)
+    def usOf(s: Int) = (base + s) * 1000000L
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingLatestState(mem.toDS())
+      .writeStream.format("memory").queryName("lst").outputMode("append").start()
+    // batch 1: user 1 "s" at t=100s (v=5); user 2 "s" at t=10s (v=1)
+    mem.addData(Event(1, tsS(100), 1, "s", 5.0), Event(2, tsS(10), 2, "s", 1.0))
+    q.processAllAvailable()
+    // batch 2: user 1 gets a LATE event (t=50 < state's t=100) AND a newer
+    // one (t=200): the late row may only bump n_versions, the newer row wins
+    mem.addData(Event(3, tsS(50), 1, "s", 9.0), Event(4, tsS(200), 1, "s", 7.0))
+    q.processAllAvailable()
+    val ups = spark.sql("SELECT userId, eventType, tsUs, eventId, value, nVersions FROM lst")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    q.stop()
+    // one upsert per touched key per microbatch
+    assert(ups.toSet == Set(
+      (1L, "s", usOf(100), 1L, 5.0, 1L),
+      (2L, "s", usOf(10), 2L, 1.0, 1L),
+      (1L, "s", usOf(200), 4L, 7.0, 3L)), s"got $ups")
+    // the final upsert per key equals batch latestState over ALL events
+    val dir = java.nio.file.Files.createTempDirectory("lstev").toString
+    Seq((1L, 100, 1L, 5.0), (2L, 10, 2L, 1.0), (3L, 50, 1L, 9.0), (4L, 200, 1L, 7.0))
+      .map { case (id, s, u, v) => (id, (base + s) * 1000000000L, u, "s", v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.latestState(Tables(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSet
+    val lastPerKey = ups.groupBy(u => (u._1, u._2)).map(_._2.maxBy(_._6)).toSet
+    assert(lastPerKey == batch, s"stream $lastPerKey vs batch $batch")
+  }
+
   test("streamingTransitions aggregated == batch eventTransitions (stream-batch parity)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
