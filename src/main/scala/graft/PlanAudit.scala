@@ -408,7 +408,12 @@ object PlanAudit {
       ("interval_join", p => !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin") &&
           (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin")),
-        "interval join: cell-keyed hash join, never a cross product"))
+        "interval join: cell-keyed hash join, never a cross product"),
+      // B34: per-round votes combine map-side, the argmax is a struct-min
+      // partial aggregate (no window), census is a bounded take
+      ("graph_lpa", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
+          p.contains("partial_min") && p.contains("TakeOrderedAndProject"),
+        "LPA: map-side votes + struct-min pick, window-free, bounded census"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

@@ -329,6 +329,7 @@ object SparkEntry {
     "bm25_compact"       -> ((s, dir) => TextAnalysis.bm25CompactQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount(_)),
     "graph_cc"           -> q(Analytics.graphCC(_)),
+    "graph_lpa"          -> q(Analytics.graphLpa(_)),
     "mmr_select"         -> q(Similarity.mmrSelect(_)),
     "tok_fertility"      -> q(TextAnalysis.tokFertility),
     "domain_counts"      -> q(TextAnalysis.domainCounts(_)),
@@ -2015,6 +2016,7 @@ object SparkEntry {
            floor((n_bytes * 1.0 / greatest(n_re_tokens, 1)) * 10000.0 + 0.5) / 10000.0 AS bytes_per_token
          FROM g ORDER BY lang""",
     "graph_cc" -> graphCcSql,
+    "graph_lpa" -> lpaSql(5, 20),
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
@@ -2298,6 +2300,30 @@ object SparkEntry {
        $rounds
        SELECT lbl AS component, CAST(count(*) AS BIGINT) AS n_nodes
        FROM l20 GROUP BY lbl ORDER BY n_nodes DESC, component LIMIT 20"""
+  }
+
+  /** B34: the LPA rounds unrolled as generated MATERIALIZED CTEs (the
+    * graph_cc/pagerank precedent). Vote counts and the (−count, label)
+    * tie rule are pure integers, so the struct-min pick is bit-identical
+    * to Spark's min(struct) — every label must agree, not just the
+    * census.
+    */
+  private def lpaSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+            SELECT node, w.l AS lbl FROM (
+              SELECT b AS node, min(struct_pack(nc := -c, l := lbl)) AS w FROM (
+                SELECT ed.b, p.lbl, count(*) AS c
+                FROM ed JOIN l${i - 1} p ON p.node = ed.a GROUP BY 1, 2) v
+              GROUP BY 1) m)"""
+    }.mkString(",\n         ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
+       e AS MATERIALIZED (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
+       ed AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM ed),
+       $rounds
+       SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM l$iters GROUP BY lbl ORDER BY n_nodes DESC, community LIMIT $k"""
   }
 
   private val bm25Sql: String =

@@ -660,6 +660,66 @@ object Analytics {
       .limit(k)
   }
 
+  /** B34: label-propagation community detection (Raghavan et al. 2007,
+    * made deterministic) over the co-purchase graph — B31's components
+    * answer "what is connected", LPA answers "what CLUSTERS inside a
+    * component": a fixed number of synchronous rounds where each node
+    * adopts its neighbors' most frequent label, ties broken by the
+    * smallest label. Both the vote count and the tie rule are integers,
+    * so every round is bit-reproducible under any partitioning and the
+    * whole fixpoint is SQL-expressible — the oracle unrolls the same
+    * rounds as generated MATERIALIZED CTEs (the B21/B31 precedent) and
+    * must agree on every label.
+    *
+    * Scale shape per round (the B21 cost class): one node-sized label
+    * relation joins the edge relation cached PRE-PARTITIONED on the join
+    * key (only labels exchange per iteration), the (node, label) vote
+    * count combines map-side, and the argmax is a min(struct) partial
+    * aggregate — no window, no sort; census is a bounded take.
+    */
+  def graphLpa(t: Tables, iters: Int = 5, k: Int = 20,
+               maxBasket: Int = 4096): DataFrame = {
+    val (e, _, _) = coPurchaseOriented(t, maxBasket)
+    val labels = lpaLabels(e.select(col("a"), col("b")), iters)
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(k)
+    out
+  }
+
+  /** The LPA kernel over an undirected edge list (a, b), a < b canonical:
+    * labels start as node ids; each synchronous round every node takes
+    * min(struct(−count, label)) over its neighbors' labels — most
+    * frequent wins, smallest label breaks ties (the node's own label
+    * does not vote, per the original formulation). Isolated nodes cannot
+    * occur (every node comes from an edge).
+    */
+  private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame = {
+    val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a"))
+      .persist()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist()
+    labels.count()
+    for (_ <- 1 to iters) {
+      val votes = labels.join(edges, col("node") === col("a"))
+        .groupBy(col("b"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes
+        .groupBy(col("b"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("b").as("node"), col("w").getField("l").as("lbl"))
+        .persist()
+      next.count() // materialize so lineage never re-runs prior rounds
+      labels.unpersist(false)
+      labels = next
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** B11: non-equi range join against a broadcast band table. */
   def rangeJoin(t: Tables): DataFrame = {
     val spark = t.part.sparkSession

@@ -109,6 +109,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("assocRules"), e2.getMessage)
   }
 
+  test("lpaLabels: hand-traced synchronous rounds split two triangles across a bridge") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Synchronous LPA
+    // with (most-frequent, min-label) votes, own label excluded — traced
+    // by hand: converges at round 4 to {1,2,3}->1 and {4,5,6}->3, and the
+    // bridge must NOT merge the two communities (CC would).
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val got = Analytics.lpaLabels(e, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L),
+      s"got $got")
+    // intermediate rounds are part of the contract (the oracle unrolls
+    // them): round 2 still shows the pre-convergence labels
+    val r2 = Analytics.lpaLabels(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L),
+      s"round-2 labels: $r2")
+  }
+
   test("graphCC: exact component census on a hand-built two-component graph") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cc").toString
