@@ -413,7 +413,16 @@ object PlanAudit {
       // partial aggregate (no window), census is a bounded take
       ("graph_lpa", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
           p.contains("partial_min") && p.contains("TakeOrderedAndProject"),
-        "LPA: map-side votes + struct-min pick, window-free, bounded census"))
+        "LPA: map-side votes + struct-min pick, window-free, bounded census"),
+      // C67d scan floor: the whole match is array-side in one narrow scan
+      ("phrase_search", p => p.contains("TakeOrderedAndProject") &&
+          !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "phrase scan: zero-shuffle array-side match + bounded take"),
+      // C67d indexed: bucket partitions prune and the corpus text is
+      // NEVER re-read — only the positional postings enter the plan
+      ("phrase_indexed", p => p.contains("PartitionFilters: [bucket") &&
+          !p.contains("documents.parquet") && p.contains("TakeOrderedAndProject"),
+        "phrase index: bucket pruning, no corpus re-scan, bounded take"))
 
     // EDF DSv2 scan: channel + time predicates must reach the source
     // (per-signal ranged reads + record-window partition pruning)

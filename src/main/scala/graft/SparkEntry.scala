@@ -325,6 +325,8 @@ object SparkEntry {
     "split_safe"         -> q(Dedup.leakageSafeSplit(_)),
     "window_funnel"      -> q(EventAnalytics.windowFunnel(_)),
     "bm25_indexed"       -> ((s, dir) => TextAnalysis.bm25IndexedQuery(Tables(s, dir), dir)),
+    "phrase_search"      -> q(TextAnalysis.phraseSearch(_)),
+    "phrase_indexed"     -> ((s, dir) => TextAnalysis.phraseIndexedQuery(Tables(s, dir), dir)),
     "bm25_delta"         -> ((s, dir) => TextAnalysis.bm25DeltaQuery(Tables(s, dir), dir)),
     "bm25_compact"       -> ((s, dir) => TextAnalysis.bm25CompactQuery(Tables(s, dir), dir)),
     "triangle_count"     -> q(Analytics.triangleCount(_)),
@@ -2017,6 +2019,8 @@ object SparkEntry {
          FROM g ORDER BY lang""",
     "graph_cc" -> graphCcSql,
     "graph_lpa" -> lpaSql(5, 20),
+    "phrase_search" -> phraseSql("table hash", 20),
+    "phrase_indexed" -> phraseSql("table hash", 20),
     "triangle_count" ->
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS s FROM lineitem),
          e AS (SELECT DISTINCT a.s AS a, b.s AS b FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s),
@@ -2324,6 +2328,22 @@ object SparkEntry {
        $rounds
        SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
        FROM l$iters GROUP BY lbl ORDER BY n_nodes DESC, community LIMIT $k"""
+  }
+
+  /** C67d: the phrase-occurrence count generated from the SAME word list
+    * the Spark operators use (the zorder SQL-from-one-loop trick), shared
+    * verbatim by the scan floor and the positional-index query — the two
+    * are DEFINED row-identical, so one oracle string holds both.
+    */
+  private def phraseSql(phrase: String, k: Int): String = {
+    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val cond = words.zipWithIndex
+      .map { case (w, j) => s"toks[i + $j] = '$w'" }.mkString(" AND ")
+    s"""WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
+       c AS (SELECT doc_id, len(list_filter(generate_series(1, len(toks) - ${words.length - 1}),
+               i -> $cond)) AS n_hits FROM tk)
+       SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM c WHERE n_hits > 0
+       ORDER BY n_hits DESC, doc_id LIMIT $k"""
   }
 
   private val bm25Sql: String =

@@ -720,6 +720,102 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** C67d (scan floor): exact-phrase search — docs containing the query
+    * words ADJACENT and IN ORDER, ranked by occurrence count. BM25's
+    * bag-of-words scoring (C35) cannot distinguish "new york" from
+    * "york new"; phrase matching is the retrieval feature that needs
+    * POSITIONS, and this scan-based form is the index-free floor the
+    * positional index ([[phraseSearchIndexed]]) is measured against.
+    *
+    * The whole match runs ARRAY-SIDE in one zero-shuffle narrow scan:
+    * the document's token array is already one row, so occurrence
+    * counting is a codegen'd filter over candidate start offsets —
+    * no explode, no self-join, no window. Counts are pure integers
+    * (overlapping occurrences count — "a a a" has two "a a" hits);
+    * top-k is a bounded ordered take.
+    */
+  def phraseSearch(t: Tables, phrase: String = "table hash", k: Int = 20): DataFrame =
+    phraseSearchDocs(t.documents, phrase, k)
+
+  private[graft] def phraseWords(phrase: String): Seq[String] = {
+    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.length >= 2, "phrase search needs a phrase of at least two words")
+    require(words.forall(_.matches("[a-z0-9]+")),
+      s"phrase words must be alphanumeric (got: $phrase)")
+    words
+  }
+
+  private[graft] def phraseSearchDocs(docs: DataFrame, phrase: String, k: Int): DataFrame = {
+    val words = phraseWords(phrase)
+    val n = words.length
+    val cond = words.zipWithIndex
+      .map { case (w, j) => s"element_at(toks, i + $j) = '$w'" }
+      .mkString(" AND ")
+    docs
+      .withColumn("toks", wsTokens(lower(col("text"))))
+      .withColumn("n_hits",
+        when(size(col("toks")) >= n,
+          expr(s"size(filter(sequence(1, size(toks) - ${n - 1}), i -> $cond))").cast("long"))
+          .otherwise(lit(0L)))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** C67d: positional index build — postings (doc_id, term, positions)
+    * under C67's bucket partitioning (`pmod(xxhash64(term), nBuckets)`),
+    * positions 1-based into the shared whitespace token array. ONE
+    * corpus tokenize scan + one map-side-combinable (doc, term)
+    * aggregate; the positions array per (doc, term) is tf-sized.
+    */
+  def buildPhraseIndex(t: Tables, dir: String, nBuckets: Int = 64): Unit =
+    buildPhraseIndexDocs(t.documents, dir, nBuckets)
+
+  private[graft] def buildPhraseIndexDocs(docs: DataFrame, dir: String, nBuckets: Int): Unit = {
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong))
+    docs
+      .select(col("doc_id"), posexplode(wsTokens(lower(col("text")))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .withColumn("bucket", bucket)
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** C67d: phrase query answered FROM THE INDEX — the corpus is never
+    * re-tokenized: ≤ |distinct words| bucket partitions are listed
+    * (PartitionFilters, plan-audited), each phrase word's positions
+    * array pivots onto the doc row, and the occurrence count is the
+    * same integer adjacency fold the scan floor runs (q ∈ positions₀
+    * with q+j ∈ positionsⱼ ∀j) — defined to be row-identical to
+    * [[phraseSearch]], and held to it by the shared oracle string and
+    * the parity spec. Per-query cost: index-bytes/nBuckets reads + a
+    * doc-keyed pivot of the |phrase| posting lists.
+    */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          phrase: String = "table hash", k: Int = 20,
+                          nBuckets: Int = 64): DataFrame = {
+    val words = phraseWords(phrase)
+    val n = words.length
+    val terms = words.distinct
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
+    val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val firstAgg = first(when(col("term") === words.head, col("positions")), ignoreNulls = true).as("p_0")
+    val restAggs = (1 until n).map(j =>
+      first(when(col("term") === words(j), col("positions")), ignoreNulls = true).as(s"p_$j"))
+    val pivoted = post.groupBy(col("doc_id")).agg(firstAgg, restAggs: _*)
+    val allPresent = (0 until n).map(j => col(s"p_$j").isNotNull).reduce(_ && _)
+    val cond = (1 until n).map(j => s"array_contains(p_$j, q + $j)").mkString(" AND ")
+    pivoted.filter(allPresent)
+      .withColumn("n_hits", expr(s"size(filter(p_0, q -> $cond))").cast("long"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** C67: materialize the offline inverted index for [[bm25Indexed]] —
     * postings (term, doc_id, tf, dl), per-term document frequencies,
     * and the corpus stats, with the two term-keyed relations
@@ -1172,6 +1268,23 @@ object TextAnalysis {
       d
     })
     bm25Indexed(spark, dir)
+  }
+
+  private val phraseIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** C67d driver query: index-backed phrase search over the corpus dir
+    * (positional index built once per dir and memoized; the oracle
+    * string is SHARED with the scan-floor `phrase_search` because the
+    * results are defined to be row-identical).
+    */
+  def phraseIndexedQuery(t: Tables, sfDir: String): DataFrame = {
+    val spark = t.documents.sparkSession
+    val dir = phraseIndexCache.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("phraseidx").toString
+      buildPhraseIndex(t, d)
+      d
+    })
+    phraseSearchIndexed(spark, dir)
   }
 
   private val deltaIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -615,6 +615,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseSearch: adjacency and order are the contract; index path is row-identical") {
+    import spark.implicits._
+    val corpus = docs(Seq(
+      (1L, "a x y b x y"),      // two hits
+      (2L, "y x"),              // order matters -> no hit
+      (3L, "x q y"),            // gap -> no hit
+      (4L, "b x y"),            // phrase at the very end -> one hit
+      (5L, "x"),                // shorter than the phrase -> no hit
+      (6L, ""),                 // empty doc -> no hit
+      (7L, "x y x y x")))       // two hits
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scan = rows(TextAnalysis.phraseSearchDocs(corpus.documents, "x y", 10))
+    assert(scan == Seq((1L, 2L), (7L, 2L), (4L, 1L)), s"got $scan")
+    // overlapping occurrences count: "a a a" has TWO "a a" starts
+    val ov = rows(TextAnalysis.phraseSearchDocs(
+      docs(Seq((9L, "a a a"))).documents, "a a", 10))
+    assert(ov == Seq((9L, 2L)), s"overlap rule: $ov")
+    // a 3-word phrase needs all three adjacent in order
+    val tri = rows(TextAnalysis.phraseSearchDocs(corpus.documents, "x y b", 10))
+    assert(tri == Seq((1L, 1L)), s"3-word phrase: $tri")
+    // the positional index answers row-identically WITHOUT re-reading text
+    val dir = java.nio.file.Files.createTempDirectory("phidx").toString
+    TextAnalysis.buildPhraseIndexDocs(corpus.documents, dir, nBuckets = 16)
+    val idx = rows(TextAnalysis.phraseSearchIndexed(spark, dir, "x y", 10, nBuckets = 16))
+    assert(idx == scan, s"index vs scan: $idx vs $scan")
+    val idxTri = rows(TextAnalysis.phraseSearchIndexed(spark, dir, "x y b", 10, nBuckets = 16))
+    assert(idxTri == tri, s"index 3-word: $idxTri vs $tri")
+    // doc 2 contains both words but never adjacent — the all-present
+    // pivot must still reject it through the adjacency fold
+    assert(!idx.exists(_._1 == 2L), "order violation excluded by the index path too")
+  }
+
   test("tokFertility: exact token/byte ratios per language") {
     import spark.implicits._
     // punctuation splits re-tokens ("a-b" -> a, -, b); é is 2 UTF-8 bytes
