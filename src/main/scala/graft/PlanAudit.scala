@@ -385,6 +385,38 @@ object PlanAudit {
       ("ts_epoch_features", p => "Exchange hashpartitioning".r
           .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
         "epoch features: one exchange for lag windows + epoch aggregation, no join"),
+      // A29: the corpus collapses map-side to (channel, bucket) partial
+      // sums; the cross-channel totals are a window over the COLLAPSED
+      // relation — no join anywhere in the plan
+      ("ts_car", p => !p.contains("Join") && p.contains("partial_sum") &&
+          !p.contains("CartesianProduct"),
+        "CAR re-reference: map-side bucket sums, join-free"),
+      // A31: all five regression sums ride ONE map-side-combinable
+      // aggregation over a narrow scan — no window, no join, no 2nd pass
+      ("ts_detrend", p => !p.contains("Window") && !p.contains("Join") &&
+          p.contains("partial_sum"),
+        "linear detrend: single map-side-combined aggregation, no join/window"),
+      // C77: both Flesch formulas are regexp counts + column algebra on
+      // one narrow scan — no join, no hash shuffle anywhere
+      ("readability", p => !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+        "readability: one narrow codegen scan, no join/shuffle"),
+      // B35: ONE user-keyed exchange serves both window frames; the
+      // credited relation collapses map-side to (model, touch_type)
+      ("attribution", p => !p.contains("Join") &&
+          "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2 &&
+          p.contains("partial_count"),
+        "attribution: one stream exchange + map-side model collapse, no join"),
+      // B36: interval containment rides a HASH equi-join on the entity
+      // key (residual range predicate) — never a cross product
+      ("pit_join", p => !p.contains("CartesianProduct") &&
+          (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+            p.contains("ShuffledHashJoin")),
+        "PIT join: hash equi-join on user with interval residual, no cross product"),
+      // C79: the d²/2 pair stream aggregates map-side onto d(d+1)/2 keys
+      // and the ranking is a bounded take — no join, no global sort
+      ("emb_corr", p => !p.contains("Join") && p.contains("partial_sum") &&
+          p.contains("TakeOrderedAndProject"),
+        "dimension correlation: map-side moment sums + bounded top-k, join-free"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

@@ -66,6 +66,11 @@ object SparkEntry {
     "ts_spectrogram"   -> Seq(col("event_type"), col("win_us"), col("bin")),
     "ts_hjorth"        -> Seq(col("event_type")),
     "ts_epoch_features" -> Seq(col("event_type"), col("epoch_us")),
+    "ts_car"           -> Seq(col("event_type"), col("bucket_us")),
+    "ts_detrend"       -> Seq(col("event_type")),
+    "readability"      -> Seq(col("doc_id")),
+    "attribution"      -> Seq(col("model"), col("touch_type")),
+    "pit_join"         -> Seq(col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
     "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
@@ -255,6 +260,12 @@ object SparkEntry {
     "interval_join"      -> q(TimeSeries.chunkOverlaps(_)),
     "ts_hjorth"          -> q(TimeSeries.tsHjorth(_)),
     "ts_epoch_features"  -> q(TimeSeries.tsEpochFeatures(_)),
+    "ts_car"             -> q(TimeSeries.tsCar(_)),
+    "ts_detrend"         -> q(TimeSeries.tsDetrend(_)),
+    "readability"        -> q(TextAnalysis.readability(_)),
+    "attribution"        -> q(EventAnalytics.attribution(_)),
+    "pit_join"           -> q(EventAnalytics.pitJoin(_)),
+    "emb_corr"           -> q(Similarity.embCorr(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
@@ -924,6 +935,105 @@ object SparkEntry {
            floor(CAST(coalesce(sum(abs(d)), 0) AS DOUBLE)/100.0*10000.0 + 0.5)/10000.0 AS line_length,
            CAST(coalesce(sum(CASE WHEN turn THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_turns
          FROM d2 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_car" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+                 epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+         w AS (SELECT *, CAST(sum(s) OVER p AS BIGINT) AS s_all,
+                 CAST(sum(c) OVER p AS BIGINT) AS c_all,
+                 CAST(count(*) OVER p AS BIGINT) AS n_channels
+               FROM b WINDOW p AS (PARTITION BY bucket_us))
+         SELECT event_type, bucket_us, c AS n, n_channels,
+           floor(((CAST(s AS DOUBLE)/c)/100.0)*10000.0 + 0.5)/10000.0 AS v_mean,
+           floor(((CAST(s AS DOUBLE)/c)/100.0 - (CAST(s_all AS DOUBLE)/c_all)/100.0)*10000.0 + 0.5)/10000.0 AS v_car
+         FROM w ORDER BY 1, 2""",
+    "ts_detrend" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c,
+                 epoch_ns(ts)//1000//1000000 - 1704067200 AS t FROM events),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS DOUBLE) AS st, CAST(sum(CAST(t AS HUGEINT)*t) AS DOUBLE) AS stt,
+                 CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(CAST(c AS HUGEINT)*c) AS DOUBLE) AS scc,
+                 CAST(sum(CAST(t AS HUGEINT)*c) AS DOUBLE) AS stc
+               FROM e GROUP BY 1),
+         d AS (SELECT event_type, n, sc,
+                 stt - st*st/n AS sxx, stc - st*sc/n AS sxy, scc - sc*sc/n AS syy
+               FROM s)
+         SELECT event_type, n,
+           floor(sc/n/100.0*10000.0 + 0.5)/10000.0 AS mean,
+           CASE WHEN sxx = 0 THEN NULL
+                ELSE floor(sxy/sxx*86400.0/100.0*10000.0 + 0.5)/10000.0 END AS slope_per_day,
+           CASE WHEN sxx = 0 THEN NULL
+                ELSE floor(sqrt((syy - sxy*sxy/sxx)/n)/100.0*10000.0 + 0.5)/10000.0 END AS resid_rms
+         FROM d ORDER BY 1""",
+    "readability" ->
+      """WITH d AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                 greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
+                 CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg,
+                 CAST(len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*')) AS BIGINT) AS vw
+               FROM documents),
+         f AS (SELECT doc_id, w AS n_words, s AS n_sents, vg + (w - vw) AS n_syll FROM d),
+         r AS (SELECT *,
+                 CASE WHEN n_words = 0 THEN NULL
+                      ELSE floor((206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sents)
+                        - 84.6*(CAST(n_syll AS DOUBLE)/n_words))*10000.0 + 0.5)/10000.0 END AS fre,
+                 CASE WHEN n_words = 0 THEN NULL
+                      ELSE floor((0.39*(CAST(n_words AS DOUBLE)/n_sents)
+                        + 11.8*(CAST(n_syll AS DOUBLE)/n_words) - 15.59)*10000.0 + 0.5)/10000.0 END AS fk_grade
+               FROM f)
+         SELECT doc_id, n_words, n_sents, n_syll, fre, fk_grade,
+           CASE WHEN fre IS NULL THEN 'empty' WHEN fre >= 70.0 THEN 'easy'
+                WHEN fre >= 50.0 THEN 'standard' WHEN fre >= 30.0 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+         FROM r ORDER BY doc_id""",
+    "attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+         k AS (SELECT *, CASE WHEN event_type IN ('view','click','signup')
+                 THEN printf('%020d%020d|%s', us, event_id, event_type) END AS tkey FROM e),
+         w AS (SELECT event_type, value,
+                 max(tkey) OVER win AS last_key, min(tkey) OVER win AS first_key
+               FROM k WINDOW win AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+         p AS (SELECT CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+                 coalesce(substr(last_key, 42), '(none)') AS last_type,
+                 coalesce(substr(first_key, 42), '(none)') AS first_type
+               FROM w WHERE event_type = 'purchase'),
+         u AS (SELECT 'last' AS model, last_type AS touch_type, cents FROM p
+               UNION ALL SELECT 'first', first_type, cents FROM p)
+         SELECT model, touch_type, CAST(count(*) AS BIGINT) AS n_conv,
+           floor(CAST(sum(cents) AS DOUBLE)/100.0*100.0 + 0.5)/100.0 AS revenue
+         FROM u GROUP BY 1, 2 ORDER BY 1, 2""",
+    "pit_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+         c AS (SELECT user_id, event_id, us, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pv
+               FROM e WHERE event_type = 'click'),
+         ch AS (SELECT user_id, event_id, us, value FROM c WHERE pv IS NULL OR pv <> value),
+         d AS (SELECT user_id, value AS state_value, us AS valid_from_us,
+                 lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS state_version
+               FROM ch),
+         p AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.us AS ts_us, p.value,
+           d.state_value, d.state_version, p.us - d.valid_from_us AS state_age_us
+         FROM p LEFT JOIN d ON p.user_id = d.user_id
+           AND d.valid_from_us <= p.us AND (d.valid_to_us IS NULL OR p.us < d.valid_to_us)
+         ORDER BY p.event_id""",
+    "emb_corr" ->
+      """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i FROM embeddings),
+         p AS (SELECT a.i AS i, b.i AS j, a.v AS xi, b.v AS xj
+               FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i > a.i),
+         m AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+                 sum(xi) AS sx, sum(xj) AS sy, sum(xi*xi) AS sxx,
+                 sum(xj*xj) AS syy, sum(xi*xj) AS sxy
+               FROM p GROUP BY 1, 2)
+         SELECT i AS dim_i, j AS dim_j, n,
+           floor(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*10000.0 + 0.5)/10000.0 AS corr
+         FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 25""",
     "ts_outlier" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
                     FROM events GROUP BY 1),

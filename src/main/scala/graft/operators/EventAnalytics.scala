@@ -229,6 +229,90 @@ object EventAnalytics {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** B36: point-in-time-correct feature join — every fact event joined to
+    * the dimension state that was CURRENT at the fact's own timestamp
+    * (here: each purchase sees the buyer's click-stream state as of the
+    * purchase instant). THE feature-store correctness primitive: training
+    * a model on "state now" instead of "state then" is label leakage, and
+    * this join is how a training-set builder avoids it. Composes [[scd2Build]]
+    * (the versioned dimension) with an interval-containment probe;
+    * A9's as-of join answers the same question stream-to-stream, this is
+    * the fact-to-dimension form.
+    *
+    * Scale shape: a plain HASH equi-join on the entity key with the
+    * interval predicate as the join residual — SCD2 intervals partition
+    * time per key, so each fact matches EXACTLY one dimension row (or
+    * none before the first state): multiplicity 1 by construction, never
+    * an explosion. Facts before any state survive the left join with
+    * NULL state. All interval arithmetic is integer µs.
+    */
+  def pitJoin(t: Tables, stateType: String = "click",
+              factType: String = "purchase"): DataFrame = {
+    val dim = scd2Build(t).filter(col("event_type") === stateType)
+      .select(col("user_id").as("d_user"), col("value").as("state_value"),
+        col("valid_from_us"), col("valid_to_us"), col("version").as("state_version"))
+    val facts = t.events.filter(col("event_type") === factType)
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"), col("value"))
+    facts.join(dim, col("user_id") === col("d_user") &&
+        col("valid_from_us") <= col("ts_us") &&
+        (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("state_value"), col("state_version"),
+        (col("ts_us") - col("valid_from_us")).as("state_age_us"))
+  }
+
+  /** B35: conversion attribution — credit every conversion event to the
+    * touch events that preceded it, under the two standard marketing
+    * models at once: LAST touch (the touch nearest before the
+    * conversion) and FIRST touch (the earliest touch inside the
+    * lookback). One row per (model, touch_type) with the conversion
+    * count and exact revenue; conversions with no in-window touch credit
+    * `(none)`. The revenue-assignment question every
+    * campaign-effectiveness audit starts with, downstream of B15's
+    * funnel ("did they convert") — this asks "who gets the credit".
+    *
+    * Determinism discipline: a touch is encoded as a FIXED-WIDTH string
+    * key (zero-padded µs + event_id + type — the A25 total-order trick),
+    * so last/first touch are plain min/max over a RANGE frame
+    * [us − lookback, us] on the integer µs axis — no engine-specific
+    * first_value/ignore-nulls semantics, ties at the same instant
+    * resolved by event_id in both engines identically. Revenue rides as
+    * exact cents.
+    *
+    * Scale shape: ONE user-keyed exchange serves both window passes
+    * (same partitioning, two frames); the credited relation collapses
+    * map-side to (model, touch_type) cardinality. At 100 TB the only
+    * stream-sized cost is the per-user sort — the standard
+    * sessionization price, shared with B17/B24.
+    */
+  def attribution(t: Tables,
+                  touchTypes: Seq[String] = Seq("view", "click", "signup"),
+                  conversion: String = "purchase",
+                  lookbackUs: Long = 86400L * 1000000): DataFrame = {
+    require(!touchTypes.contains(conversion), "conversion cannot be its own touch")
+    val win = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-lookbackUs, 0)
+    val credited = t.events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), tsUs.as("us"))
+      .withColumn("tkey", when(col("event_type").isin(touchTypes: _*),
+        format_string("%020d%020d|%s", col("us"), col("event_id"), col("event_type"))))
+      .withColumn("last_key", max(col("tkey")).over(win))
+      .withColumn("first_key", min(col("tkey")).over(win))
+      .filter(col("event_type") === conversion)
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("cents"),
+        coalesce(expr("substring(last_key, 42)"), lit("(none)")).as("last_type"),
+        coalesce(expr("substring(first_key, 42)"), lit("(none)")).as("first_type"))
+    // unpivot BEFORE aggregating: one window pass feeds both models
+    // (a per-model groupBy would re-run the stream-sized window twice)
+    credited
+      .select(col("cents"), explode(array(
+        struct(lit("last").as("model"), col("last_type").as("touch_type")),
+        struct(lit("first").as("model"), col("first_type").as("touch_type")))).as("mt"))
+      .groupBy(col("mt.model").as("model"), col("mt.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_conv"),
+        graft.functions.roundHalfUp(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+  }
+
   /** B24: event-sequence transition mining — the first-order Markov
     * profile of the event stream: every consecutive (from → to) pair of
     * event types in a user's timeline, counted globally and by distinct

@@ -1043,4 +1043,52 @@ object Similarity {
       roundHalfUp(get(col("proj"), lit(3)), 6).as("proj_3"),
       roundHalfUp(pn, 4).as("pnorm"))
   }
+
+  /** C79: embedding-dimension correlation audit — the Pearson correlation
+    * of every dimension PAIR across the corpus, top-k by |corr|: the
+    * decorrelation / whitening pre-check an embedding pipeline runs
+    * before PQ or random projection (C22/C50 assume roughly isotropic
+    * dimensions; a highly correlated pair says variance is concentrated
+    * and a rotation or PCA step belongs before quantization).
+    *
+    * Scale shape: the d²/2 products per vector are IRREDUCIBLE (every
+    * Σxᵢxⱼ needs them) — what must NOT scale with the corpus is the
+    * shuffle, and it doesn't: the exploded pair stream aggregates
+    * map-side onto d(d+1)/2 keys (d=64 → 2080 groups), so the exchange
+    * carries ~2080 rows per task regardless of corpus size, and the
+    * top-k is a bounded TakeOrdered. Nothing corpus-sized ever shuffles.
+    *
+    * Determinism: float→double casts and per-pair products are exact;
+    * moment sums are doubles under the ts_corr/A16 precedent (4-dp round
+    * absorbs last-ulp aggregation-order drift), correlations derive from
+    * raw moments as ONE fixed-order expression (never an engine corr()
+    * whose internal algorithm differs), zero-variance dimensions filter
+    * OUT before any division, and ordering ties break on (i, j) over the
+    * ROUNDED score.
+    */
+  def embCorr(t: Tables, k: Int = 25): DataFrame = {
+    // two chained generators emit ONLY the upper triangle: the second
+    // explode runs over slice(e, i+2, …) — no i≥j row is ever produced
+    val x = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("i0", "xf")), col("embedding").as("e"))
+      .select((col("i0") + 1).cast("long").as("i"), col("xf").cast("double").as("xi"),
+        expr("slice(e, cast(i0 + 2 as int), size(e) - i0 - 1)").as("rest"))
+    val pairs = x
+      .select(col("i"), col("xi"), posexplode(col("rest")).as(Seq("j0", "yf")))
+      .select(col("i"), (col("i") + col("j0") + 1).cast("long").as("j"),
+        col("xi"), col("yf").cast("double").as("xj"))
+    val m = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"),
+        sum(col("xi") * col("xi")).as("sxx"), sum(col("xj") * col("xj")).as("syy"),
+        sum(col("xi") * col("xj")).as("sxy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(vx > 0.0 && vy > 0.0)
+      .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+        roundHalfUp((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(vx) * sqrt(vy)), 4).as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+      .limit(k)
+  }
 }

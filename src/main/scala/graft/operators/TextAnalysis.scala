@@ -148,6 +148,51 @@ object TextAnalysis {
         col("stop_ratio"), col("punct_ratio"), col("quality"))
   }
 
+  /** C77: readability scoring — Flesch Reading Ease and Flesch–Kincaid
+    * grade level per document (Flesch 1948 / Kincaid 1975): the
+    * audience-level complement of [[qualityScore]]'s surface ratios, and
+    * a standard curation axis for instruction/edu corpora ("keep
+    * standard-difficulty prose, drop word salad and legalese").
+    *
+    * Syllables use the classic vowel-group heuristic: a syllable per
+    * maximal run of [aeiouy], with a floor of one per word (vowelless
+    * tokens — numbers, acronyms — count 1). Words are non-space runs;
+    * sentences count [.!?]+ runs with a floor of 1. All three are exact
+    * integers from non-overlapping regexp counts (patterns chosen
+    * Java-regex/RE2-identical, the C15 discipline), so both formulas are
+    * ONE fixed-order double expression over exact integers —
+    * bit-identical cross-engine under the 4-dp round. The difficulty
+    * band cuts on the ROUNDED score, so a boundary document cannot band
+    * differently per engine.
+    *
+    * Scale shape: one zero-shuffle codegen scan; adding a formula adds a
+    * column, never a pass.
+    */
+  def readability(t: Tables): DataFrame = {
+    val words = regexp_count(col("text"), lit("\\S+")).cast("long")
+    val sents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val vgroups = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val vwords = regexp_count(lower(col("text")), lit("\\S*[aeiouy]\\S*")).cast("long")
+    t.documents
+      .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+        (vgroups + (words - vwords)).as("n_syll"))
+      .withColumn("fre",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(roundHalfUp(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4)))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0, lit(null).cast("double"))
+          .otherwise(roundHalfUp(lit(0.39) * (col("n_words").cast("double") / col("n_sents"))
+            + lit(11.8) * (col("n_syll").cast("double") / col("n_words")) - lit(15.59), 4)))
+      .withColumn("band",
+        when(col("fre").isNull, "empty")
+          .when(col("fre") >= 70.0, "easy")
+          .when(col("fre") >= 50.0, "standard")
+          .when(col("fre") >= 30.0, "difficult")
+          .otherwise("very_difficult"))
+  }
+
   private val langProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "en" -> Seq("the", "a", "and", "of", "to"),

@@ -936,6 +936,109 @@ object TimeSeries {
       .select(kc ++ Seq(col("bucket"), col("us").as("ts_us"), col("value")): _*)
   }
 
+  /** A29: common-average re-referencing (CAR) — the standard EEG montage
+    * transform: every channel's signal is re-expressed relative to the
+    * average of ALL channels at the same instant, cancelling the shared
+    * reference-electrode drift that otherwise dominates every channel.
+    * The reference's physical-value pipeline stops at per-channel
+    * calibration (edf.py:14-18); CAR is the first cross-channel montage
+    * step every clinical reading pipeline applies after it.
+    *
+    * Instants are the `bucketUs` resample grid (channels need a common
+    * time base before any cross-channel arithmetic — A7's grid), and the
+    * common reference is the bucket's GRAND mean (Σ all cents / Σ all
+    * samples). On an equal-rate grid (A4/A7 output — every channel
+    * contributes the same count per bucket) this IS the textbook
+    * equal-channel-weight CAR; on ragged input it is the sample-weighted
+    * form. The grand mean is the form whose arithmetic stays EXACT:
+    * an equal-weight mean of per-channel means would sum k doubles in
+    * engine-dependent order, while Σcents/Σn and s_c/n_c are exact longs
+    * and the re-reference is ONE fixed-order double expression —
+    * bit-identical cross-engine under the 4-dp round.
+    *
+    * Scale shape: the corpus collapses map-side to (channel, bucket)
+    * partial sums; the cross-channel totals are a window over the
+    * already-collapsed relation partitioned by bucket (one small
+    * exchange, never corpus-sized) — NO join anywhere. At 100 TB the
+    * bucket key would be (file, bucket) and the window's partition
+    * count scales with recording hours, not samples.
+    */
+  def tsCar(t: Tables, bucketUs: Long = 3600L * 1000000): DataFrame = {
+    val wb = Window.partitionBy(col("bucket_us"))
+    t.events
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      .withColumn("s_all", sum(col("s")).over(wb))
+      .withColumn("c_all", sum(col("c")).over(wb))
+      .withColumn("n_channels", count(lit(1)).over(wb))
+      .select(col("event_type"), col("bucket_us"), col("c").as("n"), col("n_channels"),
+        roundHalfUp((col("s").cast("double") / col("c")) / 100.0, 4).as("v_mean"),
+        roundHalfUp((col("s").cast("double") / col("c")) / 100.0 -
+          (col("s_all").cast("double") / col("c_all")) / 100.0, 4).as("v_car"))
+  }
+
+  /** The regression time origin for [[tsDetrend]] — 2024-01-01T00:00Z.
+    * Rebasing to a FIXED epoch (not the channel min) keeps the plan
+    * join-free, and expressing t in integer SECONDS keeps Σt² inside
+    * decimal(38,0) headroom at any corpus size (µs² would overflow at
+    * ~10¹² rows; s² leaves 11 orders of magnitude to spare).
+    */
+  private val DetrendEpochUs: Long = 1704067200000000L
+
+  /** A31: per-channel linear detrend — the least-squares line v ≈ a + b·t
+    * fitted to each channel, reported as the channel mean, the slope per
+    * day, and the residual RMS (how much signal is left once the trend
+    * is removed). The de-drifting step every long-recording pipeline
+    * runs before spectral or amplitude analysis (a slow electrode drift
+    * otherwise leaks into every band), and the QC number ("is this
+    * channel drifting?") next to A6's rate stats.
+    *
+    * Determinism discipline: t rides as integer seconds from a fixed
+    * epoch and v as integer cents, so ALL five regression sums (Σt, Σt²,
+    * Σv, Σv², Σtv) are exact decimals under any aggregation order; the
+    * slope/intercept/SSE then derive from the centered-moment identities
+    * (Sxx, Sxy, Syy; SSE = Syy − Sxy²/Sxx) as ONE fixed-order double
+    * expression each — bit-identical cross-engine. A float-sum
+    * regression over a corpus-sized group is not even run-stable.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over a narrow
+    * scan; output is channel-cardinality. No window, no join, no second
+    * pass. A zero-variance time axis (single instant) yields NULL slope
+    * and rms rather than a cross-engine NaN coin flip.
+    */
+  def tsDetrend(t: Tables): DataFrame = {
+    val sxx = col("stt").cast("double") -
+      col("st").cast("double") * col("st").cast("double") / col("n")
+    val sxy = col("stc").cast("double") -
+      col("st").cast("double") * col("sc").cast("double") / col("n")
+    val syy = col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") / col("n")
+    t.events
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"),
+        // divide BEFORE subtracting the epoch: µs-since-1970 is always
+        // positive, where Spark's trunc-div and the oracle's floor-div
+        // agree; a pre-1704067200 row would otherwise floor/trunc apart
+        expr(s"(ts div 1000) div 1000000 - ${DetrendEpochUs / 1000000}L").as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t").cast("decimal(38,0)")).as("st"),
+        sum(col("t").cast("decimal(19,0)") * col("t").cast("decimal(19,0)")).as("stt"),
+        sum(col("c").cast("decimal(38,0)")).as("sc"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")).as("scc"),
+        sum(col("t").cast("decimal(19,0)") * col("c").cast("decimal(19,0)")).as("stc"))
+      .select(col("event_type"), col("n"),
+        roundHalfUp(col("sc").cast("double") / col("n") / 100.0, 4).as("mean"),
+        when(sxx === 0.0, lit(null).cast("double"))
+          .otherwise(roundHalfUp(sxy / sxx * 86400.0 / 100.0, 4)).as("slope_per_day"),
+        when(sxx === 0.0, lit(null).cast("double"))
+          .otherwise(roundHalfUp(sqrt((syy - sxy * sxy / sxx) / col("n")) / 100.0, 4))
+          .as("resid_rms"))
+  }
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */

@@ -266,4 +266,54 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2L, "s", 1.0, 1000000L, 1000000L, 1L, false),
       (2L, "s", 2.0, 1000000L, -1L, 2L, true)), s"got ${got.toSeq}")
   }
+
+  test("attribution: last/first touch inside lookback, same-instant ties by event_id, (none) otherwise") {
+    val rows = Seq(
+      // user 1: view -> click -> purchase(10.0): last=click, first=view
+      (0L, 10L * S, 1L, "view", 0.0), (1L, 20L * S, 1L, "click", 0.0),
+      (2L, 30L * S, 1L, "purchase", 10.0),
+      // user 2: purchase with no touch at all
+      (3L, 10L * S, 2L, "purchase", 5.0),
+      // user 3: only touch is OUTSIDE the 1-day lookback
+      (4L, 0L, 3L, "view", 0.0), (5L, 2L * 86400L * S, 3L, "purchase", 7.0),
+      // user 4: click and view at the SAME instant: last=higher id (view),
+      // first=lower id (click)
+      (6L, 100L * S, 4L, "click", 0.0), (7L, 100L * S, 4L, "view", 0.0),
+      (8L, 200L * S, 4L, "purchase", 1.0),
+      // user 5: touch at the conversion instant itself is credited
+      (9L, 50L * S, 5L, "view", 0.0), (10L, 50L * S, 5L, "purchase", 2.0))
+    val got = EventAnalytics.attribution(events(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("first", "(none)", 2L, 12.0),
+      ("first", "click", 1L, 1.0),
+      ("first", "view", 2L, 12.0),
+      ("last", "(none)", 2L, 12.0),
+      ("last", "click", 1L, 10.0),
+      ("last", "view", 2L, 3.0)), s"got ${got.toSeq}")
+  }
+
+  test("pitJoin: each fact sees the state current AT ITS OWN instant, facts before any state get NULLs") {
+    val rows = Seq(
+      // user 1 click-state changelog: 1.0@10s, 2.0@30s, heartbeat 2.0@40s
+      // (collapses), 3.0@50s
+      (0L, 10L * S, 1L, "click", 1.0), (1L, 30L * S, 1L, "click", 2.0),
+      (2L, 40L * S, 1L, "click", 2.0), (3L, 50L * S, 1L, "click", 3.0),
+      // purchases probing before/at/inside/after the intervals
+      (10L, 5L * S, 1L, "purchase", 0.0),   // before any state -> NULLs
+      (11L, 30L * S, 1L, "purchase", 0.0),  // AT a change instant -> new state, age 0
+      (12L, 45L * S, 1L, "purchase", 0.0),  // inside [30,50) -> state 2.0
+      (13L, 60L * S, 1L, "purchase", 0.0))  // open interval -> state 3.0
+    val got = EventAnalytics.pitJoin(events(rows)).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getLong(5),
+        if (r.isNullAt(6)) null else r.getLong(6))).toMap
+    assert(got(10L) == ((null, null, null)), s"pre-state fact ${got(10L)}")
+    assert(got(11L) == ((2.0, 2L, 0L)), s"at-change fact ${got(11L)}")
+    assert(got(12L) == ((2.0, 2L, 15000000L)), s"mid-interval fact ${got(12L)}")
+    assert(got(13L) == ((3.0, 3L, 10000000L)), s"open-interval fact ${got(13L)}")
+    assert(got.size == 4, s"multiplicity exactly 1 per fact: ${got.size} rows")
+  }
 }

@@ -241,4 +241,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L)),
       s"hardest cross-label negatives in similarity order, same-label clone excluded: ${got.toSeq}")
   }
+
+  test("embCorr: perfect pair ranks first, planted partial correlation exact, ties break on (i, j)") {
+    // dims as columns over 4 vectors: dim1=[1,2,3,4], dim2=2*dim1 (corr 1),
+    // dim3=[1,-1,1,-1] (corr -0.4472 with both)
+    val rows = Seq(
+      (0L, Seq(1f, 2f, 1f), "x"), (1L, Seq(2f, 4f, -1f), "x"),
+      (2L, Seq(3f, 6f, 1f), "x"), (3L, Seq(4f, 8f, -1f), "x"))
+    val got = Similarity.embCorr(embeddings(rows), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 4L, 1.0),
+      (1L, 3L, 4L, -0.4472),
+      (2L, 3L, 4L, -0.4472)), s"got ${got.toSeq}")
+  }
 }

@@ -763,4 +763,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(10L) == ((1L, 0.0)), s"short replay: ${got(10L)}")
     assert(got(11L) == ((1L, 1.0)), s"short fresh: ${got(11L)}")
   }
+
+  test("readability: Flesch formulas over exact counts; vowelless words get one syllable") {
+    val t = docs(Seq(
+      (1L, "The cat sat. It ran!"),   // 5 words, 2 sentences, 5 syllables
+      (2L, "42 7th"),                 // vowelless tokens: 1 syllable each, sentence floor 1
+      (3L, ""),                       // empty: NULL scores, 'empty' band
+      (4L, "aeiolia aeiolia aeiolia."))) // 2 syllables/word, 1 sentence -> difficult
+    val got = TextAnalysis.readability(t).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = { val r = got(id)
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5), r.getString(6)) }
+    assert(row(1L) == ((5L, 2L, 5L, 119.6975, -2.815, "easy")), s"doc1 ${row(1L)}")
+    assert(row(2L) == ((2L, 1L, 2L, 120.205, -3.01, "easy")), s"doc2 ${row(2L)}")
+    assert(row(3L) == ((0L, 1L, 0L, null, null, "empty")), s"doc3 ${row(3L)}")
+    assert(row(4L) == ((3L, 1L, 6L, 34.59, 9.18, "difficult")), s"doc4 ${row(4L)}")
+  }
 }

@@ -284,6 +284,47 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxCells") && e.getMessage.contains("cellUs"), e.getMessage)
   }
 
+  test("tsCar: re-reference subtracts the bucket's cross-channel grand mean") {
+    val rows = Seq(
+      (1L, 0L, 1L, "A", 1.0),                      // bucket 0: A mean 2.0
+      (2L, 60L * 1000000000L, 1L, "A", 3.0),
+      (3L, 120L * 1000000000L, 1L, "B", 10.0),     // bucket 0: B mean 10.0
+      (4L, 3700L * 1000000000L, 1L, "A", 5.0))     // bucket 1: A alone
+    // bucket-0 grand mean = (100+300+1000)/3 cents = 4.666666…
+    val got = TimeSeries.tsCar(events(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      ("A", 0L, 2L, 2L, 2.0, -2.6667),
+      ("A", 3600000000L, 1L, 1L, 5.0, 0.0),
+      ("B", 0L, 1L, 2L, 10.0, 5.3333)), s"got ${got.toSeq}")
+  }
+
+  test("tsDetrend: exact line recovered, flat channel slope 0, single-instant channel nulls") {
+    val E = 1704067200L // 2024-01-01T00:00Z, the fixed regression origin
+    def at(daySec: Long): Long = (E + daySec) * 1000000000L
+    val line = (0 until 5).map { k => // v = 1.00 + 0.01·day: exactly on the line
+      (k.toLong, at(k * 86400L), 1L, "line", 1.0 + 0.01 * k)
+    }
+    val flat = (0 until 5).map { k =>
+      (10L + k, at(k * 86400L), 1L, "flat", 42.0)
+    }
+    val inst = Seq( // two samples at the SAME instant: zero time variance
+      (20L, at(0L), 1L, "inst", 1.0), (21L, at(0L), 1L, "inst", 3.0))
+    val got = TimeSeries.tsDetrend(events(line ++ flat ++ inst)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val l = got("line")
+    assert(l.getLong(1) == 5L && l.getDouble(2) == 1.02 &&
+      l.getDouble(3) == 0.01 && l.getDouble(4) == 0.0, s"line row $l")
+    val f = got("flat")
+    assert(f.getDouble(2) == 42.0 && f.getDouble(3) == 0.0 && f.getDouble(4) == 0.0,
+      s"flat row $f")
+    val i = got("inst")
+    assert(i.getDouble(2) == 2.0 && i.isNullAt(3) && i.isNullAt(4),
+      s"single-instant channel must yield NULL slope/rms, got $i")
+  }
+
   test("tsOhlc: open/close follow the exact (ts, event_id) order, ties broken by id") {
     val H = 3600L * 1000000000L
     val rows = Seq(
