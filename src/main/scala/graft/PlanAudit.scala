@@ -417,6 +417,17 @@ object PlanAudit {
       ("emb_corr", p => !p.contains("Join") && p.contains("partial_sum") &&
           p.contains("TakeOrderedAndProject"),
         "dimension correlation: map-side moment sums + bounded top-k, join-free"),
+      // A30: all 4k+3 taper/trig sums ride one map-side aggregation; the
+      // completeness filter joins the channel-span relation BROADCAST
+      // against the window relation; no window function anywhere
+      ("ts_welch", p => p.contains("BroadcastHashJoin") && p.contains("partial_sum") &&
+          !p.contains("Window") && !p.contains("SortMergeJoin"),
+        "Welch PSD: map-side trig sums, broadcast span join, window-free"),
+      // B37: the non-associative fold is ONE hash exchange + in-partition
+      // sort + sequential scan — no window function, no join
+      ("running_balance", p => !p.contains("Window") && !p.contains("Join") &&
+          "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 1,
+        "clamped balance: secondary sort + one keyed exchange, no window/join"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

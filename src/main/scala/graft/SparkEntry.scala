@@ -71,6 +71,8 @@ object SparkEntry {
     "readability"      -> Seq(col("doc_id")),
     "attribution"      -> Seq(col("model"), col("touch_type")),
     "pit_join"         -> Seq(col("event_id")),
+    "ts_welch"         -> Seq(col("event_type"), col("bin")),
+    "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
     "ts_outlier"       -> Seq(col("event_type"), col("ts_us"), col("event_id")),
@@ -266,6 +268,8 @@ object SparkEntry {
     "attribution"        -> q(EventAnalytics.attribution(_)),
     "pit_join"           -> q(EventAnalytics.pitJoin(_)),
     "emb_corr"           -> q(Similarity.embCorr(_)),
+    "ts_welch"           -> q(TimeSeries.tsWelch(_)),
+    "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
@@ -1034,6 +1038,53 @@ object SparkEntry {
            floor(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*10000.0 + 0.5)/10000.0 AS corr
          FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
          ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 25""",
+    "ts_welch" ->
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+         sp AS (SELECT event_type, min(us) AS mn, max(us) AS mx FROM e GROUP BY 1),
+         x AS (SELECT event_type, value, us,
+                 unnest([(us // 21600000000) * 21600000000,
+                         ((us + 10800000000) // 21600000000) * 21600000000 - 10800000000]) AS win_us
+               FROM e),
+         b AS (SELECT event_type, win_us, value,
+                 CAST(us - win_us AS DOUBLE)/1000000.0 AS tsec,
+                 0.5 - 0.5*cos(2.0*pi()*(CAST(us - win_us AS DOUBLE)/1000000.0)/21600.0) AS w
+               FROM x),
+         a AS (SELECT event_type, win_us,
+                 sum(w*value*cos(2.0*pi()*(1/21600.0)*tsec)) AS cv_1, sum(w*cos(2.0*pi()*(1/21600.0)*tsec)) AS c0_1,
+                 sum(w*value*sin(2.0*pi()*(1/21600.0)*tsec)) AS sv_1, sum(w*sin(2.0*pi()*(1/21600.0)*tsec)) AS s0_1,
+                 sum(w*value*cos(2.0*pi()*(2/21600.0)*tsec)) AS cv_2, sum(w*cos(2.0*pi()*(2/21600.0)*tsec)) AS c0_2,
+                 sum(w*value*sin(2.0*pi()*(2/21600.0)*tsec)) AS sv_2, sum(w*sin(2.0*pi()*(2/21600.0)*tsec)) AS s0_2,
+                 sum(w*value*cos(2.0*pi()*(3/21600.0)*tsec)) AS cv_3, sum(w*cos(2.0*pi()*(3/21600.0)*tsec)) AS c0_3,
+                 sum(w*value*sin(2.0*pi()*(3/21600.0)*tsec)) AS sv_3, sum(w*sin(2.0*pi()*(3/21600.0)*tsec)) AS s0_3,
+                 sum(w*value*cos(2.0*pi()*(4/21600.0)*tsec)) AS cv_4, sum(w*cos(2.0*pi()*(4/21600.0)*tsec)) AS c0_4,
+                 sum(w*value*sin(2.0*pi()*(4/21600.0)*tsec)) AS sv_4, sum(w*sin(2.0*pi()*(4/21600.0)*tsec)) AS s0_4,
+                 sum(w*w) AS w2, sum(value) AS sv, count(*) AS n
+               FROM b GROUP BY 1, 2),
+         c AS (SELECT a.* FROM a JOIN sp ON a.event_type = sp.event_type
+               WHERE a.win_us >= sp.mn AND a.win_us + 21600000000 <= sp.mx + 1),
+         p AS (SELECT event_type, CAST(1 AS BIGINT) AS bin, ((cv_1 - (sv / n) * c0_1) * (cv_1 - (sv / n) * c0_1) + (sv_1 - (sv / n) * s0_1) * (sv_1 - (sv / n) * s0_1)) / w2 AS p FROM c
+               UNION ALL SELECT event_type, 2, ((cv_2 - (sv / n) * c0_2) * (cv_2 - (sv / n) * c0_2) + (sv_2 - (sv / n) * s0_2) * (sv_2 - (sv / n) * s0_2)) / w2 FROM c
+               UNION ALL SELECT event_type, 3, ((cv_3 - (sv / n) * c0_3) * (cv_3 - (sv / n) * c0_3) + (sv_3 - (sv / n) * s0_3) * (sv_3 - (sv / n) * s0_3)) / w2 FROM c
+               UNION ALL SELECT event_type, 4, ((cv_4 - (sv / n) * c0_4) * (cv_4 - (sv / n) * c0_4) + (sv_4 - (sv / n) * s0_4) * (sv_4 - (sv / n) * s0_4)) / w2 FROM c)
+         SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_windows,
+           floor(sum(p)/count(*)*10000.0 + 0.5)/10000.0 AS psd
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    "running_balance" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
+                 (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)
+                   * CAST(floor(value*100.0 + 0.5) AS BIGINT) AS delta,
+                 row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)//1000, event_id) AS rn
+               FROM events WHERE event_type IN ('purchase','signup','click','error')),
+         r AS (SELECT user_id, event_id, us, delta, rn,
+                 greatest(CAST(0 AS BIGINT), delta) AS balance, delta < 0 AS clamped
+               FROM e WHERE rn = 1
+               UNION ALL
+               SELECT e.user_id, e.event_id, e.us, e.delta, e.rn,
+                 greatest(CAST(0 AS BIGINT), r.balance + e.delta), r.balance + e.delta < 0
+               FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT user_id, event_id, us AS ts_us, delta AS delta_cents,
+           balance AS balance_cents, clamped
+         FROM r ORDER BY user_id, event_id""",
     "ts_outlier" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
                     FROM events GROUP BY 1),

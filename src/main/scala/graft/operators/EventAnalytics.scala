@@ -229,6 +229,53 @@ object EventAnalytics {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** B37: clamped running balance — per user, the event-ordered balance
+    * b_i = max(0, b_{i−1} + Δ_i): credits add, debits subtract, and the
+    * floor at zero makes the recurrence NON-ASSOCIATIVE — the
+    * inventory/prepaid-credit semantics (stock can't go negative; the
+    * shortfall is lost, not borrowed) that NO window function can
+    * express: max(0,·) between every step breaks the prefix-sum algebra
+    * a running-total window relies on, so this is the documented
+    * last-resort pattern done right — secondary sort + one sequential
+    * in-partition scan.
+    *
+    * Scale shape: ONE hash exchange on the key and an in-partition sort
+    * ((user, us, event_id) — the same price every sessionization pays);
+    * the scan carries O(1) state per key and streams the iterator (never
+    * materializes a group). Parallelism = key cardinality, exactly like
+    * B17. All arithmetic is exact integer cents; the clamp is an integer
+    * compare — bit-reproducible under any partitioning.
+    *
+    * The oracle cannot mirror the plan (SQL has no ordered fold) — it
+    * unrolls the recurrence as a RECURSIVE CTE stepping row-rank joins,
+    * an INDEPENDENT algorithm held to the same fixpoint.
+    */
+  def runningBalance(t: Tables,
+                     creditTypes: Seq[String] = Seq("purchase", "signup"),
+                     debitTypes: Seq[String] = Seq("click", "error")): DataFrame = {
+    require(creditTypes.intersect(debitTypes).isEmpty, "credit/debit types must be disjoint")
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    t.events.filter(col("event_type").isin(creditTypes ++ debitTypes: _*))
+      .select(col("user_id"), col("event_id"), tsUs.as("us"),
+        (when(col("event_type").isin(creditTypes: _*), lit(1L)).otherwise(lit(-1L)) *
+          floor(col("value") * 100.0 + 0.5).cast("long")).as("delta"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("us"), col("event_id"))
+      .as[(Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var started = false; var cur = 0L; var bal = 0L
+        it.map { case (u, eid, us, d) =>
+          if (!started || u != cur) { started = true; cur = u; bal = 0L }
+          val raw = bal + d
+          val clamped = raw < 0L
+          bal = if (clamped) 0L else raw
+          (u, eid, us, d, bal, clamped)
+        }
+      }
+      .toDF("user_id", "event_id", "ts_us", "delta_cents", "balance_cents", "clamped")
+  }
+
   /** B36: point-in-time-correct feature join — every fact event joined to
     * the dimension state that was CURRENT at the fact's own timestamp
     * (here: each purchase sees the buyer's click-stream state as of the

@@ -676,6 +676,84 @@ object TimeSeries {
       .select(col("event_type"), col("win_us"), col("bin"), col("n"), col("amp"))
   }
 
+  /** A30: Welch PSD (Welch 1967) — the averaged-periodogram spectral
+    * estimate: per-segment demeaned, Hann-tapered windows at 50 %
+    * overlap, each COMPLETE window's periodogram
+    * P_k = (C_k² + S_k²)/Σw² at harmonics f_k = k/windowS, averaged per
+    * channel. THE standard consistent PSD estimator — a single
+    * periodogram ([[tsSpectrum]]) has variance that never shrinks with
+    * record length; Welch trades resolution for variance, the taper
+    * kills boxcar leakage, the demeaning keeps DC out of bin 1 (a
+    * Hann-tapered constant otherwise leaks there — the taper's
+    * transform is nonzero at ±1 bin), and edge windows are discarded
+    * exactly as the classic method discards the record tail.
+    *
+    * Spark-first shape: 50 % overlap means each sample belongs to
+    * EXACTLY two windows (offset 0 and W/2) — a 2-row explode, not a
+    * per-window pass; window starts are integer bucket arithmetic per
+    * offset. All 4k+3 taper/trig sums of every (channel, window) cell
+    * ride ONE map-side-combinable aggregation (demeaning folds in
+    * afterwards via the Σw·cos cross terms — never a second corpus
+    * pass); the completeness filter joins the channel-cardinality span
+    * relation BROADCAST against the tiny window relation; the final
+    * average is an aggregation over channels × windows rows. ω and the
+    * Hann weight are built from the same literal expressions in both
+    * engines.
+    */
+  def tsWelch(t: Tables, windowUs: Long = 21600L * 1000000, nBins: Int = 4): DataFrame = {
+    require(windowUs % 2 == 0, "windowUs must be even (50% overlap offset = windowUs/2)")
+    val winS = windowUs / 1e6
+    val half = windowUs / 2
+    val base = t.events
+      .select(col("event_type"), col("value"), tsUs.as("us"))
+      .select(col("event_type"), col("value"), col("us"),
+        // offset grid built from (us + half) so the dividend stays
+        // non-negative for any us ≥ −half: Spark's trunc-div and the
+        // oracle's floor-div agree, and the stream-start straddling
+        // window (win_us = −half) comes out correctly in both engines
+        explode(array(
+          expr(s"(us div ${windowUs}L) * ${windowUs}L"),
+          expr(s"((us + ${half}L) div ${windowUs}L) * ${windowUs}L - ${half}L"))).as("win_us"))
+      .withColumn("tsec", (col("us") - col("win_us")).cast("double") / 1e6)
+      .withColumn("w", lit(0.5) - lit(0.5) * cos(lit(2.0 * math.Pi) * col("tsec") / winS))
+    // per-segment DEMEANING (scipy's detrend='constant') without a second
+    // corpus pass: Σw(v−m)cos = Σwv·cos − m·Σw·cos, so the taper-mean
+    // cross terms ride the SAME aggregation and the mean folds in after.
+    // Without it a Hann-tapered constant leaks its DC into bin 1 (the
+    // taper's transform is nonzero at ±1 bin) — caught by the spec.
+    val aggs = (1 to nBins).flatMap { k =>
+      val omega = lit(2.0 * math.Pi * (k / winS))
+      Seq(
+        sum(col("w") * col("value") * cos(omega * col("tsec"))).as(s"cv_$k"),
+        sum(col("w") * cos(omega * col("tsec"))).as(s"c0_$k"),
+        sum(col("w") * col("value") * sin(omega * col("tsec"))).as(s"sv_$k"),
+        sum(col("w") * sin(omega * col("tsec"))).as(s"s0_$k"))
+    } ++ Seq(sum(col("w") * col("w")).as("w2"),
+      sum(col("value")).as("sv"), count(lit(1)).as("n"))
+    val perWin = base.groupBy(col("event_type"), col("win_us"))
+      .agg(aggs.head, aggs.tail: _*)
+    // Welch discards the record tail: only windows fully inside the
+    // channel's observed span count (edge windows are half-empty boxcars
+    // whose artifacts swamp every bin). The span relation is
+    // channel-cardinality and joins broadcast against the WINDOW
+    // relation (channels × windows), never the corpus.
+    val spans = t.events
+      .select(col("event_type"), tsUs.as("us"))
+      .groupBy(col("event_type"))
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val complete = perWin.join(broadcast(spans), Seq("event_type"))
+      .filter(col("win_us") >= col("mn") && col("win_us") + windowUs <= col("mx") + 1)
+    val stackArgs = (1 to nBins).map { k =>
+      val c = s"(cv_$k - (sv / n) * c0_$k)"
+      val s = s"(sv_$k - (sv / n) * s0_$k)"
+      s"${k}L, ($c * $c + $s * $s) / w2"
+    }.mkString(", ")
+    complete
+      .select(col("event_type"), expr(s"stack($nBins, $stackArgs) AS (bin, p)"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_windows"), roundHalfUp(sum(col("p")) / count(lit(1)), 4).as("psd"))
+  }
+
   /** A27: Hjorth parameters (Hjorth 1970) — activity (variance),
     * mobility (√(var(Δx)/var(x))) and complexity (√(var(Δ²x)/var(Δx))
     * / mobility) per channel: the three time-domain EEG descriptors

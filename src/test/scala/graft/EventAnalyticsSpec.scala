@@ -316,4 +316,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got(13L) == ((3.0, 3L, 10000000L)), s"open-interval fact ${got(13L)}")
     assert(got.size == 4, s"multiplicity exactly 1 per fact: ${got.size} rows")
   }
+
+  test("runningBalance: clamp at zero loses the shortfall (non-associative fold), untracked types ignored") {
+    val rows = Seq(
+      (0L, 10L * S, 1L, "purchase", 10.0), // bal 1000
+      (1L, 20L * S, 1L, "click", 3.0),     // bal 700
+      (2L, 30L * S, 1L, "error", 20.0),    // raw -1300 -> CLAMP 0
+      (9L, 35L * S, 1L, "view", 99.0),     // untracked type: excluded
+      (3L, 40L * S, 1L, "signup", 5.0),    // bal 500 (shortfall NOT borrowed)
+      (10L, 5L * S, 2L, "click", 1.0),     // first event overdraws -> clamp
+      (11L, 6L * S, 2L, "purchase", 2.0))  // bal 200
+    val got = EventAnalytics.runningBalance(events(rows)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map(
+      0L -> (1000L, false), 1L -> (700L, false), 2L -> (0L, true),
+      3L -> (500L, false), 10L -> (0L, true), 11L -> (200L, false)), s"got $got")
+  }
 }

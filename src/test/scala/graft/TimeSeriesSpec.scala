@@ -340,4 +340,35 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("y", 0L, 2.25, 9.0, 2.25, 7.5, 3L),
       ("y", 3600000000L, -1.25, -1.25, -1.25, -1.25, 1L)), s"got ${got.toSeq}")
   }
+
+  test("tsWelch: planted sinusoid dominates its harmonic bin; flat channel has no band content") {
+    val W = 3600L // window seconds
+    // 100*sin(2*pi*2*t/3600): exactly bin 2 of a 1h window, 30s sampling,
+    // span [7200, 16200] s -> 4 COMPLETE windows survive (2 per offset);
+    // the half-empty edge windows of each offset grid must be discarded
+    val sine = (0 to 300).map { i =>
+      val tSec = i * 30L
+      (i.toLong, (tSec + 7200L) * 1000000000L, 1L, "sine",
+        100.0 * math.sin(2 * math.Pi * 2 * tSec / 3600.0))
+    }
+    val flat = (0 to 300).map { i =>
+      (1000L + i, (i * 30L + 7200L) * 1000000000L, 1L, "flat", 42.0)
+    }
+    val got = TimeSeries.tsWelch(events(sine ++ flat), windowUs = W * 1000000L, nBins = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // Hann splits a pure tone into amplitude 1/2 at its bin and 1/4 at
+    // the +-1 bins -> POWER exactly 1/4 of the peak there, ~nothing
+    // beyond: the textbook taper structure, pinned exactly
+    assert(got((("sine", 2L))) > 10000.0, s"bin-2 power dominates: $got")
+    assert(math.abs(got(("sine", 1L)) - got(("sine", 2L)) / 4.0) < 1.0 &&
+      math.abs(got(("sine", 3L)) - got(("sine", 2L)) / 4.0) < 1.0,
+      s"Hann +-1-bin spread is exactly quarter power: $got")
+    assert(got(("sine", 4L)) < 1e-6, s"no far-bin leakage: $got")
+    (1L to 4L).foreach { k =>
+      assert(got(("flat", k)) < 1e-6, s"demeaned flat channel has NO band content at $k: $got")
+    }
+    val nw = TimeSeries.tsWelch(events(sine ++ flat), windowUs = W * 1000000L, nBins = 4)
+      .collect().map(r => r.getLong(2)).distinct
+    assert(nw.toSeq == Seq(4L), s"exactly the 4 complete windows averaged: ${nw.toSeq}")
+  }
 }
