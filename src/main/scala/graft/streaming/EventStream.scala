@@ -520,6 +520,63 @@ object EventStream {
       }
   }
 
+  /** An outlier flagged on the live stream against the channel's own
+    * PAST (never its future — the honest streaming semantics).
+    */
+  final case class OutlierOut(channel: String, tsUs: Long, eventId: Long,
+                              value: Double, z: Double)
+
+  /** Streaming state for [[streamingOutlier]]: exact integer running
+    * moments of every sample seen so far — n, Σcents, Σcents². Two longs
+    * and a count, independent of stream length; Σc² stays inside int64
+    * up to ~10¹⁰ samples per channel at 4-digit values.
+    */
+  final case class RunningMoments(n: Long, s: Long, q: Long)
+
+  /** A19b: streaming outlier detection — the live-ingest twin of
+    * TimeSeries.tsOutlier. The batch op scores against the WHOLE
+    * record's mean/σ; a stream cannot know its future, so the honest
+    * twin is the expanding z-score: each sample scores against the
+    * running mean/σ of all PRIOR samples of its channel (Welford-style,
+    * here as exact integer moments), and the first `minPrior` samples
+    * only warm the state. Cross-microbatch state makes the flag
+    * identical to a single-pass replay of the whole stream; in-batch
+    * events sort by (event time, event_id) — the batch tie rule.
+    *
+    * Determinism: moments are EXACT longs (cents), so μ/σ² are the same
+    * fixed-order double expressions the batch operators use —
+    * bit-reproducible across microbatch boundaries and replays; the
+    * cut applies to the ROUNDED z (A19's discipline). State is O(channels).
+    */
+  def streamingOutlier(events: Dataset[Event], zCut: Double = 3.0,
+                       minPrior: Long = 30L): Dataset[OutlierOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[RunningMoments, OutlierOut](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (channel: String, batch: Iterator[Event], state: GroupState[RunningMoments]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsToUs(e.ts), e.eventId))
+          var st = state.getOption.getOrElse(RunningMoments(0L, 0L, 0L))
+          val out = Seq.newBuilder[OutlierOut]
+          sorted.foreach { e =>
+            val c = math.floor(e.value * 100.0 + 0.5).toLong
+            if (st.n > minPrior) {
+              val mu = st.s.toDouble / st.n / 100.0
+              val variance =
+                (st.q.toDouble - st.s.toDouble * st.s.toDouble / st.n) / (st.n - 1) / 10000.0
+              if (variance > 0.0) {
+                val z = math.floor((e.value - mu) / math.sqrt(variance) * 1000.0 + 0.5) / 1000.0
+                if (math.abs(z) >= zCut)
+                  out += OutlierOut(channel, tsToUs(e.ts), e.eventId, e.value, z)
+              }
+            }
+            st = RunningMoments(st.n + 1, st.s + c, st.q + c * c)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** A closed user session (the streaming analogue of
     * EventAnalytics.userSessions output).
     */

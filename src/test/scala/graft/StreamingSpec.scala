@@ -727,4 +727,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Set((2L, 1L), (3L, 2L), (10L, 9L)),
       s"old-horizon claims expire (9 claims fresh, never flags vs 1): $all")
   }
+
+  test("streamingOutlier: expanding z-score across microbatches; warmup never flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingOutlier(mem.toDS(), zCut = 3.0, minPrior = 30L)
+      .writeStream.format("memory").queryName("soutlier").outputMode("append").start()
+    // batch 1: 40 alternating normal samples on channel c; channel d gets
+    // an extreme value while still INSIDE its warmup — it must stay silent
+    val warm = (0 until 40).map { i =>
+      Event(i.toLong, ts(i), 1, "c", if (i % 2 == 0) 10.0 else 12.0)
+    }
+    val under = (0 until 10).map { i =>
+      Event(200L + i, ts(i), 1, "d", if (i == 5) 500.0 else 10.0)
+    }
+    mem.addData(warm ++ under: _*)
+    q.processAllAvailable()
+    // batch 2: one planted anomaly + one normal sample — the moments from
+    // batch 1 must carry across the boundary for this flag to fire
+    mem.addData(Event(100L, ts(41), 1, "c", 100.0), Event(101L, ts(42), 1, "c", 11.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM soutlier ORDER BY tsUs").collect()
+    q.stop()
+    // the test's own reference: moments of the 40 warm samples (cents)
+    val cents = warm.map(e => math.floor(e.value * 100.0 + 0.5).toLong)
+    val (n, sm, qm) = (cents.length.toLong, cents.sum, cents.map(c => c * c).sum)
+    val mu = sm.toDouble / n / 100.0
+    val variance = (qm.toDouble - sm.toDouble * sm.toDouble / n) / (n - 1) / 10000.0
+    val zExp = math.floor((100.0 - mu) / math.sqrt(variance) * 1000.0 + 0.5) / 1000.0
+    assert(rows.map(_.getAs[Long]("eventId")).toSeq == Seq(100L),
+      s"exactly the planted anomaly flags (warmup extreme suppressed): ${rows.toSeq}")
+    assert(rows.head.getAs[Double]("z") == zExp, s"z from the exact prior moments: $zExp")
+  }
 }
