@@ -428,6 +428,11 @@ object PlanAudit {
       ("running_balance", p => !p.contains("Window") && !p.contains("Join") &&
           "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 1,
         "clamped balance: secondary sort + one keyed exchange, no window/join"),
+      // A32: the cross-spectrum self-join runs on the channels x windows
+      // relation (never the corpus); spans broadcast; no window function
+      ("ts_coherence", p => !p.contains("CartesianProduct") &&
+          p.contains("BroadcastHashJoin") && !p.contains("Window"),
+        "coherence: window-relation self-join, broadcast spans, no cross product"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

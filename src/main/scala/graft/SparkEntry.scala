@@ -72,6 +72,7 @@ object SparkEntry {
     "attribution"      -> Seq(col("model"), col("touch_type")),
     "pit_join"         -> Seq(col("event_id")),
     "ts_welch"         -> Seq(col("event_type"), col("bin")),
+    "ts_coherence"     -> Seq(col("type_a"), col("type_b"), col("bin")),
     "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
@@ -269,6 +270,7 @@ object SparkEntry {
     "pit_join"           -> q(EventAnalytics.pitJoin(_)),
     "emb_corr"           -> q(Similarity.embCorr(_)),
     "ts_welch"           -> q(TimeSeries.tsWelch(_)),
+    "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
     "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
@@ -1038,6 +1040,46 @@ object SparkEntry {
            floor(((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)))*10000.0 + 0.5)/10000.0 AS corr
          FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
          ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT 25""",
+    "ts_coherence" ->
+      """WITH e AS (SELECT event_type, value, epoch_ns(ts)//1000 AS us FROM events),
+         sp AS (SELECT event_type, min(us) AS mn, max(us) AS mx FROM e GROUP BY 1),
+         x AS (SELECT event_type, value, us,
+                 unnest([(us // 21600000000) * 21600000000,
+                         ((us + 10800000000) // 21600000000) * 21600000000 - 10800000000]) AS win_us
+               FROM e),
+         b AS (SELECT event_type, win_us, value,
+                 CAST(us - win_us AS DOUBLE)/1000000.0 AS tsec,
+                 0.5 - 0.5*cos(2.0*pi()*(CAST(us - win_us AS DOUBLE)/1000000.0)/21600.0) AS w
+               FROM x),
+         a AS (SELECT event_type, win_us,
+                 sum(w*value*cos(2.0*pi()*(1/21600.0)*tsec)) AS cv_1, sum(w*cos(2.0*pi()*(1/21600.0)*tsec)) AS c0_1,
+                 sum(w*value*sin(2.0*pi()*(1/21600.0)*tsec)) AS sv_1, sum(w*sin(2.0*pi()*(1/21600.0)*tsec)) AS s0_1,
+                 sum(w*value*cos(2.0*pi()*(2/21600.0)*tsec)) AS cv_2, sum(w*cos(2.0*pi()*(2/21600.0)*tsec)) AS c0_2,
+                 sum(w*value*sin(2.0*pi()*(2/21600.0)*tsec)) AS sv_2, sum(w*sin(2.0*pi()*(2/21600.0)*tsec)) AS s0_2,
+                 sum(w*value*cos(2.0*pi()*(3/21600.0)*tsec)) AS cv_3, sum(w*cos(2.0*pi()*(3/21600.0)*tsec)) AS c0_3,
+                 sum(w*value*sin(2.0*pi()*(3/21600.0)*tsec)) AS sv_3, sum(w*sin(2.0*pi()*(3/21600.0)*tsec)) AS s0_3,
+                 sum(w*value*cos(2.0*pi()*(4/21600.0)*tsec)) AS cv_4, sum(w*cos(2.0*pi()*(4/21600.0)*tsec)) AS c0_4,
+                 sum(w*value*sin(2.0*pi()*(4/21600.0)*tsec)) AS sv_4, sum(w*sin(2.0*pi()*(4/21600.0)*tsec)) AS s0_4,
+                 sum(w*w) AS w2, sum(value) AS sv, count(*) AS n
+               FROM b GROUP BY 1, 2),
+         c AS (SELECT a.* FROM a JOIN sp ON a.event_type = sp.event_type
+               WHERE a.win_us >= sp.mn AND a.win_us + 21600000000 <= sp.mx + 1),
+         spec AS (SELECT event_type, win_us, CAST(1 AS BIGINT) AS bin, cv_1 - (sv / n) * c0_1 AS cc, sv_1 - (sv / n) * s0_1 AS ss FROM c
+               UNION ALL SELECT event_type, win_us, 2, cv_2 - (sv / n) * c0_2, sv_2 - (sv / n) * s0_2 FROM c
+               UNION ALL SELECT event_type, win_us, 3, cv_3 - (sv / n) * c0_3, sv_3 - (sv / n) * s0_3 FROM c
+               UNION ALL SELECT event_type, win_us, 4, cv_4 - (sv / n) * c0_4, sv_4 - (sv / n) * s0_4 FROM c),
+         j AS (SELECT a.event_type AS type_a, b.event_type AS type_b, a.bin,
+                 a.cc AS ca, a.ss AS sa, b.cc AS cb, b.ss AS sb
+               FROM spec a JOIN spec b ON a.win_us = b.win_us AND a.bin = b.bin
+                 AND a.event_type < b.event_type),
+         g AS (SELECT type_a, type_b, bin, CAST(count(*) AS BIGINT) AS n_windows,
+                 sum(ca*cb + sa*sb) AS xre, sum(sa*cb - ca*sb) AS xim,
+                 sum(ca*ca + sa*sa) AS pxx, sum(cb*cb + sb*sb) AS pyy
+               FROM j GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, bin, n_windows,
+           floor(((xre*xre + xim*xim)/(pxx*pyy))*10000.0 + 0.5)/10000.0 AS coherence
+         FROM g WHERE n_windows >= 2 AND pxx > 0 AND pyy > 0
+         ORDER BY 1, 2, 3""",
     "ts_welch" ->
       """WITH e AS (SELECT event_type, value, epoch_ns(ts)//1000 AS us FROM events),
          sp AS (SELECT event_type, min(us) AS mn, max(us) AS mx FROM e GROUP BY 1),

@@ -701,6 +701,24 @@ object TimeSeries {
     * engines.
     */
   def tsWelch(t: Tables, windowUs: Long = 21600L * 1000000, nBins: Int = 4): DataFrame = {
+    val stackArgs = (1 to nBins).map { k =>
+      val c = s"(cv_$k - (sv / n) * c0_$k)"
+      val s = s"(sv_$k - (sv / n) * s0_$k)"
+      s"${k}L, ($c * $c + $s * $s) / w2"
+    }.mkString(", ")
+    welchWindows(t, windowUs, nBins)
+      .select(col("event_type"), expr(s"stack($nBins, $stackArgs) AS (bin, p)"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_windows"), roundHalfUp(sum(col("p")) / count(lit(1)), 4).as("psd"))
+  }
+
+  /** Shared Welch window engine for [[tsWelch]]/[[tsCoherence]]: the
+    * COMPLETE (channel, window) cells with their raw taper/trig sums
+    * (cv_k/c0_k/sv_k/s0_k per bin, w2, sv, n — demeaning cross terms
+    * included so callers fold the segment mean in without a second
+    * corpus pass).
+    */
+  private def welchWindows(t: Tables, windowUs: Long, nBins: Int): DataFrame = {
     require(windowUs % 2 == 0, "windowUs must be even (50% overlap offset = windowUs/2)")
     val winS = windowUs / 1e6
     val half = windowUs / 2
@@ -741,17 +759,50 @@ object TimeSeries {
       .select(col("event_type"), tsUs.as("us"))
       .groupBy(col("event_type"))
       .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
-    val complete = perWin.join(broadcast(spans), Seq("event_type"))
+    perWin.join(broadcast(spans), Seq("event_type"))
       .filter(col("win_us") >= col("mn") && col("win_us") + windowUs <= col("mx") + 1)
+  }
+
+  /** A32: magnitude-squared coherence (the Welch cross-spectral form) —
+    * per channel pair and harmonic bin, |Σ_w X_w·conj(Y_w)|² /
+    * (Σ_w|X_w|² · Σ_w|Y_w|²) over the windows BOTH channels completed:
+    * the frequency-resolved coupling measure EEG connectivity analysis
+    * is built on (A16's correlation collapses the spectrum to one
+    * number; coherence asks "coupled IN WHICH BAND", and is invariant
+    * to a constant phase lag — a delayed copy still scores 1).
+    *
+    * Built on [[welchWindows]]'s demeaned per-window spectra: the
+    * cross-spectrum self-join runs on the channels × windows relation —
+    * tiny, and never the corpus; one (pair, bin) aggregation after it.
+    * Determinism: the complex products are fixed-order double algebra
+    * over identically-built window sums; the 4-dp round absorbs
+    * window-order summation drift; single-window pairs score a
+    * degenerate 1 and filter OUT (coherence needs averaging to mean
+    * anything — n_windows ≥ 2 enforced identically in both engines).
+    */
+  def tsCoherence(t: Tables, windowUs: Long = 21600L * 1000000, nBins: Int = 4): DataFrame = {
+    val ww = welchWindows(t, windowUs, nBins)
     val stackArgs = (1 to nBins).map { k =>
-      val c = s"(cv_$k - (sv / n) * c0_$k)"
-      val s = s"(sv_$k - (sv / n) * s0_$k)"
-      s"${k}L, ($c * $c + $s * $s) / w2"
+      s"${k}L, cv_$k - (sv / n) * c0_$k, sv_$k - (sv / n) * s0_$k"
     }.mkString(", ")
-    complete
-      .select(col("event_type"), expr(s"stack($nBins, $stackArgs) AS (bin, p)"))
-      .groupBy(col("event_type"), col("bin"))
-      .agg(count(lit(1)).as("n_windows"), roundHalfUp(sum(col("p")) / count(lit(1)), 4).as("psd"))
+    val spectra = ww.select(col("event_type"), col("win_us"),
+      expr(s"stack($nBins, $stackArgs) AS (bin, c, s)"))
+    val a = spectra.select(col("win_us"), col("bin"), col("event_type").as("type_a"),
+      col("c").as("ca"), col("s").as("sa"))
+    val b = spectra.select(col("win_us").as("wb"), col("bin").as("binb"),
+      col("event_type").as("type_b"), col("c").as("cb"), col("s").as("sb"))
+    a.join(b, col("win_us") === col("wb") && col("bin") === col("binb") &&
+        col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"), col("bin"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("ca") * col("cb") + col("sa") * col("sb")).as("xre"),
+        sum(col("sa") * col("cb") - col("ca") * col("sb")).as("xim"),
+        sum(col("ca") * col("ca") + col("sa") * col("sa")).as("pxx"),
+        sum(col("cb") * col("cb") + col("sb") * col("sb")).as("pyy"))
+      .filter(col("n_windows") >= 2 && col("pxx") > 0.0 && col("pyy") > 0.0)
+      .select(col("type_a"), col("type_b"), col("bin"), col("n_windows"),
+        roundHalfUp((col("xre") * col("xre") + col("xim") * col("xim")) /
+          (col("pxx") * col("pyy")), 4).as("coherence"))
   }
 
   /** A27: Hjorth parameters (Hjorth 1970) — activity (variance),

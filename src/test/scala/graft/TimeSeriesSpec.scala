@@ -371,4 +371,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(2)).distinct
     assert(nw.toSeq == Seq(4L), s"exactly the 4 complete windows averaged: ${nw.toSeq}")
   }
+
+  test("tsCoherence: phase-lagged copy stays fully coherent; mid-record phase flip decoheres") {
+    val W = 3600L
+    def t(i: Int): Long = 7200L + i * 30L
+    val n = 541 // span [7200, 23400] s -> 8 complete windows across both grids
+    val aa = (0 until n).map { i =>
+      (i.toLong, t(i) * 1000000000L, 1L, "aa", 100.0 * math.sin(2 * math.Pi * 2 * t(i) / 3600.0))
+    }
+    // quarter-period phase LEAD: coherence is phase-invariant -> 1.0
+    val bb = (0 until n).map { i =>
+      (1000L + i, t(i) * 1000000000L, 1L, "bb",
+        100.0 * math.sin(2 * math.Pi * 2 * t(i) / 3600.0 + math.Pi / 2))
+    }
+    // sign flip halfway: window cross-spectra cancel -> near-zero coherence
+    val cc = (0 until n).map { i =>
+      val sign = if (t(i) < 14400L) 1.0 else -1.0
+      (2000L + i, t(i) * 1000000000L, 1L, "cc",
+        sign * 100.0 * math.sin(2 * math.Pi * 2 * t(i) / 3600.0))
+    }
+    val got = TimeSeries.tsCoherence(events(aa ++ bb ++ cc), windowUs = W * 1000000L, nBins = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    val (nwAb, cohAb) = got(("aa", "bb", 2L))
+    assert(nwAb == 8L, s"8 complete shared windows: $got")
+    assert(cohAb == 1.0, s"phase-lagged copy fully coherent at its bin: $got")
+    val (_, cohAc) = got(("aa", "cc", 2L))
+    assert(cohAc < 0.1, s"phase-flipped channel decoheres: $got")
+  }
 }
