@@ -433,6 +433,12 @@ object PlanAudit {
       ("ts_coherence", p => !p.contains("CartesianProduct") &&
           p.contains("BroadcastHashJoin") && !p.contains("Window"),
         "coherence: window-relation self-join, broadcast spans, no cross product"),
+      // A33: the corpus collapses to the bucket grid FIRST; the n-1 lag
+      // windows and their ordering ride one channel exchange of the
+      // collapsed relation; no join anywhere
+      ("ts_fir", p => !p.contains("Join") &&
+          "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
+        "FIR filter: grid collapse + one channel exchange for the lag chain, no join"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

@@ -73,6 +73,7 @@ object SparkEntry {
     "pit_join"         -> Seq(col("event_id")),
     "ts_welch"         -> Seq(col("event_type"), col("bin")),
     "ts_coherence"     -> Seq(col("type_a"), col("type_b"), col("bin")),
+    "ts_fir"           -> Seq(col("event_type"), col("bucket_us")),
     "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
@@ -271,6 +272,7 @@ object SparkEntry {
     "emb_corr"           -> q(Similarity.embCorr(_)),
     "ts_welch"           -> q(TimeSeries.tsWelch(_)),
     "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
+    "ts_fir"             -> q(TimeSeries.tsFir(_)),
     "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
@@ -1111,6 +1113,26 @@ object SparkEntry {
          SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n_windows,
            floor(sum(p)/count(*)*10000.0 + 0.5)/10000.0 AS psd
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    "ts_fir" -> {
+      // the SAME driver-computed tap literals the Spark plan folds in —
+      // the filter design needs no cross-engine math (Double.toString
+      // round-trips, so DuckDB parses the identical double)
+      val taps = graft.operators.TimeSeries.firTaps(0.1, 0.3, 21)
+      val conv = taps.zipWithIndex.map { case (h, j) =>
+        if (j == 0) s"($h)*v" else s"($h)*lag(v, $j) OVER w"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+               epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+         g AS (SELECT event_type, bucket_us, (CAST(s AS DOUBLE)/c)/100.0 AS v FROM b),
+         f AS (SELECT event_type, bucket_us, v, $conv AS y, lag(v, 20) OVER w AS oldest
+               FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us))
+         SELECT event_type, bucket_us, floor(v*10000.0 + 0.5)/10000.0 AS v,
+           floor(y*10000.0 + 0.5)/10000.0 AS filtered
+         FROM f WHERE oldest IS NOT NULL ORDER BY 1, 2"""
+    },
     "running_balance" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
                  (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)

@@ -1168,6 +1168,68 @@ object TimeSeries {
           .as("resid_rms"))
   }
 
+  /** Windowed-sinc bandpass taps for [[tsFir]] (Hamming window, odd
+    * length, symmetric): h[m] = (2·hi·sinc(2·hi·m) − 2·lo·sinc(2·lo·m))
+    * · (0.54 + 0.46·cos(2π·m/(n−1))), m ∈ [−M, M]. lo/hi are in
+    * cycles/sample of the resample grid. Computed ONCE driver-side and
+    * embedded as the SAME double literals in the Spark plan and the
+    * oracle SQL — the filter design needs no cross-engine math at all.
+    */
+  private[graft] def firTaps(lo: Double, hi: Double, n: Int): Seq[Double] = {
+    require(n % 2 == 1 && n > 1, "tap count must be odd")
+    require(0.0 < lo && lo < hi && hi < 0.5, "0 < lo < hi < 0.5 cycles/sample")
+    val m0 = n / 2
+    def sinc(x: Double): Double = if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+    (-m0 to m0).map { m =>
+      val ideal = 2.0 * hi * sinc(2.0 * hi * m) - 2.0 * lo * sinc(2.0 * lo * m)
+      val window = 0.54 + 0.46 * math.cos(2.0 * math.Pi * m / (n - 1))
+      ideal * window
+    }
+  }
+
+  /** A33: FIR bandpass filtering — the actual filtering primitive under
+    * every band-limited EEG view (A18 measures band power; this RETURNS
+    * the band-limited signal): a windowed-sinc bandpass convolved over
+    * each channel's resample-grid sequence (A7's grid gives the uniform
+    * sampling FIR assumes; gaps in the grid are skipped — A17 is the
+    * gap-filler when continuity matters). Emits only rows with full tap
+    * support (the first n−1 grid points per channel warm the delay
+    * line), exactly like scipy 'valid' mode.
+    *
+    * Determinism: grid values are (Σcents/n)/100 — exact-long-derived
+    * doubles; taps are driver-computed literals shared VERBATIM with the
+    * oracle; the convolution is one left-associated multiply-add chain —
+    * bit-identical cross-engine, no rounding needed until the output.
+    *
+    * Scale shape: the corpus collapses map-side to the (channel, bucket)
+    * grid FIRST; the n−1 lag windows and their ordering ride ONE
+    * channel-keyed exchange of that collapsed relation. At 100 TB the
+    * FIR runs on recording-hours-sized data, never samples.
+    */
+  def tsFir(t: Tables, bucketUs: Long = 3600L * 1000000,
+            lo: Double = 0.1, hi: Double = 0.3, nTaps: Int = 21): DataFrame = {
+    val taps = firTaps(lo, hi, nTaps)
+    val grid = t.events
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"), tsUs.as("us"))
+      .withColumn("bucket_us", expr(s"(us div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(sum(col("cents")).as("s"), count(lit(1)).as("c"))
+      .select(col("event_type"), col("bucket_us"),
+        ((col("s").cast("double") / col("c")) / 100.0).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    // taps are time-reversed onto the lag chain: y[k] = Σ_j h[j]·x[k−j]
+    val conv = taps.zipWithIndex.map { case (h, j) =>
+      if (j == 0) lit(h) * col("v") else lit(h) * lag(col("v"), j).over(w)
+    }.reduce(_ + _)
+    grid
+      .withColumn("oldest", lag(col("v"), nTaps - 1).over(w))
+      .withColumn("y", conv)
+      .filter(col("oldest").isNotNull)
+      .select(col("event_type"), col("bucket_us"),
+        roundHalfUp(col("v"), 4).as("v"), roundHalfUp(col("y"), 4).as("filtered"))
+  }
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */

@@ -399,4 +399,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     val (_, cohAc) = got(("aa", "cc", 2L))
     assert(cohAc < 0.1, s"phase-flipped channel decoheres: $got")
   }
+
+  test("tsFir: passband tone passes, stopband tone dies, output equals direct convolution") {
+    val H = 3600L * 1000000000L // one event per hourly bucket
+    def chan(name: String, base: Long, f: Double): Seq[(Long, Long, Long, String, Double)] =
+      (0 until 120).map { k =>
+        (base + k, k * H + 1000L, 1L, name, 100.0 * math.sin(2 * math.Pi * f * k))
+      }
+    val rows = chan("pass", 0L, 0.2) ++ chan("stop", 1000L, 0.02)
+    val got = TimeSeries.tsFir(events(rows)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def rms(xs: Seq[Double]): Double = math.sqrt(xs.map(x => x * x).sum / xs.size)
+    val passY = got.filter(_._1 == "pass").map(_._4).toSeq
+    val stopY = got.filter(_._1 == "stop").map(_._4).toSeq
+    assert(passY.size == 100 && stopY.size == 100, s"valid-mode length 120-20: ${passY.size}")
+    val inRms = rms((0 until 120).map(k => 100.0 * math.sin(2 * math.Pi * 0.2 * k)))
+    assert(rms(passY) > 0.9 * inRms, s"passband survives: ${rms(passY)} vs $inRms")
+    assert(rms(stopY) < 0.02 * inRms, s"stopband dies: ${rms(stopY)}")
+    // exact parity against a test-local direct convolution over the
+    // cent-quantized grid values (same taps, independent code path)
+    val taps = (-10 to 10).map { m =>
+      def sinc(x: Double) = if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+      (2.0 * 0.3 * sinc(2.0 * 0.3 * m) - 2.0 * 0.1 * sinc(2.0 * 0.1 * m)) *
+        (0.54 + 0.46 * math.cos(2.0 * math.Pi * m / 20))
+    }
+    val xq = (0 until 120).map(k =>
+      math.floor(100.0 * math.sin(2 * math.Pi * 0.2 * k) * 100.0 + 0.5) / 100.0)
+    val expect = (20 until 120).map { k =>
+      val y = taps.zipWithIndex.map { case (h, j) => h * xq(k - j) }.reduceLeft(_ + _)
+      math.floor(y * 10000.0 + 0.5) / 10000.0
+    }
+    val gotPass = got.filter(_._1 == "pass").sortBy(_._2).map(_._4).toSeq
+    assert(gotPass == expect, s"direct convolution parity: ${gotPass.take(3)} vs ${expect.take(3)}")
+  }
 }
