@@ -439,6 +439,16 @@ object PlanAudit {
       ("ts_fir", p => !p.contains("Join") &&
           "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
         "FIR filter: grid collapse + one channel exchange for the lag chain, no join"),
+      // A34: epoch-scoped lag + (channel, epoch) aggregation share one
+      // clustering — a single exchange, no join (A28's shape)
+      ("ts_artifacts", p => "Exchange hashpartitioning".r
+          .findAllIn(p.split("== Initial Plan ==").head).size <= 1 && !p.contains("Join"),
+        "artifact gates: one exchange for epoch lag + aggregation, no join"),
+      // B38: the stream collapses to distinct user-days FIRST; the
+      // rolling window explodes that collapsed relation, never events
+      ("rolling_actives", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
+          p.contains("partial_count"),
+        "rolling actives: user-day collapse first, map-side counts, window-free"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

@@ -74,6 +74,8 @@ object SparkEntry {
     "ts_welch"         -> Seq(col("event_type"), col("bin")),
     "ts_coherence"     -> Seq(col("type_a"), col("type_b"), col("bin")),
     "ts_fir"           -> Seq(col("event_type"), col("bucket_us")),
+    "ts_artifacts"     -> Seq(col("event_type"), col("epoch_us")),
+    "rolling_actives"  -> Seq(col("day_us")),
     "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
     "interval_join"    -> Seq(col("type_a"), col("chunk_a"), col("type_b"), col("chunk_b")),
@@ -273,6 +275,8 @@ object SparkEntry {
     "ts_welch"           -> q(TimeSeries.tsWelch(_)),
     "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
     "ts_fir"             -> q(TimeSeries.tsFir(_)),
+    "ts_artifacts"       -> q(TimeSeries.tsArtifacts(_)),
+    "rolling_actives"    -> q(EventAnalytics.rollingActives(_)),
     "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
@@ -1133,6 +1137,28 @@ object SparkEntry {
            floor(y*10000.0 + 0.5)/10000.0 AS filtered
          FROM f WHERE oldest IS NOT NULL ORDER BY 1, 2"""
     },
+    "ts_artifacts" ->
+      """WITH b AS (SELECT event_type, event_id, epoch_ns(ts)//1000 AS us,
+                 CAST(floor(value*100.0 + 0.5) AS BIGINT) AS c,
+                 (epoch_ns(ts)//1000 // 3600000000) * 3600000000 AS epoch_us FROM events),
+         d AS (SELECT *, c - lag(c) OVER (PARTITION BY event_type, epoch_us
+                 ORDER BY us, event_id) AS d FROM b),
+         g AS (SELECT event_type, epoch_us, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN abs(c) > 15000 THEN 1 ELSE 0 END) AS BIGINT) AS n_amp,
+                 CAST(sum(CASE WHEN abs(d) > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_grad
+               FROM d GROUP BY 1, 2)
+         SELECT event_type, epoch_us, n, n_amp, n_grad,
+           (n_amp > 0 OR n_grad > 0) AS rejected
+         FROM g ORDER BY 1, 2""",
+    "rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+                 (epoch_ns(ts)//1000 // 86400000000) * 86400000000 AS day_us FROM events),
+         dau AS (SELECT day_us, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+         proj AS (SELECT DISTINCT user_id, day_us + k * 86400000000 AS day_us
+                  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) ks),
+         wau AS (SELECT day_us, CAST(count(*) AS BIGINT) AS active_7d FROM proj GROUP BY 1)
+         SELECT dau.day_us, dau.dau, wau.active_7d
+         FROM dau JOIN wau USING (day_us) ORDER BY 1""",
     "running_balance" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
                  (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)

@@ -229,6 +229,37 @@ object EventAnalytics {
         col("valid_to_us").isNull.as("is_current"))
   }
 
+  /** B38: rolling active users — per day, the distinct users active that
+    * day (DAU) and in the trailing `windowDays` window (WAU): the
+    * engagement ratio every product dashboard leads with, and the
+    * within-SQL-reach rolling-distinct that usually gets mis-built as
+    * COUNT(DISTINCT) OVER RANGE (which most engines refuse or compute
+    * quadratically).
+    *
+    * Scale shape: the stream collapses FIRST to distinct (user, day) —
+    * map-side combinable, user-days ≪ events; the rolling window is a
+    * bounded explode of that collapsed relation (each user-day feeds its
+    * `windowDays` target days) followed by a distinct + count — corpus
+    * cost is user-days × window, never events × window, and every
+    * aggregation combines map-side. Pure integer day arithmetic.
+    */
+  def rollingActives(t: Tables, windowDays: Int = 7): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val userDays = t.events
+      .select(col("user_id"), expr(s"((ts div 1000) div ${dayUs}L) * ${dayUs}L").as("day_us"))
+      .distinct()
+    val dau = userDays.groupBy(col("day_us")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(lit(0), lit(windowDays - 1))).as("k"),
+        col("day_us"))
+      .select(col("user_id"), (col("day_us") + col("k") * dayUs).as("day_us"))
+      .distinct()
+      .groupBy(col("day_us")).agg(count(lit(1)).as(s"active_${windowDays}d"))
+    // only OBSERVED days report (a user-day projects activity onto
+    // future days the stream may not reach; inner join drops them)
+    dau.join(wau, Seq("day_us"))
+  }
+
   /** B37: clamped running balance — per user, the event-ordered balance
     * b_i = max(0, b_{i−1} + Δ_i): credits add, debits subtract, and the
     * floor at zero makes the recurrence NON-ASSOCIATIVE — the

@@ -891,6 +891,37 @@ object TimeSeries {
         col("n_turns"))
   }
 
+  /** A34: epoch artifact rejection — the EEG preprocessing gate run
+    * BEFORE any feature extraction (A26-A28): an epoch is rejected when
+    * any sample exceeds the amplitude ceiling OR any within-epoch step
+    * exceeds the gradient ceiling (electrode pops, movement, clipping).
+    * Emits the per-epoch QC row (counts + verdict) a pipeline joins
+    * against its feature relation to drop contaminated epochs.
+    *
+    * All tests are EXACT integer comparisons on cents (amplitude) and
+    * Δcents (gradient) — thresholds scale to the cent grid, so no float
+    * compare can flip a verdict between engines. Same single-exchange
+    * shape as A28: the epoch-scoped lag and the (channel, epoch)
+    * aggregation share one channel-keyed clustering.
+    */
+  def tsArtifacts(t: Tables, epochUs: Long = 3600L * 1000000,
+                  ampMax: Double = 150.0, gradMax: Double = 100.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("epoch_us"))
+      .orderBy(col("us"), col("event_id"))
+    val ampC = math.floor(ampMax * 100.0 + 0.5).toLong
+    val gradC = math.floor(gradMax * 100.0 + 0.5).toLong
+    t.events
+      .select(col("event_type"), col("event_id"), tsUs.as("us"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .withColumn("epoch_us", expr(s"(us div ${epochUs}L) * ${epochUs}L"))
+      .withColumn("d", col("c") - lag(col("c"), 1).over(w))
+      .groupBy(col("event_type"), col("epoch_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("c")) > ampC, 1L).otherwise(0L)).as("n_amp"),
+        coalesce(sum(when(abs(col("d")) > gradC, 1L).otherwise(0L)), lit(0L)).as("n_grad"))
+      .withColumn("rejected", col("n_amp") > 0 || col("n_grad") > 0)
+  }
+
   /** A21: robust outlier detection via MAD (median absolute deviation) —
     * the resistant complement of the z-score detector A19: median and MAD
     * are unaffected by the very outliers being hunted, so a few extreme

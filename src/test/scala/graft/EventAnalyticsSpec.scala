@@ -332,4 +332,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
       0L -> (1000L, false), 1L -> (700L, false), 2L -> (0L, true),
       3L -> (500L, false), 10L -> (0L, true), 11L -> (200L, false)), s"got $got")
   }
+
+  test("rollingActives: DAU exact, WAU counts the trailing 7 days, only observed days report") {
+    val day = 86400L * S
+    val rows = Seq(
+      (0L, 1L * S, 1L, "view", 0.0), (1L, 2L * S, 1L, "click", 0.0), // u1 day0 twice
+      (2L, 3L * S, 2L, "view", 0.0),                                  // u2 day0
+      (3L, day + 1L * S, 1L, "view", 0.0),                            // u1 day1
+      (4L, 8L * day + 1L * S, 1L, "view", 0.0))                       // u1 day8
+    val got = EventAnalytics.rollingActives(events(rows)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dayUs = 86400L * 1000000L
+    assert(got == Map(
+      0L -> (2L, 2L),              // day0: u1+u2 active; window = day0 alone
+      dayUs -> (1L, 2L),           // day1: u1 active; window covers day0 too
+      8L * dayUs -> (1L, 1L)),     // day8: day1 is 7 days back — OUTSIDE the 7-day window
+      s"got $got")
+  }
 }

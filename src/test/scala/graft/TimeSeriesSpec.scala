@@ -432,4 +432,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     val gotPass = got.filter(_._1 == "pass").sortBy(_._2).map(_._4).toSeq
     assert(gotPass == expect, s"direct convolution parity: ${gotPass.take(3)} vs ${expect.take(3)}")
   }
+
+  test("tsArtifacts: amplitude and gradient gates are exact, epoch-scoped, boundary-exclusive") {
+    val H = 3600L * 1000000000L
+    val rows = Seq(
+      // epoch 0: clean, incl. value EXACTLY at the amplitude ceiling
+      // (step 90 stays under the gradient gate)
+      (0L, 10L, 1L, "ch", 60.0), (1L, 20L, 1L, "ch", 150.0),
+      // epoch 1: one amplitude artifact, gradient clean (step -50)
+      (2L, H + 10L, 1L, "ch", 200.0), (3L, H + 20L, 1L, "ch", 150.0),
+      // epoch 2: gradient artifact (10 -> 120, step 110 > 100) but
+      // amplitudes are fine; step EXACTLY 100 (120 -> 20) stays clean
+      (4L, 2 * H + 10L, 1L, "ch", 10.0), (5L, 2 * H + 20L, 1L, "ch", 120.0),
+      (6L, 2 * H + 30L, 1L, "ch", 20.0),
+      // epoch 3: first sample far from epoch-2's last — the CROSS-epoch
+      // step must NOT count (lag restarts per epoch)
+      (7L, 3 * H + 10L, 1L, "ch", -130.0))
+    val got = TimeSeries.tsArtifacts(events(rows)).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(got(0L) == ((2L, 0L, 0L, false)), s"epoch0 ${got(0L)}")
+    assert(got(3600000000L) == ((2L, 1L, 0L, true)), s"epoch1 ${got(3600000000L)}")
+    assert(got(2L * 3600000000L) == ((3L, 0L, 1L, true)), s"epoch2 ${got(2L * 3600000000L)}")
+    assert(got(3L * 3600000000L) == ((1L, 0L, 0L, false)), s"epoch3 ${got(3L * 3600000000L)}")
+  }
 }
