@@ -75,6 +75,7 @@ object SparkEntry {
     "ts_coherence"     -> Seq(col("type_a"), col("type_b"), col("bin")),
     "ts_fir"           -> Seq(col("event_type"), col("bucket_us")),
     "ts_artifacts"     -> Seq(col("event_type"), col("epoch_us")),
+    "ts_bursts"        -> Seq(col("event_type"), col("start_us")),
     "rolling_actives"  -> Seq(col("day_us")),
     "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
@@ -276,6 +277,7 @@ object SparkEntry {
     "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
     "ts_fir"             -> q(TimeSeries.tsFir(_)),
     "ts_artifacts"       -> q(TimeSeries.tsArtifacts(_)),
+    "ts_bursts"          -> q(TimeSeries.tsBursts(_)),
     "rolling_actives"    -> q(EventAnalytics.rollingActives(_)),
     "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
@@ -1159,6 +1161,42 @@ object SparkEntry {
          wau AS (SELECT day_us, CAST(count(*) AS BIGINT) AS active_7d FROM proj GROUP BY 1)
          SELECT dau.day_us, dau.dau, wau.active_7d
          FROM dau JOIN wau USING (day_us) ORDER BY 1""",
+    "ts_bursts" -> {
+      // shares ts_fir's generated tap literals and CTE chain, then:
+      // rectified moving-average envelope -> threshold -> integer
+      // gap-chunk run assembly -> duration gate
+      val taps = graft.operators.TimeSeries.firTaps(0.1, 0.3, 21)
+      val conv = taps.zipWithIndex.map { case (h, j) =>
+        if (j == 0) s"($h)*v" else s"($h)*lag(v, $j) OVER w"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+               epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+         g AS (SELECT event_type, bucket_us, (CAST(s AS DOUBLE)/c)/100.0 AS v FROM b),
+         f AS (SELECT event_type, bucket_us, $conv AS y, lag(v, 20) OVER w AS oldest
+               FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+         fr AS (SELECT event_type, bucket_us, floor(y*10000.0 + 0.5)/10000.0 AS filtered
+                FROM f WHERE oldest IS NOT NULL),
+         en AS (SELECT event_type, bucket_us,
+                  floor(avg(abs(filtered)) OVER (PARTITION BY event_type ORDER BY bucket_us
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)*10000.0 + 0.5)/10000.0 AS env
+                FROM fr),
+         q AS (SELECT * FROM en WHERE env >= 2.0),
+         r AS (SELECT *, lag(bucket_us) OVER (PARTITION BY event_type ORDER BY bucket_us) AS prev
+               FROM q),
+         rid AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR bucket_us - prev > 3600000000
+                   THEN 1 ELSE 0 END) OVER (PARTITION BY event_type ORDER BY bucket_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst_id
+               FROM r),
+         bu AS (SELECT event_type, burst_id, min(bucket_us) AS start_us,
+                  max(bucket_us) + 3600000000 AS end_us, CAST(count(*) AS BIGINT) AS n_buckets,
+                  max(env) AS peak_env
+                FROM rid GROUP BY 1, 2)
+         SELECT event_type, start_us, end_us, n_buckets, peak_env
+         FROM bu WHERE n_buckets >= 3 ORDER BY 1, 2"""
+    },
     "running_balance" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,
                  (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)

@@ -1261,6 +1261,45 @@ object TimeSeries {
         roundHalfUp(col("v"), 4).as("v"), roundHalfUp(col("y"), 4).as("filtered"))
   }
 
+  /** A35: band-limited burst detection — the sleep-spindle/seizure-burst
+    * composition every clinical pipeline runs: bandpass ([[tsFir]]) →
+    * rectified moving-average envelope → threshold with a minimum
+    * duration. Emits one row per detected burst (channel, start, end,
+    * length, peak envelope). A8 flags threshold CROSSINGS of the raw
+    * signal; this finds sustained oscillatory EVENTS in a band.
+    *
+    * Determinism: the band signal is [[tsFir]]'s 4-dp-rounded output
+    * (bit-identical cross-engine), the envelope is a fixed ±`envHalf`
+    * row frame rounded before the threshold compare (boundary rows
+    * can't flip, A19's discipline), and burst assembly is pure integer
+    * gap-chunking (A5's run trick) with an exact length gate.
+    *
+    * Scale shape: everything downstream of the grid collapse runs on
+    * the (channel, bucket) relation under ONE channel-keyed exchange —
+    * the FIR lag chain, the envelope frame, and the run-id windows all
+    * share the same clustering.
+    */
+  def tsBursts(t: Tables, bucketUs: Long = 3600L * 1000000,
+               lo: Double = 0.1, hi: Double = 0.3, nTaps: Int = 21,
+               envHalf: Int = 2, theta: Double = 2.0, minBuckets: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    val q = tsFir(t, bucketUs, lo, hi, nTaps)
+      .withColumn("env", roundHalfUp(avg(abs(col("filtered"))).over(
+        w.rowsBetween(-envHalf, envHalf)), 4))
+      .filter(col("env") >= theta)
+    q.withColumn("prev", lag(col("bucket_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("bucket_us") - col("prev") > bucketUs, 1L).otherwise(0L))
+      .withColumn("burst_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("event_type"), col("burst_id"))
+      .agg(min(col("bucket_us")).as("start_us"),
+        (max(col("bucket_us")) + bucketUs).as("end_us"),
+        count(lit(1)).as("n_buckets"), max(col("env")).as("peak_env"))
+      .filter(col("n_buckets") >= minBuckets)
+      .select(col("event_type"), col("start_us"), col("end_us"),
+        col("n_buckets"), col("peak_env"))
+  }
+
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker
     * (base.py:357-372) as row_number bucketing per channel.
     */

@@ -520,6 +520,40 @@ object EventStream {
       }
   }
 
+  /** An annotation arriving on its own stream (the live twin of A10's
+    * annotation relation: channel + instant + label).
+    */
+  final case class Anno(aType: String, ats: java.sql.Timestamp, label: String)
+
+  /** A36: watermarked STREAM-STREAM interval join — samples and
+    * annotations arrive on independent live streams and every sample
+    * joins the annotations of its channel within the trailing
+    * `tolUs` window (A10's batch annotation join, live on both sides).
+    * The capability class none of the single-stream stateful ops cover:
+    * Spark buffers BOTH sides in watermark-bounded state, so a sample
+    * can match an annotation that arrives microbatches later, and
+    * state for instants older than the watermark is reclaimed — the
+    * time-range join predicate is exactly what makes that cleanup
+    * provable for the engine.
+    *
+    * Scale shape: state is bounded by watermark × arrival rate per
+    * side (never stream length); the join itself hash-partitions on
+    * the channel key. Late annotations beyond the watermark drop.
+    */
+  def streamingAnnotate(samples: Dataset[Event], annos: Dataset[Anno],
+                        watermark: String = "10 minutes",
+                        tolUs: Long = 300L * 1000000): DataFrame = {
+    val s = samples.toDF().withWatermark("ts", watermark)
+    val a = annos.toDF().withWatermark("ats", watermark)
+    s.join(a,
+      col("eventType") === col("aType") &&
+        col("ats") >= col("ts") - expr(s"INTERVAL $tolUs MICROSECONDS") &&
+        col("ats") <= col("ts"))
+      .select(col("eventType"), col("eventId"),
+        expr("unix_micros(ts)").as("ts_us"), col("value"),
+        expr("unix_micros(ats)").as("anno_us"), col("label"))
+  }
+
   /** An outlier flagged on the live stream against the channel's own
     * PAST (never its future — the honest streaming semantics).
     */

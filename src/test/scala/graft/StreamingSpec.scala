@@ -760,4 +760,32 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly the planted anomaly flags (warmup extreme suppressed): ${rows.toSeq}")
     assert(rows.head.getAs[Double]("z") == zExp, s"z from the exact prior moments: $zExp")
   }
+
+  test("streamingAnnotate: stream-stream interval join matches across microbatches, respects tolerance and channel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sm = MemoryStream[Event]
+    val am = MemoryStream[EventStream.Anno]
+    val q = EventStream.streamingAnnotate(sm.toDS(), am.toDS(),
+      watermark = "10 minutes", tolUs = 120L * 1000000)
+      .writeStream.format("memory").queryName("sannot").outputMode("append").start()
+    // the sample arrives FIRST, its annotation a microbatch later: the
+    // buffered left side must still match (this is what the two-sided
+    // state exists for)
+    sm.addData(Event(1, ts(10), 1, "c", 5.0))
+    q.processAllAvailable()
+    am.addData(EventStream.Anno("c", ts(9), "seizure")) // 60s before: inside tol
+    q.processAllAvailable()
+    // outside tolerance (180s), and a same-instant annotation on the
+    // WRONG channel: neither joins
+    sm.addData(Event(2, ts(30), 1, "c", 6.0))
+    am.addData(EventStream.Anno("c", ts(27), "spike"),
+      EventStream.Anno("d", ts(30), "wrongtype"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sannot ORDER BY ts_us").collect()
+    q.stop()
+    assert(rows.length == 1, s"exactly the in-tolerance same-channel pair: ${rows.toSeq}")
+    assert(rows.head.getAs[Long]("eventId") == 1L &&
+      rows.head.getAs[String]("label") == "seizure", s"${rows.head}")
+  }
 }

@@ -456,4 +456,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(2L * 3600000000L) == ((3L, 0L, 1L, true)), s"epoch2 ${got(2L * 3600000000L)}")
     assert(got(3L * 3600000000L) == ((1L, 0L, 0L, false)), s"epoch3 ${got(3L * 3600000000L)}")
   }
+
+  test("tsBursts: a sustained band-limited burst is one event; quiet channel emits nothing") {
+    val H = 3600L * 1000000000L
+    def tone(k: Int): Double = 100.0 * math.sin(2 * math.Pi * 0.2 * k)
+    val bb = (0 until 150).map { k =>
+      val v = if (k >= 60 && k < 80) tone(k) else 0.0
+      (k.toLong, k * H + 1000L, 1L, "bb", v)
+    }
+    val qq = (0 until 150).map { k => (1000L + k, k * H + 1000L, 1L, "qq", 0.0) }
+    val got = TimeSeries.tsBursts(events(bb ++ qq)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == Set("bb"), s"only the burst channel fires: ${got.toSeq}")
+    assert(got.length == 1, s"ONE sustained burst, not fragments: ${got.toSeq}")
+    val (_, startUs, endUs, n, peak) = got.head
+    val hUs = 3600000000L
+    // causal FIR group delay = 10 buckets; envelope smear +-2; the
+    // detected span must cover the delayed core and stay in bounds
+    assert(startUs >= 58L * hUs && startUs <= 72L * hUs, s"start ${startUs / hUs}")
+    assert(endUs >= 88L * hUs && endUs <= 100L * hUs, s"end ${endUs / hUs}")
+    assert(n >= 15L && n <= 40L && peak > 10.0, s"span/peak $n $peak")
+  }
 }
