@@ -516,11 +516,12 @@ object Dedup {
     * quadratically large, which no exact algorithm can avoid).
     */
   def jaccardJoinExact(t: Tables, k: Int = 3, threshold: Double = 0.5,
-                       maxPrefixBucket: Int = 0): DataFrame =
-    jaccardJoinExactDocs(t.documents, k, threshold, maxPrefixBucket)
+                       maxPrefixBucket: Int = 0,
+                       maxCandidates: Long = 2000000000L): DataFrame =
+    jaccardJoinExactDocs(t.documents, k, threshold, maxPrefixBucket, maxCandidates)
 
   private[graft] def jaccardJoinExactDocs(docs: DataFrame, k: Int, threshold: Double,
-                       maxPrefixBucket: Int): DataFrame = {
+                       maxPrefixBucket: Int, maxCandidates: Long = 2000000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardJoinExact: threshold must be in (0, 1], got $threshold")
@@ -542,6 +543,24 @@ object Dedup {
           s"${hot.headOption.map(_.getLong(1)).getOrElse(-1L)} prefixes (> maxPrefixBucket=$maxPrefixBucket); " +
           "the pair join would be quadratic in that bucket. Run dedup_exact first or raise the threshold " +
           "(a hot prefix bucket usually means the exact output itself is quadratic).")
+    }
+    // TOTAL candidate-volume gate (the hot-bucket gate above catches one
+    // pathological token; this catches death by a million warm ones):
+    // Σ_h C(prefix_bucket_h, 2) IS the exact pair count the join below
+    // will generate — the sf10 probe measured 500k docs exhausting 64 GB
+    // of shuffle disk, so an over-budget run must refuse with the remedy
+    // named BEFORE the join, not die mid-spill. One cheap aggregation
+    // job over the bucket-count relation (B23's gate-before-cost shape).
+    if (maxCandidates > 0) {
+      val total = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
+        .agg(coalesce(sum(col("pn").cast("double") * (col("pn") - 1.0) / 2.0), lit(0.0)))
+        .head().getDouble(0)
+      require(total <= maxCandidates.toDouble,
+        f"jaccardJoinExact: prefix filtering still yields ~$total%.3g candidate pairs " +
+          s"(> maxCandidates=$maxCandidates). Exact/complete all-pairs at this scale needs " +
+          "shuffle disk to match (the sf10 probe died of spill at ~2e9 candidates on 64 GB); " +
+          "unless completeness is the contract, run dedupMinhash (LSH, recall-bounded) or " +
+          "raise the threshold; or raise maxCandidates with disk provisioned for the spill.")
     }
     // identical repartitioning on both sides -> ReuseExchange (the
     // dedupMinhashDocs precedent): the prefix pipeline computes once

@@ -429,4 +429,17 @@ class DedupSpec extends AnyFunSuite {
     // without the gate the answer itself is fine (all C(5,2) exact dups)
     assert(Dedup.jaccardJoinExact(t).count() == 10L, "exact output on the degenerate corpus")
   }
+
+  test("jaccardJoinExact: total candidate volume over budget is refused loudly, naming the LSH path") {
+    val t = docs((1L to 5L).map(i => (i, "same text here", "en")))
+    // C(5,2)=10 candidate pairs against a budget of 3: must refuse BEFORE
+    // the pair join, pointing at dedupMinhash / threshold as the remedies
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardJoinExact(t, maxCandidates = 3L)
+    }
+    assert(e.getMessage.contains("maxCandidates") && e.getMessage.contains("dedupMinhash"),
+      e.getMessage)
+    // inside the budget the same corpus runs to the exact answer
+    assert(Dedup.jaccardJoinExact(t, maxCandidates = 100L).count() == 10L)
+  }
 }
