@@ -449,6 +449,11 @@ object PlanAudit {
       ("rolling_actives", p => !p.contains("Window") && !p.contains("CartesianProduct") &&
           p.contains("partial_count"),
         "rolling actives: user-day collapse first, map-side counts, window-free"),
+      // A35: FIR lag chain, envelope frame and run windows all share the
+      // channel clustering after the grid collapse; no join anywhere
+      ("ts_bursts", p => !p.contains("Join") &&
+          "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
+        "burst detection: grid collapse + one shared channel exchange, no join"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r
