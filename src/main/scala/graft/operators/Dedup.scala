@@ -103,6 +103,38 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** C80: LSH banding parameter designer — given a target Jaccard
+    * threshold τ and a signature budget, choose (bands, rowsPerBand)
+    * and report the detection S-curve. The parameter-choice step every
+    * MinHash deployment does on paper, made explicit and testable:
+    * the banding threshold approximates (1/b)^(1/r), and
+    * P(candidate | J) = 1 − (1 − J^r)^b exactly. The chosen design
+    * minimizes |threshold(b,r) − τ| subject to b·r ≤ maxPerms, breaking
+    * ties toward MORE bands (recall-favoring — a missed true pair is
+    * silent, a surviving false candidate dies in the exact verify).
+    *
+    * Driver-side closed-form math (the signature budget is a few dozen
+    * ints — there is nothing to distribute); returns the design plus
+    * the curve so a pipeline can LOG its expected recall at the
+    * similarity it cares about instead of guessing.
+    */
+  def lshDesign(tau: Double, maxPerms: Int = 64,
+                curveAt: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95)):
+      (Int, Int, Seq[(Double, Double)]) = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0,1), got $tau")
+    require(maxPerms >= 2, s"maxPerms must allow at least 2 permutations")
+    val designs = for {
+      r <- 1 to maxPerms
+      b <- 1 to maxPerms / r
+      if b * r >= 2
+    } yield (b, r, math.pow(1.0 / b, 1.0 / r))
+    val (b, r, _) = designs.minBy { case (b, r, thr) =>
+      (math.abs(thr - tau), -b) // tie: more bands = higher recall
+    }
+    def pCand(j: Double): Double = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+    (b, r, curveAt.map(j => j -> pCand(j)))
+  }
+
   /** C50: source-level similarity matrix — the corpus-composition
     * diagnostic that tells a curation pipeline which providers/dumps
     * substantially overlap (e.g. two CommonCrawl snapshots, a mirror

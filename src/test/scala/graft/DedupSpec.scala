@@ -442,4 +442,24 @@ class DedupSpec extends AnyFunSuite {
     // inside the budget the same corpus runs to the exact answer
     assert(Dedup.jaccardJoinExact(t, maxCandidates = 100L).count() == 10L)
   }
+
+  test("lshDesign: threshold lands near tau, curve matches the closed form, recall-favoring ties") {
+    val (b, r, curve) = Dedup.lshDesign(tau = 0.5, maxPerms = 64)
+    assert(b * r <= 64, s"budget respected: b=$b r=$r")
+    val thr = math.pow(1.0 / b, 1.0 / r)
+    assert(math.abs(thr - 0.5) < 0.05, s"banding threshold near tau: $thr (b=$b r=$r)")
+    // the curve IS the closed form at each requested J
+    curve.foreach { case (j, p) =>
+      assert(p == 1.0 - math.pow(1.0 - math.pow(j, r), b), s"closed form at $j")
+    }
+    // steep S-curve: well above tau detection is near-certain, well
+    // below it is unlikely
+    val m = curve.toMap
+    assert(m(0.9) > 0.98 && m(0.3) < 0.35, s"S-curve separation: $m")
+    // the repo's own default near-dup config (8 bands x 4 rows) sits at
+    // threshold (1/8)^(1/4) ~ 0.595 - the designer must reproduce it
+    // when asked for that tau under the same budget
+    val (b2, r2, _) = Dedup.lshDesign(tau = math.pow(1.0 / 8, 1.0 / 4), maxPerms = 32)
+    assert(b2 == 8 && r2 == 4, s"recovers the deployed design: b=$b2 r=$r2")
+  }
 }
