@@ -454,6 +454,11 @@ object PlanAudit {
       ("ts_bursts", p => !p.contains("Join") &&
           "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
         "burst detection: grid collapse + one shared channel exchange, no join"),
+      // A37: lowpass lag chain + rank stride share the channel
+      // clustering after the grid collapse; no join
+      ("ts_decimate", p => !p.contains("Join") &&
+          "Exchange hashpartitioning".r.findAllIn(p.split("== Initial Plan ==").head).size <= 2,
+        "decimation: grid collapse + one shared channel exchange, no join"),
       // B32: change-detect lag, interval lead and version row_number all
       // share one (user, type) clustering — a single exchange, no join
       ("scd2_build", p => "Exchange hashpartitioning".r

@@ -76,6 +76,7 @@ object SparkEntry {
     "ts_fir"           -> Seq(col("event_type"), col("bucket_us")),
     "ts_artifacts"     -> Seq(col("event_type"), col("epoch_us")),
     "ts_bursts"        -> Seq(col("event_type"), col("start_us")),
+    "ts_decimate"      -> Seq(col("event_type"), col("bucket_us")),
     "rolling_actives"  -> Seq(col("day_us")),
     "running_balance"  -> Seq(col("user_id"), col("event_id")),
     "scd2_build"       -> Seq(col("user_id"), col("event_type"), col("version")),
@@ -278,6 +279,7 @@ object SparkEntry {
     "ts_fir"             -> q(TimeSeries.tsFir(_)),
     "ts_artifacts"       -> q(TimeSeries.tsArtifacts(_)),
     "ts_bursts"          -> q(TimeSeries.tsBursts(_)),
+    "ts_decimate"        -> q(TimeSeries.tsDecimate(_)),
     "rolling_actives"    -> q(EventAnalytics.rollingActives(_)),
     "running_balance"    -> q(EventAnalytics.runningBalance(_)),
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
@@ -1196,6 +1198,27 @@ object SparkEntry {
                 FROM rid GROUP BY 1, 2)
          SELECT event_type, start_us, end_us, n_buckets, peak_env
          FROM bu WHERE n_buckets >= 3 ORDER BY 1, 2"""
+    },
+    "ts_decimate" -> {
+      // lowpass taps (lo = 0) shared verbatim with the plan, then the
+      // integer row_number stride on the filtered grid
+      val taps = graft.operators.TimeSeries.firTaps(0.0, 0.125, 21)
+      val conv = taps.zipWithIndex.map { case (h, j) =>
+        if (j == 0) s"($h)*v" else s"($h)*lag(v, $j) OVER w"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_type, CAST(floor(value*100.0 + 0.5) AS BIGINT) AS cents,
+               epoch_ns(ts)//1000 AS us FROM events),
+         b AS (SELECT event_type, (us // 3600000000) * 3600000000 AS bucket_us,
+                 CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY 1, 2),
+         g AS (SELECT event_type, bucket_us, (CAST(s AS DOUBLE)/c)/100.0 AS v FROM b),
+         f AS (SELECT event_type, bucket_us, $conv AS y, lag(v, 20) OVER w AS oldest
+               FROM g WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us)),
+         fr AS (SELECT event_type, bucket_us, floor(y*10000.0 + 0.5)/10000.0 AS value,
+                  row_number() OVER (PARTITION BY event_type ORDER BY bucket_us) AS rn
+                FROM f WHERE oldest IS NOT NULL)
+         SELECT event_type, bucket_us, value FROM fr WHERE (rn - 1) % 4 = 0
+         ORDER BY 1, 2"""
     },
     "running_balance" ->
       """WITH RECURSIVE e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS us,

@@ -1208,7 +1208,7 @@ object TimeSeries {
     */
   private[graft] def firTaps(lo: Double, hi: Double, n: Int): Seq[Double] = {
     require(n % 2 == 1 && n > 1, "tap count must be odd")
-    require(0.0 < lo && lo < hi && hi < 0.5, "0 < lo < hi < 0.5 cycles/sample")
+    require(0.0 <= lo && lo < hi && hi < 0.5, "0 <= lo < hi < 0.5 cycles/sample (lo = 0 -> lowpass)")
     val m0 = n / 2
     def sinc(x: Double): Double = if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
     (-m0 to m0).map { m =>
@@ -1298,6 +1298,32 @@ object TimeSeries {
       .filter(col("n_buckets") >= minBuckets)
       .select(col("event_type"), col("start_us"), col("end_us"),
         col("n_buckets"), col("peak_env"))
+  }
+
+  /** A37: anti-aliased decimation — keep every `n`-th grid point AFTER a
+    * windowed-sinc lowpass at the new Nyquist (hi = 1/(2n)): the correct
+    * downsampling primitive where a naive stride ALIASES (any content
+    * above 1/(2n) cycles/sample folds back into the kept band and
+    * corrupts it — the spec plants exactly that tone and measures the
+    * difference). A7's bucket-mean resample is the amplitude-preserving
+    * aggregate; this is the DSP-correct rate reduction for downstream
+    * spectral work.
+    *
+    * Composition: [[tsFir]] with lo = 0 (lowpass taps — same shared
+    * literal-tap determinism), then a row_number stride on the filtered
+    * grid sequence — pure integer selection, same single channel-keyed
+    * exchange. The phase is anchored to each channel's first
+    * full-support grid point (rank 1 kept), deterministic under the
+    * (bucket_us) order.
+    */
+  def tsDecimate(t: Tables, bucketUs: Long = 3600L * 1000000,
+                 n: Int = 4, nTaps: Int = 21): DataFrame = {
+    require(n >= 2, s"decimation factor must be >= 2, got $n")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_us"))
+    tsFir(t, bucketUs, lo = 0.0, hi = 1.0 / (2 * n), nTaps = nTaps)
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % n === 0)
+      .select(col("event_type"), col("bucket_us"), col("filtered").as("value"))
   }
 
   /** A12: fixed-size chunking — the reference's 30 M-sample chunker

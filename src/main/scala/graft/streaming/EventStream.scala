@@ -520,6 +520,46 @@ object EventStream {
       }
   }
 
+  /** One clamped-balance ledger row on the live stream (the streaming
+    * twin of EventAnalytics.runningBalance output).
+    */
+  final case class BalanceRow(userId: Long, eventId: Long, tsUs: Long,
+                              deltaCents: Long, balanceCents: Long, clamped: Boolean)
+
+  /** B37b: streaming clamped running balance — the live-ingest twin of
+    * EventAnalytics.runningBalance: b = max(0, b + Δ) per user, exact
+    * integer cents, the clamp's non-associativity handled the only way
+    * a stream can — one long of state per user carried across
+    * microbatches. In-batch events sort by (event time, event_id), the
+    * batch tie rule, so a replay of the whole stream emits row-for-row
+    * the batch operator's output (spec-asserted parity). Untracked
+    * event types are filtered BEFORE the shuffle.
+    */
+  def streamingBalance(events: Dataset[Event],
+                       creditTypes: Set[String] = Set("purchase", "signup"),
+                       debitTypes: Set[String] = Set("click", "error")): Dataset[BalanceRow] = {
+    import events.sparkSession.implicits._
+    require(creditTypes.intersect(debitTypes).isEmpty, "credit/debit types must be disjoint")
+    events
+      .filter(e => creditTypes.contains(e.eventType) || debitTypes.contains(e.eventType))
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Long, BalanceRow](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val sorted = batch.toSeq.sortBy(e => (tsToUs(e.ts), e.eventId))
+          var bal = state.getOption.getOrElse(0L)
+          val out = sorted.map { e =>
+            val c = math.floor(e.value * 100.0 + 0.5).toLong
+            val d = if (creditTypes.contains(e.eventType)) c else -c
+            val raw = bal + d
+            val clamped = raw < 0L
+            bal = if (clamped) 0L else raw
+            BalanceRow(user, e.eventId, tsToUs(e.ts), d, bal, clamped)
+          }
+          state.update(bal)
+          out.iterator
+      }
+  }
+
   /** An annotation arriving on its own stream (the live twin of A10's
     * annotation relation: channel + instant + label).
     */

@@ -788,4 +788,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("eventId") == 1L &&
       rows.head.getAs[String]("label") == "seizure", s"${rows.head}")
   }
+
+  test("streamingBalance: clamp state carries across microbatches; replay equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingBalance(mem.toDS())
+      .writeStream.format("memory").queryName("sbal").outputMode("append").start()
+    val b1 = Seq(Event(0, ts(1), 1, "purchase", 10.0), Event(1, ts(2), 1, "click", 3.0),
+      Event(9, ts(3), 1, "view", 99.0)) // untracked type: never emitted
+    val b2 = Seq(Event(2, ts(4), 1, "error", 20.0), // raw -1300 -> clamp, ACROSS the batch boundary
+      Event(3, ts(5), 1, "signup", 5.0))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sbal ORDER BY tsUs").collect()
+      .map(r => (r.getAs[Long]("eventId"), r.getAs[Long]("balanceCents"), r.getAs[Boolean]("clamped")))
+    q.stop()
+    assert(rows.toSeq == Seq((0L, 1000L, false), (1L, 700L, false),
+      (2L, 0L, true), (3L, 500L, false)), s"${rows.toSeq}")
+    // row-for-row parity with the batch operator over the same events
+    import org.apache.spark.sql.functions._
+    val df = (b1 ++ b2).toDF()
+      .select(col("eventId").as("event_id"),
+        expr("unix_micros(ts) * 1000").as("ts"),
+        col("userId").as("user_id"), col("eventType").as("event_type"), col("value"))
+      .withColumn("props", lit("{}"))
+    val dir = java.nio.file.Files.createTempDirectory("sbal").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.EventAnalytics.runningBalance(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(1), r.getLong(4), r.getBoolean(5))).sortBy(_._1)
+    assert(batch.toSeq == rows.sortBy(_._1).toSeq, s"stream==batch: ${batch.toSeq}")
+  }
 }

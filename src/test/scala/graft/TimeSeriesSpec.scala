@@ -477,4 +477,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(endUs >= 88L * hUs && endUs <= 100L * hUs, s"end ${endUs / hUs}")
     assert(n >= 15L && n <= 40L && peak > 10.0, s"span/peak $n $peak")
   }
+
+  test("tsDecimate: above-new-Nyquist tone is removed where a naive stride would alias it in") {
+    val H = 3600L * 1000000000L
+    // f=0.4 cycles/sample: far above the n=4 Nyquist of 0.125 — a naive
+    // every-4th stride sees it aliased to |0.4*4 mod 1| = 0.6 ~ full
+    // amplitude; the anti-aliasing lowpass must kill it
+    val hi = (0 until 160).map { k =>
+      (k.toLong, k * H + 1000L, 1L, "hi", 100.0 * math.sin(2 * math.Pi * 0.4 * k))
+    }
+    val lo = (0 until 160).map { k =>
+      (1000L + k, k * H + 1000L, 1L, "lo", 100.0 * math.sin(2 * math.Pi * 0.05 * k))
+    }
+    val got = TimeSeries.tsDecimate(events(hi ++ lo)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def rms(xs: Seq[Double]) = math.sqrt(xs.map(x => x * x).sum / xs.size)
+    val hiOut = got.filter(_._1 == "hi").map(_._3).toSeq
+    val loOut = got.filter(_._1 == "lo").map(_._3).toSeq
+    assert(hiOut.size == 35 && loOut.size == 35, s"(160-20 supported)/4: ${hiOut.size}")
+    val naiveAlias = rms((20 until 160 by 4).map(k => 100.0 * math.sin(2 * math.Pi * 0.4 * k)))
+    assert(naiveAlias > 50.0, s"the naive stride WOULD alias visibly: $naiveAlias")
+    assert(rms(hiOut) < 3.0, s"anti-aliased decimation kills the tone: ${rms(hiOut)}")
+    assert(rms(loOut) > 0.7 * rms((0 until 160).map(k => 100.0 * math.sin(2 * math.Pi * 0.05 * k))),
+      s"in-band content survives: ${rms(loOut)}")
+  }
 }
