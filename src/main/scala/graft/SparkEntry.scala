@@ -108,6 +108,7 @@ object SparkEntry {
     "paragraph_dedup" -> Seq(col("doc_id")),
     "minhash_sig"   -> Seq(col("doc_id")),
     "dedup_minhash" -> Seq(col("id_a"), col("id_b")),
+    "minhash_hot_buckets" -> Seq(col("band_idx"), col("band_hash")),
     "simhash_sig"   -> Seq(col("doc_id")),
     "dedup_simhash" -> Seq(col("id_a"), col("id_b")),
     "dedup_apply"   -> Seq(col("doc_id")),
@@ -223,6 +224,7 @@ object SparkEntry {
     "embed_neardup_lsh" -> q(Similarity.embedNearDupLsh(_, threshold = 0.25)),
     "minhash_sig"   -> q(Dedup.minhashSig(_)),
     "dedup_minhash" -> q(Dedup.dedupMinhash(_)),
+    "minhash_hot_buckets" -> q(Dedup.minhashHotBuckets(_, maxBucket = 1)),
     "simhash_sig"   -> q(Dedup.simhash(_)),
     "dedup_simhash" -> q(Dedup.dedupSimhash(_)),
     "ngram_jaccard" -> q(Dedup.ngramJaccard(_)),
@@ -985,10 +987,10 @@ object SparkEntry {
          FROM d ORDER BY 1""",
     "readability" ->
       """WITH d AS (SELECT doc_id,
-                 CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text, '[^ \t\n\r\f\x0B]+')) AS BIGINT) AS w,
                  greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS s,
                  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS vg,
-                 CAST(len(regexp_extract_all(lower(text), '\S*[aeiouy]\S*')) AS BIGINT) AS vw
+                 CAST(len(regexp_extract_all(lower(text), '[^ \t\n\r\f\x0B]*[aeiouy][^ \t\n\r\f\x0B]*')) AS BIGINT) AS vw
                FROM documents),
          f AS (SELECT doc_id, w AS n_words, s AS n_sents, vg + (w - vw) AS n_syll FROM d),
          r AS (SELECT *,
@@ -1514,10 +1516,27 @@ object SparkEntry {
              list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
          bands AS (SELECT doc_id, band_idx,
              ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
-           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi)
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi),
+         hot AS (SELECT band_idx, band_hash FROM bands GROUP BY 1,2 HAVING count(*) > 1024),
+         kept AS (SELECT bands.* FROM bands WHERE NOT EXISTS (
+             SELECT 1 FROM hot WHERE hot.band_idx = bands.band_idx AND hot.band_hash = bands.band_hash))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-         FROM bands a JOIN bands b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
+         FROM kept a JOIN kept b ON a.band_idx=b.band_idx AND a.band_hash=b.band_hash AND a.doc_id<b.doc_id
          GROUP BY 1,2 ORDER BY 1,2""",
+    "minhash_hot_buckets" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+         hs AS (SELECT doc_id, list_distinct(list_transform(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(0, len(toks)-3), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) END,
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(s,''), x -> CAST(ascii(x) AS BIGINT))), (acc, x) -> (acc*31+x) % 1000000007))) AS hs
+           FROM tk),
+         sigs AS (SELECT doc_id, list_transform(generate_series(0, 31), j ->
+             list_min(list_transform(hs, x -> ((((2*j+1)*777767) % 1000000007 * x) % 1000000007 + ((31*j+7)*999999937) % 1000000007) % 1000000007))) AS sig FROM hs),
+         bands AS (SELECT doc_id, CAST(band_idx AS INTEGER) AS band_idx,
+             ((((sig[4*band_idx+1]) * 31 + sig[4*band_idx+2]) % 1000000007 * 31 + sig[4*band_idx+3]) % 1000000007 * 31 + sig[4*band_idx+4]) % 1000000007 AS band_hash
+           FROM sigs, (SELECT unnest(generate_series(0,7)) AS band_idx) bi)
+         SELECT band_idx, band_hash, count(*) AS bn FROM bands
+         GROUP BY 1,2 HAVING count(*) > 1 ORDER BY 1,2""",
     "simhash_sig" ->
       """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
          hs AS (SELECT doc_id, list_distinct(list_transform(

@@ -59,12 +59,55 @@ object Dedup {
     * before the self-join — the hot-bucket guard at corpus scale: a
     * bucket with thousands of members is a degenerate hash (boilerplate,
     * empty docs) whose m² candidate pairs are noise; the drop-list is
-    * hot-bucket-sized (tiny) and anti-joined broadcast. 0 = exact LSH
-    * (the oracle-checked default).
+    * hot-bucket-sized (tiny) and anti-joined broadcast. The cap is ON
+    * by default ([[DefaultMaxBucket]]) — a boilerplate-heavy real corpus
+    * (license pages, empty docs) WILL hot-bucket at scale, and the
+    * default path must not be quadratic in the hottest bucket. Dropping
+    * is never silent: [[minhashHotBuckets]] is the companion accounting
+    * relation (same cap ⇒ exactly the buckets this query skipped, with
+    * member counts), and the oracle SQL mirrors the drop bit-for-bit.
+    * Pass `maxBucket = 0` to explicitly opt out (exact LSH — every
+    * colliding pair surfaces, quadratic hot buckets and all).
     */
   def dedupMinhash(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
-                   maxBucket: Int = 0): DataFrame =
+                   maxBucket: Int = DefaultMaxBucket): DataFrame =
     dedupMinhashDocs(t.documents, k, nBands, rowsPerBand, maxBucket)
+
+  /** Default LSH hot-bucket cap for [[dedupMinhash]]. A band bucket's
+    * expected honest population is its near-dup cluster size — tens, not
+    * thousands (C80's design math puts the threshold-τ collision mass in
+    * clusters the exact verify can afford). 1024 is ~2 orders of
+    * magnitude above any honest cluster the synthetic and sf1 corpora
+    * contain while still refusing the degenerate boilerplate bucket
+    * (m=10⁵ empty docs ⇒ 5·10⁹ pairs PER BAND uncapped). Explicitly
+    * opt out with `maxBucket = 0` when completeness over a known-small
+    * corpus is the contract.
+    */
+  val DefaultMaxBucket: Int = 1024
+
+  /** Hot-bucket drop accounting for [[dedupMinhash]] — the (band_idx,
+    * band_hash, bn) relation of LSH buckets whose population exceeds
+    * `maxBucket`, i.e. exactly the buckets the same-parameter
+    * [[dedupMinhash]] run skipped. The C75 loud-gate philosophy applied
+    * to a drop-semantics operator: truncation is queryable, not silent —
+    * a pipeline logs/persists this relation next to the pair output so
+    * the "these docs were too degenerate to pair" set is auditable
+    * (remedy: route them through dedup_exact, which handles identical
+    * boilerplate at O(n)). Cost: the band relation's groupBy, which the
+    * capped dedup run pays anyway (one narrow signature scan + one
+    * shuffle on the band keys); no pair join.
+    */
+  def minhashHotBuckets(t: Tables, k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket > 0, s"minhashHotBuckets: maxBucket must be positive, got $maxBucket")
+    t.documents
+      .withColumn("hs", expr(shingleHashExpr(k)))
+      .select(col("doc_id"),
+        posexplode(expr(s"graft_minhash_bands(hs, $nBands, $rowsPerBand)")).as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+  }
 
   /** Per-document LSH band-hash array — the persistable signature STATE of
     * the near-dup pipeline (what an incremental refresh carries forward for
@@ -567,27 +610,30 @@ object Dedup {
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1L))
       .select(col("doc_id"), col("h"))
-    if (maxPrefixBucket > 0) {
-      val hot = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
-        .filter(col("pn") > maxPrefixBucket).limit(1).collect()
-      require(hot.isEmpty,
-        s"jaccardJoinExact: prefix token ${hot.headOption.map(_.getLong(0)).getOrElse(-1L)} lands in " +
-          s"${hot.headOption.map(_.getLong(1)).getOrElse(-1L)} prefixes (> maxPrefixBucket=$maxPrefixBucket); " +
-          "the pair join would be quadratic in that bucket. Run dedup_exact first or raise the threshold " +
-          "(a hot prefix bucket usually means the exact output itself is quadratic).")
-    }
-    // TOTAL candidate-volume gate (the hot-bucket gate above catches one
-    // pathological token; this catches death by a million warm ones):
-    // Σ_h C(prefix_bucket_h, 2) IS the exact pair count the join below
-    // will generate — the sf10 probe measured 500k docs exhausting 64 GB
-    // of shuffle disk, so an over-budget run must refuse with the remedy
-    // named BEFORE the join, not die mid-spill. One cheap aggregation
-    // job over the bucket-count relation (B23's gate-before-cost shape).
-    if (maxCandidates > 0) {
-      val total = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
-        .agg(coalesce(sum(col("pn").cast("double") * (col("pn") - 1.0) / 2.0), lit(0.0)))
-        .head().getDouble(0)
-      require(total <= maxCandidates.toDouble,
+    // BOTH gates — hot-bucket and total candidate volume — in ONE fused
+    // aggregation job over the bucket-count relation (they read the same
+    // groupBy; r14 ADVICE flagged the two-job form recomputing the prefix
+    // pipeline twice). Σ_h C(prefix_bucket_h, 2) IS the exact pair count
+    // the join below will generate — the sf10 probe measured 500k docs
+    // exhausting 64 GB of shuffle disk, so an over-budget run must refuse
+    // with the remedy named BEFORE the join, not die mid-spill.
+    // NOTE (construction-time job): when either gate is enabled — the
+    // default — CONSTRUCTING this DataFrame runs that gate aggregation
+    // eagerly and can throw here; that is the contract (refuse before
+    // cost, loudly). Plan-only callers (explain/audit) pass
+    // maxPrefixBucket = 0 AND maxCandidates = 0 to skip the job.
+    if (maxPrefixBucket > 0 || maxCandidates > 0) {
+      val g = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
+        .agg(coalesce(max(col("pn")), lit(0L)).as("hot"),
+          coalesce(sum(col("pn").cast("double") * (col("pn") - 1.0) / 2.0), lit(0.0)).as("total"))
+        .head()
+      val (hot, total) = (g.getLong(0), g.getDouble(1))
+      require(maxPrefixBucket <= 0 || hot <= maxPrefixBucket,
+        s"jaccardJoinExact: hottest prefix token lands in $hot prefixes " +
+          s"(> maxPrefixBucket=$maxPrefixBucket); the pair join would be quadratic in that " +
+          "bucket. Run dedup_exact first or raise the threshold (a hot prefix bucket " +
+          "usually means the exact output itself is quadratic).")
+      require(maxCandidates <= 0 || total <= maxCandidates.toDouble,
         f"jaccardJoinExact: prefix filtering still yields ~$total%.3g candidate pairs " +
           s"(> maxCandidates=$maxCandidates). Exact/complete all-pairs at this scale needs " +
           "shuffle disk to match (the sf10 probe died of spill at ~2e9 candidates on 64 GB); " +

@@ -169,10 +169,15 @@ object TextAnalysis {
     * column, never a pass.
     */
   def readability(t: Tables): DataFrame = {
-    val words = regexp_count(col("text"), lit("\\S+")).cast("long")
+    // explicit non-space class, NOT \S: Java's \s includes vertical tab
+    // \x0B while RE2's does not, so \S diverges cross-engine on a
+    // VT-bearing document — [^ \t\n\r\f\x0B] spells both engines the
+    // same set (r14 ADVICE)
+    val nonSpace = "[^ \\t\\n\\r\\f\\x0B]"
+    val words = regexp_count(col("text"), lit(s"$nonSpace+")).cast("long")
     val sents = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
     val vgroups = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
-    val vwords = regexp_count(lower(col("text")), lit("\\S*[aeiouy]\\S*")).cast("long")
+    val vwords = regexp_count(lower(col("text")), lit(s"$nonSpace*[aeiouy]$nonSpace*")).cast("long")
     t.documents
       .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
         (vgroups + (words - vwords)).as("n_syll"))

@@ -17,10 +17,16 @@ import org.apache.spark.sql.types._
   * Spark assigns file splits to tasks like any text source); the
   * explicit schema skips the whole-corpus inference pass
   * `spark.read.json` would otherwise pay (at 100 TB, inference is a
-  * full extra read). PERMISSIVE mode with a named corrupt-record
-  * column is the engine-supported routing; Spark disallows filtering a
-  * json scan by ONLY the corrupt column (SPARK-21610), so the split is
-  * projected through one materialized pass.
+  * full extra read). Parsing is a `from_json` projection over the text
+  * scan rather than a `spark.read.json` relation: the json SCAN refuses
+  * filters referencing only its corrupt column (SPARK-21610), but a
+  * parsed STRUCT column carries no such restriction — so both splits
+  * stay fully lazy narrow plans with no cached intermediate (the r14
+  * ADVICE leak: the old workaround cached the parsed relation for the
+  * session lifetime with no unpersist handle). A consumer of both
+  * splits pays the text parse twice; that is the honest 100 TB trade —
+  * a re-scan is restartable and spillless, a 100 TB session cache is
+  * neither.
   */
 object JsonlDocs {
 
@@ -44,15 +50,14 @@ object JsonlDocs {
     * null-pad them straight into the corpus.
     */
   def read(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    val raw = spark.read
-      .schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", Corrupt)
-      .json(path)
-      // SPARK-21610: a filter referencing only the corrupt column on the
-      // raw scan is disallowed; cache materializes the parsed relation
-      // once and both splits read it
-      .cache()
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+    // text scan + from_json projection: the parsed struct is an ordinary
+    // column, so corrupt-only predicates are legal (unlike on the json
+    // scan itself, SPARK-21610) and both splits below are lazy — nothing
+    // is cached or materialized at read() time
+    val raw = spark.read.text(path)
+      .select(from_json(col("value"), schema, opts).as("j"))
+      .select(col("j.*"))
     val bad = col(Corrupt).isNotNull || col("doc_id").isNull || col("text").isNull
     val good = raw.filter(!bad)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),

@@ -634,7 +634,7 @@ object EventStream {
           val out = Seq.newBuilder[OutlierOut]
           sorted.foreach { e =>
             val c = math.floor(e.value * 100.0 + 0.5).toLong
-            if (st.n > minPrior) {
+            if (st.n >= minPrior) {
               val mu = st.s.toDouble / st.n / 100.0
               val variance =
                 (st.q.toDouble - st.s.toDouble * st.s.toDouble / st.n) / (st.n - 1) / 10000.0

@@ -117,8 +117,33 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)), "honest near-dup pair survives the cap")
     assert(!capped.exists { case (a, b) => a >= 10 && b >= 10 },
       s"no pairs from the capped hot bucket: $capped")
-    val uncapped = Dedup.dedupMinhash(t).collect().length
+    val uncapped = Dedup.dedupMinhash(t, maxBucket = 0).collect().length
     assert(uncapped > capped.size, "cap actually pruned the degenerate pairs")
+  }
+
+  test("DEFAULT dedupMinhash path is hot-bucket-safe, drops are accounted") {
+    // boilerplate corpus exceeding DefaultMaxBucket: the DEFAULT driver
+    // surface (no explicit cap) must refuse the m² degenerate pairs and
+    // still surface the honest planted near-dup — the r14 weak flag was
+    // exactly "the guard exists but the default path is quadratic"
+    val m = Dedup.DefaultMaxBucket + 6 // 1030 identical docs
+    val boiler = (100L until (100L + m)).map(i =>
+      (i, "identical boilerplate license text repeated across the corpus " * 3, "en"))
+    val t = docs(Seq((1L, base, "en"), (2L, nearDup, "en")) ++ boiler)
+    val pairs = Dedup.dedupMinhash(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "honest near-dup pair survives the default cap")
+    assert(!pairs.exists { case (a, b) => a >= 100 && b >= 100 },
+      s"default cap drops all boilerplate hot-bucket pairs (got ${pairs.size} pairs)")
+    // loud accounting: the companion relation names exactly the dropped
+    // buckets — identical docs collide in all 8 bands, each bn = m
+    val hot = Dedup.minhashHotBuckets(t).collect()
+    assert(hot.length == 8, s"8 hot band buckets reported, got ${hot.length}")
+    assert(hot.forall(_.getLong(2) == m.toLong), s"each hot bucket holds all $m boilerplate docs")
+    // and with the cap explicitly opted out the degenerate pairs DO appear
+    // (count the bucket contribution, don't materialize m²/2 rows)
+    val optOut = Dedup.dedupMinhash(t, maxBucket = 0)
+      .filter(col("id_a") >= 100 && col("id_b") >= 100).limit(1).count()
+    assert(optOut == 1L, "maxBucket=0 restores exact LSH (quadratic and all)")
   }
 
   test("cluster propagation converges on a 25-doc chain (pointer jumping)") {

@@ -761,6 +761,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("z") == zExp, s"z from the exact prior moments: $zExp")
   }
 
+  test("streamingOutlier: scoring starts at EXACTLY minPrior prior samples") {
+    // the r14 ADVICE off-by-one: `st.n > minPrior` silently required
+    // minPrior+1 warm samples. Contract: the first minPrior samples warm
+    // the state; sample minPrior+1 (with exactly minPrior priors) scores.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.streamingOutlier(mem.toDS(), zCut = 3.0, minPrior = 5L)
+      .writeStream.format("memory").queryName("soutlier_edge").outputMode("append").start()
+    // channel e: 5 alternating warm samples, then an extreme — 5 priors
+    // == minPrior, MUST flag. channel f: 4 warm then extreme — silent.
+    val e5 = (0 until 5).map(i => Event(i.toLong, ts(i), 1, "e", if (i % 2 == 0) 10.0 else 12.0))
+    val f4 = (0 until 4).map(i => Event(50L + i, ts(i), 1, "f", if (i % 2 == 0) 10.0 else 12.0))
+    mem.addData(e5 ++ f4: _*)
+    q.processAllAvailable()
+    mem.addData(Event(9L, ts(9), 1, "e", 500.0), Event(59L, ts(9), 1, "f", 500.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM soutlier_edge").collect()
+    q.stop()
+    assert(rows.map(_.getAs[Long]("eventId")).toSeq == Seq(9L),
+      s"exactly-minPrior-priors sample scores; minPrior-1 stays warm: ${rows.toSeq}")
+  }
+
   test("streamingAnnotate: stream-stream interval join matches across microbatches, respects tolerance and channel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

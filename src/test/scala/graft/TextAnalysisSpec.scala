@@ -781,4 +781,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row(3L) == ((0L, 1L, 0L, null, null, "empty")), s"doc3 ${row(3L)}")
     assert(row(4L) == ((3L, 1L, 6L, 34.59, 9.18, "difficult")), s"doc4 ${row(4L)}")
   }
+
+  test("readability: vertical tab splits words (explicit class, not engine-dependent \\S)") {
+    // Java's \s includes \x0B, RE2's does not — the explicit
+    // [^ \t\n\r\f\x0B] class makes VT a separator in BOTH engines
+    val t = docs(Seq((1L, "catdog sat")))
+    val r = TextAnalysis.readability(t).collect().head
+    assert(r.getLong(1) == 3L && r.getLong(3) == 3L,
+      s"VT separates cat|dog -> 3 words, 3 syllables: $r")
+  }
 }
