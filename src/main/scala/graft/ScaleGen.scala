@@ -40,6 +40,18 @@ object ScaleGen {
     // corpus paths then serialize on a 32-core host exactly the way a
     // 1000-executor cluster would starve on a one-file table.
     val nFiles = args.lift(4).map(_.toInt).getOrElse(1)
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dst, k, subset, nFiles)
+    spark.stop()
+  }
+
+  /** The derivation body, callable in-process (AtScaleSpec derives its
+    * sf1 evidence corpus through this instead of shelling out — same
+    * determinism, same session).
+    */
+  def generate(spark: SparkSession, src: String, dst: String, k: Int,
+               subset: Option[Set[String]] = None, nFiles: Int = 1): Unit = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     subset.foreach { s =>
       val unknown = s -- Tables.names.toSet
@@ -55,8 +67,6 @@ object ScaleGen {
           "(any prior copies in dst keep their old multiplier; mixed-multiplier " +
           "dirs are only safe for probes that touch the regenerated tables)")
     }
-    val spark = GraftSession.builder().getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
     // single-file layout: the DuckDB oracle harness reads
@@ -127,7 +137,5 @@ object ScaleGen {
           transform(col("embedding"),
             (x, i) => when(i === 0, x + col("copy").cast("float") * lit(0.01f)).otherwise(x)))
         .drop("copy"))
-
-    spark.stop()
   }
 }
