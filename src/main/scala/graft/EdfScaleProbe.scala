@@ -80,7 +80,7 @@ object EdfScaleProbe {
     * writes EDF+D with a TAL annotation signal and a 2h time jump every
     * that many records (discontiguous segments).
     */
-  private def generate(path: String, nSig: Int, samplesPerRec: Int, nRec: Int,
+  private[graft] def generate(path: String, nSig: Int, samplesPerRec: Int, nRec: Int,
                        gapEveryRecs: Int): Long = {
     val annNr = if (gapEveryRecs > 0) 16 else 0
     val recBytes = nSig * samplesPerRec * 2 + annNr * 2

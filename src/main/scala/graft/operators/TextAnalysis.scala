@@ -640,14 +640,18 @@ object TextAnalysis {
     * rewrite shuffles (token, doc_id) pairs, the same weight class as
     * the tf shuffle itself.
     */
-  def vocabTopk(t: Tables, topK: Int = 20): DataFrame =
-    t.documents
+  def vocabTopk(t: Tables, topK: Int = 20,
+                maxDistinctTokens: Long = 50000000L): DataFrame = {
+    val exploded = t.documents
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
       .filter(length(col("token")) > 0)
+    gateDistinctVolume(exploded, "token", maxDistinctTokens, "vocabTopk")
+    exploded
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(topK)
+  }
 
   /** C30: frequent-token summary through the native `graft_heavy_hitters`
     * Misra–Gries aggregate — the sketch answer to vocab_topk (C26): every
@@ -2207,19 +2211,43 @@ object TextAnalysis {
     * as any corpus count — and df's distinct-rewrite shuffles
     * (gram, doc_id) pairs exactly like C26.
     */
-  def ngramCounts(t: Tables, n: Int = 3, topK: Int = 20): DataFrame = {
+  def ngramCounts(t: Tables, n: Int = 3, topK: Int = 20,
+                  maxDistinctGrams: Long = 50000000L): DataFrame = {
     val toks = wsTokens(lower(col("text")))
     val grams = when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-    t.documents
+    val exploded = t.documents
       .select(col("doc_id"), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
+    gateDistinctVolume(exploded, "gram", maxDistinctGrams, "ngramCounts")
+    exploded
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
       .orderBy(col("tf").desc, col("gram"))
       .limit(topK)
   }
+
+  /** Distinct-volume gate for the exact-df operators (C26/C56): refuse a
+    * vocabulary explosion BEFORE the expand shuffle, with the sketch
+    * remedies named (the C75 loud-refusal style). The estimate is one
+    * map-side-combinable HLL aggregation (4 KiB per task crosses the
+    * exchange, ±~2 % at p=12) — the cheapest honest answer to "how many
+    * distinct keys is this about to shuffle". Runs at CONSTRUCTION time
+    * and can throw there (the documented C75 contract); `maxDistinct <=
+    * 0` = no gate, no job.
+    */
+  private def gateDistinctVolume(rel: DataFrame, keyCol: String,
+                                 maxDistinct: Long, op: String): Unit =
+    if (maxDistinct > 0) {
+      val est = rel.agg(expr(s"graft_hll($keyCol, 12)")).head().getLong(0)
+      require(est <= maxDistinct,
+        s"$op: ~$est distinct ${keyCol}s (HLL estimate, ±~2%) exceed " +
+          s"maxDistinct=$maxDistinct — the exact-df expand would shuffle every " +
+          s"distinct ($keyCol, doc) pair. Use heavy_hitters (Misra-Gries frequency " +
+          "head) or hll_distinct (cardinality audit) at this scale, or raise the " +
+          "cap with shuffle capacity provisioned.")
+    }
 
   /** C65: sketched per-source distinct-token counts — the vocabulary-size
     * audit at a scale where exact distinct is the bottleneck: the native

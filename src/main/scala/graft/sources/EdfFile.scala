@@ -24,6 +24,16 @@ import org.apache.spark.sql.types._
   */
 object EdfFile {
 
+  /** Split sizing with a bytes-per-core cap (Spark's
+    * FilePartition.maxSplitBytes shape): min(target, max(1 MiB,
+    * dataBytes/parallelism)). Shared by the RDD reader and the DSv2
+    * split planner.
+    */
+  private[sources] def effectiveSplitBytes(target: Long, dataBytes: Long,
+                                           parallelism: Int): Long =
+    math.min(math.max(1L, target),
+      math.max(1L << 20, dataBytes / math.max(1, parallelism)))
+
   /** Per-signal header (reference edf.py:46-55). */
   final case class EdfSignal(
       label: String, transducer: String, physDim: String,
@@ -212,9 +222,19 @@ object EdfFile {
     */
   def read(spark: SparkSession, paths: Seq[String], targetSplitBytes: Long = 128L << 20): DataFrame = {
     val headers: Map[String, EdfHeader] = paths.map(p => p -> readHeader(p)).toMap
+    // Spark FilePartition-style sizing: a file set smaller than
+    // cores x target must still fan out, or a 64 MiB file parses on ONE
+    // core while 31 idle (measured: the whole pipeline serialized behind
+    // that single map task). Split size = min(target, max(1 MiB,
+    // totalBytes/parallelism)) — big files keep 128 MiB splits, small
+    // ones split down to per-core work, never below 1 MiB (seek-cost
+    // floor, same idea as spark.sql.files.openCostInBytes).
+    val totalBytes = headers.valuesIterator.map(h => h.nbDataRec.toLong * h.recordBytes).sum
+    val effSplitBytes = effectiveSplitBytes(targetSplitBytes, totalBytes,
+      spark.sparkContext.defaultParallelism)
     val splits = paths.flatMap { p =>
       val h = headers(p)
-      val recsPerSplit = math.max(1, (targetSplitBytes / math.max(1L, h.recordBytes)).toInt)
+      val recsPerSplit = math.max(1, (effSplitBytes / math.max(1L, h.recordBytes)).toInt)
       (0 until h.nbDataRec by recsPerSplit).map { lo =>
         EdfSplit(p, lo, math.min(h.nbDataRec, lo + recsPerSplit))
       }

@@ -259,8 +259,15 @@ private[v2] object EdfSplitPlanner {
     val h = EdfFile.readHeader(path)
     val durUs = (h.duration * 1e6).toLong
     val (winLo, winHi) = pushdown.recordWindow(h, durUs)
+    // bytes-per-core split cap (EdfFile.effectiveSplitBytes): a small
+    // file must still fan out across cores instead of parsing on one —
+    // sized on the KEPT window (post-prune), per file, 1 MiB floor
+    val parallelism = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism).getOrElse(1)
+    val keptBytes = math.max(0L, (winHi - winLo).toLong) * math.max(1L, h.recordBytes)
+    val effSplitBytes = EdfFile.effectiveSplitBytes(targetSplitBytes, keptBytes, parallelism)
     val recsPerSplit = math.max(1,
-      (math.max(1L, targetSplitBytes) / math.max(1L, h.recordBytes)).toInt)
+      (effSplitBytes / math.max(1L, h.recordBytes)).toInt)
     val hasTsBounds = pushdown.tsLo != Long.MinValue || pushdown.tsHi != Long.MaxValue
     val keep: Int => Boolean =
       if (h.isDiscontiguous && hasTsBounds)

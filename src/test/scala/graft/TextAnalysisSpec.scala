@@ -782,6 +782,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row(4L) == ((3L, 1L, 6L, 34.59, 9.18, "difficult")), s"doc4 ${row(4L)}")
   }
 
+  test("exact-df vocab gate refuses an explosion loudly, names the sketch remedies") {
+    // 40 docs of disjoint tokens -> ~120 distinct 3-grams / ~120 tokens;
+    // a cap below that must refuse BEFORE the expand shuffle with the
+    // sketch remedies named; the default cap (50M) passes untouched
+    val t = docs((1L to 40L).map(i =>
+      i -> (0 until 6).map(j => s"tok_${i}_$j").mkString(" ")))
+    val e1 = intercept[IllegalArgumentException](TextAnalysis.ngramCounts(t, maxDistinctGrams = 10))
+    assert(e1.getMessage.contains("heavy_hitters") && e1.getMessage.contains("hll_distinct"),
+      s"remedies named: ${e1.getMessage}")
+    val e2 = intercept[IllegalArgumentException](TextAnalysis.vocabTopk(t, maxDistinctTokens = 10))
+    assert(e2.getMessage.contains("maxDistinct"), s"${e2.getMessage}")
+    assert(TextAnalysis.ngramCounts(t).count() == 20L, "default cap passes")
+    assert(TextAnalysis.vocabTopk(t, maxDistinctTokens = 0).count() == 20L, "gate opt-out")
+  }
+
   test("readability: vertical tab splits words (explicit class, not engine-dependent \\S)") {
     // Java's \s includes \x0B, RE2's does not — the explicit
     // [^ \t\n\r\f\x0B] class makes VT a separator in BOTH engines
