@@ -32,6 +32,56 @@ object EdfPipeline {
     EdfSink.write(samples, outDir, mode = mode)
   }
 
+  /** The reference task loop, LIVE (A13b + A14b composed): watch
+    * director(y/ies) for landing EDF files, and per micro-batch append
+    * the new files' calibrated samples into the same output contract
+    * [[process]] writes — per-channel binaries + crash-consistent JSON
+    * manifests (the append sink's staged-manifest protocol recovers a
+    * batch that dies mid-merge; the checkpointed source offset makes a
+    * restarted query re-admit only unprocessed files, which the sink's
+    * overlap invariant independently enforces).
+    *
+    * The returned query runs until stopped (or until the drain finishes
+    * under `Trigger.AvailableNow()` — the "process what has landed, then
+    * exit" mode the reference's one-shot task loop corresponds to).
+    * `maxFilesPerTrigger` bounds a landing burst per micro-batch.
+    *
+    * StreamingSpec asserts the contract that matters: a streamed file
+    * sequence produces byte-identical binaries and manifests to batch
+    * [[process]] + append over the same files.
+    */
+  def processStream(spark: SparkSession, watchRoots: Seq[String], outDir: String,
+                    checkpoint: String,
+                    trigger: org.apache.spark.sql.streaming.Trigger =
+                      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+                    maxFilesPerTrigger: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(watchRoots.nonEmpty, "processStream: at least one watch root required")
+    val reader = spark.readStream.format("edf")
+    val withCap = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else reader
+    // multiple roots ride the same JSON-array "paths" option
+    // DataFrameReader.load(paths*) encodes (the source parses it with a
+    // real JSON parser); a single root uses the plain path form
+    val withPaths =
+      if (watchRoots.size == 1) withCap
+      else {
+        val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+          .writeValueAsString(watchRoots.toArray)
+        withCap.option("paths", arr)
+      }
+    val src = if (watchRoots.size == 1) withPaths.load(watchRoots.head) else withPaths.load()
+    src
+      .writeStream.trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // empty admissions (a trigger with no new files) must not touch
+        // the output — an append of zero rows is a manifest no-op anyway,
+        // but skipping it avoids rewriting manifests every idle trigger
+        if (!df.isEmpty) EdfSink.write(df, outDir, mode = "append"): Unit
+      }
+      .start()
+  }
+
   /** CLI: runMain graft.EdfPipeline [--append] <out_dir> <file.edf> [more.edf...] */
   def main(args: Array[String]): Unit = {
     val mode = if (args.contains("--append")) "append" else "overwrite"

@@ -471,6 +471,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("EdfPipeline.processStream: live task loop == batch pipeline, byte for byte") {
+    // the reference's end-to-end loop closed LIVE through the library
+    // API (r14 verdict item 6): landing EDF files stream through
+    // ingest -> append sink per micro-batch; output must be
+    // byte-identical to EdfPipeline.process + append over the same files
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("edfpipe")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    val outStream = tmp.resolve("outs").toString
+    val outBatch = tmp.resolve("outb").toString
+    val stage1 = s"$tmp/p1.edf"; val stage2 = s"$tmp/p2.edf"
+    makeEdfC(stage1, "00.00.00", Seq("F7", "F8"))
+    makeEdfC(stage2, "01.00.00", Seq("F7", "F8"))
+
+    EdfPipeline.process(spark, Seq(stage1), outBatch)
+    EdfPipeline.process(spark, Seq(stage2), outBatch, mode = "append")
+
+    Files.copy(Paths.get(stage1), watch.resolve("p1.edf"))
+    EdfPipeline.processStream(spark, Seq(watch.toString), outStream,
+      tmp.resolve("ckpt").toString, Trigger.AvailableNow()).awaitTermination()
+    Files.copy(Paths.get(stage2), watch.resolve("p2.edf"))
+    EdfPipeline.processStream(spark, Seq(watch.toString), outStream,
+      tmp.resolve("ckpt").toString, Trigger.AvailableNow()).awaitTermination()
+
+    Seq("channel.json", "channel-00001.json").foreach { m =>
+      val a = new String(Files.readAllBytes(Paths.get(s"$outStream/$m")))
+      val b = new String(Files.readAllBytes(Paths.get(s"$outBatch/$m")))
+      assert(a == b, s"$m: processStream vs batch process+append")
+    }
+    Seq("F7", "F8").foreach { ch =>
+      Seq(s"$ch.ts.bin", s"$ch-g01-part00000.ts.bin").foreach { bin =>
+        assert(Files.readAllBytes(Paths.get(s"$outStream/$bin")).toSeq ==
+          Files.readAllBytes(Paths.get(s"$outBatch/$bin")).toSeq, s"$bin bytes")
+      }
+    }
+  }
+
   test("A13b: streamed EDF+D files get onset sidecars, written in executor tasks") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger
