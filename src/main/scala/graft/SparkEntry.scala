@@ -276,6 +276,14 @@ object SparkEntry {
     "attribution"        -> q(EventAnalytics.attribution(_)),
     "pit_join"           -> q(EventAnalytics.pitJoin(_)),
     "emb_corr"           -> q(Similarity.embCorr(_)),
+    // rows-only by design (driver-side eigensolve is not SQL-expressible;
+    // planted closed-loop ScalaTest in SimilaritySpec instead)
+    "embed_whiten"       -> q(t => Similarity.embedWhiten(t)
+      .select(col("vec_id"),
+        col("embedding").getItem(0).as("w_0"),
+        col("embedding").getItem(1).as("w_1"),
+        col("embedding").getItem(2).as("w_2"),
+        col("embedding").getItem(3).as("w_3"))),
     "ts_welch"           -> q(TimeSeries.tsWelch(_)),
     "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
     "ts_fir"             -> q(TimeSeries.tsFir(_)),

@@ -1091,4 +1091,132 @@ object Similarity {
       .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
       .limit(k)
   }
+
+  /** C79b: PCA whitening — the consumer [[embCorr]] exists to trigger
+    * (its scaladoc: "a rotation or PCA step belongs before
+    * quantization"): rotate embeddings onto the covariance eigenbasis
+    * and rescale each component by 1/√λ, so the output dimensions are
+    * decorrelated with ~unit variance. This is the standard OPQ-lite
+    * preprocessing before product quantization (C43): PQ splits the
+    * vector into sub-blocks and quantizes each independently, which
+    * wastes its bit budget when variance concentrates in a few
+    * correlated input dims — after whitening every dimension carries
+    * equal variance and the sub-quantizers share the load.
+    *
+    * Scale shape, two stages:
+    *  1. moments — the [[embCorr]] pair stream INCLUDING the diagonal:
+    *     map-side combine onto d(d+1)/2 keys (d=64 → 2080 groups), so
+    *     the exchange is constant-size however big the corpus;
+    *  2. rotate — the d×d eigenproblem is solved on the DRIVER (cyclic
+    *     Jacobi over a d² ≤ 4096-double matrix — there is nothing to
+    *     distribute) and the rotation is folded into the plan as a
+    *     LITERAL matrix: the apply pass is one zero-shuffle narrow scan
+    *     of codegen'd zip_with/aggregate folds, no broadcast variable,
+    *     no second stats job.
+    *
+    * Determinism: eigenvector sign is fixed (largest-|component| entry
+    * made positive), ties in eigenvalue order break by first-dim index,
+    * and the fold order inside each output component is the array
+    * order — the same plan on the same corpus is bit-stable. No DuckDB
+    * oracle (the eigensolve is not SQL-expressible); the spec plants a
+    * correlated corpus and asserts the closed loop: emb_corr flags it,
+    * whiten decorrelates it, emb_corr on the output reports ~zero, and
+    * component variances come out ~1 in eigenvalue-descending order.
+    *
+    * `outDims` keeps the top-variance components (0 = all d);
+    * `minVariance` drops near-degenerate eigendirections (a dimension
+    * that never varies carries no information and 1/√λ would explode).
+    */
+  def embedWhiten(t: Tables, outDims: Int = 0,
+                  minVariance: Double = 1e-9): DataFrame = {
+    val x = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("i0", "xf")), col("embedding").as("e"))
+      .select(col("i0").as("i"), col("xf").cast("double").as("xi"),
+        expr("slice(e, cast(i0 + 1 as int), size(e) - i0)").as("rest"))
+    val pairs = x
+      .select(col("i"), col("xi"), posexplode(col("rest")).as(Seq("j0", "yf")))
+      .select(col("i"), (col("i") + col("j0")).as("j"),
+        col("xi"), col("yf").cast("double").as("xj"))
+    val mom = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"), sum(col("xi") * col("xj")).as("sxy"))
+      .collect()
+    require(mom.nonEmpty, "embedWhiten: empty embeddings relation")
+    val d = mom.map(_.getInt(1)).max + 1
+    val n = mom.head.getLong(2).toDouble
+    val mu = new Array[Double](d)
+    mom.foreach(r => if (r.getInt(0) == r.getInt(1)) mu(r.getInt(0)) = r.getDouble(3) / n)
+    val cov = Array.ofDim[Double](d, d)
+    mom.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val c = r.getDouble(4) / n - mu(i) * mu(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // eigenpairs by descending variance; deterministic sign
+    val order = eigVals.indices.sortBy(k => (-eigVals(k), k))
+      .filter(k => eigVals(k) > minVariance)
+    val kept = if (outDims > 0) order.take(outDims) else order
+    require(kept.nonEmpty,
+      s"embedWhiten: no eigendirection clears minVariance=$minVariance")
+    val rot: Seq[Seq[Double]] = kept.map { k =>
+      val v = Array.tabulate(d)(i => eigVecs(i)(k))
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sgn = if (v(pivot) < 0) -1.0 else 1.0
+      val scale = sgn / math.sqrt(eigVals(k))
+      v.map(_ * scale).toSeq
+    }
+    val rLit = typedLit(rot)
+    val muLit = typedLit(mu.toSeq)
+    val centered = zip_with(col("embedding"), muLit, (xf, m) => xf.cast("double") - m)
+    val whitened = transform(rLit, row =>
+      aggregate(zip_with(row, col("c"), (a, b) => a * b), lit(0.0d), (acc, z) => acc + z))
+    t.embeddings
+      .withColumn("c", centered)
+      .select(col("vec_id"), whitened.as("embedding"))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — returns
+    * (eigenvalues, eigenvector-columns). Driver-side by design: the
+    * input is the d×d covariance [[embedWhiten]] collected (≤ 4096
+    * doubles at d=64); converges quadratically, sweeps bounded.
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+                                 maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) s += a(p)(q) * a(p)(q)
+      s
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && off() > 1e-22) {
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        if (math.abs(a(p)(q)) > 1e-300) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until d) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
 }

@@ -255,4 +255,47 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, 3L, 4L, -0.4472),
       (2L, 3L, 4L, -0.4472)), s"got ${got.toSeq}")
   }
+
+  test("embedWhiten closes the emb_corr loop: flag -> whiten -> decorrelated, unit variance") {
+    import org.apache.spark.sql.functions._
+    // planted rank-2 structure in d=6: every vector is a fixed mixing of
+    // two independent pseudo-random sources, so 4 eigenvalues are ~0 and
+    // the correlation audit must light up before whitening
+    def z1(i: Long) = ((i * 2654435761L) % 1000).toDouble / 1000.0 - 0.5
+    def z2(i: Long) = ((i * 40503L + 7L) % 997).toDouble / 997.0 - 0.5
+    val rows = (0L until 200L).map { i =>
+      val (a, b) = (z1(i), z2(i))
+      (i, Seq(3 * a, a + 2 * b, -a, b, 2 * a - b, 0.5 * b).map(_.toFloat), "x")
+    }
+    val t = embeddings(rows)
+    val flagged = Similarity.embCorr(t, k = 5).collect().map(r => math.abs(r.getDouble(3)))
+    assert(flagged.head > 0.9, s"planted correlation flagged: ${flagged.toSeq}")
+
+    // variance concentration: only the 2 informative eigendirections
+    // survive the minVariance cut — the whitened output IS 2-dimensional
+    val w = Similarity.embedWhiten(t).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).map(_._2)
+    assert(w.head.size == 2, s"rank-2 corpus whitens to 2 dims, got ${w.head.size}")
+
+    // empirical covariance of the whitened output == I (same-moments
+    // whitening is exact up to the Jacobi tolerance)
+    val n = w.length.toDouble
+    val mu = Array.tabulate(2)(k => w.map(_(k)).sum / n)
+    for (p <- 0 until 2; q <- p until 2) {
+      val c = w.map(v => (v(p) - mu(p)) * (v(q) - mu(q))).sum / n
+      val want = if (p == q) 1.0 else 0.0
+      assert(math.abs(c - want) < 1e-8, s"cov($p,$q)=$c, want $want")
+    }
+
+    // and the audit on the whitened relation reports ~zero everywhere
+    val dir = java.nio.file.Files.createTempDirectory("embw").toString
+    Similarity.embedWhiten(t).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val after = Similarity.embCorr(Tables(spark, dir), k = 5).collect()
+      .map(r => math.abs(r.getDouble(3)))
+    assert(after.forall(_ <= 0.01), s"whitened corpus decorrelated: ${after.toSeq}")
+
+    // outDims keeps the TOP-variance direction only
+    val w1 = Similarity.embedWhiten(t, outDims = 1).collect().head.getSeq[Double](1)
+    assert(w1.size == 1, s"outDims=1 -> 1 component, got ${w1.size}")
+  }
 }
