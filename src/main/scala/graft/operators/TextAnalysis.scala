@@ -645,7 +645,9 @@ object TextAnalysis {
     val exploded = t.documents
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
       .filter(length(col("token")) > 0)
-    gateDistinctVolume(exploded, "token", maxDistinctTokens, "vocabTopk")
+    gateDistinctVolume(exploded, "token", maxDistinctTokens, "vocabTopk",
+      instanceBound = Some(t.documents
+        .agg(coalesce(sum(size(wsTokens(lower(col("text")))).cast("long")), lit(0L)))))
     exploded
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -2220,7 +2222,9 @@ object TextAnalysis {
     val exploded = t.documents
       .select(col("doc_id"), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
-    gateDistinctVolume(exploded, "gram", maxDistinctGrams, "ngramCounts")
+    gateDistinctVolume(exploded, "gram", maxDistinctGrams, "ngramCounts",
+      instanceBound = Some(t.documents
+        .agg(coalesce(sum(greatest(size(toks) - (n - 1), lit(1)).cast("long")), lit(0L)))))
     exploded
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -2230,23 +2234,31 @@ object TextAnalysis {
 
   /** Distinct-volume gate for the exact-df operators (C26/C56): refuse a
     * vocabulary explosion BEFORE the expand shuffle, with the sketch
-    * remedies named (the C75 loud-refusal style). The estimate is one
-    * map-side-combinable HLL aggregation (4 KiB per task crosses the
-    * exchange, ±~2 % at p=12) — the cheapest honest answer to "how many
-    * distinct keys is this about to shuffle". Runs at CONSTRUCTION time
-    * and can throw there (the documented C75 contract); `maxDistinct <=
-    * 0` = no gate, no job.
+    * remedies named (the C75 loud-refusal style). Two tiers so the gate
+    * is ~free until it matters: `instanceBound` is a narrow
+    * arithmetic-only scan (no explode, no gram-string assembly) whose
+    * value UPPER-BOUNDS the distinct count — when it already fits the
+    * cap, no further work; only a corpus whose instance volume exceeds
+    * the cap pays the HLL sketch pass (one map-side-combinable
+    * aggregation, 4 KiB per task across the exchange, ±~2 % at p=12) —
+    * exactly the corpora the gate exists to scrutinize. Runs at
+    * CONSTRUCTION time and can throw there (the documented C75
+    * contract); `maxDistinct <= 0` = no gate, no job.
     */
   private def gateDistinctVolume(rel: DataFrame, keyCol: String,
-                                 maxDistinct: Long, op: String): Unit =
+                                 maxDistinct: Long, op: String,
+                                 instanceBound: Option[DataFrame] = None): Unit =
     if (maxDistinct > 0) {
-      val est = rel.agg(expr(s"graft_hll($keyCol, 12)")).head().getLong(0)
-      require(est <= maxDistinct,
-        s"$op: ~$est distinct ${keyCol}s (HLL estimate, ±~2%) exceed " +
-          s"maxDistinct=$maxDistinct — the exact-df expand would shuffle every " +
-          s"distinct ($keyCol, doc) pair. Use heavy_hitters (Misra-Gries frequency " +
-          "head) or hll_distinct (cardinality audit) at this scale, or raise the " +
-          "cap with shuffle capacity provisioned.")
+      val cheap = instanceBound.map(_.head().getLong(0))
+      if (!cheap.exists(_ <= maxDistinct)) {
+        val est = rel.agg(expr(s"graft_hll($keyCol, 12)")).head().getLong(0)
+        require(est <= maxDistinct,
+          s"$op: ~$est distinct ${keyCol}s (HLL estimate, ±~2%) exceed " +
+            s"maxDistinct=$maxDistinct — the exact-df expand would shuffle every " +
+            s"distinct ($keyCol, doc) pair. Use heavy_hitters (Misra-Gries frequency " +
+            "head) or hll_distinct (cardinality audit) at this scale, or raise the " +
+            "cap with shuffle capacity provisioned.")
+      }
     }
 
   /** C65: sketched per-source distinct-token counts — the vocabulary-size
