@@ -496,4 +496,101 @@ class MultimodalSpec extends AnyFunSuite {
       "hamming-8-in-one-band pairs surface at 8; the 2-per-band spread is the documented miss")
     assert(run(6) == Set((1L, 4L, 0L)), "verify bound excludes the hamming-8 pairs at 6")
   }
+
+  /** A YUV4MPEG2 stream: header line + FRAME-marked raw planes. */
+  private def y4m(w: Int, h: Int, cs: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$cs\n".getBytes("US-ASCII"))
+    frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+    out.toByteArray
+  }
+
+  test("Y4M decode is pixel-exact (the Y plane IS the luminance); chroma sizes per colorspace") {
+    import graft.operators.Multimodal.Y4mVideoDecoder
+    val w = 4; val h = 2
+    val y0 = Array.tabulate(w * h)(i => (i * 10).toByte)
+    val y1 = Array.tabulate(w * h)(i => (200 - i).toByte)
+    // C420: Y + quarter-size U and V planes
+    def frame(y: Array[Byte]) = y ++ Array.fill(2 * (w / 2) * (h / 2))(0x80.toByte)
+    val bytes = y4m(w, h, "420", Seq(frame(y0), frame(y1)))
+    val dec = Y4mVideoDecoder.decodedFrames(bytes, 1).toSeq
+    assert(dec.map(_._1) == Seq(0, 1), s"both frames decode: ${dec.map(_._1)}")
+    assert(dec.head._3.width == w && dec.head._3.height == h)
+    assert(dec(0)._3.gray.toSeq == y0.toSeq && dec(1)._3.gray.toSeq == y1.toSeq,
+      "Y planes recovered byte-exactly")
+    // everyN sampling + mono colorspace (no chroma planes at all)
+    val mono = y4m(w, h, "mono", Seq(y0, y1, y0))
+    val sampled = Y4mVideoDecoder.decodedFrames(mono, 2).toSeq
+    assert(sampled.map(_._1) == Seq(0, 2), s"every 2nd frame: ${sampled.map(_._1)}")
+    // a truncated final frame yields only the complete ones
+    val trunc = java.util.Arrays.copyOf(bytes, bytes.length - 3)
+    assert(Y4mVideoDecoder.decodedFrames(trunc, 1).size == 1, "truncated tail dropped")
+    // garbage in, nothing out
+    assert(Y4mVideoDecoder.decodedFrames("nonsense".getBytes, 1).isEmpty)
+  }
+
+  /** Minimal ISO-BMFF: mdat with the sample payloads + a moov/trak video
+    * sample table (stsd/stsz/stsc/stco) mapping them across two chunks.
+    */
+  private def mp4(samples: Seq[Array[Byte]]): (Array[Byte], Seq[Long]) = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    // chunk 1 = samples 0,1; chunk 2 = sample 2 (exercises the stsc runs)
+    val mdatPayload = samples.flatten.toArray
+    val mdat = box("mdat", mdatPayload)
+    val chunk1Off = ftyp.length + 8L // into mdat payload
+    val offs = Seq(chunk1Off, chunk1Off + samples.take(2).map(_.length).sum)
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ box("avc1",
+      Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++ Array.fill[Byte](16)(0) ++
+        Array[Byte](0, 16, 0, 8) ++ Array.fill[Byte](44)(0)))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(samples.length) ++
+      samples.flatMap(s => be32(s.length)).toArray)
+    val stsc = box("stsc", be32(0) ++ be32(2) ++
+      (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(1) ++ be32(1)))
+    val stco = box("stco", be32(0) ++ be32(offs.length) ++ offs.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val minf = box("minf", stbl)
+    val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0))
+    val mdia = box("mdia", hdlr ++ minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", trak)
+    (ftyp ++ mdat ++ moov, offs)
+  }
+
+  test("MP4 demux: sample-table arithmetic recovers exact byte ranges across chunk runs") {
+    import graft.operators.Multimodal.Mp4VideoDecoder
+    val samples = Seq(Array.tabulate(5)(_.toByte), Array.tabulate(7)(i => (i + 50).toByte),
+      Array.tabulate(3)(i => (i + 100).toByte))
+    val (bytes, offs) = mp4(samples)
+    val tr = Mp4VideoDecoder.videoTrack(bytes)
+    assert(tr.isDefined, "vide track found")
+    assert(tr.get.codec == "avc1" && tr.get.width == 16 && tr.get.height == 8, s"${tr.get}")
+    val got = Mp4VideoDecoder.frames(bytes, 0, 1).toSeq
+    assert(got.map(_._1) == Seq(0, 1, 2))
+    assert(got.map(_._2) == Seq(offs(0), offs(0) + 5, offs(1)),
+      s"chunk-run offsets: ${got.map(_._2)} vs $offs")
+    assert(got.map(_._3.toSeq) == samples.map(_.toSeq), "payloads byte-exact")
+    // everyN demux sampling
+    assert(Mp4VideoDecoder.frames(bytes, 0, 2).map(_._1).toSeq == Seq(0, 2))
+    // H.264 payloads demux but don't decode (no JDK codec -- documented seam)
+    assert(Mp4VideoDecoder.decodedFrames(bytes, 1).isEmpty)
+  }
+
+  test("ContainerVideoDecoder sniffs AVI / Y4M / MP4 / unknown per payload") {
+    import graft.operators.Multimodal._
+    val y = y4m(4, 2, "mono", Seq(Array.tabulate(8)(_.toByte)))
+    val (m, _) = mp4(Seq(Array[Byte](1, 2, 3)))
+    assert(ContainerVideoDecoder.route(y) eq Y4mVideoDecoder)
+    assert(ContainerVideoDecoder.route(m) eq Mp4VideoDecoder)
+    assert(ContainerVideoDecoder.route("random stuff here".getBytes) eq ByteFoldVideoDecoder)
+    // end-to-end through the Dataset API: mixed video payloads route per row
+    val ds = Multimodal.ingest(spark, Seq(
+      Media(10, "video", y, 4, 2, 0), Media(11, "video", m, 16, 8, 0)))
+    val dec = Multimodal.frameDecode(ds).collect()
+    assert(dec.map(_.mediaId).toSet == Set(10L), "Y4M decodes pixels; MP4 (H.264) demux-only")
+    assert(dec.head.gray.toSeq == (0 until 8).map(_.toByte).toSeq)
+  }
 }
