@@ -625,11 +625,12 @@ object Dedup {
     if (maxPrefixBucket > 0 || maxCandidates > 0) {
       val g = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
         .agg(coalesce(max(col("pn")), lit(0L)).as("hot"),
+          coalesce(max_by(col("h"), col("pn")), lit(-1L)).as("hot_h"),
           coalesce(sum(col("pn").cast("double") * (col("pn") - 1.0) / 2.0), lit(0.0)).as("total"))
         .head()
-      val (hot, total) = (g.getLong(0), g.getDouble(1))
+      val (hot, hotH, total) = (g.getLong(0), g.getLong(1), g.getDouble(2))
       require(maxPrefixBucket <= 0 || hot <= maxPrefixBucket,
-        s"jaccardJoinExact: hottest prefix token lands in $hot prefixes " +
+        s"jaccardJoinExact: prefix token $hotH lands in $hot prefixes " +
           s"(> maxPrefixBucket=$maxPrefixBucket); the pair join would be quadratic in that " +
           "bucket. Run dedup_exact first or raise the threshold (a hot prefix bucket " +
           "usually means the exact output itself is quadratic).")

@@ -476,12 +476,17 @@ object Multimodal {
       val (w, h) = (num('W').getOrElse(0), num('H').getOrElse(0))
       if (w <= 0 || h <= 0) return None
       val cs = params.find(p => p.nonEmpty && p.head == 'C').map(_.tail).getOrElse("420")
-      val chroma =
-        if (cs == "mono") 0
-        else if (cs.startsWith("444")) 2 * w * h
-        else if (cs.startsWith("422")) 2 * ((w + 1) / 2) * h
-        else 2 * ((w + 1) / 2) * ((h + 1) / 2) // all 420 variants
-      Some(Y4mHeader(w, h, chroma, nl + 1))
+      // Long plane math: hostile header dims (W65540 H65540) overflow an
+      // Int w*h to NEGATIVE, which slips past every downstream bounds
+      // check — a frame that cannot fit the payload must yield None
+      // (garbage in, no frames out), never throw from copyOfRange
+      val chromaL: Long =
+        if (cs == "mono") 0L
+        else if (cs.startsWith("444")) 2L * w * h
+        else if (cs.startsWith("422")) 2L * ((w + 1L) / 2) * h
+        else 2L * ((w + 1L) / 2) * ((h + 1L) / 2) // all 420 variants
+      if (w.toLong * h + chromaL > bytes.length.toLong) return None
+      Some(Y4mHeader(w, h, chromaL.toInt, nl + 1))
     }
 
     /** (offset-of-plane-data, frame index) positions of each frame. */
@@ -582,6 +587,11 @@ object Multimodal {
     /** First `vide`-handler track's sample table. */
     private[graft] def videoTrack(b: Array[Byte]): Option[VideoTrack] = {
       var found: Option[VideoTrack] = None
+      // a claimed entry count is hostile input until proven otherwise:
+      // bound it by the box's actual bytes AND the container size (no
+      // real track has more samples than container bytes), floor at 0
+      def clampCount(claimed: Long, byBytes: Long): Int =
+        math.max(0L, math.min(math.min(claimed, byBytes), b.length.toLong)).toInt
       boxes(b, 0, b.length) { (t0, f0, t0end) =>
         if (t0 == "moov" && found.isEmpty) boxes(b, f0, t0end) { (t1, f1, t1end) =>
           if (t1 == "trak" && found.isEmpty) {
@@ -603,24 +613,26 @@ object Multimodal {
                   }
                 case "stsz" if t4end - f4 >= 12 =>
                   val const = u32(b, f4 + 4)
-                  val n = u32(b, f4 + 8).toInt
+                  // clamp the CLAIMED entry count to what the box's bytes
+                  // can actually hold — a corrupt/hostile count must not
+                  // allocate (0x7FFFFFFF entries = 16 GB) or go negative;
+                  // one bad row degrades, never kills, the ingest task
+                  val n = clampCount(u32(b, f4 + 8),
+                    if (const != 0) Long.MaxValue else (t4end - f4 - 12L) / 4)
                   sizes =
                     if (const != 0) Array.fill(n)(const)
-                    else Array.tabulate(n)(i =>
-                      if (f4 + 12 + i * 4 + 4 <= t4end) u32(b, f4 + 12 + i * 4) else 0L)
+                    else Array.tabulate(n)(i => u32(b, f4 + 12 + i * 4))
                 case "stco" if t4end - f4 >= 8 =>
-                  val n = u32(b, f4 + 4).toInt
-                  offs = Array.tabulate(n)(i =>
-                    if (f4 + 8 + i * 4 + 4 <= t4end) u32(b, f4 + 8 + i * 4) else 0L)
+                  val n = clampCount(u32(b, f4 + 4), (t4end - f4 - 8L) / 4)
+                  offs = Array.tabulate(n)(i => u32(b, f4 + 8 + i * 4))
                 case "co64" if t4end - f4 >= 8 =>
-                  val n = u32(b, f4 + 4).toInt
-                  offs = Array.tabulate(n)(i =>
-                    if (f4 + 8 + i * 8 + 8 <= t4end) u64(b, f4 + 8 + i * 8) else 0L)
+                  val n = clampCount(u32(b, f4 + 4), (t4end - f4 - 8L) / 8)
+                  offs = Array.tabulate(n)(i => u64(b, f4 + 8 + i * 8))
                 case "stsc" if t4end - f4 >= 8 =>
-                  val n = u32(b, f4 + 4).toInt
+                  val n = clampCount(u32(b, f4 + 4), (t4end - f4 - 8L) / 12)
                   runs = Array.tabulate(n) { i =>
                     val e = f4 + 8 + i * 12
-                    if (e + 12 <= t4end) (u32(b, e), u32(b, e + 4)) else (Long.MaxValue, 0L)
+                    (u32(b, e), u32(b, e + 4))
                   }
                 case _ => ()
               }

@@ -1195,7 +1195,13 @@ object Similarity {
       for (p <- 0 until d - 1; q <- p + 1 until d) {
         if (math.abs(a(p)(q)) > 1e-300) {
           val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
-          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          // theta == 0 (equal diagonal entries, e.g. a duplicated or
+          // standardized dimension pair) must rotate by 45 deg (t = 1);
+          // signum(0) = 0 would make the sweep a silent no-op and leave
+          // the block un-diagonalized forever (caught by review r15)
+          val t =
+            if (theta == 0.0) 1.0
+            else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
           val c = 1.0 / math.sqrt(t * t + 1.0)
           val s = t * c
           for (k <- 0 until d) {

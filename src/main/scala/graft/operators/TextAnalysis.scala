@@ -646,8 +646,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("token"))
       .filter(length(col("token")) > 0)
     gateDistinctVolume(exploded, "token", maxDistinctTokens, "vocabTopk",
-      instanceBound = Some(t.documents
-        .agg(coalesce(sum(size(wsTokens(lower(col("text")))).cast("long")), lit(0L)))))
+      instanceBound = Some(charBound(t)))
     exploded
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -2223,8 +2222,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
     gateDistinctVolume(exploded, "gram", maxDistinctGrams, "ngramCounts",
-      instanceBound = Some(t.documents
-        .agg(coalesce(sum(greatest(size(toks) - (n - 1), lit(1)).cast("long")), lit(0L)))))
+      instanceBound = Some(charBound(t)))
     exploded
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -2232,14 +2230,23 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** A whitespace-separated token (hence also any word n-gram) needs at
+    * least one character plus a separator, so ⌈len/2⌉ summed over the
+    * corpus upper-bounds the token/gram instance count — and therefore
+    * the DISTINCT count — with NO tokenization, NO regex, NO explode:
+    * the gate's cheap tier is one column-pruned length scan.
+    */
+  private def charBound(t: Tables): DataFrame =
+    t.documents.agg(coalesce(sum(((length(col("text")) + 1) / 2).cast("long")), lit(0L)))
+
   /** Distinct-volume gate for the exact-df operators (C26/C56): refuse a
     * vocabulary explosion BEFORE the expand shuffle, with the sketch
-    * remedies named (the C75 loud-refusal style). Two tiers so the gate
-    * is ~free until it matters: `instanceBound` is a narrow
-    * arithmetic-only scan (no explode, no gram-string assembly) whose
-    * value UPPER-BOUNDS the distinct count — when it already fits the
-    * cap, no further work; only a corpus whose instance volume exceeds
-    * the cap pays the HLL sketch pass (one map-side-combinable
+    * remedies named (the C75 loud-refusal style). Two tiers bound the
+    * gate's own cost: `instanceBound` ([[charBound]]) is one
+    * column-pruned length scan — no tokenization, no gram assembly —
+    * whose value UPPER-BOUNDS the distinct count; when it already fits
+    * the cap, no further work. Only a corpus whose character volume
+    * exceeds the cap pays the HLL sketch pass (one map-side-combinable
     * aggregation, 4 KiB per task across the exchange, ±~2 % at p=12) —
     * exactly the corpora the gate exists to scrutinize. Runs at
     * CONSTRUCTION time and can throw there (the documented C75

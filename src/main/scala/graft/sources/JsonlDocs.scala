@@ -55,18 +55,23 @@ object JsonlDocs {
     // column, so corrupt-only predicates are legal (unlike on the json
     // scan itself, SPARK-21610) and both splits below are lazy — nothing
     // is cached or materialized at read() time
+    // blank/whitespace-only lines are formatting, not records — the json
+    // datasource skipped them, so this path must too (a quarantine row
+    // per blank separator line would fabricate drop-rate alarms)
     val raw = spark.read.text(path)
-      .select(from_json(col("value"), schema, opts).as("j"))
-      .select(col("j.*"))
+      .filter(length(trim(col("value"))) > 0)
+      .select(col("value"), from_json(col("value"), schema, opts).as("j"))
+      .select(col("value"), col("j.*"))
     val bad = col(Corrupt).isNotNull || col("doc_id").isNull || col("text").isNull
     val good = raw.filter(!bad)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
+    // the quarantine contract: ALWAYS the raw input line (the text scan
+    // keeps it at hand — no reconstruction through to_json, which loses
+    // the original bytes and renders a null struct as nothing at all)
     val quarantined = raw.filter(bad)
       .select(
-        coalesce(col(Corrupt),
-          to_json(struct(col("doc_id"), col("text"), col("lang"), col("source"))))
-          .as("raw"),
+        col("value").as("raw"),
         when(col(Corrupt).isNotNull, "malformed_json")
           .when(col("doc_id").isNull, "missing_doc_id")
           .otherwise("missing_text").as("reason"))

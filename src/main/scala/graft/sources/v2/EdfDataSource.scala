@@ -234,7 +234,7 @@ final class EdfScan(paths: Seq[String], required: StructType, pushdown: EdfPushd
       s"PushedFilters: [${pushed.mkString(", ")}])"
 
   override def planInputPartitions(): Array[InputPartition] =
-    paths.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
+    EdfSplitPlanner.planScan(paths, pushdown, targetSplitBytes).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val entries = org.apache.spark.sql.SparkSession.active match {
@@ -255,19 +255,39 @@ final case class EdfInputPartition(path: String, recordLo: Int, recordHi: Int) e
   * planned and the reader's TAL seek-skip does the pruning per record).
   */
 private[v2] object EdfSplitPlanner {
-  def splitsFor(path: String, pushdown: EdfPushdown, targetSplitBytes: Long): Seq[InputPartition] = {
-    val h = EdfFile.readHeader(path)
-    val durUs = (h.duration * 1e6).toLong
-    val (winLo, winHi) = pushdown.recordWindow(h, durUs)
-    // bytes-per-core split cap (EdfFile.effectiveSplitBytes): a small
-    // file must still fan out across cores instead of parsing on one —
-    // sized on the KEPT window (post-prune), per file, 1 MiB floor
+  /** Plan a whole SCAN's splits with the bytes-per-core cap sized on the
+    * scan's TOTAL kept bytes — not per file. Per-file sizing over-splits
+    * a many-small-file scan (1000 x 64 MiB files would each fan out to
+    * parallelism splits when the file count alone saturates the cores);
+    * the single-small-file case still fans out because the total IS that
+    * file. Headers are read once per path here and reused by splitsFor.
+    */
+  def planScan(paths: Seq[String], pushdown: EdfPushdown,
+               targetSplitBytes: Long): Seq[InputPartition] = {
+    val metas = paths.map { p =>
+      val h = EdfFile.readHeader(p)
+      val (winLo, winHi) = pushdown.recordWindow(h, (h.duration * 1e6).toLong)
+      (p, h, winLo, winHi)
+    }
     val parallelism = scala.util.Try(
       org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism).getOrElse(1)
-    val keptBytes = math.max(0L, (winHi - winLo).toLong) * math.max(1L, h.recordBytes)
-    val effSplitBytes = EdfFile.effectiveSplitBytes(targetSplitBytes, keptBytes, parallelism)
+    val totalKept = metas.map { case (_, h, lo, hi) =>
+      math.max(0L, (hi - lo).toLong) * math.max(1L, h.recordBytes)
+    }.sum
+    val eff = EdfFile.effectiveSplitBytes(targetSplitBytes, totalKept, parallelism)
+    metas.flatMap { case (p, h, lo, hi) => splitsFor(p, pushdown, eff, Some((h, lo, hi))) }
+  }
+
+  def splitsFor(path: String, pushdown: EdfPushdown, targetSplitBytes: Long,
+                meta: Option[(graft.sources.EdfFile.EdfHeader, Int, Int)] = None): Seq[InputPartition] = {
+    val (h, winLo, winHi) = meta.getOrElse {
+      val hdr = EdfFile.readHeader(path)
+      val (lo, hi) = pushdown.recordWindow(hdr, (hdr.duration * 1e6).toLong)
+      (hdr, lo, hi)
+    }
+    val durUs = (h.duration * 1e6).toLong
     val recsPerSplit = math.max(1,
-      (effSplitBytes / math.max(1L, h.recordBytes)).toInt)
+      (math.max(1L, targetSplitBytes) / math.max(1L, h.recordBytes)).toInt)
     val hasTsBounds = pushdown.tsLo != Long.MinValue || pushdown.tsHi != Long.MaxValue
     val keep: Int => Boolean =
       if (h.isDiscontiguous && hasTsBounds)
@@ -449,7 +469,7 @@ final class EdfMicroBatchStream(roots: Seq[String], fields: Array[String],
             s"(batch plans unpruned): ${e.getMessage}")
       }
     }
-    fresh.flatMap(p => EdfSplitPlanner.splitsFor(p, pushdown, targetSplitBytes)).toArray
+    EdfSplitPlanner.planScan(fresh, pushdown, targetSplitBytes).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -38,5 +38,21 @@ class JsonlDocsSpec extends AnyFunSuite {
     // the malformed line carries its raw text for diagnosis
     assert(q.exists { case (raw, reason) =>
       reason == "malformed_json" && raw.contains("broken json") }, s"${q.toSeq}")
+    // every quarantine row carries the RAW input line verbatim
+    assert(q.exists(_._1 == """{"text": "no id here", "lang": "en", "source": "web"}"""),
+      s"raw line preserved: ${q.toSeq}")
+  }
+
+  test("blank separator lines are formatting, not quarantine rows") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl2")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "one", "lang": "en", "source": "web"}""",
+      "", "   ", // blank + whitespace-only separators
+      """{"doc_id": 2, "text": "two", "lang": "en", "source": "web"}""")
+    java.nio.file.Files.write(dir.resolve("part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val (good, bad) = JsonlDocs.read(spark, dir.toString)
+    assert(good.count() == 2 && bad.count() == 0,
+      s"blank lines skipped like the json datasource: ${bad.collect().toSeq}")
   }
 }

@@ -579,6 +579,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4VideoDecoder.decodedFrames(bytes, 1).isEmpty)
   }
 
+  test("hostile containers degrade, never kill: claimed-count and dimension attacks") {
+    import graft.operators.Multimodal.{Mp4VideoDecoder, Y4mVideoDecoder}
+    // stsz claiming 2^31-1 samples (16 GB allocation) / 2^31 (negative
+    // Int) inside a tiny box: the clamp bounds by actual box bytes
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII") ++ payload
+    for (claimed <- Seq(0x7fffffffL, 0x80000000L)) {
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(claimed) ++ be32(5))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(claimed)) // claimed chunks, zero entries' bytes
+      val evil = box("ftyp", "isom".getBytes ++ be32(0)) ++
+        box("moov", box("trak", box("mdia",
+          box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+          box("minf", box("stbl",
+            box("stsd", be32(0) ++ be32(1) ++ box("avc1", Array.fill[Byte](70)(0))) ++
+            stsz ++ stsc ++ stco)))))
+      // must neither throw nor allocate count-sized arrays
+      assert(Mp4VideoDecoder.frames(evil, 0, 1).size <= 1,
+        s"claimed=$claimed clamped to the box's real bytes")
+    }
+    // Y4M header whose w*h overflows Int: garbage yields no frames
+    val evilY4m = ("YUV4MPEG2 W65540 H65540 Cmono\nFRAME\n" + "x" * 64).getBytes("US-ASCII")
+    assert(Y4mVideoDecoder.decodedFrames(evilY4m, 1).isEmpty, "overflowing dims rejected")
+    // and a frame bigger than the whole payload can never decode
+    val tooBig = ("YUV4MPEG2 W100 H100 Cmono\nFRAME\n" + "x" * 50).getBytes("US-ASCII")
+    assert(Y4mVideoDecoder.decodedFrames(tooBig, 1).isEmpty, "oversized frame rejected")
+  }
+
   test("ContainerVideoDecoder sniffs AVI / Y4M / MP4 / unknown per payload") {
     import graft.operators.Multimodal._
     val y = y4m(4, 2, "mono", Seq(Array.tabulate(8)(_.toByte)))

@@ -298,4 +298,26 @@ class SimilaritySpec extends AnyFunSuite {
     val w1 = Similarity.embedWhiten(t, outDims = 1).collect().head.getSeq[Double](1)
     assert(w1.size == 1, s"outDims=1 -> 1 component, got ${w1.size}")
   }
+
+  test("embedWhiten handles a DUPLICATED dimension (equal-diagonal Jacobi block)") {
+    // cov of (a, a, b) has the 2x2 block [[v,v],[v,v]]: theta == 0 in the
+    // Jacobi rotation — the r15 review found signum(0) made this block a
+    // silent no-op, so 'whitened' output stayed correlated at 1.0
+    def z1(i: Long) = ((i * 2654435761L) % 1000).toDouble / 1000.0 - 0.5
+    def z2(i: Long) = ((i * 40503L + 7L) % 997).toDouble / 997.0 - 0.5
+    val rows = (0L until 150L).map { i =>
+      val (a, b) = (z1(i), z2(i))
+      (i, Seq(a, a, b).map(_.toFloat), "x")
+    }
+    val t = embeddings(rows)
+    val w = Similarity.embedWhiten(t).collect().map(_.getSeq[Double](1))
+    assert(w.head.size == 2, s"duplicated dim drops: rank 2, got ${w.head.size}")
+    val n = w.length.toDouble
+    val mu = Array.tabulate(2)(k => w.map(_(k)).sum / n)
+    for (p <- 0 until 2; q <- p until 2) {
+      val c = w.map(v => (v(p) - mu(p)) * (v(q) - mu(q))).sum / n
+      val want = if (p == q) 1.0 else 0.0
+      assert(math.abs(c - want) < 1e-8, s"cov($p,$q)=$c, want $want")
+    }
+  }
 }
