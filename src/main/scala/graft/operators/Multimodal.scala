@@ -580,9 +580,21 @@ object Multimodal {
       }
     }
 
+    /** Sample sizes are kept UN-materialized for the constant-size stsz
+      * form (`varSizes == null`): a hostile container claiming 256 M
+      * constant-size samples must not allocate an 8×-container-size
+      * Array[Long] — `sizeOf` computes from the constant instead
+      * (review r15 ADVICE). `syncSamples` is the stss keyframe table
+      * (1-based sample numbers; empty = no stss box = every sample is
+      * a sync point, the ISO-BMFF default).
+      */
     private[graft] final case class VideoTrack(codec: String, width: Int, height: Int,
-        sampleSizes: Array[Long], chunkOffsets: Array[Long],
-        stscRuns: Array[(Long, Long)]) // (first_chunk 1-based, samples_per_chunk)
+        sampleCount: Int, constSize: Long, varSizes: Array[Long],
+        chunkOffsets: Array[Long],
+        stscRuns: Array[(Long, Long)], // (first_chunk 1-based, samples_per_chunk)
+        syncSamples: Array[Int]) {
+      def sizeOf(i: Int): Long = if (varSizes != null) varSizes(i) else constSize
+    }
 
     /** First `vide`-handler track's sample table. */
     private[graft] def videoTrack(b: Array[Byte]): Option[VideoTrack] = {
@@ -597,9 +609,12 @@ object Multimodal {
           if (t1 == "trak" && found.isEmpty) {
             var isVide = false
             var codec = ""; var w = 0; var h = 0
+            var nSamples = -1
+            var constSz = 0L
             var sizes: Array[Long] = null
             var offs: Array[Long] = null
             var runs: Array[(Long, Long)] = null
+            var syncs: Array[Int] = Array.emptyIntArray
             def stbl(f: Int, to: Int): Unit = boxes(b, f, to) { (t4, f4, t4end) =>
               t4 match {
                 case "stsd" if t4end - f4 >= 16 =>
@@ -616,11 +631,19 @@ object Multimodal {
                   // clamp the CLAIMED entry count to what the box's bytes
                   // can actually hold — a corrupt/hostile count must not
                   // allocate (0x7FFFFFFF entries = 16 GB) or go negative;
-                  // one bad row degrades, never kills, the ingest task
+                  // one bad row degrades, never kills, the ingest task.
+                  // The constant-size form carries no per-entry bytes to
+                  // bound by, so bound by the payload instead: total
+                  // sample bytes cannot exceed the container, so at most
+                  // len/const samples can exist (review r15 ADVICE) —
+                  // and no sizes array is materialized at all
                   val n = clampCount(u32(b, f4 + 8),
-                    if (const != 0) Long.MaxValue else (t4end - f4 - 12L) / 4)
+                    if (const != 0) b.length / math.max(1L, const)
+                    else (t4end - f4 - 12L) / 4)
+                  nSamples = n
+                  constSz = const
                   sizes =
-                    if (const != 0) Array.fill(n)(const)
+                    if (const != 0) null
                     else Array.tabulate(n)(i => u32(b, f4 + 12 + i * 4))
                 case "stco" if t4end - f4 >= 8 =>
                   val n = clampCount(u32(b, f4 + 4), (t4end - f4 - 8L) / 4)
@@ -634,6 +657,13 @@ object Multimodal {
                     val e = f4 + 8 + i * 12
                     (u32(b, e), u32(b, e + 4))
                   }
+                case "stss" if t4end - f4 >= 8 =>
+                  // sync (keyframe) sample table: 1-based sample numbers;
+                  // hostile counts bounded by the box's real bytes like
+                  // every other table, entries past Int range dropped
+                  val n = clampCount(u32(b, f4 + 4), (t4end - f4 - 8L) / 4)
+                  syncs = Array.tabulate(n)(i => u32(b, f4 + 8 + i * 4))
+                    .filter(s => s >= 1 && s <= Int.MaxValue).map(_.toInt)
                 case _ => ()
               }
             }
@@ -646,42 +676,76 @@ object Multimodal {
                 }
               }
             }
-            if (isVide && sizes != null && offs != null && runs != null && sizes.nonEmpty)
-              found = Some(VideoTrack(codec, w, h, sizes, offs, runs))
+            if (isVide && nSamples > 0 && offs != null && runs != null)
+              found = Some(VideoTrack(codec, w, h, nSamples, constSz, sizes, offs, runs, syncs))
           }
         }
       }
       found
     }
 
-    /** Every sample's (index, byteOffset) from the chunk run table. */
-    private[graft] def sampleOffsets(tr: VideoTrack): Seq[(Int, Long)] = {
-      val out = Seq.newBuilder[(Int, Long)]
-      var sample = 0
-      var chunk = 0
-      while (chunk < tr.chunkOffsets.length && sample < tr.sampleSizes.length) {
-        // samples-per-chunk = the last stsc run whose first_chunk <= this
-        val c1 = chunk + 1L
-        val spc = tr.stscRuns.foldLeft(0L) { case (acc, (fc, n)) => if (fc <= c1) n else acc }
-        var off = tr.chunkOffsets(chunk)
-        var s = 0L
-        while (s < spc && sample < tr.sampleSizes.length) {
-          out += ((sample, off))
-          off += tr.sampleSizes(sample)
-          sample += 1; s += 1
+    /** Every sample's (index, byteOffset) from the chunk run table —
+      * a LAZY iterator (never a materialized Seq: a hostile sample count
+      * must not cost memory proportional to its claim; review r15 ADVICE).
+      */
+    private[graft] def sampleOffsets(tr: VideoTrack): Iterator[(Int, Long)] =
+      new Iterator[(Int, Long)] {
+        private var sample = 0
+        private var chunk = -1       // current chunk; -1 = before the first
+        private var remaining = 0L   // samples still owed by the current chunk
+        private var off = 0L
+        private def advanceChunk(): Unit =
+          while (remaining <= 0 && chunk + 1 < tr.chunkOffsets.length) {
+            chunk += 1
+            // samples-per-chunk = last stsc run whose first_chunk <= this
+            val c1 = chunk + 1L
+            remaining = tr.stscRuns.foldLeft(0L) { case (acc, (fc, n)) => if (fc <= c1) n else acc }
+            off = tr.chunkOffsets(chunk)
+          }
+        override def hasNext: Boolean = {
+          advanceChunk()
+          remaining > 0 && sample < tr.sampleCount
         }
-        chunk += 1
+        override def next(): (Int, Long) = {
+          if (!hasNext) throw new NoSuchElementException
+          val out = (sample, off)
+          off += tr.sizeOf(sample)
+          sample += 1; remaining -= 1
+          out
+        }
       }
-      out.result()
-    }
 
     override def frames(bytes: Array[Byte], frameBytes: Int,
                         everyN: Int): Iterator[(Int, Long, Array[Byte])] =
       videoTrack(bytes).iterator.flatMap { tr =>
-        sampleOffsets(tr).iterator.collect {
+        sampleOffsets(tr).collect {
+          // a hostile co64 entry with the top bit set is a NEGATIVE Long
+          // which would pass a naive `off + size <= length` bound (review
+          // r15 ADVICE) — require off in [0, length - size] explicitly;
+          // sizes are u32-parsed so size >= 0, and off >= 0 keeps the
+          // .toInt casts in range once the upper bound holds
           case (i, off) if i % math.max(1, everyN) == 0 &&
-            off + tr.sampleSizes(i) <= bytes.length =>
-            (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sampleSizes(i)).toInt))
+            off >= 0 && off <= bytes.length - tr.sizeOf(i) =>
+            (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sizeOf(i)).toInt))
+        }
+      }
+
+    /** Keyframe-only demux: samples the stss table marks as sync points
+      * (every sample when the container has no stss — the ISO-BMFF
+      * default, since absence means "all samples are sync samples").
+      * The scale rationale: a feature pass that needs one decodable
+      * frame per shot seeks straight to keyframes instead of demuxing
+      * the delta-frame tail it can't decode anyway.
+      */
+    def keyframes(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] =
+      videoTrack(bytes).iterator.flatMap { tr =>
+        val sync: Int => Boolean =
+          if (tr.syncSamples.isEmpty) _ => true
+          else { val s = tr.syncSamples.toSet; i => s.contains(i + 1) }
+        sampleOffsets(tr).collect {
+          case (i, off) if sync(i) &&
+            off >= 0 && off <= bytes.length - tr.sizeOf(i) =>
+            (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sizeOf(i)).toInt))
         }
       }
 

@@ -1142,7 +1142,18 @@ object Similarity {
       .collect()
     require(mom.nonEmpty, "embedWhiten: empty embeddings relation")
     val d = mom.map(_.getInt(1)).max + 1
-    val n = mom.head.getLong(2).toDouble
+    // n must come from a DIAGONAL group, and every diagonal group must
+    // agree: on a ragged corpus (embeddings of mixed dimension) the
+    // per-pair counts differ and the means/covariances would be silently
+    // wrong — fail loudly instead (review r15 ADVICE)
+    val diagCounts = mom.filter(r => r.getInt(0) == r.getInt(1))
+      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1)
+    require(diagCounts.map(_._1).toSeq == (0 until d),
+      s"embedWhiten: missing diagonal moment groups (got dims ${diagCounts.map(_._1).toSeq})")
+    require(diagCounts.map(_._2).distinct.length == 1,
+      "embedWhiten: ragged embedding dimensions — per-dimension counts differ " +
+        s"(${diagCounts.map(_._2).distinct.toSeq}); fix the corpus to a uniform size(embedding)")
+    val n = diagCounts.head._2.toDouble
     val mu = new Array[Double](d)
     mom.foreach(r => if (r.getInt(0) == r.getInt(1)) mu(r.getInt(0)) = r.getDouble(3) / n)
     val cov = Array.ofDim[Double](d, d)

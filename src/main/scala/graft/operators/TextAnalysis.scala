@@ -2306,11 +2306,15 @@ object TextAnalysis {
     val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    // count columns cast to long explicitly: Spark's length() is int32
+    // while the DuckDB oracle's is int64 — the sf1 sweep WARNed on the
+    // width wobble (r15 verdict nit), and every other count column in
+    // the codebase is already long
     t.documents.select(
       col("doc_id"),
       trim(regexp_replace(unescaped, "\\s+", " ")).as("clean"),
-      length(col("text")).as("raw_len"))
-      .withColumn("clean_len", length(col("clean")))
+      length(col("text")).cast("long").as("raw_len"))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
       .withColumn("markup_frac", roundHalfUp(
         (col("raw_len") - col("clean_len")).cast("double") /
           greatest(col("raw_len"), lit(1)).cast("double"), 4))

@@ -123,6 +123,29 @@ object EdfFile {
     } finally in.close()
   }
 
+  /** Read many files' headers concurrently (driver-side planning).
+    * Each read is a ~256 B + ns·256 B positioned fetch; SERIAL reads are
+    * fine at hundreds of files but a 100k-file lake would pay 100k
+    * filesystem round-trips before planning (r15 verdict #4) — a small
+    * thread pool overlaps the latency. Order-preserving; the first
+    * failure rethrows its original exception (unchanged error semantics).
+    */
+  def readHeaders(paths: Seq[String], conf: Configuration = new Configuration()): Seq[(String, EdfHeader)] = {
+    if (paths.size <= 2) return paths.map(p => p -> readHeader(p, conf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, paths.size))
+    try {
+      val futs = paths.map { p =>
+        pool.submit(new java.util.concurrent.Callable[(String, EdfHeader)] {
+          override def call(): (String, EdfHeader) = p -> readHeader(p, conf)
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow(): Unit
+  }
+
   /** One planned unit of parallel work: a contiguous record range. */
   final case class EdfSplit(path: String, recordLo: Int, recordHi: Int)
 
@@ -187,8 +210,7 @@ object EdfFile {
 
   /** A2: header-only channel metadata DataFrame (one row per signal). */
   def channels(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val rows = paths.flatMap { path =>
-      val h = readHeader(path)
+    val rows = readHeaders(paths).flatMap { case (path, h) =>
       h.signals.zipWithIndex.filterNot(_._1.isAnnotation).map { case (s, i) =>
         Row(path, i, s.label, s.physDim, h.sampleRate(i), s.nrSamples.toLong, h.nbDataRec.toLong,
           s.physMin, s.physMax, s.digMin, s.digMax, h.isDiscontiguous, h.startUs)
@@ -221,7 +243,7 @@ object EdfFile {
     * the EDF-specified uniform sampling grid.)
     */
   def read(spark: SparkSession, paths: Seq[String], targetSplitBytes: Long = 128L << 20): DataFrame = {
-    val headers: Map[String, EdfHeader] = paths.map(p => p -> readHeader(p)).toMap
+    val headers: Map[String, EdfHeader] = readHeaders(paths).toMap
     // Spark FilePartition-style sizing: a file set smaller than
     // cores x target must still fan out, or a 64 MiB file parses on ONE
     // core while 31 idle (measured: the whole pipeline serialized behind
@@ -250,7 +272,7 @@ object EdfFile {
 
   /** Annotation (TAL) extraction: (onset, duration, text) per record. */
   def annotations(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val headers: Map[String, EdfHeader] = paths.map(p => p -> readHeader(p)).toMap
+    val headers: Map[String, EdfHeader] = readHeaders(paths).toMap
     val splits = paths.flatMap { p =>
       val h = headers(p)
       (0 until h.nbDataRec by 4096).map(lo => EdfSplit(p, lo, math.min(h.nbDataRec, lo + 4096)))

@@ -264,8 +264,11 @@ private[v2] object EdfSplitPlanner {
     */
   def planScan(paths: Seq[String], pushdown: EdfPushdown,
                targetSplitBytes: Long): Seq[InputPartition] = {
-    val metas = paths.map { p =>
-      val h = EdfFile.readHeader(p)
+    // headers fetched through a driver-side thread pool: planning a
+    // 100k-file lake must not serialize 100k tiny round-trips (r15
+    // verdict #4); pruning semantics are unchanged — same headers,
+    // same order
+    val metas = EdfFile.readHeaders(paths).map { case (p, h) =>
       val (winLo, winHi) = pushdown.recordWindow(h, (h.duration * 1e6).toLong)
       (p, h, winLo, winHi)
     }

@@ -601,12 +601,90 @@ class MultimodalSpec extends AnyFunSuite {
       assert(Mp4VideoDecoder.frames(evil, 0, 1).size <= 1,
         s"claimed=$claimed clamped to the box's real bytes")
     }
+    // co64 with the top bit set: a NEGATIVE Long offset must be dropped
+    // by the bounds guard, not crash copyOfRange (degrade-don't-kill)
+    {
+      def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(2) ++ be32(4) ++ be32(4))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(2) ++ be32(1))
+      val co64 = box("co64", be32(0) ++ be32(1) ++ be64(0x8000000000000010L))
+      val evil = box("ftyp", "isom".getBytes ++ be32(0)) ++
+        box("mdat", Array.fill[Byte](16)(7)) ++
+        box("moov", box("trak", box("mdia",
+          box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+          box("minf", box("stbl",
+            box("stsd", be32(0) ++ be32(1) ++ box("avc1", Array.fill[Byte](70)(0))) ++
+            stsz ++ stsc ++ co64)))))
+      assert(Mp4VideoDecoder.frames(evil, 0, 1).isEmpty,
+        "negative co64 offsets dropped, no ArrayIndexOutOfBounds")
+    }
+    // constant-size stsz claiming 256M samples: sample count must be
+    // bounded by container-bytes/const (total sample bytes can't exceed
+    // the file) and nothing count-sized may materialize — the demux is
+    // lazy, so taking 3 must return instantly
+    {
+      val stsz = box("stsz", be32(0) ++ be32(64) ++ be32(256L * 1024 * 1024))
+      val stsc = box("stsc", be32(0) ++ be32(1) ++ be32(1) ++ be32(0x7fffffffL) ++ be32(1))
+      val stco = box("stco", be32(0) ++ be32(1) ++ be32(40))
+      val evil = box("ftyp", "isom".getBytes ++ be32(0)) ++
+        box("mdat", Array.fill[Byte](256)(1)) ++
+        box("moov", box("trak", box("mdia",
+          box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0)) ++
+          box("minf", box("stbl",
+            box("stsd", be32(0) ++ be32(1) ++ box("avc1", Array.fill[Byte](70)(0))) ++
+            stsz ++ stsc ++ stco)))))
+      val tr = Mp4VideoDecoder.videoTrack(evil).get
+      assert(tr.varSizes == null, "constant-size form stores no sizes array")
+      assert(tr.sampleCount <= evil.length / 64,
+        s"const-stsz count bounded by payload: ${tr.sampleCount}")
+      assert(Mp4VideoDecoder.frames(evil, 0, 1).take(3).size <= 3)
+    }
     // Y4M header whose w*h overflows Int: garbage yields no frames
     val evilY4m = ("YUV4MPEG2 W65540 H65540 Cmono\nFRAME\n" + "x" * 64).getBytes("US-ASCII")
     assert(Y4mVideoDecoder.decodedFrames(evilY4m, 1).isEmpty, "overflowing dims rejected")
     // and a frame bigger than the whole payload can never decode
     val tooBig = ("YUV4MPEG2 W100 H100 Cmono\nFRAME\n" + "x" * 50).getBytes("US-ASCII")
     assert(Y4mVideoDecoder.decodedFrames(tooBig, 1).isEmpty, "oversized frame rejected")
+  }
+
+  test("MP4 stss keyframe demux: sync samples only; no stss = every sample") {
+    import graft.operators.Multimodal.Mp4VideoDecoder
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII") ++ payload
+    val samples = Seq(Array.tabulate(5)(_.toByte), Array.tabulate(7)(i => (i + 50).toByte),
+      Array.tabulate(3)(i => (i + 100).toByte))
+    val (plain, _) = mp4(samples)
+    // no stss box: every sample is a sync point (ISO-BMFF default)
+    assert(Mp4VideoDecoder.keyframes(plain).map(_._1).toSeq == Seq(0, 1, 2))
+    // graft an stss marking samples 1 and 3 (1-based) into the stbl by
+    // rebuilding the container with the extra box
+    def mp4WithStss(sync: Seq[Int]): Array[Byte] = {
+      val mdatPayload = samples.flatten.toArray
+      val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+      val mdat = box("mdat", mdatPayload)
+      val chunk1Off = ftyp.length + 8L
+      val offs = Seq(chunk1Off, chunk1Off + samples.take(2).map(_.length).sum)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ box("avc1",
+        Array.fill[Byte](6)(0) ++ Array[Byte](0, 1) ++ Array.fill[Byte](16)(0) ++
+          Array[Byte](0, 16, 0, 8) ++ Array.fill[Byte](44)(0)))
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(samples.length) ++
+        samples.flatMap(s => be32(s.length)).toArray)
+      val stsc = box("stsc", be32(0) ++ be32(2) ++
+        (be32(1) ++ be32(2) ++ be32(1)) ++ (be32(2) ++ be32(1) ++ be32(1)))
+      val stco = box("stco", be32(0) ++ be32(offs.length) ++ offs.flatMap(be32).toArray)
+      val stss = box("stss", be32(0) ++ be32(sync.length) ++ sync.flatMap(s => be32(s)).toArray)
+      val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco ++ stss)
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++ "vide".getBytes ++ Array.fill[Byte](12)(0))
+      ftyp ++ mdat ++ box("moov", box("trak", box("mdia", hdlr ++ box("minf", stbl))))
+    }
+    val withStss = mp4WithStss(Seq(1, 3))
+    val kf = Mp4VideoDecoder.keyframes(withStss).toSeq
+    assert(kf.map(_._1) == Seq(0, 2), s"only sync samples demux: ${kf.map(_._1)}")
+    assert(kf.map(_._3.toSeq) == Seq(samples(0).toSeq, samples(2).toSeq), "payloads byte-exact")
+    // full demux is unaffected by the presence of stss
+    assert(Mp4VideoDecoder.frames(withStss, 0, 1).map(_._1).toSeq == Seq(0, 1, 2))
   }
 
   test("ContainerVideoDecoder sniffs AVI / Y4M / MP4 / unknown per payload") {

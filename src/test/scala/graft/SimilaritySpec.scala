@@ -299,6 +299,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w1.size == 1, s"outDims=1 -> 1 component, got ${w1.size}")
   }
 
+  test("embedWhiten refuses a ragged corpus loudly (mixed embedding dimensions)") {
+    // a short vector contributes to fewer diagonal moment groups, so the
+    // per-dimension counts disagree — silently-wrong covariances before
+    // the r15 ADVICE fix; now a loud require
+    val rows = Seq(
+      (0L, Seq(1f, 2f, 3f), "x"), (1L, Seq(4f, 5f, 6f), "x"),
+      (2L, Seq(7f, 8f), "x")) // ragged: d=2 instead of 3
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedWhiten(embeddings(rows)).collect()
+    }
+    assert(e.getMessage.contains("ragged"), s"loud ragged-dimension error: ${e.getMessage}")
+  }
+
   test("embedWhiten handles a DUPLICATED dimension (equal-diagonal Jacobi block)") {
     // cov of (a, a, b) has the 2x2 block [[v,v],[v,v]]: theta == 0 in the
     // Jacobi rotation — the r15 review found signum(0) made this block a
