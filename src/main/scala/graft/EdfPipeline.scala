@@ -73,11 +73,20 @@ object EdfPipeline {
     src
       .writeStream.trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // empty admissions (a trigger with no new files) must not touch
         // the output — an append of zero rows is a manifest no-op anyway,
-        // but skipping it avoids rewriting manifests every idle trigger
-        if (!df.isEmpty) EdfSink.write(df, outDir, mode = "append"): Unit
+        // but skipping it avoids rewriting manifests every idle trigger.
+        // The replayTag makes the at-least-once contract safe: a batch
+        // that committed its sink write but crashed before the
+        // checkpoint commit is replayed with the same batchId and the
+        // same deterministic file set, and the sink skips every channel
+        // whose manifest already carries this batch's tag (committed
+        // atomically with the merge) instead of tripping its own
+        // non-overlap invariant and wedging the query
+        if (!df.isEmpty)
+          EdfSink.write(df, outDir, mode = "append",
+            replayTag = Some(s"stream-batch-$batchId")): Unit
       }
       .start()
   }

@@ -66,12 +66,15 @@ object SinkStageProbe {
     drain("twocol_aqe")(twoCol
       .repartition(col("_bin_id"))
       .sortWithinPartitions(col("_bin_id"), col("sample_idx")))
-    drain("twocol_128")(twoCol
-      .repartition(128, col("_bin_id"))
-      .sortWithinPartitions(col("_bin_id"), col("sample_idx")))
-    drain("twocol_32")(twoCol
-      .repartition(32, col("_bin_id"))
-      .sortWithinPartitions(col("_bin_id"), col("sample_idx")))
+    // r16 record-packed path, stage by stage: pack only (map side, no
+    // exchange, routing resolved inside the pack loop), then the full
+    // packed shuffle+sort — block cardinality
+    val bKeyToId = spark.sparkContext.broadcast(
+      keys.map { case (k, i) => k -> i }.toMap)
+    val fiveCol = slice.select(col("file"), col("channel"),
+      col("sample_idx"), col("ts_us"), col("value"))
+    drain("pack_only")(graft.sources.EdfSink.packedBlocks(fiveCol, bKeyToId, maxSamples))
+    drain("packed_drain")(graft.sources.EdfSink.packedDump(fiveCol, bKeyToId, maxSamples))
     drain("twocol_aqe_again")(twoCol
       .repartition(col("_bin_id"))
       .sortWithinPartitions(col("_bin_id"), col("sample_idx")))

@@ -284,6 +284,9 @@ object SparkEntry {
         col("embedding").getItem(1).as("w_1"),
         col("embedding").getItem(2).as("w_2"),
         col("embedding").getItem(3).as("w_3"))),
+    // rows-only by design (composes the eigensolve above with C43's PQ;
+    // OPQ-lite distortion-drop + determinism ScalaTests in SemDedupPqSpec)
+    "pq_whiten"          -> q(Similarity.pqEncodeWhitened(_)),
     "ts_welch"           -> q(TimeSeries.tsWelch(_)),
     "ts_coherence"       -> q(TimeSeries.tsCoherence(_)),
     "ts_fir"             -> q(TimeSeries.tsFir(_)),

@@ -749,8 +749,12 @@ object Similarity {
     * whole encoder SQL-expressible): codebook m's entry c is centroid
     * vector c's m-th subvector. Returns (codebooks[m][ksub][sub], sub).
     */
-  private def pqCodebooks(t: Tables, m: Int, ksub: Int): (Array[Seq[Seq[Double]]], Int) = {
-    val base = t.embeddings.orderBy(col("vec_id")).limit(ksub)
+  private def pqCodebooks(t: Tables, m: Int, ksub: Int): (Array[Seq[Seq[Double]]], Int) =
+    pqCodebooksFrom(t.embeddings, m, ksub)
+
+  /** Codebooks from any (vec_id, embedding array<float>) relation. */
+  private def pqCodebooksFrom(emb: DataFrame, m: Int, ksub: Int): (Array[Seq[Seq[Double]]], Int) = {
+    val base = emb.orderBy(col("vec_id")).limit(ksub)
       .select(col("embedding")).collect().map(_.getSeq[Float](0).map(_.toDouble))
     require(base.length == ksub,
       s"pq: corpus has ${base.length} vectors < ksub=$ksub")
@@ -843,6 +847,36 @@ object Similarity {
   def pqEncode(t: Tables, m: Int = 4, ksub: Int = 16): DataFrame = {
     val (cbs, sub) = pqCodebooks(t, m, ksub)
     pqProject(t.embeddings
+      .withColumn("enc", pqEncCol(col("embedding"), cbs, m, ksub, sub)))
+  }
+
+  /** C79c: PQ over WHITENED embeddings — the composition [[embedWhiten]]
+    * exists for (OPQ-lite; Ge et al. CVPR 2013 motivates the rotation):
+    * PQ splits the vector into `m` independent sub-quantizers, which
+    * wastes bit budget when variance concentrates in a few correlated
+    * input dims — after whitening every component carries unit variance
+    * and the sub-quantizers share the load, so RELATIVE distortion
+    * (reconstruction error over per-dim variance) drops on anisotropic
+    * corpora (asserted on a planted corpus in SemDedupPqSpec).
+    *
+    * Kept components are truncated DOWN to a multiple of `m` (whitening
+    * orders them by descending variance, so the truncation drops the
+    * least-informative tail — the PCA-truncation everybody runs before
+    * PQ anyway). Scale shape composes the audited pieces: one bounded
+    * moment exchange + driver eigensolve (C79b), then a ZERO-SHUFFLE
+    * literal-fold rotate feeding the native PQ kernel — no extra pass,
+    * no join, parallelism = input partitions at any corpus size.
+    */
+  def pqEncodeWhitened(t: Tables, m: Int = 4, ksub: Int = 16,
+                       minVariance: Double = 1e-9): DataFrame = {
+    val (mu, rot0) = whitenRotation(t, 0, minVariance)
+    val dKeep = (rot0.length / m) * m
+    require(dKeep >= m,
+      s"pqEncodeWhitened: only ${rot0.length} eigendirections clear minVariance — fewer than m=$m")
+    val whitened = applyWhitening(t, mu, rot0.take(dKeep))
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val (cbs, sub) = pqCodebooksFrom(whitened, m, ksub)
+    pqProject(whitened
       .withColumn("enc", pqEncCol(col("embedding"), cbs, m, ksub, sub)))
   }
 
@@ -1129,6 +1163,18 @@ object Similarity {
     */
   def embedWhiten(t: Tables, outDims: Int = 0,
                   minVariance: Double = 1e-9): DataFrame = {
+    val (mu, rot) = whitenRotation(t, outDims, minVariance)
+    applyWhitening(t, mu, rot)
+  }
+
+  /** The whitening transform itself — mean vector + rotation rows
+    * (eigenvalue-descending, 1/√λ-scaled, sign-fixed) — computed from
+    * the distributed moment pass + driver-side Jacobi eigensolve.
+    * Exposed separately so compositions ([[pqEncodeWhitened]]) can
+    * inspect/truncate the kept components without a second moment job.
+    */
+  private[graft] def whitenRotation(t: Tables, outDims: Int,
+                                    minVariance: Double): (Array[Double], Seq[Seq[Double]]) = {
     val x = t.embeddings
       .select(posexplode(col("embedding")).as(Seq("i0", "xf")), col("embedding").as("e"))
       .select(col("i0").as("i"), col("xf").cast("double").as("xi"),
@@ -1176,6 +1222,12 @@ object Similarity {
       val scale = sgn / math.sqrt(eigVals(k))
       v.map(_ * scale).toSeq
     }
+    (mu, rot)
+  }
+
+  /** Apply a whitening transform as a zero-shuffle literal-fold scan. */
+  private[graft] def applyWhitening(t: Tables, mu: Array[Double],
+                                    rot: Seq[Seq[Double]]): DataFrame = {
     val rLit = typedLit(rot)
     val muLit = typedLit(mu.toSeq)
     val centered = zip_with(col("embedding"), muLit, (xf, m) => xf.cast("double") - m)

@@ -173,7 +173,8 @@ object EdfSink {
       binaryFiles: Seq[String],  // existing parts first, then new, concat order
       exNumValues: Long,         // 0 for new channels
       exStart: Option[Long],
-      exEnd: Option[Long])
+      exEnd: Option[Long],
+      appendTag: Option[String]) // replay provenance, committed WITH the manifest
 
   /** An existing channel parsed (driver-side, chunk-free) from its
     * committed manifest file.
@@ -187,7 +188,8 @@ object EdfSink {
       start: Long,
       end: Long,
       binaryFiles: Seq[String],
-      numValues: Option[Long])
+      numValues: Option[Long],
+      appendTag: Option[String] = None)
 
   private val descSchema = StructType(Seq(
     StructField("name", StringType), StructField("start", LongType),
@@ -227,7 +229,8 @@ object EdfSink {
       ExistingChannel(i, r.getAs[String]("name"), r.getAs[String]("unit"),
         r.getAs[Double]("rate"), Option(r.getAs[String]("type")).getOrElse("CONTINUOUS"),
         r.getAs[Long]("start"), r.getAs[Long]("end"), bins,
-        props.get("numValues").map(_.toLong))
+        props.get("numValues").map(_.toLong),
+        props.get("appendTag"))
     }
   }
 
@@ -262,11 +265,167 @@ object EdfSink {
     * `mode` is "overwrite" (default; destination pre-cleaned) or
     * "append" (reference append mode, see object doc).
     */
+
+  /** The record-packed sorted dump relation for a routed projection
+    * (`_bin_id int, sample_idx long, ts_us long, value double`):
+    * map-side PACK into per-bin blocks of up to [[PackBlock]] samples,
+    * then ONE hash exchange + block-cardinality sort on
+    * (bin, first_idx). Factored out of [[write]] so the stage probes
+    * can time the exact physical plan the sink executes.
+    */
+  private[graft] val PackBlock = 4096
+  private[graft] val MaxOpenBins = 256 // bound pack memory on very wide inputs
+  private[graft] val packSchema = StructType(Seq(
+    StructField("_bin_id", IntegerType, nullable = false),
+    StructField("first_idx", LongType, nullable = false),
+    StructField("idxs", ArrayType(LongType, containsNull = false), nullable = true),
+    StructField("tss", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  /** Map-side pack only (no exchange) — the block relation pre-shuffle.
+    *
+    * Input is the RAW sample projection `(file string, channel string,
+    * sample_idx long, ts_us long, value double)`; the (file, channel,
+    * part) → bin-id routing happens HERE, inside the pack loop, instead
+    * of a per-sample broadcast hash join: the r16 stage probe measured
+    * the join + re-projection at ~10 s of the 4 GiB fixture's ~22 s
+    * drain — hashing two strings and copying them through an
+    * UnsafeProjection once per SAMPLE. Consecutive samples almost always
+    * share their key (the EDF reader emits per-(record, channel) runs),
+    * so the pack caches the last key and resolves it with two memcmps +
+    * one floorDiv per row, falling back to the broadcast map only on
+    * run boundaries. A key miss is still the loud routing error.
+    */
+  private[graft] def packedBlocks(projected: DataFrame,
+      keyToId: org.apache.spark.broadcast.Broadcast[Map[(String, String, Long), Int]],
+      maxSamplesPerFile: Long): DataFrame = {
+    val spark = projected.sparkSession
+    val packedRdd = projected.queryExecution.toRdd.mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+        final class PackBuf {
+          val idx = new Array[Long](PackBlock)
+          val ts = new Array[Long](PackBlock)
+          val value = new Array[Double](PackBlock)
+          var n = 0
+        }
+        val open = new java.util.HashMap[Integer, PackBuf]()
+        val routes = keyToId.value
+        // run cache: last (file, channel, part) -> bin id
+        var lastFile: org.apache.spark.unsafe.types.UTF8String = null
+        var lastChan: org.apache.spark.unsafe.types.UTF8String = null
+        var lastPart = Long.MinValue
+        var lastId = -1
+        def resolve(f: org.apache.spark.unsafe.types.UTF8String,
+                    c: org.apache.spark.unsafe.types.UTF8String, part: Long): Int = {
+          if (part == lastPart && lastFile != null && f.equals(lastFile) && c.equals(lastChan))
+            return lastId
+          val id = routes.getOrElse((f.toString, c.toString, part),
+            throw new IllegalStateException(
+              "sample matched no planned (file, channel, part) bin — routing plan incomplete"))
+          // clone: the UTF8Strings point into the scan's reused row buffer
+          lastFile = f.clone(); lastChan = c.clone(); lastPart = part; lastId = id
+          id
+        }
+        def emit(id: Int, b: PackBuf): InternalRow = {
+          val n = b.n
+          // ascending check; a non-EDF-ordered arrival sorts its block
+          var sorted = true; var dense = true
+          var i = 1
+          while (i < n && (sorted || dense)) {
+            val d = b.idx(i) - b.idx(i - 1)
+            if (d < 0) { sorted = false; dense = false }
+            else if (d != 1) dense = false
+            i += 1
+          }
+          var (idxA, tsA, valA) =
+            (java.util.Arrays.copyOf(b.idx, n), java.util.Arrays.copyOf(b.ts, n),
+              java.util.Arrays.copyOf(b.value, n))
+          if (!sorted) {
+            val perm = Array.range(0, n).sortBy(idxA(_))
+            val (i2, t2, v2) = (new Array[Long](n), new Array[Long](n), new Array[Double](n))
+            var k = 0
+            while (k < n) { i2(k) = idxA(perm(k)); t2(k) = tsA(perm(k)); v2(k) = valA(perm(k)); k += 1 }
+            idxA = i2; tsA = t2; valA = v2
+            dense = { var ok = true; var j = 1
+              while (ok && j < n) { ok = idxA(j) - idxA(j - 1) == 1; j += 1 }; ok }
+          }
+          val row = new GenericInternalRow(5)
+          row.setInt(0, id)
+          row.setLong(1, idxA(0))
+          row.update(2, if (dense) null else UnsafeArrayData.fromPrimitiveArray(idxA))
+          row.update(3, UnsafeArrayData.fromPrimitiveArray(tsA))
+          row.update(4, UnsafeArrayData.fromPrimitiveArray(valA))
+          b.n = 0
+          row
+        }
+        new Iterator[InternalRow] {
+          private val out = new scala.collection.mutable.ArrayDeque[InternalRow](4)
+          private var drained = false
+          private def pump(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val r = it.next()
+              val sampleIdx = r.getLong(2)
+              val id = resolve(r.getUTF8String(0), r.getUTF8String(1),
+                Math.floorDiv(sampleIdx, maxSamplesPerFile))
+              var b = open.get(id)
+              if (b == null) {
+                if (open.size >= MaxOpenBins) {
+                  // flush the fullest open block to bound memory at
+                  // (MaxOpenBins x PackBlock x 24 B) on very wide inputs
+                  var maxK: Integer = null; var maxN = -1
+                  val e = open.entrySet().iterator()
+                  while (e.hasNext) {
+                    val en = e.next()
+                    if (en.getValue.n > maxN) { maxN = en.getValue.n; maxK = en.getKey }
+                  }
+                  out.append(emit(maxK, open.remove(maxK)))
+                }
+                b = new PackBuf(); open.put(id, b)
+              }
+              b.idx(b.n) = sampleIdx; b.ts(b.n) = r.getLong(3); b.value(b.n) = r.getDouble(4)
+              b.n += 1
+              if (b.n == PackBlock) { open.remove(id); out.append(emit(id, b)) }
+            }
+            if (out.isEmpty && !drained && !it.hasNext) {
+              drained = true
+              val e = open.entrySet().iterator()
+              while (e.hasNext) { val en = e.next(); out.append(emit(en.getKey, en.getValue)) }
+              open.clear()
+            }
+          }
+          override def hasNext: Boolean = { if (out.isEmpty) pump(); out.nonEmpty }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            out.removeHead()
+          }
+        }
+      }
+    org.apache.spark.sql.graft.DatasetShim
+      .internalCreateDataFrame(spark, packedRdd, packSchema)
+  }
+
+  /** Packed blocks + the exchange: hash repartition on the bin and a
+    * BLOCK-cardinality sort on (bin, first_idx). Plain repartition +
+    * AQE: the r15 per-sample A/Bs (explicit counts, radix-packed keys)
+    * are moot at block cardinality — the sort is thousands of rows, not
+    * hundreds of millions. maxSamplesPerFile remains the lever that
+    * bounds per-task work: parts cap how much of one channel a single
+    * reduce task owns.
+    */
+  private[graft] def packedDump(projected: DataFrame,
+      keyToId: org.apache.spark.broadcast.Broadcast[Map[(String, String, Long), Int]],
+      maxSamplesPerFile: Long): DataFrame =
+    packedBlocks(projected, keyToId, maxSamplesPerFile)
+      .repartition(col("_bin_id"))
+      .sortWithinPartitions(col("_bin_id"), col("first_idx"))
+
   def write(samples: DataFrame, outDir: String,
             maxSamplesPerFile: Long = Long.MaxValue,
-            mode: String = "overwrite"): String = {
+            mode: String = "overwrite",
+            replayTag: Option[String] = None): String = {
     require(maxSamplesPerFile > 0, s"maxSamplesPerFile must be positive, got $maxSamplesPerFile")
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append, got $mode")
+    require(replayTag.isEmpty || mode == "append", "replayTag only applies to append mode")
     val spark = samples.sparkSession
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
@@ -291,7 +450,7 @@ object EdfSink {
     // start at 0, and a planned-but-empty part must never reach the
     // manifest; bounded by files x channels x parts, never sample volume
     val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
-    val chanInfo0: Map[(String, String), (Seq[Long], Double, String)] = samples
+    val chanInfo0All: Map[(String, String), (Seq[Long], Double, String)] = samples
       .select(col("file"), col("channel"), partIdx.as("part"), col("rate"), col("unit"))
       .groupBy(col("file"), col("channel"), col("part"))
       .agg(first(col("rate")).as("rate"), first(col("unit")).as("unit"))
@@ -299,13 +458,46 @@ object EdfSink {
       .groupBy(_._1).map { case (k, rows) =>
         k -> (rows.map(_._2._1).sorted.toSeq, rows.head._2._2, rows.head._2._3)
       }
-    val keys = chanInfo0.keys.toSeq.sorted
-    val multiFile = keys.map(_._1).distinct.size > 1
+    val keysAll = chanInfo0All.keys.toSeq.sorted
 
     // append-mode match: incoming (file, channel) -> existing channel
-    val matched: Map[(String, String), ExistingChannel] = keys.flatMap { k =>
-      matchExisting(existing, k._2, chanInfo0(k)._2, "CONTINUOUS").map(k -> _)
+    val matchedAll: Map[(String, String), ExistingChannel] = keysAll.flatMap { k =>
+      matchExisting(existing, k._2, chanInfo0All(k)._2, "CONTINUOUS").map(k -> _)
     }.toMap
+
+    // AT-LEAST-ONCE REPLAY (A13b's foreachBatch): a batch that fully
+    // committed its sink write but crashed before the streaming
+    // checkpoint commit is replayed with the SAME replayTag and the same
+    // deterministic data. Each manifest merged by a tagged append
+    // records the tag IN the manifest (committed atomically with the
+    // merge by the same rename), so on replay a matched channel whose
+    // manifest already carries this tag is provably done — skipped
+    // wholesale: its rows drop from the plan, its committed generation
+    // binaries and merged manifest stand untouched. Channels WITHOUT the
+    // tag (a crash mid-manifest-assembly leaves a mix: the staged-
+    // manifest recovery restores their originals) re-append normally —
+    // no wedge, no double-append, no lost channels.
+    val skipKeys: Set[(String, String)] = replayTag match {
+      case Some(tag) => matchedAll.filter(_._2.appendTag.contains(tag)).keySet
+      case None => Set.empty
+    }
+    if (skipKeys.nonEmpty && skipKeys.size == keysAll.size) {
+      // whole batch already merged. channels.json can still be stale if
+      // the committed run died between its last manifest commit and the
+      // index concat — rebuild it from the committed manifests
+      // (idempotent, channel-cardinality file I/O)
+      val idxPath = new Path(outPath, "channels.json")
+      concatIndex(driverFs, idxPath, existing.indices.map(o => new Path(outPath, manifestName(o))))
+      return idxPath.toString
+    }
+    val samplesKept =
+      if (skipKeys.isEmpty) samples
+      else samples.filter(!skipKeys.map { case (f, c) =>
+        col("file") === lit(f) && col("channel") === lit(c) }.reduce(_ || _))
+    val chanInfo0 = chanInfo0All -- skipKeys
+    val keys = keysAll.filterNot(skipKeys.contains)
+    val matched = matchedAll -- skipKeys
+    val multiFile = keys.map(_._1).distinct.size > 1
     matched.groupBy(_._2.ord).foreach { case (_, ms) =>
       require(ms.size == 1,
         s"append mode: ${ms.size} incoming channels match existing '${ms.head._2.name}' — " +
@@ -326,10 +518,10 @@ object EdfSink {
     // existing value stream — part indices and chunk indices both follow.
     // Built BEFORE part planning: the plan's part indices must use the
     // same shifted sample_idx basis the executors key on.
-    val adjusted = if (offsets.isEmpty) samples else {
+    val adjusted = if (offsets.isEmpty) samplesKept else {
       import spark.implicits._
       val offDf = offsets.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "_off")
-      samples.join(broadcast(offDf), Seq("file", "channel"), "left")
+      samplesKept.join(broadcast(offDf), Seq("file", "channel"), "left")
         .withColumn("sample_idx", col("sample_idx") + coalesce(col("_off"), lit(0L)))
         .drop("_off")
     }
@@ -412,10 +604,11 @@ object EdfSink {
         ChannelPlan(ex.ord, ex.name, ex.unit, ex.rate, ex.chanType,
           ex.binaryFiles ++ newParts,
           hit.map(offsets).getOrElse(0L),
-          Some(ex.start), Some(ex.end))
+          Some(ex.start), Some(ex.end),
+          if (hit.isDefined) replayTag else ex.appendTag)
       } ++ newKeys.zipWithIndex.map { case (k, i) =>
         ChannelPlan(newOrdBase + i, k._2, chanInfo(k)._3, chanInfo(k)._2, "CONTINUOUS",
-          chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))), 0L, None, None)
+          chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))), 0L, None, None, replayTag)
       }
     // incoming key -> output ordinal (drives chunk routing)
     val keyOrd: Map[(String, String), Int] =
@@ -435,57 +628,69 @@ object EdfSink {
     // pass over sample volume: one shuffle, no lag self-join, no second
     // source scan for chunk stats.
     //
-    // The routing key is DENSE-ENCODED before the shuffle: a broadcast
-    // join maps (file, channel, part) to a small int id, so each shuffled
-    // row is (int, long, long, double) instead of carrying the file path
-    // and channel label strings per SAMPLE — at 100 TB the key strings
-    // would dominate shuffle volume several-fold (measured 2.7 MiB/s on
-    // a 1 GiB slice before this encoding; the key space itself is files
-    // x channels x parts, broadcast-sized by construction). The join is
-    // LEFT so a routing miss is a loud per-row error, never silent row
-    // loss; keys derive from the same relation, so a miss means the
-    // plan and the data diverged between planning and execution.
+    // RECORD-PACKED shuffle (r16; the r15-measured ceiling): per-sample
+    // rows through the sorted exchange were the sink's bottleneck —
+    // 134M (int, long, long, double) UnsafeRows cost ~40 B each to
+    // shuffle and, worse, 134M comparisons to sort (and the r15 design's
+    // per-sample broadcast routing join cost another ~10 s of string
+    // hashing + re-projection on the 4 GiB probe). The map side now
+    // PACKS samples into blocks of up to `PackBlock` per (bin) straight
+    // off the scan — routing resolved inside the pack loop from a
+    // broadcast key map with a last-run cache (see [[packedBlocks]]) —
+    // so the sorted exchange moves ~256-4096x fewer rows (~16-24
+    // B/sample of array payload instead of 40 B of row) and the
+    // reduce-side sort is over block-cardinality keys. Dense sample_idx
+    // runs (the unfiltered common case) drop their idx array entirely
+    // (null = idx(i) == first_idx + i). Blocks are flushed sorted
+    // (arrival order is already ascending for the EDF reader's output;
+    // anything else sorts the 4096-bounded block at flush), so the
+    // reduce side restores exact per-sample order by merging blocks
+    // ordered on (bin, first_idx) — a heap merge that degenerates to
+    // plain block streaming whenever consecutive blocks don't overlap,
+    // which is always outside adversarially interleaved input.
     val binIds: Seq[((String, String, Long), Int)] = nameMap.keys.toSeq.sorted.zipWithIndex
     // bin id -> (binary name, output ordinal, gap threshold µs)
     val bBinMeta = spark.sparkContext.broadcast(
       binIds.map { case (k@(f, c, _), i) =>
         i -> ((nameMap(k), keyOrd((f, c)), (2e6 / chanInfo((f, c))._2).toLong))
       }.toMap)
-    val keyDf = {
-      import spark.implicits._
-      binIds.map { case ((f, c, p), i) => (f, c, p, i) }
-        .toDF("file", "channel", "part_idx", "_bin_id")
-    }
-    val routed = adjusted
-      .select(col("file"), col("channel"),
-        expr(s"sample_idx div ${maxSamplesPerFile}L").as("part_idx"),
-        col("sample_idx"), col("ts_us"), col("value"))
-      .join(broadcast(keyDf), Seq("file", "channel", "part_idx"), "left")
-    // Plain hash repartition + AQE: measured A/B against an explicit
-    // one-bin-per-task count (hash collisions left 101/128 partitions
-    // empty, max task 8 bins) and against a packed radix-sortable key
-    // (1.45x slower at these partition sizes) — the coalesced layout
-    // drained 134M rows in 18.5 s (58 MiB/s of binary output) on a calm
-    // host and was never beaten by either variant (SinkStageProbe).
-    // maxSamplesPerFile remains the lever that bounds per-task work:
-    // parts cap how much of one channel a single reduce task owns.
-    val dumpDf = routed
-      .select(col("_bin_id"), col("sample_idx"), col("ts_us"), col("value"))
-      .repartition(col("_bin_id"))
-      .sortWithinPartitions(col("_bin_id"), col("sample_idx"))
-    // InternalRow access (no per-sample Row materialization) + a 64 KiB
-    // little-endian batch buffer: the hot loop is read-3-primitives /
-    // putDouble / occasional bulk write
+    val bKeyToId = spark.sparkContext.broadcast(binIds.toMap)
+    val dumpDf = packedDump(
+      adjusted.select(col("file"), col("channel"), col("sample_idx"), col("ts_us"), col("value")),
+      bKeyToId, maxSamplesPerFile)
+    // Reduce side: unpack blocks in (bin, first_idx) order, stream values
+    // to the bin files through a 64 KiB little-endian buffer, and emit
+    // the contiguous-run SEGMENT rows observed — identical bytes and
+    // segments to the per-sample formulation, per-block instead.
     val segRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-      dumpDf.queryExecution.toRdd.mapPartitions { it =>
+      dumpDf.queryExecution.toRdd.mapPartitions { it0 =>
         val tc = TaskContext.get()
-        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        // Binary SAMPLE bytes bypass the local ChecksumFileSystem layer
+        // (same rationale as EdfFile.openSeekable, write side): Hadoop's
+        // FSOutputSummer pushes every byte through 512-B checksum chunks
+        // and writes a .crc sidecar — measurable drag at GB/s output
+        // rates, and the read path already handles crc-less binaries.
+        // Cluster filesystems (HDFS, object stores) are not
+        // ChecksumFileSystems and pass through untouched. Manifests keep
+        // the checksummed path (tiny, and append-mode re-READS them
+        // through the checksum layer).
+        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries)) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case other => other
+        }
         val attemptDir = new Path(outDirStr,
           s"_tmp-${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
         // failure cleanup: the iterator below cannot use try/finally
         // around consumption (the downstream shuffle writer drives it)
         tc.addTaskCompletionListener[Unit] { _ =>
           try fs.delete(attemptDir, true) catch { case _: Exception => () }
+        }
+        // a block cursor mid-merge (overlapping blocks only)
+        final class Cursor(val first: Long, val idxA: Array[Long],
+                           val tsA: Array[Long], val valA: Array[Double]) {
+          var pos = 0
+          def curIdx: Long = if (idxA == null) first + pos else idxA(pos)
+          def len: Int = valA.length
         }
         new Iterator[org.apache.spark.sql.Row] {
           private val meta = bBinMeta.value
@@ -499,7 +704,32 @@ object EdfSink {
           private var segStartIdx = 0L; private var segStartTs = 0L
           private var segGapBefore = false; private var segN = 0L
           private var prevTs = 0L
+          private var binFresh = false
           private var drained = false
+
+          // one-block lookahead: the sort's output iterator REUSES its
+          // UnsafeRow, so a peeked block materializes its arrays at once
+          private var peeked = false
+          private var nBin = -1; private var nFirst = 0L
+          private var nIdx: Array[Long] = null
+          private var nTs: Array[Long] = null
+          private var nVal: Array[Double] = null
+          private def peek(): Boolean = peeked || {
+            if (it0.hasNext) {
+              val r = it0.next()
+              nBin = r.getInt(0); nFirst = r.getLong(1)
+              nIdx = if (r.isNullAt(2)) null else r.getArray(2).toLongArray()
+              nTs = r.getArray(3).toLongArray()
+              nVal = r.getArray(4).toDoubleArray()
+              peeked = true
+            }
+            peeked
+          }
+          private val heap = new java.util.PriorityQueue[Cursor](4,
+            new java.util.Comparator[Cursor] {
+              override def compare(a: Cursor, b: Cursor): Int =
+                java.lang.Long.compare(a.curIdx, b.curIdx)
+            })
 
           private def flushBuf(): Unit = if (buf.position() > 0) {
             out.write(buf.array(), 0, buf.position()); buf.clear()
@@ -513,31 +743,60 @@ object EdfSink {
             flushBuf(); out.close(); out = null
             commit(fs, tmp, new Path(outDirStr, meta(current)._1))
           }
-          private def pump(): Unit = {
-            while (pending.isEmpty && it.hasNext) {
-              val r = it.next()
-              if (r.isNullAt(0))
-                throw new IllegalStateException(
-                  "sample matched no planned (file, channel, part) bin — routing plan incomplete")
-              val id = r.getInt(0)
-              val idx = r.getLong(1)
-              val ts = r.getLong(2)
-              if (id != current) {
-                emitSeg(); closeBin()
-                current = id
-                val (nm, o, g) = meta(id)
-                ord = o; gapUs = g
-                tmp = new Path(attemptDir, nm)
-                out = fs.create(tmp, true)
-                segStartIdx = idx; segStartTs = ts; segGapBefore = false
-              } else if (ts - prevTs > gapUs) {
-                emitSeg()
-                segStartIdx = idx; segStartTs = ts; segGapBefore = true
+          private def openBin(id: Int): Unit = {
+            current = id
+            val (nm, o, g) = meta(id)
+            ord = o; gapUs = g
+            tmp = new Path(attemptDir, nm)
+            out = fs.create(tmp, true)
+            binFresh = true
+          }
+          private def consume(idx: Long, ts: Long, v: Double): Unit = {
+            if (binFresh) {
+              segStartIdx = idx; segStartTs = ts; segGapBefore = false
+              binFresh = false
+            } else if (ts - prevTs > gapUs) {
+              emitSeg()
+              segStartIdx = idx; segStartTs = ts; segGapBefore = true
+            }
+            prevTs = ts
+            segN += 1
+            if (buf.remaining() < 8) flushBuf()
+            buf.putDouble(v)
+          }
+          // heap merge for overlapping same-bin blocks: admits every
+          // block whose first_idx precedes the frontier, so the emitted
+          // sample order equals the old full sort's whatever the
+          // cross-partition interleaving; O(open cursors) memory
+          private def runMerge(c0: Cursor): Unit = {
+            heap.add(c0)
+            while (!heap.isEmpty) {
+              while (peek() && nBin == current && nFirst <= heap.peek().curIdx) {
+                heap.add(new Cursor(nFirst, nIdx, nTs, nVal)); peeked = false
               }
-              prevTs = ts
-              segN += 1
-              if (buf.remaining() < 8) flushBuf()
-              buf.putDouble(r.getDouble(3))
+              val c = heap.poll()
+              consume(c.curIdx, c.tsA(c.pos), c.valA(c.pos))
+              c.pos += 1
+              if (c.pos < c.len) heap.add(c)
+            }
+          }
+          private def pump(): Unit = {
+            while (pending.isEmpty && peek()) {
+              val (bin, first, idxA, tsA, valA) = (nBin, nFirst, nIdx, nTs, nVal)
+              peeked = false
+              if (bin != current) { emitSeg(); closeBin(); openBin(bin) }
+              val n = valA.length
+              val lastIdx = if (idxA == null) first + n - 1 else idxA(n - 1)
+              if (peek() && nBin == bin && nFirst <= lastIdx) {
+                runMerge(new Cursor(first, idxA, tsA, valA))
+              } else {
+                var i = 0
+                if (idxA == null) {
+                  while (i < n) { consume(first + i, tsA(i), valA(i)); i += 1 }
+                } else {
+                  while (i < n) { consume(idxA(i), tsA(i), valA(i)); i += 1 }
+                }
+              }
             }
             if (pending.isEmpty && !drained) {
               drained = true
@@ -660,11 +919,17 @@ object EdfSink {
             s"""{"name": ${jsonStr(plan.name)}, "start": $chStart, "end": $chEnd, "unit": ${jsonStr(plan.unit)},
                | "rate": ${plan.rate}, "type": "${plan.chanType}", "group": "default", "lastAnnotation": 0,
                | "contiguousChunks": """.stripMargin
+          // the replay-provenance tag commits atomically WITH the merged
+          // manifest (same rename): a replayed tagged append can prove
+          // per channel whether this batch's merge already happened
+          val tagProp = plan.appendTag
+            .map(t => s""",\n               {"key": "appendTag", "value": ${jsonStr(t)}}""")
+            .getOrElse("")
           val foot =
             s""",
                | "properties": [{"key": "binaryFile", "value": ${jsonStr(plan.binaryFiles.head)}},
                |                {"key": "binaryFiles", "value": $bins},
-               |                {"key": "numValues", "value": "$nValues"}]}""".stripMargin
+               |                {"key": "numValues", "value": "$nValues"}$tagProp]}""".stripMargin
           val tmp = new Path(attemptDir, f"manifest-$ord%05d")
           val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           out.write(head.getBytes(StandardCharsets.UTF_8))
@@ -904,7 +1169,14 @@ object EdfSink {
       .sortWithinPartitions(col("file"), col("channel"), col("ts_us"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val tc = TaskContext.get()
-        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        // spike waveform volume takes the same raw-FS write path as the
+        // sample binaries (see the sample writer's rationale); the tiny
+        // UNIT manifests ride along — pre-cleans all go through the
+        // checksum-aware driver FS, so no stale .crc pair can survive
+        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries)) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case other => other
+        }
         val attemptDir = new Path(outDirStr,
           s"_tmp-s${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
         var key: (String, String) = null

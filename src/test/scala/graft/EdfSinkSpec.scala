@@ -264,6 +264,77 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(manifest.contains("\"numValues\", \"value\": \"24\""))
   }
 
+  test("tagged append replay is idempotent: committed channels skip, partial crashes heal") {
+    // the at-least-once foreachBatch contract (r15 ADVICE): a replayed
+    // batch carries the same replayTag; channels whose manifests already
+    // carry it are provably merged and skip — no overlap wedge, no
+    // double append — while channels whose merge DIDN'T commit (mixed
+    // partial-crash state) re-append normally
+    val tmp = Files.createTempDirectory("edfreplay")
+    val s1 = s"$tmp/s1.edf"; val s2 = s"$tmp/s2.edf"; val s3 = s"$tmp/s3.edf"
+    makeEdfC(s1, "00.00.00", Seq("C3", "C4"))
+    makeEdfC(s2, "01.00.00", Seq("C3", "C4"))
+    makeEdfC(s3, "02.00.00", Seq("C3", "C4"))
+    val outDir = Files.createTempDirectory("edfreplayout").toString
+    // committed STATE = manifests + every binary a manifest references.
+    // (A refused append has already committed its stage-1 binaries when
+    // the manifest stage trips the overlap invariant — those orphans are
+    // unreferenced junk, invisible to readers, and deliberately outside
+    // this comparison.)
+    def snapshot(): Map[String, Seq[Byte]] = {
+      val dir = new java.io.File(outDir)
+      val manifests = dir.listFiles().filter(_.getName.matches("channel.*\\.json")).map(_.getName)
+      val referenced = manifests.flatMap { m =>
+        """[A-Za-z0-9._-]+\.ts\.bin""".r
+          .findAllIn(new String(Files.readAllBytes(Paths.get(s"$outDir/$m")))).toSeq
+      }.toSet
+      (manifests ++ referenced)
+        .map(n => n -> Files.readAllBytes(Paths.get(s"$outDir/$n")).toSeq).toMap
+    }
+
+    EdfSink.write(EdfFile.read(spark, Seq(s1)), outDir)
+    val preAppendManifest1 = Files.readAllBytes(Paths.get(s"$outDir/channel-00001.json"))
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append", replayTag = Some("b1"))
+    val committed = snapshot()
+    assert(new String(committed("channel.json").toArray)
+      .contains("\"appendTag\", \"value\": \"b1\""), "merged manifest records the batch tag")
+
+    // exact replay (crash after sink commit, before checkpoint commit):
+    // every channel carries b1 -> clean no-op, bytes identical
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append", replayTag = Some("b1"))
+    assert(snapshot() == committed, "full replay changed nothing")
+
+    // an UNtagged re-append of the same data still trips the overlap
+    // invariant — the guard only stands down on proven provenance
+    intercept[Exception] {
+      EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append")
+    }
+    // the failed attempt staged manifests away; heal by replaying the
+    // tagged batch (its recovery path restores then skips), then verify
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append", replayTag = Some("b1"))
+    assert(snapshot() == committed, "post-wedge tagged replay restores the committed state")
+
+    // MIXED partial-crash state: C4's manifest merge never committed
+    // (restore its pre-append manifest, drop its generation binary);
+    // replaying b1 must skip C3 (tagged) and re-append C4 only,
+    // reconverging byte-for-byte
+    Files.write(Paths.get(s"$outDir/channel-00001.json"), preAppendManifest1)
+    Files.delete(Paths.get(s"$outDir/C4-g01-part00000.ts.bin"))
+    // Hadoop's local ChecksumFileSystem keeps DOT-prefixed .crc sidecars;
+    // a byte-level restore outside the FS API must drop them or the
+    // replay's manifest read fails on a stale checksum
+    Files.deleteIfExists(Paths.get(s"$outDir/.channel-00001.json.crc"))
+    Files.deleteIfExists(Paths.get(s"$outDir/.C4-g01-part00000.ts.bin.crc"))
+    EdfSink.write(EdfFile.read(spark, Seq(s2)), outDir, mode = "append", replayTag = Some("b1"))
+    assert(snapshot() == committed, "mixed-state replay healed C4 without double-appending C3")
+
+    // a NEW batch with a NEW tag appends normally on top
+    EdfSink.write(EdfFile.read(spark, Seq(s3)), outDir, mode = "append", replayTag = Some("b2"))
+    val c3 = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    assert(c3.contains("\"numValues\", \"value\": \"36\""), s"three sessions merged: $c3")
+    assert(c3.contains("\"appendTag\", \"value\": \"b2\""), "tag advances with the new batch")
+  }
+
   test("append refuses overlapping sessions (non-overlap invariant, reference base.py:87-95)") {
     val tmp = Files.createTempDirectory("edfoverlap")
     val s1 = s"$tmp/a.edf"; val s2 = s"$tmp/b.edf"

@@ -99,6 +99,38 @@ class SqlTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_edf_ingest drives the streaming task loop from pure SQL; output == API run") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("tvfingest")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    val outSql = tmp.resolve("outsql").toString
+    val outApi = tmp.resolve("outapi").toString
+    val src = s"$tmp/s1.edf"
+    EdfDFixtures.makeEdfC(src, "00.00.00", Seq("C3", "C4"))
+    Files.copy(Paths.get(src), watch.resolve("s1.edf"))
+
+    val rows = spark.sql(
+      s"SELECT name, start, rate FROM graft_edf_ingest('$watch', '$outSql') ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("C3", "C4"), s"ingested channels: ${rows.toSeq}")
+    assert(rows.forall(_._3 == 4.0), "rates from the committed manifests")
+
+    // parity with the library API loop on the same landing set
+    graft.EdfPipeline.processStream(spark, Seq(watch.toString), outApi,
+      s"$tmp/ckptapi").awaitTermination()
+    Seq("C3.ts.bin", "C4.ts.bin", "channels.json").foreach { f =>
+      assert(Files.readAllBytes(Paths.get(s"$outSql/$f")).toSeq ==
+        Files.readAllBytes(Paths.get(s"$outApi/$f")).toSeq, s"$f: SQL == API bytes")
+    }
+
+    // one-shot semantics: re-running the statement with the same
+    // checkpoint admits nothing new and returns the SAME manifest rows
+    val again = spark.sql(
+      s"SELECT name, start, rate FROM graft_edf_ingest('$watch', '$outSql') ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == rows.toSeq, "idempotent re-run over a drained watch dir")
+  }
+
   test("non-literal TVF args fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_curate(concat('a', 'b'))").collect()

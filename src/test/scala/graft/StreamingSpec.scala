@@ -380,6 +380,13 @@ class StreamingSpec extends AnyFunSuite {
 
   // contiguous EDF: 3 records x 4 samples @1s records, values
   // record*4 + sample + 100*channel (the EdfSinkSpec generator, trimmed)
+  /** Drop the replay-provenance appendTag property a streamed (tagged)
+    * append records in merged manifests — the one deliberate byte delta
+    * vs an untagged batch append.
+    */
+  private def stripTag(manifest: String): String =
+    manifest.replaceAll(""",\s*\{"key": "appendTag", "value": "[^"]*"\}""", "")
+
   private def makeEdfC(path: String, startTime: String, labels: Seq[String]): Unit = {
     def pad(s: String, n: Int): Array[Byte] = {
       val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -438,8 +445,9 @@ class StreamingSpec extends AnyFunSuite {
       val q = spark.readStream.format("edf").load(watch.toString)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!df.isEmpty) EdfSink.write(df, outStream, mode = "append"): Unit
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          if (!df.isEmpty) EdfSink.write(df, outStream, mode = "append",
+            replayTag = Some(s"stream-batch-$batchId")): Unit
         }
         .start()
       q.awaitTermination()
@@ -457,11 +465,15 @@ class StreamingSpec extends AnyFunSuite {
     runOnce()
 
     // streamed appends == batch appends, byte for byte: per-channel
-    // manifests (chunks, numValues, generations) and binary streams
+    // manifests (chunks, numValues, generations) and binary streams.
+    // The ONE deliberate delta: streamed merges carry the replay-
+    // provenance appendTag property (at-least-once safety) — stripped
+    // before comparing, and asserted present
     Seq("channel.json", "channel-00001.json").foreach { m =>
       val a = new String(Files.readAllBytes(Paths.get(s"$outStream/$m")))
       val b = new String(Files.readAllBytes(Paths.get(s"$outBatch/$m")))
-      assert(a == b, s"$m: streamed vs batch append\n$a\nvs\n$b")
+      assert(a.contains("\"appendTag\""), s"$m: streamed merge records its batch tag")
+      assert(stripTag(a) == b, s"$m: streamed vs batch append\n$a\nvs\n$b")
     }
     Seq("C3", "C4").foreach { ch =>
       Seq(s"$ch.ts.bin", s"$ch-g01-part00000.ts.bin").foreach { bin =>
@@ -499,7 +511,8 @@ class StreamingSpec extends AnyFunSuite {
     Seq("channel.json", "channel-00001.json").foreach { m =>
       val a = new String(Files.readAllBytes(Paths.get(s"$outStream/$m")))
       val b = new String(Files.readAllBytes(Paths.get(s"$outBatch/$m")))
-      assert(a == b, s"$m: processStream vs batch process+append")
+      // byte-identical modulo the streamed merges' replay-provenance tag
+      assert(stripTag(a) == b, s"$m: processStream vs batch process+append")
     }
     Seq("F7", "F8").foreach { ch =>
       Seq(s"$ch.ts.bin", s"$ch-g01-part00000.ts.bin").foreach { bin =>
