@@ -537,6 +537,11 @@ object PlanAudit {
         "library intra-doc dedup is a zero-exchange narrow scan (sort-free API)"),
       ("lib:pq_encode", !libPlan(operators.Similarity.pqEncode(t)).contains("Exchange"),
         "library PQ encoding is a zero-exchange narrow scan (sort-free API)"),
+      // C79c: after the bounded moment job resolves the rotation, the
+      // whiten+encode APPLY pass is a zero-exchange narrow scan — the
+      // rotation and codebooks both ride as literals
+      ("lib:pq_whiten", !libPlan(operators.Similarity.pqEncodeWhitened(t)).contains("Exchange"),
+        "whiten -> PQ apply pass is a zero-exchange narrow scan (literal rotation + codebooks)"),
       ("lib:curate", !libPlan(operators.TextAnalysis.curate(t)).contains("rangepartitioning"),
         "library curation carries no global sort"),
       ("lib:corpus_delta", !libPlan(operators.TextAnalysis.corpusDelta(t)).contains("rangepartitioning"),

@@ -431,6 +431,16 @@ object EdfSink {
     val outPath = new Path(outDir)
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     driverFs.mkdirs(outPath)
+    // dev-only phase timing (SPARK_GRAFT_SINK_DEBUG=1): one line per
+    // sink phase so write-throughput work attributes cost to a stage
+    // instead of guessing — zero overhead when unset
+    val dbg = sys.env.get("SPARK_GRAFT_SINK_DEBUG").contains("1")
+    var t0 = System.nanoTime()
+    def phase(name: String): Unit = if (dbg) {
+      val t1 = System.nanoTime()
+      println(f"[sink-phase] $name ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
 
     // recover manifests staged by a crashed append: a _prev copy with no
     // committed destination is the surviving original — restore it; with
@@ -446,18 +456,43 @@ object EdfSink {
       if (mode == "append") readExisting(spark, driverFs, outPath) else Nil
 
     // channel plan from the parts that actually hold rows (integer
-    // `div`, the same arithmetic executors use) — sample_idx need not
+    // floorDiv, the same arithmetic executors use) — sample_idx need not
     // start at 0, and a planned-but-empty part must never reach the
-    // manifest; bounded by files x channels x parts, never sample volume
+    // manifest; bounded by files x channels x parts, never sample volume.
+    // Hand-rolled per-partition distinct with a last-run key cache
+    // instead of a hash aggregate: the agg hashed two STRINGS per SAMPLE
+    // (measured 7.4 s of the 4 GiB probe's 12 s — the same per-sample
+    // string-keying disease the r16 pack routing removed), while
+    // consecutive rows almost always share their (file, channel, part)
     val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
-    val chanInfo0All: Map[(String, String), (Seq[Long], Double, String)] = samples
-      .select(col("file"), col("channel"), partIdx.as("part"), col("rate"), col("unit"))
-      .groupBy(col("file"), col("channel"), col("part"))
-      .agg(first(col("rate")).as("rate"), first(col("unit")).as("unit"))
-      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3), r.getString(4))))
-      .groupBy(_._1).map { case (k, rows) =>
-        k -> (rows.map(_._2._1).sorted.toSeq, rows.head._2._2, rows.head._2._3)
+    val chanInfo0All: Map[(String, String), (Seq[Long], Double, String)] = {
+      val planRows = samples
+        .select(col("file"), col("channel"), col("sample_idx"), col("rate"), col("unit"))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val seen = new java.util.HashMap[(String, String, Long), (Double, String)]()
+          var lastF: org.apache.spark.unsafe.types.UTF8String = null
+          var lastC: org.apache.spark.unsafe.types.UTF8String = null
+          var lastP = Long.MinValue
+          while (it.hasNext) {
+            val r = it.next()
+            val p = Math.floorDiv(r.getLong(2), maxSamplesPerFile)
+            val f = r.getUTF8String(0); val c = r.getUTF8String(1)
+            if (p != lastP || lastF == null || !f.equals(lastF) || !c.equals(lastC)) {
+              lastF = f.clone(); lastC = c.clone(); lastP = p
+              val k = (lastF.toString, lastC.toString, p)
+              if (!seen.containsKey(k)) seen.put(k, (r.getDouble(3), r.getUTF8String(4).toString))
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          seen.asScala.iterator.map { case (k, v) => (k, v) }
+        }.collect()
+      // partition-local firsts merge keyed; `first(rate)` semantics kept
+      // (any row's rate/unit — they are constant per channel by contract)
+      planRows.groupBy { case ((f, c, _), _) => (f, c) }.map { case (k, rows) =>
+        k -> (rows.map(_._1._3).distinct.sorted.toSeq, rows.head._2._1, rows.head._2._2)
       }
+    }
+    phase("plan_scan")
     val keysAll = chanInfo0All.keys.toSeq.sorted
 
     // append-mode match: incoming (file, channel) -> existing channel
@@ -655,9 +690,11 @@ object EdfSink {
         i -> ((nameMap(k), keyOrd((f, c)), (2e6 / chanInfo((f, c))._2).toLong))
       }.toMap)
     val bKeyToId = spark.sparkContext.broadcast(binIds.toMap)
+    phase("plan_names")
     val dumpDf = packedDump(
       adjusted.select(col("file"), col("channel"), col("sample_idx"), col("ts_us"), col("value")),
       bKeyToId, maxSamplesPerFile)
+    phase("dump_plan")
     // Reduce side: unpack blocks in (bin, first_idx) order, stream values
     // to the bin files through a 64 KiB little-endian buffer, and emit
     // the contiguous-run SEGMENT rows observed — identical bytes and
@@ -870,6 +907,7 @@ object EdfSink {
     val bOrdGap = spark.sparkContext.broadcast(
       keys.map(k => keyOrd(k) -> (2e6 / chanInfo(k)._2).toLong).toMap)
 
+    phase("plan_build")
     allChunks
       .repartition(col("ord"))
       .sortWithinPartitions(col("ord"), col("start_index"))
@@ -987,6 +1025,7 @@ object EdfSink {
         }
       }
 
+    phase("main_job")
     // in append mode a matched-but-empty incoming channel can't occur
     // (chanInfo only lists channels holding rows), but an UNTOUCHED
     // existing channel writes no manifest above — its old file stands.
@@ -999,6 +1038,7 @@ object EdfSink {
     // parse or a collect
     val idxPath = new Path(outPath, "channels.json")
     concatIndex(driverFs, idxPath, plans.map(_.ord).sorted.map(o => new Path(outPath, manifestName(o))))
+    phase("index")
     idxPath.toString
   }
 
