@@ -264,6 +264,46 @@ class EdfSinkSpec extends AnyFunSuite {
     assert(manifest.contains("\"numValues\", \"value\": \"24\""))
   }
 
+  test("packed dump handles adversarial input order: random shuffle == sorted bytes") {
+    // the r16 packed exchange assumes nothing about arrival order: a
+    // randomly re-partitioned sample relation exercises the pack's
+    // flush-time block sort AND the reduce side's overlap heap merge
+    // (blocks of one bin from different partitions interleave in
+    // sample_idx). Output bytes must equal the naturally-ordered write.
+    val tmp = Files.createTempDirectory("edfshuffled")
+    val src = s"$tmp/s.edf"
+    makeEdfC(src, "00.00.00", Seq("C3", "C4"), nRecords = 64)
+    val samples = EdfFile.read(spark, Seq(src))
+    val outA = s"$tmp/ordered"; val outB = s"$tmp/shuffled"
+    EdfSink.write(samples, outA)
+    EdfSink.write(samples.repartition(7, pmod(hash(col("sample_idx")), lit(7))), outB)
+    Seq("C3.ts.bin", "C4.ts.bin", "channel.json", "channel-00001.json").foreach { f =>
+      assert(Files.readAllBytes(Paths.get(s"$outA/$f")).toSeq ==
+        Files.readAllBytes(Paths.get(s"$outB/$f")).toSeq, s"$f: shuffled == ordered")
+    }
+  }
+
+  test("packed dump bounds pack memory on very wide inputs (>MaxOpenBins channels)") {
+    // 300 channels exceed the pack's open-block cap (256): the fullest
+    // block flushes early, blocks fragment, and the reduce-side merge
+    // must still reassemble every channel byte-exactly
+    val tmp = Files.createTempDirectory("edfwide")
+    val src = s"$tmp/wide.edf"
+    val labels = (0 until 300).map(i => f"W$i%03d")
+    makeEdfC(src, "00.00.00", labels, nRecords = 2)
+    val out = s"$tmp/out"
+    EdfSink.write(EdfFile.read(spark, Seq(src)), out)
+    val expected0 = EdfFile.read(spark, Seq(src)).filter(col("channel") === "W000")
+      .orderBy(col("sample_idx")).select(col("value")).collect().map(_.getDouble(0))
+    val got = java.nio.ByteBuffer.wrap(Files.readAllBytes(Paths.get(s"$out/W000.ts.bin")))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val gotVals = Array.fill(expected0.length)(got.getDouble)
+    assert(gotVals.toSeq == expected0.toSeq, "W000 bytes exact through early flushes")
+    assert(Files.size(Paths.get(s"$out/W299.ts.bin")) == 8L * 8, "every channel written")
+    val idx = new String(Files.readAllBytes(Paths.get(s"$out/channels.json")))
+    assert("\"name\"".r.findAllIn(idx).size == 300, "all 300 manifests assembled")
+  }
+
   test("tagged append replay is idempotent: committed channels skip, partial crashes heal") {
     // the at-least-once foreachBatch contract (r15 ADVICE): a replayed
     // batch carries the same replayTag; channels whose manifests already
