@@ -29,22 +29,30 @@ object BaselineProbe {
     files.foreach { f =>
       val bytes = new java.io.File(f).length()
       // two passes: pass 1 carries JVM/JIT/codegen warmup (what a cold
-      // one-shot run pays), pass 2 is the steady-state a long-running
-      // session sees. Both reported; the python reference side has no
-      // JIT so its single pass is its steady state.
+      // one-shot run pays); `sec` = MIN of the passes (the EdfScaleProbe
+      // min-of-2 de-noising convention — at multi-GB output sizes the
+      // SECOND pass can be slower than the first because the first
+      // pass's dirty pages are still flushing, measured 23 s vs 65 s at
+      // 1 GiB). Each pass's output is deleted before the next so the
+      // probe never stacks multi-GB temp dirs. The python reference
+      // side has no JIT so its single pass is its steady state.
+      var outBytes = 0L
+      def walk(x: java.io.File): Long =
+        if (x.isFile) x.length() else Option(x.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      def rmr(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rmr)); x.delete(): Unit
+      }
       val passes = (1 to 2).map { _ =>
         val outDir = java.nio.file.Files.createTempDirectory("graft_baseline_").toString
         val t0 = System.nanoTime()
         EdfPipeline.process(spark, Seq(f), outDir)
-        ((System.nanoTime() - t0) / 1e9, outDir)
+        val sec = (System.nanoTime() - t0) / 1e9
+        outBytes = walk(new java.io.File(outDir))
+        rmr(new java.io.File(outDir))
+        sec
       }
-      val sec = passes.last._1
-      val outBytes = {
-        def walk(x: java.io.File): Long =
-          if (x.isFile) x.length() else Option(x.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-        walk(new java.io.File(passes.last._2))
-      }
-      println(f"""{"engine":"graft (EdfPipeline.process, local[32])","file":"$f","input_bytes":$bytes,"output_bytes":$outBytes,"sec_cold":${passes.head._1}%.3f,"sec":${sec}%.3f,"mb_per_s":${bytes / sec / 1e6}%.3f}""")
+      val sec = passes.min
+      println(f"""{"engine":"graft (EdfPipeline.process, local[32])","file":"$f","input_bytes":$bytes,"output_bytes":$outBytes,"sec_cold":${passes.head}%.3f,"sec":${sec}%.3f,"mb_per_s":${bytes / sec / 1e6}%.3f}""")
     }
     spark.stop()
   }

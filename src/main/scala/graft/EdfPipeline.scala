@@ -28,7 +28,14 @@ object EdfPipeline {
     // process time), so later time-bounded reads prune at PLANNING without
     // any operator remembering to index first
     graft.sources.EdfOnsetIndex.ensure(spark, files)
-    val samples = EdfFile.read(spark, files)
+    // DSv2 source, not EdfFile.read: identical rows (asserted in
+    // EdfDataSourceSpec), but the v2 reader emits InternalRows straight
+    // into the sink's pack loop — the RDD[Row] path paid a per-sample
+    // GenericRow boxing + Catalyst conversion the r16 packed sink made
+    // the dominant remaining cost
+    val samples =
+      if (files.size == 1) spark.read.format("edf").load(files.head)
+      else spark.read.format("edf").load(files: _*)
     EdfSink.write(samples, outDir, mode = mode)
   }
 
