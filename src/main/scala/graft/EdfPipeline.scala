@@ -33,9 +33,8 @@ object EdfPipeline {
     // into the sink's pack loop — the RDD[Row] path paid a per-sample
     // GenericRow boxing + Catalyst conversion the r16 packed sink made
     // the dominant remaining cost
-    val samples =
-      if (files.size == 1) spark.read.format("edf").load(files.head)
-      else spark.read.format("edf").load(files: _*)
+    // varargs load collapses a one-element list to the single-path form
+    val samples = spark.read.format("edf").load(files: _*)
     EdfSink.write(samples, outDir, mode = mode)
   }
 
@@ -90,12 +89,44 @@ object EdfPipeline {
         // same deterministic file set, and the sink skips every channel
         // whose manifest already carries this batch's tag (committed
         // atomically with the merge) instead of tripping its own
-        // non-overlap invariant and wedging the query
+        // non-overlap invariant and wedging the query.
+        //
+        // The tag is keyed by the STREAM's persisted identity, not just
+        // the batch number: batchId alone restarts at 0 for every fresh
+        // checkpoint, so a second stream appending into the same outDir
+        // would collide with the first stream's 'batch 0' tag and
+        // silently SKIP its own new data (review r16). The checkpoint's
+        // metadata id is written by Spark at first start, survives
+        // restarts of the same query (same id on replay — the property
+        // the skip needs), and regenerates when a checkpoint is deleted
+        // or a different one is used (so distinct lineages never share
+        // tags). Read lazily: the metadata file exists once the first
+        // batch runs.
         if (!df.isEmpty)
           EdfSink.write(df, outDir, mode = "append",
-            replayTag = Some(s"stream-batch-$batchId")): Unit
+            replayTag = Some(s"stream-${streamIdentity(df.sparkSession, checkpoint)}-$batchId")): Unit
       }
       .start()
+  }
+
+  /** The stream's durable identity: the query id Spark persists in
+    * `<checkpoint>/metadata` ({"id":"<uuid>"}) — stable across restarts
+    * of the same checkpointed query, fresh for a new/recreated
+    * checkpoint. Falls back to a hash of the checkpoint path if the
+    * metadata is unreadable (never silently empty — the replay-skip
+    * must not collide across lineages).
+    */
+  private[graft] def streamIdentity(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(Integer.toHexString(checkpoint.hashCode))
+    } catch {
+      case _: Exception => Integer.toHexString(checkpoint.hashCode)
+    }
   }
 
   /** CLI: runMain graft.EdfPipeline [--append] <out_dir> <file.edf> [more.edf...] */

@@ -585,8 +585,11 @@ object Multimodal {
       * constant-size samples must not allocate an 8×-container-size
       * Array[Long] — `sizeOf` computes from the constant instead
       * (review r15 ADVICE). `syncSamples` is the stss keyframe table
-      * (1-based sample numbers; empty = no stss box = every sample is
-      * a sync point, the ISO-BMFF default).
+      * (1-based sample numbers). NULL means NO stss box — every sample
+      * is a sync point (the ISO-BMFF absence rule) — while an EMPTY
+      * array is a present stss declaring zero sync samples, the
+      * opposite meaning (ISO 14496-12 §8.6.2; conflating them inverted
+      * hostile empty-stss containers, review r16).
       */
     private[graft] final case class VideoTrack(codec: String, width: Int, height: Int,
         sampleCount: Int, constSize: Long, varSizes: Array[Long],
@@ -614,7 +617,7 @@ object Multimodal {
             var sizes: Array[Long] = null
             var offs: Array[Long] = null
             var runs: Array[(Long, Long)] = null
-            var syncs: Array[Int] = Array.emptyIntArray
+            var syncs: Array[Int] = null  // null = no stss box (all samples sync)
             def stbl(f: Int, to: Int): Unit = boxes(b, f, to) { (t4, f4, t4end) =>
               t4 match {
                 case "stsd" if t4end - f4 >= 16 =>
@@ -715,24 +718,32 @@ object Multimodal {
         }
       }
 
-    override def frames(bytes: Array[Byte], frameBytes: Int,
-                        everyN: Int): Iterator[(Int, Long, Array[Byte])] =
-      videoTrack(bytes).iterator.flatMap { tr =>
-        sampleOffsets(tr).collect {
-          // a hostile co64 entry with the top bit set is a NEGATIVE Long
-          // which would pass a naive `off + size <= length` bound (review
-          // r15 ADVICE) — require off in [0, length - size] explicitly;
-          // sizes are u32-parsed so size >= 0, and off >= 0 keeps the
-          // .toInt casts in range once the upper bound holds
-          case (i, off) if i % math.max(1, everyN) == 0 &&
-            off >= 0 && off <= bytes.length - tr.sizeOf(i) =>
-            (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sizeOf(i)).toInt))
-        }
+    /** Shared demux body: samples passing `keep`, bounds-guarded ONCE so
+      * the next hostile-input hardening cannot fix frames() and silently
+      * miss keyframes() (review r16). A hostile co64 entry with the top
+      * bit set is a NEGATIVE Long which would pass a naive
+      * `off + size <= length` bound (review r15 ADVICE) — require off in
+      * [0, length - size] explicitly; sizes are u32-parsed so size >= 0,
+      * and off >= 0 keeps the .toInt casts in range once the upper bound
+      * holds.
+      */
+    private def demux(bytes: Array[Byte], tr: VideoTrack,
+                      keep: Int => Boolean): Iterator[(Int, Long, Array[Byte])] =
+      sampleOffsets(tr).collect {
+        case (i, off) if keep(i) &&
+          off >= 0 && off <= bytes.length - tr.sizeOf(i) =>
+          (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sizeOf(i)).toInt))
       }
 
-    /** Keyframe-only demux: samples the stss table marks as sync points
-      * (every sample when the container has no stss — the ISO-BMFF
-      * default, since absence means "all samples are sync samples").
+    override def frames(bytes: Array[Byte], frameBytes: Int,
+                        everyN: Int): Iterator[(Int, Long, Array[Byte])] =
+      videoTrack(bytes).iterator.flatMap(tr =>
+        demux(bytes, tr, i => i % math.max(1, everyN) == 0))
+
+    /** Keyframe-only demux: samples the stss table marks as sync points.
+      * ISO-BMFF semantics (14496-12 §8.6.2): NO stss box = every sample
+      * is a sync sample; a PRESENT stss with zero entries = no sync
+      * samples at all — the two must not be conflated (review r16).
       * The scale rationale: a feature pass that needs one decodable
       * frame per shot seeks straight to keyframes instead of demuxing
       * the delta-frame tail it can't decode anyway.
@@ -740,13 +751,9 @@ object Multimodal {
     def keyframes(bytes: Array[Byte]): Iterator[(Int, Long, Array[Byte])] =
       videoTrack(bytes).iterator.flatMap { tr =>
         val sync: Int => Boolean =
-          if (tr.syncSamples.isEmpty) _ => true
+          if (tr.syncSamples == null) _ => true
           else { val s = tr.syncSamples.toSet; i => s.contains(i + 1) }
-        sampleOffsets(tr).collect {
-          case (i, off) if sync(i) &&
-            off >= 0 && off <= bytes.length - tr.sizeOf(i) =>
-            (i, off, java.util.Arrays.copyOfRange(bytes, off.toInt, (off + tr.sizeOf(i)).toInt))
-        }
+        demux(bytes, tr, sync)
       }
 
     override def decodedFrames(bytes: Array[Byte],

@@ -455,16 +455,23 @@ object EdfSink {
     val existing: Seq[ExistingChannel] =
       if (mode == "append") readExisting(spark, driverFs, outPath) else Nil
 
-    // channel plan from the parts that actually hold rows (integer
-    // floorDiv, the same arithmetic executors use) — sample_idx need not
-    // start at 0, and a planned-but-empty part must never reach the
-    // manifest; bounded by files x channels x parts, never sample volume.
+    // channel plan from the parts that actually hold rows (FLOOR
+    // division, the same Math.floorDiv the pack loop resolves with —
+    // SQL's `div` truncates toward zero and would route a negative
+    // sample_idx to a different part than the executors compute,
+    // killing the job with a routing miss; review r16) — sample_idx
+    // need not start at 0, and a planned-but-empty part must never
+    // reach the manifest; bounded by files x channels x parts, never
+    // sample volume.
     // Hand-rolled per-partition distinct with a last-run key cache
     // instead of a hash aggregate: the agg hashed two STRINGS per SAMPLE
     // (measured 7.4 s of the 4 GiB probe's 12 s — the same per-sample
     // string-keying disease the r16 pack routing removed), while
     // consecutive rows almost always share their (file, channel, part)
-    val partIdx = expr(s"sample_idx div ${maxSamplesPerFile}L")
+    // floorDiv as SQL: (a - pmod(a, n)) / n — pmod is always >= 0, so
+    // the numerator is an exact non-positive-remainder multiple of n
+    val partIdx =
+      expr(s"(sample_idx - pmod(sample_idx, ${maxSamplesPerFile}L)) div ${maxSamplesPerFile}L")
     val chanInfo0All: Map[(String, String), (Seq[Long], Double, String)] = {
       val planRows = samples
         .select(col("file"), col("channel"), col("sample_idx"), col("rate"), col("unit"))
@@ -804,11 +811,26 @@ object EdfSink {
           // heap merge for overlapping same-bin blocks: admits every
           // block whose first_idx precedes the frontier, so the emitted
           // sample order equals the old full sort's whatever the
-          // cross-partition interleaving; O(open cursors) memory
-          private def runMerge(c0: Cursor): Unit = {
-            heap.add(c0)
-            while (!heap.isEmpty) {
+          // cross-partition interleaving. RESUMABLE (one sample per
+          // step-loop iteration, like the pre-packed per-row writer):
+          // a merge group spanning a gap-heavy bin must hand its
+          // segment rows to the consumer as they arise, never buffer
+          // them for the whole group (review r16). Memory is bounded by
+          // MaxMergeCursors open blocks — the packed path trades the
+          // old spillable sort's tolerance of UNBOUNDED disorder for a
+          // ~4M-sample interleaving window; input more disordered than
+          // that is refused loudly with the remedy named.
+          private val MaxMergeCursors = 1024
+          private var merging = false
+          private def mergeStep(): Unit = {
+            while (pending.isEmpty && !heap.isEmpty) {
               while (peek() && nBin == current && nFirst <= heap.peek().curIdx) {
+                if (heap.size() >= MaxMergeCursors)
+                  throw new IllegalStateException(
+                    s"packed sink merge window exceeded ($MaxMergeCursors overlapping blocks in one " +
+                      "channel bin) — the input is pathologically disordered across partitions; " +
+                      "sortWithinPartitions(file, channel, sample_idx) (or repartition by channel) " +
+                      "before EdfSink.write")
                 heap.add(new Cursor(nFirst, nIdx, nTs, nVal)); peeked = false
               }
               val c = heap.poll()
@@ -816,22 +838,27 @@ object EdfSink {
               c.pos += 1
               if (c.pos < c.len) heap.add(c)
             }
+            if (heap.isEmpty) merging = false
           }
           private def pump(): Unit = {
-            while (pending.isEmpty && peek()) {
-              val (bin, first, idxA, tsA, valA) = (nBin, nFirst, nIdx, nTs, nVal)
-              peeked = false
-              if (bin != current) { emitSeg(); closeBin(); openBin(bin) }
-              val n = valA.length
-              val lastIdx = if (idxA == null) first + n - 1 else idxA(n - 1)
-              if (peek() && nBin == bin && nFirst <= lastIdx) {
-                runMerge(new Cursor(first, idxA, tsA, valA))
-              } else {
-                var i = 0
-                if (idxA == null) {
-                  while (i < n) { consume(first + i, tsA(i), valA(i)); i += 1 }
+            while (pending.isEmpty && (merging || peek())) {
+              if (merging) mergeStep()
+              else {
+                val (bin, first, idxA, tsA, valA) = (nBin, nFirst, nIdx, nTs, nVal)
+                peeked = false
+                if (bin != current) { emitSeg(); closeBin(); openBin(bin) }
+                val n = valA.length
+                val lastIdx = if (idxA == null) first + n - 1 else idxA(n - 1)
+                if (peek() && nBin == bin && nFirst <= lastIdx) {
+                  heap.add(new Cursor(first, idxA, tsA, valA))
+                  merging = true
                 } else {
-                  while (i < n) { consume(idxA(i), tsA(i), valA(i)); i += 1 }
+                  var i = 0
+                  if (idxA == null) {
+                    while (i < n) { consume(first + i, tsA(i), valA(i)); i += 1 }
+                  } else {
+                    while (i < n) { consume(idxA(i), tsA(i), valA(i)); i += 1 }
+                  }
                 }
               }
             }

@@ -283,6 +283,25 @@ class EdfSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("negative sample_idx routes consistently: plan floorDiv == pack floorDiv") {
+    // write() accepts arbitrary sample relations; SQL `div` truncates
+    // toward zero while the pack loop floor-divides — review r16 found
+    // the plan and executors disagreeing on which part a NEGATIVE
+    // sample_idx belongs to (a loud routing-miss job failure). The plan
+    // expression is now floor semantics too.
+    import org.apache.spark.sql.Row
+    val rows = (-5L to 5L).map(i =>
+      Row("f.edf", 0, "NC", "uV", 4.0, 0L, i, 1577836800000000L + i * 250000L, i.toDouble))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), EdfFile.sampleSchema)
+    val out = Files.createTempDirectory("edfnegidx").toString
+    EdfSink.write(df, out, maxSamplesPerFile = 4) // parts -2..1 under floorDiv
+    val parts = new java.io.File(out).listFiles().map(_.getName).filter(_.endsWith(".ts.bin")).sorted
+    assert(parts.length == 4, s"floorDiv parts all planned and written: ${parts.toSeq}")
+    val total = parts.map(p => Files.size(Paths.get(s"$out/$p"))).sum
+    assert(total == 11L * 8, "all 11 samples landed")
+  }
+
   test("packed dump bounds pack memory on very wide inputs (>MaxOpenBins channels)") {
     // 300 channels exceed the pack's open-block cap (256): the fullest
     // block flushes early, blocks fragment, and the reduce-side merge

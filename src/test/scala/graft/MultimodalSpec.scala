@@ -685,6 +685,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(kf.map(_._3.toSeq) == Seq(samples(0).toSeq, samples(2).toSeq), "payloads byte-exact")
     // full demux is unaffected by the presence of stss
     assert(Mp4VideoDecoder.frames(withStss, 0, 1).map(_._1).toSeq == Seq(0, 1, 2))
+    // a PRESENT stss with ZERO entries means NO sync samples — the
+    // opposite of no-stss (ISO 14496-12 §8.6.2; review r16 found the
+    // two conflated, which inverted hostile empty-stss containers)
+    assert(Mp4VideoDecoder.keyframes(mp4WithStss(Seq.empty)).isEmpty,
+      "empty stss = zero keyframes, not all")
   }
 
   test("ContainerVideoDecoder sniffs AVI / Y4M / MP4 / unknown per payload") {

@@ -522,6 +522,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("distinct stream lineages never skip each other's batches (tag carries stream identity)") {
+    // review r16: a tag of just 'batch-N' collides across checkpoints —
+    // a SECOND stream (fresh checkpoint, its own watch dir) appending to
+    // the same outDir starts at batchId 0 too, matched channels would
+    // carry the first stream's 'batch 0' tag, and its genuinely new
+    // data would be silently skipped. The tag now embeds the
+    // checkpoint-persisted query id, so lineage B's batch 0 appends.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("edflineage")
+    val dirA = Files.createDirectory(tmp.resolve("watchA"))
+    val dirB = Files.createDirectory(tmp.resolve("watchB"))
+    val out = tmp.resolve("out").toString
+    val s1 = s"$tmp/s1.edf"; val s2 = s"$tmp/s2.edf"
+    makeEdfC(s1, "00.00.00", Seq("C3", "C4"))
+    makeEdfC(s2, "01.00.00", Seq("C3", "C4"))
+    Files.copy(Paths.get(s1), dirA.resolve("s1.edf"))
+    EdfPipeline.processStream(spark, Seq(dirA.toString), out,
+      tmp.resolve("ckptA").toString, Trigger.AvailableNow()).awaitTermination()
+    Files.copy(Paths.get(s2), dirB.resolve("s2.edf"))
+    EdfPipeline.processStream(spark, Seq(dirB.toString), out,
+      tmp.resolve("ckptB").toString, Trigger.AvailableNow()).awaitTermination()
+    val c3 = new String(Files.readAllBytes(Paths.get(s"$out/channel.json")))
+    assert(c3.contains("\"numValues\", \"value\": \"24\""),
+      s"lineage B's batch 0 appended (not skipped on a colliding tag): $c3")
+    assert(Files.exists(Paths.get(s"$out/C3-g01-part00000.ts.bin")), "B's generation binary landed")
+  }
+
   test("A13b: streamed EDF+D files get onset sidecars, written in executor tasks") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.Trigger

@@ -68,13 +68,22 @@ def main(sf_dir, out_dir, exclude=()):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--exclude")]
-    excl = ()
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    args, excl, i = [], (), 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--exclude="):
             excl = tuple(x for x in a.split("=", 1)[1].split(",") if x)
         elif a == "--exclude":
-            i = sys.argv.index(a)
-            excl = tuple(x for x in sys.argv[i + 1].split(",") if x)
-            args.remove(sys.argv[i + 1])
+            if i + 1 >= len(argv):
+                sys.exit("usage: check_oracle.py <sfDir> <outDir> [--exclude a,b]")
+            excl = tuple(x for x in argv[i + 1].split(",") if x)
+            i += 1
+        elif a.startswith("--"):
+            sys.exit(f"unknown flag {a!r}; usage: check_oracle.py <sfDir> <outDir> [--exclude a,b]")
+        else:
+            args.append(a)
+        i += 1
+    if len(args) != 2:
+        sys.exit("usage: check_oracle.py <sfDir> <outDir> [--exclude a,b]")
     sys.exit(main(args[0], args[1], excl))
