@@ -112,20 +112,35 @@ object EdfPipeline {
   /** The stream's durable identity: the query id Spark persists in
     * `<checkpoint>/metadata` ({"id":"<uuid>"}) — stable across restarts
     * of the same checkpointed query, fresh for a new/recreated
-    * checkpoint. Falls back to a hash of the checkpoint path if the
-    * metadata is unreadable (never silently empty — the replay-skip
-    * must not collide across lineages).
+    * checkpoint.
+    *
+    * Failure posture (review r16 ADVICE): only a MISSING metadata file
+    * falls back to a hash of the checkpoint path (a fresh checkpoint
+    * whose first batch hasn't persisted it yet — still lineage-distinct,
+    * since distinct lineages use distinct checkpoint paths). A metadata
+    * file that EXISTS but cannot be read or parsed fails loudly instead:
+    * two lineages reusing one checkpoint path under a transient read
+    * error would otherwise both land on the path hash, collide their
+    * replay tags, and silently skip the second lineage's batch-0 data —
+    * the exact bug class the identity tag exists to prevent.
     */
   private[graft] def streamIdentity(spark: SparkSession, checkpoint: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
-    try {
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        .getOrElse(Integer.toHexString(checkpoint.hashCode))
-    } catch {
-      case _: Exception => Integer.toHexString(checkpoint.hashCode)
+    val txt =
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fs.open(p)
+        Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+      } catch {
+        case _: java.io.FileNotFoundException => None
+      }
+    txt match {
+      case None => Integer.toHexString(checkpoint.hashCode)
+      case Some(t) =>
+        """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(t).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(
+            s"checkpoint metadata $p exists but carries no query id — refusing to derive a " +
+              "replay tag that could collide across stream lineages"))
     }
   }
 

@@ -263,6 +263,43 @@ object EdfScaleProbe {
     println(s"""{"probe":"sink_write","sec":$skSec,"passes":[${skSecs.mkString(", ")}],""" +
       s""""bytes_written":$written,"mib_per_sec":${written / 1048576.0 / skSec},""" +
       s""""manifest":"$manifest"}""")
+
+    // ---- A14 sink over EDF+D at probe scale (r16 verdict #7): the 4 GiB
+    // sink probe is EDF+C (one chunk per channel); this drives the GAPPY
+    // probe_d file through the same packed path and holds the resulting
+    // chunk manifests to the generator's ANALYTIC segment layout — a 2h
+    // gap every segRecs records means channel c's manifest must carry
+    // exactly ceil(dRec/segRecs) chunks, chunk k at stored index
+    // k*segRecs*samplesPerRec with start ts offset k*(segRecs+7200)s.
+    val outDirD = s"$work/sink_out_d"
+    val dT0 = System.nanoTime()
+    graft.sources.EdfSink.write(read(edfD), outDirD)
+    val dSec = (System.nanoTime() - dT0) / 1e9
+    val dWritten = new java.io.File(outDirD).listFiles().map(_.length()).sum
+    val expSegs = math.ceil(dRec.toDouble / segRecs).toInt
+    var chunkErrs = 0L
+    var checkedChunks = 0L
+    (0 until dSig).foreach { ord =>
+      val mName = if (ord == 0) "channel.json" else f"channel-$ord%05d.json"
+      val m = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$outDirD/$mName")), java.nio.charset.StandardCharsets.UTF_8)
+      val entries = """\{"index": (\d+), "start": (\d+)\}""".r.findAllMatchIn(m)
+        .map(x => (x.group(1).toLong, x.group(2).toLong)).toSeq
+      if (entries.size != expSegs) chunkErrs += 1
+      entries.zipWithIndex.foreach { case ((idx, startTs), k) =>
+        checkedChunks += 1
+        val expIdx = k.toLong * segRecs * samplesPerRec
+        val expTs = dStartUs + k.toLong * (segRecs + 7200L) * 1000000L
+        if (idx != expIdx || startTs != expTs) chunkErrs += 1
+      }
+      if (!m.contains(s""""numValues", "value": "${dRec.toLong * samplesPerRec}""""))
+        chunkErrs += 1
+    }
+    println(s"""{"probe":"sink_write_edfd","sec":$dSec,"bytes_written":$dWritten,""" +
+      s""""mib_per_sec":${dWritten / 1048576.0 / dSec},"channels":$dSig,""" +
+      s""""expected_chunks_per_channel":$expSegs,"chunks_checked":$checkedChunks,""" +
+      s""""chunk_mismatches":$chunkErrs}""")
+    require(chunkErrs == 0, s"EDF+D packed-sink chunk manifests diverged ($chunkErrs mismatches)")
     spark.stop()
   }
 }

@@ -12,12 +12,36 @@ import org.apache.spark.sql.SparkSession
   * coalescing from a high initial value).
   */
 object GraftSession {
-  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession
+  /** `SPARK_GRAFT_MASTER` overrides every caller's master — the lever
+    * that re-runs the whole spec suite under `local-cluster[n,c,mem]`
+    * (real multi-JVM executors: broadcasts, shuffle rows, and
+    * TypedImperativeAggregate buffers actually serialize across process
+    * boundaries — the one execution axis plain local[n] never exercises).
+    * local-cluster workers fork executor JVMs that need the caller's
+    * classpath (test classes included) and the JDK-17 module opens,
+    * neither of which spark-submit is around to inject.
+    */
+  def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_MASTER", master)
+    val b = SparkSession
       .builder()
       .withExtensions(new graft.functions.GraftExtensions)
-      .master(master)
+      .master(m)
       .appName("graft")
+    if (m.startsWith("local-cluster")) {
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", opens): Unit
+    }
+    b
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -31,6 +55,7 @@ object GraftSession {
       // cardinality from metadata instead of a plan-build-time scan
       .config("spark.sql.cbo.planStats.enabled", "true")
       .config("spark.ui.enabled", "false")
+  }
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()

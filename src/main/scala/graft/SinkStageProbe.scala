@@ -66,15 +66,13 @@ object SinkStageProbe {
     drain("twocol_aqe")(twoCol
       .repartition(col("_bin_id"))
       .sortWithinPartitions(col("_bin_id"), col("sample_idx")))
-    // r16 record-packed path, stage by stage: pack only (map side, no
-    // exchange, routing resolved inside the pack loop), then the full
-    // packed shuffle+sort — block cardinality
-    val bKeyToId = spark.sparkContext.broadcast(
-      keys.map { case (k, i) => k -> i }.toMap)
-    val fiveCol = slice.select(col("file"), col("channel"),
-      col("sample_idx"), col("ts_us"), col("value"))
-    drain("pack_only")(graft.sources.EdfSink.packedBlocks(fiveCol, bKeyToId, maxSamples))
-    drain("packed_drain")(graft.sources.EdfSink.packedDump(fiveCol, bKeyToId, maxSamples))
+    // r17 record-packed path, stage by stage: pack only (map side, no
+    // exchange, routing + discovery resolved inside the pack loop), then
+    // the full packed shuffle+sort — block cardinality
+    val sevenCol = slice.select(col("file"), col("channel"),
+      col("sample_idx"), col("ts_us"), col("value"), col("rate"), col("unit"))
+    drain("pack_only")(graft.sources.EdfSink.packedBlocksProbe(sevenCol, maxSamples))
+    drain("packed_drain")(graft.sources.EdfSink.packedDumpProbe(sevenCol, maxSamples))
     drain("twocol_aqe_again")(twoCol
       .repartition(col("_bin_id"))
       .sortWithinPartitions(col("_bin_id"), col("sample_idx")))

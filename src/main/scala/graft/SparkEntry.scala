@@ -250,7 +250,7 @@ object SparkEntry {
     "sample_weighted"    -> q(Sampling.sampleWeighted(_)),
     "dedup_clusters"     -> q(Dedup.dedupClusters(_)),
     "mix_plan"           -> q(Sampling.mixPlan(_)),
-    "kmeans"             -> q(Similarity.kmeans(_)),  // rows-only: iterative refinement has no SQL oracle
+    "kmeans"             -> q(Similarity.kmeans(_)),  // oracle: SQL-unrolled training loop (kmeansOracle)
     "corpus_stats"       -> q(TextAnalysis.corpusStats),
     "knn_graph"          -> q(Similarity.knnGraph(_)),
     "knn_graph_lsh"      -> q(Similarity.knnGraphLsh(_)),
@@ -298,7 +298,7 @@ object SparkEntry {
     "ts_xcorr_lag"       -> q(TimeSeries.tsXcorrLag(_)),
     "curate"             -> q(TextAnalysis.curate(_)),
     "mix_apply"          -> q(Sampling.mixApply(_)),
-    "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // rows-only: learned centroids have no SQL oracle
+    "ann_ivf_kmeans"     -> q(Similarity.annIvfKmeans(_)),  // oracle: SQL-unrolled centroid training
     "funnel"             -> q(EventAnalytics.funnel(_)),
     "retention"          -> q(EventAnalytics.retention),
     "grouping_sets"      -> q(Analytics.groupingSets),
@@ -399,10 +399,78 @@ object SparkEntry {
              FROM s)
        SELECT q_id, rk, vec_id, sim FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
 
+  /** Exact cosine between two list columns in DuckDB SQL — the same
+    * left-to-right double accumulation over float elements as the
+    * graft_cosine kernel (Kernels.cosineF), so values agree bit-for-bit.
+    */
+  private def cosSql(e: String, c: String): String =
+    s"(list_sum(list_transform(generate_series(1,len($e)), i -> CAST($e[i] AS DOUBLE)*CAST($c[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform(generate_series(1,len($e)), i -> CAST($e[i] AS DOUBLE)*CAST($e[i] AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform(generate_series(1,len($c)), i -> CAST($c[i] AS DOUBLE)*CAST($c[i] AS DOUBLE))))))"
+
+  /** SQL-UNROLLED k-means (r16 verdict #8): the training loop
+    * (Similarity.kmeansCentroids) is deterministic — first-k init in
+    * vec_id order, a fixed iteration count, argmax-cosine assignment
+    * with first-position tie-break, float32-rounded per-cell means,
+    * empty cells keeping their previous centroid — so each iteration
+    * unrolls into two CTEs (assign against cent{i-1}; mean into cent{i})
+    * and DuckDB can mirror the whole refinement. Float32 rounding of
+    * the means (CAST AS REAL) absorbs cross-engine summation-order ulps,
+    * the same way the 4-decimal sim rounding does for scores.
+    */
+  private def kmeansCentroidCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""cent0 AS (
+         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_id, embedding AS cent
+         FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) ik)"""
+    val steps = (1 to iters).map { it =>
+      s"""asg$it AS (SELECT vec_id, cell_id FROM (
+           SELECT e.vec_id, c.cell_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cell_id) AS rk
+           FROM embeddings e, cent${it - 1} c) s WHERE rk = 1),
+       upd$it AS (SELECT cell_id, list(mr ORDER BY pos) AS cent FROM (
+           SELECT cell_id, pos, CAST(avg(v) AS REAL) AS mr FROM (
+             SELECT a.cell_id, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+                    generate_subscripts(e.embedding, 1) AS pos
+             FROM asg$it a JOIN embeddings e USING (vec_id)) ex
+           GROUP BY cell_id, pos) mm GROUP BY cell_id),
+       cent$it AS (SELECT p.cell_id, COALESCE(u.cent, p.cent) AS cent
+           FROM cent${it - 1} p LEFT JOIN upd$it u ON p.cell_id = u.cell_id)"""
+    }
+    (init +: steps).mkString(",\n       ")
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCentroidCtes(k, iters)},
+       asgF AS (SELECT vec_id, cell_id FROM (
+           SELECT e.vec_id, c.cell_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cell_id) AS rk
+           FROM embeddings e, cent$iters c) s WHERE rk = 1)
+       SELECT e.vec_id, e.label, a.cell_id,
+              floor((${cosSql("e.embedding", "c.cent")})*10000.0 + 0.5)/10000.0 AS sim_to_centroid
+       FROM embeddings e JOIN asgF a USING (vec_id) JOIN cent$iters c ON a.cell_id = c.cell_id
+       ORDER BY e.vec_id"""
+
+  private def annIvfKmeansOracle(nCells: Int, iters: Int, nProbe: Int, k: Int): String =
+    s"""WITH ${kmeansCentroidCtes(nCells, iters)},
+       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       assigned AS (SELECT vec_id, embedding, cell_id FROM (
+           SELECT e.vec_id, e.embedding, c.cell_id,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.embedding", "c.cent")} DESC, c.cell_id) AS rk
+           FROM embeddings e, cent$iters c) s WHERE rk = 1),
+       qcells AS (SELECT cell_id FROM (
+           SELECT c.cell_id, ${cosSql("c.cent", "qe")} AS qs FROM cent$iters c, q) s
+         ORDER BY qs DESC, cell_id LIMIT $nProbe)
+       SELECT vec_id, floor((${cosSql("embedding", "qe")})*10000.0 + 0.5)/10000.0 AS sim
+       FROM assigned JOIN qcells USING (cell_id), q
+       WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT $k"""
+
   /** DuckDB-runnable oracle SQL, one per queries key (same aliases, same
     * rounding, same ORDER BY — see SURVEY.md §6).
     */
   def oracleSql: Map[String, String] = Map(
+    "kmeans" -> kmeansOracle(k = 8, iters = 5),
+    "ann_ivf_kmeans" -> annIvfKmeansOracle(nCells = 16, iters = 3, nProbe = 4, k = 10),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,

@@ -1099,6 +1099,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
       (es: Seq[Expression]) => BloomFilterMightContain(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.EdfIngestStrategy)
     // D6: opt-in count(DISTINCT) -> graft_hll sketch rewrite (off unless
     // spark.graft.approxDistinct=true; see ApproxDistinctRewrite)
     ext.injectOptimizerRule(session => graft.plans.ApproxDistinctRewrite(session))
@@ -1148,42 +1149,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // drains every landed-but-unprocessed EDF file (AvailableNow — the
     // reference's one-shot loop), appends it into the output contract via
     // the replay-safe streaming sink, and returns the resulting channel
-    // manifest as rows. Deliberately SIDE-EFFECTING at resolution, like a
-    // stored procedure: the args parameterize a task run, and the
-    // returned relation is that run's committed output. Re-running the
-    // statement with the same checkpoint ingests only newly landed files.
-    injectTvf("graft_edf_ingest") { es =>
-      val spark = org.apache.spark.sql.SparkSession.active
-      val watch = litString(es(0), "watch dir")
-      val out = litString(es(1), "out dir")
-      val ckpt = if (es.size > 2) litString(es(2), "checkpoint dir") else s"$out/_checkpoint"
-      // the drain runs on a CHILD session: this builder executes while
-      // the analyzer holds the invoking session's SessionCatalog
-      // monitor, and the micro-batch thread must resolve ITS plans
-      // (sink expressions, manifest reads) against a catalog too —
-      // same catalog would deadlock (observed: awaitTermination parked
-      // under lookupFunction's lock while the stream thread waits on
-      // it). The child session has its own catalog/registry, shares
-      // the SparkContext, and inherits the session confs copied below.
-      val child = spark.newSession()
-      spark.conf.getAll.foreach { case (k, v) =>
-        scala.util.Try(child.conf.set(k, v)): Unit
-      }
-      graft.EdfPipeline.processStream(child, Seq(watch), out, ckpt).awaitTermination()
-      val idx = new org.apache.hadoop.fs.Path(out, "channels.json")
-      val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("start", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("end", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("unit", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("rate", org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("type", org.apache.spark.sql.types.StringType)))
-      if (!fs.exists(idx)) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).option("multiLine", true).json(idx.toString)
-        .orderBy(org.apache.spark.sql.functions.col("start"), org.apache.spark.sql.functions.col("name"))
-    }
+    // index as rows. The drain is DEFERRED to execution: analysis only
+    // places [[graft.plans.EdfIngestPlan]], so EXPLAIN / schema
+    // inspection / re-analysis stay side-effect free; semantics,
+    // checkpoint default, and idempotent re-run are documented on that
+    // plan (review r16 ADVICE).
+    ext.injectTableFunction((FunctionIdentifier("graft_edf_ingest"),
+      new ExpressionInfo("graft.functions.GraftExtensions", "graft_edf_ingest"),
+      (es: Seq[Expression]) => {
+        val out = litString(es(1), "out dir")
+        graft.plans.EdfIngestPlan(litString(es(0), "watch dir"), out,
+          if (es.size > 2) litString(es(2), "checkpoint dir") else s"$out/_checkpoint")
+      }))
   }
 }
 

@@ -72,26 +72,16 @@ object EdfSink {
     * the dump's sort had already established (the probe-measured 5 MiB/s
     * sink floor).
     *
-    * Segment rows are chunk-cardinality, never sample-cardinality:
-    * (ord, start_index, start_ts, end_ts, n, is_new, gap_before).
-    * `gap_before` = false marks a part's FIRST segment, whose
-    * continuity with the previous part is unknown to the writing task;
-    * the manifest assembly (which receives each channel's segments
-    * sorted by start_index) merges such a segment into its predecessor
-    * when the seam shows no gap. Chunk stats (end_ts, n) come from the
-    * rows actually streamed, so filtered/non-dense sample_idx input
-    * yields self-consistent manifests — a missing index is a chunk
-    * boundary only if it leaves a real time gap.
+    * Segment rows are chunk-cardinality, never sample-cardinality (see
+    * [[discSegSchema]]). `gap_before` = false marks a part's FIRST
+    * segment, whose continuity with the previous part is unknown to the
+    * writing task; the manifest assembly (which receives each channel's
+    * segments sorted by start_index) merges such a segment into its
+    * predecessor when the seam shows no gap. Chunk stats (end_ts, n)
+    * come from the rows actually streamed, so filtered/non-dense
+    * sample_idx input yields self-consistent manifests — a missing
+    * index is a chunk boundary only if it leaves a real time gap.
     */
-  private val segSchema = StructType(Seq(
-    StructField("ord", IntegerType, nullable = false),
-    StructField("start_index", LongType, nullable = false),
-    StructField("start_ts", LongType, nullable = false),
-    StructField("end_ts", LongType, nullable = true),
-    StructField("n", LongType, nullable = true),
-    StructField("is_new", BooleanType, nullable = false),
-    StructField("gap_before", BooleanType, nullable = false)))
-
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -163,19 +153,6 @@ object EdfSink {
   private def manifestName(ord: Int): String =
     if (ord == 0) "channel.json" else f"channel-$ord%05d.json"
 
-  /** One output channel's write plan, broadcast to the manifest tasks. */
-  private case class ChannelPlan(
-      ord: Int,
-      name: String,
-      unit: String,
-      rate: Double,
-      chanType: String,
-      binaryFiles: Seq[String],  // existing parts first, then new, concat order
-      exNumValues: Long,         // 0 for new channels
-      exStart: Option[Long],
-      exEnd: Option[Long],
-      appendTag: Option[String]) // replay provenance, committed WITH the manifest
-
   /** An existing channel parsed (driver-side, chunk-free) from its
     * committed manifest file.
     */
@@ -197,10 +174,6 @@ object EdfSink {
     StructField("rate", DoubleType), StructField("type", StringType),
     StructField("properties", ArrayType(StructType(Seq(
       StructField("key", StringType), StructField("value", StringType)))))))
-
-  private val chunkArraySchema = StructType(Seq(
-    StructField("contiguousChunks", ArrayType(StructType(Seq(
-      StructField("index", LongType), StructField("start", LongType)))))))
 
   /** Parse the destination's committed manifests (ordinal order) WITHOUT
     * their chunk arrays — driver state stays channel-cardinality however
@@ -245,88 +218,88 @@ object EdfSink {
         ex.chanType.toLowerCase.trim == chanType.toLowerCase.trim &&
         math.abs(1.0 - rate / ex.rate) < 0.02)
 
-  /** Write the binary + manifest output for a sample DataFrame
-    * (schema = EdfFile.sampleSchema). Returns the manifest path.
+  /** The record-packed block relation for a raw sample projection
+    * `(file, channel, sample_idx, ts_us, value, rate, unit)`:
+    * map-side PACK into per-(file, channel, part) blocks of up to
+    * [[PackBlock]] samples. Routing state (append match -> sample_idx
+    * shift, replay-tag skip) is resolved INSIDE the pack loop from the
+    * broadcast existing-channel set with a last-run cache, so the sink
+    * plans nothing from a separate data scan: the r16 design decoded
+    * every sample TWICE (a plan scan to discover (file, channel, part)
+    * keys, then the pack) and the plan scan had become the measured
+    * ceiling — 4.5 s of the 4 GiB probe's 5.2 s wall (r16 verdict #1).
+    * Discovery now rides the pack itself: each reduce task reports the
+    * bins it actually wrote, and the driver reconciles names/ordinals
+    * at commit time (channel-cardinality work, zero extra sample I/O).
     *
-    * Chunk stats (start/end ts, counts) are derived from the rows
-    * actually streamed, so FILTERED input (artifact-removed samples,
-    * value-thresholded slices — sample_idx with mid-stream holes) yields
-    * self-consistent manifests: a missing index opens a new chunk only
-    * when it leaves a time gap > 2 sampling periods, exactly the
-    * reference's gap rule over the surviving samples.
-    *
-    * `maxSamplesPerFile` bounds how much of one channel a single task
-    * owns: channels larger than the bound are range-partitioned on
-    * sample_idx into numbered part files (`<name>-part00001.ts.bin` …),
-    * so a 30 M-sample reference chunk — or a 100 GB channel — writes with
-    * full parallelism instead of through one task. Concatenating the
-    * parts in order reproduces the single-file byte stream.
-    *
-    * `mode` is "overwrite" (default; destination pre-cleaned) or
-    * "append" (reference append mode, see object doc).
-    */
-
-  /** The record-packed sorted dump relation for a routed projection
-    * (`_bin_id int, sample_idx long, ts_us long, value double`):
-    * map-side PACK into per-bin blocks of up to [[PackBlock]] samples,
-    * then ONE hash exchange + block-cardinality sort on
-    * (bin, first_idx). Factored out of [[write]] so the stage probes
-    * can time the exact physical plan the sink executes.
+    * Consecutive samples almost always share their key (the EDF reader
+    * emits per-(record, channel) runs), so the pack caches the last key
+    * and resolves it with two memcmps + one floorDiv per row, falling
+    * back to the broadcast match only on run boundaries.
     */
   private[graft] val PackBlock = 4096
   private[graft] val MaxOpenBins = 256 // bound pack memory on very wide inputs
   private[graft] val packSchema = StructType(Seq(
-    StructField("_bin_id", IntegerType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("channel", StringType, nullable = false),
+    StructField("part", LongType, nullable = false),
     StructField("first_idx", LongType, nullable = false),
     StructField("idxs", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("tss", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
-  /** Map-side pack only (no exchange) — the block relation pre-shuffle.
-    *
-    * Input is the RAW sample projection `(file string, channel string,
-    * sample_idx long, ts_us long, value double)`; the (file, channel,
-    * part) → bin-id routing happens HERE, inside the pack loop, instead
-    * of a per-sample broadcast hash join: the r16 stage probe measured
-    * the join + re-projection at ~10 s of the 4 GiB fixture's ~22 s
-    * drain — hashing two strings and copying them through an
-    * UnsafeProjection once per SAMPLE. Consecutive samples almost always
-    * share their key (the EDF reader emits per-(record, channel) runs),
-    * so the pack caches the last key and resolves it with two memcmps +
-    * one floorDiv per row, falling back to the broadcast map only on
-    * run boundaries. A key miss is still the loud routing error.
-    */
-  private[graft] def packedBlocks(projected: DataFrame,
-      keyToId: org.apache.spark.broadcast.Broadcast[Map[(String, String, Long), Int]],
+    StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("rate", DoubleType, nullable = false),
+    StructField("unit", StringType, nullable = false)))
+
+  private def packedBlocks(projected: DataFrame,
+      bExisting: org.apache.spark.broadcast.Broadcast[Seq[ExistingChannel]],
+      bExOffsets: org.apache.spark.broadcast.Broadcast[Map[Int, Long]],
+      replayTag: Option[String],
       maxSamplesPerFile: Long): DataFrame = {
     val spark = projected.sparkSession
     val packedRdd = projected.queryExecution.toRdd.mapPartitions { it =>
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
-        final class PackBuf {
+        import org.apache.spark.unsafe.types.UTF8String
+        final class PackBuf(val rate: Double, val unit: String) {
           val idx = new Array[Long](PackBlock)
           val ts = new Array[Long](PackBlock)
           val value = new Array[Double](PackBlock)
           var n = 0
         }
-        val open = new java.util.HashMap[Integer, PackBuf]()
-        val routes = keyToId.value
-        // run cache: last (file, channel, part) -> bin id
-        var lastFile: org.apache.spark.unsafe.types.UTF8String = null
-        var lastChan: org.apache.spark.unsafe.types.UTF8String = null
+        val open = new java.util.HashMap[(String, String, Long), PackBuf]()
+        val existing = bExisting.value
+        val exOff = bExOffsets.value
+        // per-(file, channel) route memo: (sample_idx shift, replay skip).
+        // The append match is the same deterministic matchExisting the
+        // driver reconcile re-applies to the discovered keys.
+        val routeMemo = new java.util.HashMap[(String, String), (Long, Boolean)]()
+        // run cache: last (file, channel) -> route, last part -> key tuple
+        var lastFile: UTF8String = null
+        var lastChan: UTF8String = null
+        var lastFileStr: String = null
+        var lastChanStr: String = null
+        var lastOff = 0L
+        var lastSkip = false
         var lastPart = Long.MinValue
-        var lastId = -1
-        def resolve(f: org.apache.spark.unsafe.types.UTF8String,
-                    c: org.apache.spark.unsafe.types.UTF8String, part: Long): Int = {
-          if (part == lastPart && lastFile != null && f.equals(lastFile) && c.equals(lastChan))
-            return lastId
-          val id = routes.getOrElse((f.toString, c.toString, part),
-            throw new IllegalStateException(
-              "sample matched no planned (file, channel, part) bin — routing plan incomplete"))
+        var lastKey: (String, String, Long) = null
+        def newRun(f: UTF8String, c: UTF8String, rate: Double): Unit = {
           // clone: the UTF8Strings point into the scan's reused row buffer
-          lastFile = f.clone(); lastChan = c.clone(); lastPart = part; lastId = id
-          id
+          lastFile = f.clone(); lastChan = c.clone()
+          lastFileStr = lastFile.toString; lastChanStr = lastChan.toString
+          val mk = (lastFileStr, lastChanStr)
+          var r = routeMemo.get(mk)
+          if (r == null) {
+            r = matchExisting(existing, lastChanStr, rate, "CONTINUOUS") match {
+              case Some(ex) =>
+                (exOff.getOrElse(ex.ord, 0L), replayTag.exists(t => ex.appendTag.contains(t)))
+              case None => (0L, false)
+            }
+            routeMemo.put(mk, r)
+          }
+          lastOff = r._1; lastSkip = r._2
+          lastPart = Long.MinValue; lastKey = null
         }
-        def emit(id: Int, b: PackBuf): InternalRow = {
+        def emit(key: (String, String, Long), b: PackBuf): InternalRow = {
           val n = b.n
           // ascending check; a non-EDF-ordered arrival sorts its block
           var sorted = true; var dense = true
@@ -349,12 +322,16 @@ object EdfSink {
             dense = { var ok = true; var j = 1
               while (ok && j < n) { ok = idxA(j) - idxA(j - 1) == 1; j += 1 }; ok }
           }
-          val row = new GenericInternalRow(5)
-          row.setInt(0, id)
-          row.setLong(1, idxA(0))
-          row.update(2, if (dense) null else UnsafeArrayData.fromPrimitiveArray(idxA))
-          row.update(3, UnsafeArrayData.fromPrimitiveArray(tsA))
-          row.update(4, UnsafeArrayData.fromPrimitiveArray(valA))
+          val row = new GenericInternalRow(9)
+          row.update(0, UTF8String.fromString(key._1))
+          row.update(1, UTF8String.fromString(key._2))
+          row.setLong(2, key._3)
+          row.setLong(3, idxA(0))
+          row.update(4, if (dense) null else UnsafeArrayData.fromPrimitiveArray(idxA))
+          row.update(5, UnsafeArrayData.fromPrimitiveArray(tsA))
+          row.update(6, UnsafeArrayData.fromPrimitiveArray(valA))
+          row.setDouble(7, b.rate)
+          row.update(8, UTF8String.fromString(b.unit))
           b.n = 0
           row
         }
@@ -364,27 +341,36 @@ object EdfSink {
           private def pump(): Unit = {
             while (out.isEmpty && it.hasNext) {
               val r = it.next()
-              val sampleIdx = r.getLong(2)
-              val id = resolve(r.getUTF8String(0), r.getUTF8String(1),
-                Math.floorDiv(sampleIdx, maxSamplesPerFile))
-              var b = open.get(id)
-              if (b == null) {
-                if (open.size >= MaxOpenBins) {
-                  // flush the fullest open block to bound memory at
-                  // (MaxOpenBins x PackBlock x 24 B) on very wide inputs
-                  var maxK: Integer = null; var maxN = -1
-                  val e = open.entrySet().iterator()
-                  while (e.hasNext) {
-                    val en = e.next()
-                    if (en.getValue.n > maxN) { maxN = en.getValue.n; maxK = en.getKey }
-                  }
-                  out.append(emit(maxK, open.remove(maxK)))
+              val f = r.getUTF8String(0); val c = r.getUTF8String(1)
+              if (lastFile == null || !f.equals(lastFile) || !c.equals(lastChan))
+                newRun(f, c, r.getDouble(5))
+              if (!lastSkip) {
+                val sampleIdx = r.getLong(2) + lastOff
+                val part = Math.floorDiv(sampleIdx, maxSamplesPerFile)
+                if (part != lastPart || lastKey == null) {
+                  lastPart = part
+                  lastKey = (lastFileStr, lastChanStr, part)
                 }
-                b = new PackBuf(); open.put(id, b)
+                var b = open.get(lastKey)
+                if (b == null) {
+                  if (open.size >= MaxOpenBins) {
+                    // flush the fullest open block to bound memory at
+                    // (MaxOpenBins x PackBlock x 24 B) on very wide inputs
+                    var maxK: (String, String, Long) = null; var maxN = -1
+                    val e = open.entrySet().iterator()
+                    while (e.hasNext) {
+                      val en = e.next()
+                      if (en.getValue.n > maxN) { maxN = en.getValue.n; maxK = en.getKey }
+                    }
+                    out.append(emit(maxK, open.remove(maxK)))
+                  }
+                  b = new PackBuf(r.getDouble(5), r.getUTF8String(6).toString)
+                  open.put(lastKey, b)
+                }
+                b.idx(b.n) = sampleIdx; b.ts(b.n) = r.getLong(3); b.value(b.n) = r.getDouble(4)
+                b.n += 1
+                if (b.n == PackBlock) { open.remove(lastKey); out.append(emit(lastKey, b)) }
               }
-              b.idx(b.n) = sampleIdx; b.ts(b.n) = r.getLong(3); b.value(b.n) = r.getDouble(4)
-              b.n += 1
-              if (b.n == PackBlock) { open.remove(id); out.append(emit(id, b)) }
             }
             if (out.isEmpty && !drained && !it.hasNext) {
               drained = true
@@ -404,21 +390,170 @@ object EdfSink {
       .internalCreateDataFrame(spark, packedRdd, packSchema)
   }
 
-  /** Packed blocks + the exchange: hash repartition on the bin and a
-    * BLOCK-cardinality sort on (bin, first_idx). Plain repartition +
-    * AQE: the r15 per-sample A/Bs (explicit counts, radix-packed keys)
-    * are moot at block cardinality — the sort is thousands of rows, not
-    * hundreds of millions. maxSamplesPerFile remains the lever that
-    * bounds per-task work: parts cap how much of one channel a single
-    * reduce task owns.
+  /** Packed blocks + the exchange: hash repartition on the
+    * (file, channel, part) bin key and a BLOCK-cardinality sort on
+    * (bin, first_idx). The keys are the raw strings — at block
+    * cardinality (1 row per 4096 samples) the hash/compare cost of a
+    * string key is noise, and it frees the sink from any pre-computed
+    * key -> id map (the r16 plan scan this design deleted).
     */
-  private[graft] def packedDump(projected: DataFrame,
-      keyToId: org.apache.spark.broadcast.Broadcast[Map[(String, String, Long), Int]],
+  private def packedDump(projected: DataFrame,
+      bExisting: org.apache.spark.broadcast.Broadcast[Seq[ExistingChannel]],
+      bExOffsets: org.apache.spark.broadcast.Broadcast[Map[Int, Long]],
+      replayTag: Option[String],
       maxSamplesPerFile: Long): DataFrame =
-    packedBlocks(projected, keyToId, maxSamplesPerFile)
-      .repartition(col("_bin_id"))
-      .sortWithinPartitions(col("_bin_id"), col("first_idx"))
+    packedBlocks(projected, bExisting, bExOffsets, replayTag, maxSamplesPerFile)
+      .repartition(col("file"), col("channel"), col("part"))
+      .sortWithinPartitions(col("file"), col("channel"), col("part"), col("first_idx"))
 
+  /** Probe entry points (SinkStageProbe): the pack / dump relations for
+    * an overwrite-mode write of `projected` (7-column raw projection).
+    */
+  private[graft] def packedBlocksProbe(projected: DataFrame, maxSamplesPerFile: Long): DataFrame = {
+    val sc = projected.sparkSession.sparkContext
+    packedBlocks(projected, sc.broadcast(Seq.empty[ExistingChannel]),
+      sc.broadcast(Map.empty[Int, Long]), None, maxSamplesPerFile)
+  }
+  private[graft] def packedDumpProbe(projected: DataFrame, maxSamplesPerFile: Long): DataFrame = {
+    val sc = projected.sparkSession.sparkContext
+    packedDump(projected, sc.broadcast(Seq.empty[ExistingChannel]),
+      sc.broadcast(Map.empty[Int, Long]), None, maxSamplesPerFile)
+  }
+
+  /** Intermediate rows between the bin-writing reduce and the manifest
+    * assembly: kind 0 = per-bin DISCOVERY (the bin's key, rate/unit, and
+    * the temp binary it committed under the job dir), kind 1 = SEGMENT
+    * (one contiguous run observed while streaming the bin — chunk
+    * cardinality, never sample cardinality). Sorted (file, channel,
+    * kind, start_index) so each channel's assembly sees its discoveries
+    * before its segments.
+    */
+  private val discSegSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("channel", StringType, nullable = false),
+    StructField("kind", IntegerType, nullable = false),
+    StructField("part", LongType, nullable = false),
+    StructField("start_index", LongType, nullable = false),
+    StructField("start_ts", LongType, nullable = false),
+    StructField("end_ts", LongType, nullable = true),
+    StructField("n", LongType, nullable = true),
+    StructField("gap_before", BooleanType, nullable = false),
+    StructField("rate", DoubleType, nullable = true),
+    StructField("unit", StringType, nullable = true),
+    StructField("tmp_bin", StringType, nullable = true)))
+
+  /** One incoming channel as its assembly task discovered + summarized
+    * it: the reconcile step's whole input (channel-cardinality).
+    */
+  private case class Discovered(
+      file: String, channel: String, rate: Double, unit: String,
+      start: Long, end: Long, newValues: Long, nChunks: Long,
+      parts: Seq[(Long, String)]) // (part, temp binary name under jobTmp)
+
+  /** Test observability: merge-window spills performed in this JVM
+    * (local-mode executors share it, so specs can assert the spill path
+    * was actually exercised, not merely that output stayed correct).
+    */
+  private[graft] val mergeSpills = new java.util.concurrent.atomic.AtomicLong
+
+  private def sha1Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(s.getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+  }
+  private def binTmpName(file: String, channel: String, part: Long): String =
+    "bin-" + sha1Hex(file + "\u0000" + channel + "\u0000" + part)
+  private def chunkTmpName(file: String, channel: String): String =
+    "chunks-" + sha1Hex(file + "\u0000" + channel)
+
+  /** Stream the `contiguousChunks` (index, start) pairs out of a
+    * committed manifest without materializing the array (Jackson
+    * streaming — on Spark's classpath). Executor-side: the commit task
+    * that merges an append reads the staged original here.
+    */
+  private def streamExistingChunks(fs: FileSystem, p: Path)(emit: (Long, Long) => Unit): Unit = {
+    import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+    val in = fs.open(p)
+    try {
+      val jp = new JsonFactory().createParser(in: java.io.InputStream)
+      require(jp.nextToken() == JsonToken.START_OBJECT, s"manifest $p is not a JSON object")
+      var t = jp.nextToken()
+      while (t == JsonToken.FIELD_NAME) {
+        val name = jp.currentName()
+        val v = jp.nextToken()
+        if (name == "contiguousChunks" && v == JsonToken.START_ARRAY) {
+          var e = jp.nextToken()
+          while (e == JsonToken.START_OBJECT) {
+            var idx = 0L; var st = 0L
+            var f = jp.nextToken()
+            while (f == JsonToken.FIELD_NAME) {
+              val fn = jp.currentName(); jp.nextToken()
+              if (fn == "index") idx = jp.getLongValue
+              else if (fn == "start") st = jp.getLongValue
+              else jp.skipChildren()
+              f = jp.nextToken()
+            }
+            emit(idx, st)
+            e = jp.nextToken()
+          }
+        } else if (v == JsonToken.START_ARRAY || v == JsonToken.START_OBJECT) {
+          jp.skipChildren(): Unit
+        }
+        t = jp.nextToken()
+      }
+      jp.close()
+    } finally in.close()
+  }
+
+  /** One output channel's commit work: rename its job-temp binaries to
+    * their final names and compose + commit its manifest. Built by the
+    * driver reconcile, executed by the (channel-cardinality) commit job.
+    */
+  private case class CommitTask(
+      ord: Int,
+      name: String,
+      unit: String,
+      rate: Double,
+      chanType: String,
+      binRenames: Seq[(String, String)], // (temp name under jobTmp, final name)
+      binaryFiles: Seq[String],          // existing parts first, then new, concat order
+      exNumValues: Long,
+      exStart: Option[Long],
+      exEnd: Option[Long],
+      appendTag: Option[String],
+      stagedManifest: Option[String],    // matched channels: staged original to merge
+      chunkTmp: String,                  // bare new-chunk entries under jobTmp
+      newStart: Long,
+      newEnd: Long,
+      newValues: Long,
+      nChunksNew: Long)
+
+  /** Write the binary + manifest output for a sample DataFrame
+    * (schema = EdfFile.sampleSchema). Returns the manifest path.
+    *
+    * Chunk stats (start/end ts, counts) are derived from the rows
+    * actually streamed, so FILTERED input (artifact-removed samples,
+    * value-thresholded slices — sample_idx with mid-stream holes) yields
+    * self-consistent manifests: a missing index opens a new chunk only
+    * when it leaves a time gap > 2 sampling periods, exactly the
+    * reference's gap rule over the surviving samples.
+    *
+    * `maxSamplesPerFile` bounds how much of one channel a single task
+    * owns: channels larger than the bound are range-partitioned on
+    * sample_idx into numbered part files (`<name>-part00001.ts.bin` …),
+    * so a 30 M-sample reference chunk — or a 100 GB channel — writes with
+    * full parallelism instead of through one task. Concatenating the
+    * parts in order reproduces the single-file byte stream.
+    *
+    * `mode` is "overwrite" (default; destination pre-cleaned) or
+    * "append" (reference append mode, see object doc).
+    *
+    * Input ORDER tolerance: the packed exchange restores exact
+    * per-sample order however the input partitions interleave. Up to
+    * `MaxMergeCursors` (1024) simultaneously overlapping blocks per bin
+    * (~4M samples of interleaving) merge in memory; anything beyond
+    * spills to executor-local sorted runs — arbitrarily disordered
+    * input is always correct, merely slower.
+    */
   def write(samples: DataFrame, outDir: String,
             maxSamplesPerFile: Long = Long.MaxValue,
             mode: String = "overwrite",
@@ -451,146 +586,403 @@ object EdfSink {
       if (!driverFs.exists(dest)) driverFs.rename(s.getPath, dest)
       else driverFs.delete(s.getPath, false)
     }
+    // sweep orphaned temp state from crashed runs (task-attempt dirs and
+    // whole job-temp dirs both carry the _tmp- prefix)
+    driverFs.globStatus(new Path(outPath, "_tmp-*"))
+      .foreach(s => driverFs.delete(s.getPath, true))
 
     val existing: Seq[ExistingChannel] =
       if (mode == "append") readExisting(spark, driverFs, outPath) else Nil
+    // append offset per existing ordinal: the channel's committed value
+    // count (manifest property; fallback = committed binary sizes —
+    // channel-cardinality file stats). Used identically by the pack
+    // (sample_idx shift) and the assembly (stored-stream positions).
+    val exOffsets: Map[Int, Long] = existing.map { ex =>
+      ex.ord -> ex.numValues.getOrElse(
+        ex.binaryFiles.map(b => driverFs.getFileStatus(new Path(outPath, b)).getLen / 8).sum)
+    }.toMap
+    val bExisting = spark.sparkContext.broadcast(existing)
+    val bExOffsets = spark.sparkContext.broadcast(exOffsets)
 
-    // channel plan from the parts that actually hold rows (FLOOR
-    // division, the same Math.floorDiv the pack loop resolves with —
-    // SQL's `div` truncates toward zero and would route a negative
-    // sample_idx to a different part than the executors compute,
-    // killing the job with a routing miss; review r16) — sample_idx
-    // need not start at 0, and a planned-but-empty part must never
-    // reach the manifest; bounded by files x channels x parts, never
-    // sample volume.
-    // Hand-rolled per-partition distinct with a last-run key cache
-    // instead of a hash aggregate: the agg hashed two STRINGS per SAMPLE
-    // (measured 7.4 s of the 4 GiB probe's 12 s — the same per-sample
-    // string-keying disease the r16 pack routing removed), while
-    // consecutive rows almost always share their (file, channel, part)
-    // floorDiv as SQL: (a - pmod(a, n)) / n — pmod is always >= 0, so
-    // the numerator is an exact non-positive-remainder multiple of n
-    val partIdx =
-      expr(s"(sample_idx - pmod(sample_idx, ${maxSamplesPerFile}L)) div ${maxSamplesPerFile}L")
-    val chanInfo0All: Map[(String, String), (Seq[Long], Double, String)] = {
-      val planRows = samples
-        .select(col("file"), col("channel"), col("sample_idx"), col("rate"), col("unit"))
-        .queryExecution.toRdd.mapPartitions { it =>
-          val seen = new java.util.HashMap[(String, String, Long), (Double, String)]()
-          var lastF: org.apache.spark.unsafe.types.UTF8String = null
-          var lastC: org.apache.spark.unsafe.types.UTF8String = null
-          var lastP = Long.MinValue
-          while (it.hasNext) {
-            val r = it.next()
-            val p = Math.floorDiv(r.getLong(2), maxSamplesPerFile)
-            val f = r.getUTF8String(0); val c = r.getUTF8String(1)
-            if (p != lastP || lastF == null || !f.equals(lastF) || !c.equals(lastC)) {
-              lastF = f.clone(); lastC = c.clone(); lastP = p
-              val k = (lastF.toString, lastC.toString, p)
-              if (!seen.containsKey(k)) seen.put(k, (r.getDouble(3), r.getUTF8String(4).toString))
+    val jobTmpName = s"_tmp-job-${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobTmp = new Path(outPath, jobTmpName)
+    driverFs.mkdirs(jobTmp)
+    val outDirStr = outPath.toString
+    val jobTmpStr = jobTmp.toString
+    phase("plan_prep")
+
+    // ---- THE job: the sink's ONLY pass over sample volume. ----
+    // map:    pack samples into per-(file, channel, part) blocks, append
+    //         routing (shift/skip) resolved inline from the broadcast
+    //         existing set — no separate plan scan (r16 verdict #1).
+    // shuffle hash on the bin key, BLOCK-cardinality sort on first_idx.
+    // reduce: merge-stream each bin's blocks to a temp binary under the
+    //         job dir (exact per-sample order restored by a heap merge
+    //         that degenerates to plain block streaming outside
+    //         adversarially interleaved input) and emit the bin's
+    //         DISCOVERY row + contiguous-run SEGMENT rows.
+    // shuffle (file, channel) — each channel's one assembly task merges
+    //         part-seam segments, streams the channel's new chunk
+    //         entries to a job-temp file, and returns a channel-summary
+    //         row; collecting those summaries (channel-cardinality) is
+    //         what triggers the job.
+    val projected = samples.select(
+      col("file"), col("channel"), col("sample_idx"), col("ts_us"), col("value"),
+      col("rate"), col("unit"))
+    val dumpDf = packedDump(projected, bExisting, bExOffsets, replayTag, maxSamplesPerFile)
+
+    val segRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      dumpDf.queryExecution.toRdd.mapPartitions { it0 =>
+        val tc = TaskContext.get()
+        // Binary SAMPLE bytes bypass the local ChecksumFileSystem layer
+        // (same rationale as EdfFile.openSeekable, write side): Hadoop's
+        // FSOutputSummer pushes every byte through 512-B checksum chunks
+        // and writes a .crc sidecar — measurable drag at GB/s output
+        // rates, and the read path already handles crc-less binaries.
+        // Cluster filesystems (HDFS, object stores) are not
+        // ChecksumFileSystems and pass through untouched. Manifests keep
+        // the checksummed path (tiny, and append-mode re-READS them
+        // through the checksum layer).
+        val fs = new Path(jobTmpStr).getFileSystem(EdfFile.confFromEntries(confEntries)) match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case other => other
+        }
+        val attemptDir = new Path(jobTmpStr,
+          s"attempt-b-${tc.stageId()}-${tc.partitionId()}-${tc.taskAttemptId()}")
+        val spillFiles = new scala.collection.mutable.ArrayBuffer[java.io.File]()
+        // failure cleanup: the iterator below cannot use try/finally
+        // around consumption (the downstream shuffle writer drives it)
+        tc.addTaskCompletionListener[Unit] { _ =>
+          try fs.delete(attemptDir, true) catch { case _: Exception => () }
+          spillFiles.foreach(f => { f.delete(): Unit })
+        }
+        // a cursor mid-merge: an overlapping in-memory block, or a
+        // spilled sorted run read back from executor-local disk
+        sealed abstract class Cur {
+          def idx: Long; def ts: Long; def v: Double
+          def advance(): Boolean // false once exhausted
+        }
+        final class BlockCur(first: Long, idxA: Array[Long],
+                             tsA: Array[Long], valA: Array[Double]) extends Cur {
+          private var pos = 0
+          def idx: Long = if (idxA == null) first + pos else idxA(pos)
+          def ts: Long = tsA(pos)
+          def v: Double = valA(pos)
+          def advance(): Boolean = { pos += 1; pos < valA.length }
+        }
+        final class SpillCur(f: java.io.File, n: Long) extends Cur {
+          private val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 16))
+          private var remaining = n
+          private var i = 0L; private var t = 0L; private var x = 0.0
+          load()
+          private def load(): Unit = {
+            i = in.readLong(); t = in.readLong(); x = in.readDouble(); remaining -= 1
+          }
+          def idx: Long = i; def ts: Long = t; def v: Double = x
+          def advance(): Boolean =
+            if (remaining > 0) { load(); true }
+            else { in.close(); f.delete(); false }
+        }
+        new Iterator[org.apache.spark.sql.Row] {
+          private val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
+          private val pending = new scala.collection.mutable.ArrayDeque[org.apache.spark.sql.Row](4)
+          private var curFile: org.apache.spark.unsafe.types.UTF8String = null
+          private var curChan: org.apache.spark.unsafe.types.UTF8String = null
+          private var curPart = 0L
+          private var curFileStr: String = null
+          private var curChanStr: String = null
+          private var gapUs = 0L
+          private var tmp: Path = null
+          private var tmpName: String = null
+          private var out: java.io.OutputStream = null
+          private var segStartIdx = 0L; private var segStartTs = 0L
+          private var segGapBefore = false; private var segN = 0L
+          private var prevTs = 0L
+          private var binFresh = false
+          private var drained = false
+
+          // one-block lookahead: the sort's output iterator REUSES its
+          // UnsafeRow, so a peeked block materializes its arrays at once
+          private var peeked = false
+          private var nFile: org.apache.spark.unsafe.types.UTF8String = null
+          private var nChan: org.apache.spark.unsafe.types.UTF8String = null
+          private var nPart = 0L; private var nFirst = 0L
+          private var nIdx: Array[Long] = null
+          private var nTs: Array[Long] = null
+          private var nVal: Array[Double] = null
+          private var nRate = 0.0; private var nUnit: String = null
+          private def peek(): Boolean = peeked || {
+            if (it0.hasNext) {
+              val r = it0.next()
+              nFile = r.getUTF8String(0).clone(); nChan = r.getUTF8String(1).clone()
+              nPart = r.getLong(2); nFirst = r.getLong(3)
+              nIdx = if (r.isNullAt(4)) null else r.getArray(4).toLongArray()
+              nTs = r.getArray(5).toLongArray()
+              nVal = r.getArray(6).toDoubleArray()
+              nRate = r.getDouble(7); nUnit = r.getUTF8String(8).toString
+              peeked = true
+            }
+            peeked
+          }
+          private def peekedIsCur: Boolean =
+            curFile != null && nPart == curPart && nFile.equals(curFile) && nChan.equals(curChan)
+          private val heap = new java.util.PriorityQueue[Cur](4,
+            new java.util.Comparator[Cur] {
+              override def compare(a: Cur, b: Cur): Int =
+                java.lang.Long.compare(a.idx, b.idx)
+            })
+
+          private def flushBuf(): Unit = if (buf.position() > 0) {
+            out.write(buf.array(), 0, buf.position()); buf.clear()
+          }
+          private def emitSeg(): Unit = if (segN > 0) {
+            pending.append(org.apache.spark.sql.Row(
+              curFileStr, curChanStr, 1, curPart, segStartIdx, segStartTs, prevTs, segN,
+              segGapBefore, null, null, null))
+            segN = 0
+          }
+          private def closeBin(): Unit = if (out != null) {
+            flushBuf(); out.close(); out = null
+            commit(fs, tmp, new Path(jobTmpStr, tmpName))
+          }
+          private def openBin(): Unit = {
+            curFile = nFile; curChan = nChan; curPart = nPart
+            curFileStr = curFile.toString; curChanStr = curChan.toString
+            gapUs = (2e6 / nRate).toLong
+            tmpName = binTmpName(curFileStr, curChanStr, curPart)
+            tmp = new Path(attemptDir, tmpName)
+            out = fs.create(tmp, true)
+            binFresh = true
+            // the bin's DISCOVERY row: key, rate/unit, temp binary name
+            pending.append(org.apache.spark.sql.Row(
+              curFileStr, curChanStr, 0, curPart, nFirst, 0L, null, null, false,
+              nRate, nUnit, tmpName))
+          }
+          private def consume(idx: Long, ts: Long, v: Double): Unit = {
+            if (binFresh) {
+              segStartIdx = idx; segStartTs = ts; segGapBefore = false
+              binFresh = false
+            } else if (ts - prevTs > gapUs) {
+              emitSeg()
+              segStartIdx = idx; segStartTs = ts; segGapBefore = true
+            }
+            prevTs = ts
+            segN += 1
+            if (buf.remaining() < 8) flushBuf()
+            buf.putDouble(v)
+          }
+          // heap merge for overlapping same-bin blocks: admits every
+          // block whose first_idx precedes the frontier, so the emitted
+          // sample order equals a full per-sample sort's whatever the
+          // cross-partition interleaving. RESUMABLE (one sample per
+          // step-loop iteration): a merge group spanning a gap-heavy bin
+          // hands its segment rows to the consumer as they arise, never
+          // buffering them for the whole group. Memory is bounded by
+          // MaxMergeCursors open blocks (~4M samples); input MORE
+          // disordered than that (e.g. a relation round-robin
+          // repartitioned >1024 ways scatters every bin across all map
+          // partitions) SPILLS: the open cursors merge-drain to one
+          // sorted run on executor-local disk and re-enter the heap as a
+          // single streaming cursor — unbounded disorder degrades to
+          // external-merge I/O instead of failing (review r16 ADVICE).
+          // Each spill absorbs >=MaxMergeCursors-1 block cursors, so a
+          // bin pays at most blocks/(MaxMergeCursors-1) extra read+write
+          // passes of its own bytes.
+          private val MaxMergeCursors = 1024
+          private var merging = false
+          private def spillHeap(): Unit = {
+            mergeSpills.incrementAndGet()
+            val f = java.io.File.createTempFile("graft-sink-spill-", ".run")
+            spillFiles += f
+            val sOut = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+            var n = 0L
+            while (!heap.isEmpty) {
+              val c = heap.poll()
+              sOut.writeLong(c.idx); sOut.writeLong(c.ts); sOut.writeDouble(c.v); n += 1
+              if (c.advance()) heap.add(c)
+            }
+            sOut.close()
+            heap.add(new SpillCur(f, n))
+          }
+          private def mergeStep(): Unit = {
+            while (pending.isEmpty && !heap.isEmpty) {
+              while (peek() && peekedIsCur && nFirst <= heap.peek().idx) {
+                if (heap.size() >= MaxMergeCursors) spillHeap()
+                heap.add(new BlockCur(nFirst, nIdx, nTs, nVal)); peeked = false
+              }
+              val c = heap.poll()
+              consume(c.idx, c.ts, c.v)
+              if (c.advance()) heap.add(c)
+            }
+            if (heap.isEmpty) merging = false
+          }
+          private def pump(): Unit = {
+            while (pending.isEmpty && (merging || peek())) {
+              if (merging) mergeStep()
+              else {
+                if (!peekedIsCur) { emitSeg(); closeBin(); openBin() }
+                val (first, idxA, tsA, valA) = (nFirst, nIdx, nTs, nVal)
+                peeked = false
+                val n = valA.length
+                val lastIdx = if (idxA == null) first + n - 1 else idxA(n - 1)
+                if (peek() && peekedIsCur && nFirst <= lastIdx) {
+                  heap.add(new BlockCur(first, idxA, tsA, valA))
+                  merging = true
+                } else {
+                  var i = 0
+                  if (idxA == null) {
+                    while (i < n) { consume(first + i, tsA(i), valA(i)); i += 1 }
+                  } else {
+                    while (i < n) { consume(idxA(i), tsA(i), valA(i)); i += 1 }
+                  }
+                }
+              }
+            }
+            if (pending.isEmpty && !drained) {
+              drained = true
+              emitSeg(); closeBin()
+              fs.delete(attemptDir, true)
             }
           }
-          import scala.jdk.CollectionConverters._
-          seen.asScala.iterator.map { case (k, v) => (k, v) }
-        }.collect()
-      // partition-local firsts merge keyed; `first(rate)` semantics kept
-      // (any row's rate/unit — they are constant per channel by contract)
-      planRows.groupBy { case ((f, c, _), _) => (f, c) }.map { case (k, rows) =>
-        k -> (rows.map(_._1._3).distinct.sorted.toSeq, rows.head._2._1, rows.head._2._2)
+          override def hasNext: Boolean = { if (pending.isEmpty) pump(); pending.nonEmpty }
+          override def next(): org.apache.spark.sql.Row = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.removeHead()
+          }
+        }
       }
-    }
-    phase("plan_scan")
-    val keysAll = chanInfo0All.keys.toSeq.sorted
 
-    // append-mode match: incoming (file, channel) -> existing channel
-    val matchedAll: Map[(String, String), ExistingChannel] = keysAll.flatMap { k =>
-      matchExisting(existing, k._2, chanInfo0All(k)._2, "CONTINUOUS").map(k -> _)
+    // 2. distributed manifest-chunk assembly: every channel's discovery
+    // + segment rows land in one partition pre-sorted by (kind,
+    // start_index); the owning task MERGES part-seam segments (a part's
+    // first segment with no time gap to its predecessor continues the
+    // predecessor's chunk), streams the channel's NEW chunk entries to a
+    // job-temp file (never holding them in memory), and emits one
+    // summary row. Because the segments are the dump's map-side output,
+    // this stage is the reduce side of the dump's own shuffle: the whole
+    // discovery+write is ONE job, one pass over sample volume.
+    val segDf = spark.createDataFrame(segRows, discSegSchema)
+    val summaries: Seq[Discovered] = segDf
+      .repartition(col("file"), col("channel"))
+      .sortWithinPartitions(col("file"), col("channel"), col("kind"), col("start_index"))
+      .rdd.mapPartitions { rows =>
+        val tc = TaskContext.get()
+        val fs = new Path(jobTmpStr).getFileSystem(EdfFile.confFromEntries(confEntries))
+        val attemptDir = new Path(jobTmpStr,
+          s"attempt-a-${tc.stageId()}-${tc.partitionId()}-${tc.taskAttemptId()}")
+        tc.addTaskCompletionListener[Unit] { _ =>
+          try fs.delete(attemptDir, true) catch { case _: Exception => () }
+        }
+        val existing = bExisting.value
+        val exOff = bExOffsets.value
+        val outBuf = new scala.collection.mutable.ArrayBuffer[Discovered]()
+        var file: String = null; var channel: String = null
+        var rate = 0.0; var unit: String = null
+        var parts = List.empty[(Long, String)]
+        var start = Long.MaxValue; var end = Long.MinValue
+        var prevEnd = Long.MinValue; var nChunks = 0L; var newValues = 0L
+        var gapUs = Long.MaxValue
+        // chunk 'index' is the chunk's position within the STORED value
+        // stream (reference base.py:336-342) — append offset + running
+        // sum of emitted values. Identical to sample_idx for dense
+        // input; reference-correct (and within the binary's bounds) for
+        // filtered/non-dense input where sample_idx has holes.
+        var storedPos = 0L
+        // pending NEW chunk being extended across part seams
+        var havePend = false
+        var pendStartTs = 0L; var pendEndTs = 0L; var pendN = 0L
+        var chunkTmp: Path = null
+        var chunkOut: BufferedOutputStream = null
+        def writeChunkEntry(idx: Long, startTs: Long): Unit = {
+          if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
+          chunkOut.write(s"""{"index": $idx, "start": $startTs}"""
+            .getBytes(StandardCharsets.UTF_8))
+          nChunks += 1
+        }
+        def flushPend(): Unit = if (havePend) {
+          writeChunkEntry(storedPos, pendStartTs)
+          storedPos += pendN
+          newValues += pendN
+          if (pendStartTs < start) start = pendStartTs
+          if (pendEndTs > end) end = pendEndTs
+          havePend = false
+        }
+        def finishChannel(): Unit = if (channel != null) {
+          flushPend()
+          chunkOut.close(); chunkOut = null
+          commit(fs, chunkTmp, new Path(jobTmpStr, chunkTmpName(file, channel)))
+          outBuf += Discovered(file, channel, rate, unit, start, end, newValues, nChunks,
+            parts.reverse)
+          channel = null
+        }
+        rows.foreach { r =>
+          val f = r.getString(0); val c = r.getString(1)
+          if (c != channel || f != file) {
+            finishChannel()
+            file = f; channel = c
+            rate = 0.0; unit = null; parts = Nil
+            start = Long.MaxValue; end = Long.MinValue
+            nChunks = 0L; newValues = 0L
+            val ex = matchExisting(existing, c, r.getDouble(9), "CONTINUOUS")
+            prevEnd = ex.map(_.end).getOrElse(Long.MinValue)
+            storedPos = ex.map(e => exOff.getOrElse(e.ord, 0L)).getOrElse(0L)
+            chunkTmp = new Path(attemptDir, "chunks")
+            chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
+          }
+          if (r.getInt(2) == 0) {
+            // discovery row: first one fixes the channel's rate/unit
+            if (unit == null) {
+              rate = r.getDouble(9); unit = r.getString(10)
+              gapUs = (2e6 / rate).toLong
+            }
+            parts ::= (r.getLong(3), r.getString(11))
+          } else {
+            val startTs = r.getLong(5)
+            val endTs = r.getLong(6)
+            // non-overlap invariant (reference base.py:87-95): appended
+            // chunks start strictly after everything already committed
+            require(startTs > prevEnd, s"overlapping chunks in channel $channel")
+            prevEnd = endTs
+            if (havePend && !r.getBoolean(8) && startTs - pendEndTs <= gapUs) {
+              // part-seam continuation: the segment's part began with
+              // no time gap to the previous part's tail — same chunk
+              pendEndTs = endTs; pendN += r.getLong(7)
+            } else {
+              flushPend()
+              havePend = true
+              pendStartTs = startTs
+              pendEndTs = endTs; pendN = r.getLong(7)
+            }
+          }
+        }
+        finishChannel()
+        outBuf.iterator
+      }.collect().toSeq.sortBy(d => (d.file, d.channel))
+    phase("main_job")
+
+    // ---- driver reconcile: channel-cardinality, zero sample I/O ----
+    val keys: Seq[(String, String)] = summaries.map(d => (d.file, d.channel))
+    val byKey: Map[(String, String), Discovered] =
+      summaries.map(d => (d.file, d.channel) -> d).toMap
+    val matched: Map[(String, String), ExistingChannel] = keys.flatMap { k =>
+      matchExisting(existing, k._2, byKey(k).rate, "CONTINUOUS").map(k -> _)
     }.toMap
-
-    // AT-LEAST-ONCE REPLAY (A13b's foreachBatch): a batch that fully
-    // committed its sink write but crashed before the streaming
-    // checkpoint commit is replayed with the SAME replayTag and the same
-    // deterministic data. Each manifest merged by a tagged append
-    // records the tag IN the manifest (committed atomically with the
-    // merge by the same rename), so on replay a matched channel whose
-    // manifest already carries this tag is provably done — skipped
-    // wholesale: its rows drop from the plan, its committed generation
-    // binaries and merged manifest stand untouched. Channels WITHOUT the
-    // tag (a crash mid-manifest-assembly leaves a mix: the staged-
-    // manifest recovery restores their originals) re-append normally —
-    // no wedge, no double-append, no lost channels.
-    val skipKeys: Set[(String, String)] = replayTag match {
-      case Some(tag) => matchedAll.filter(_._2.appendTag.contains(tag)).keySet
-      case None => Set.empty
-    }
-    if (skipKeys.nonEmpty && skipKeys.size == keysAll.size) {
-      // whole batch already merged. channels.json can still be stale if
-      // the committed run died between its last manifest commit and the
-      // index concat — rebuild it from the committed manifests
-      // (idempotent, channel-cardinality file I/O)
-      val idxPath = new Path(outPath, "channels.json")
-      concatIndex(driverFs, idxPath, existing.indices.map(o => new Path(outPath, manifestName(o))))
-      return idxPath.toString
-    }
-    val samplesKept =
-      if (skipKeys.isEmpty) samples
-      else samples.filter(!skipKeys.map { case (f, c) =>
-        col("file") === lit(f) && col("channel") === lit(c) }.reduce(_ || _))
-    val chanInfo0 = chanInfo0All -- skipKeys
-    val keys = keysAll.filterNot(skipKeys.contains)
-    val matched = matchedAll -- skipKeys
-    val multiFile = keys.map(_._1).distinct.size > 1
     matched.groupBy(_._2.ord).foreach { case (_, ms) =>
       require(ms.size == 1,
         s"append mode: ${ms.size} incoming channels match existing '${ms.head._2.name}' — " +
           s"append one session per channel at a time: ${ms.keys.toSeq.sorted}")
     }
     val newKeys = keys.filterNot(matched.contains)
+    val multiFile = keys.map(_._1).distinct.size > 1
     val baseNames = planNames(newKeys, multiFile)
-
-    // sample_idx offset: appended samples continue the channel's value
-    // stream at the existing numValues (manifest property; fallback =
-    // committed binary sizes — channel-cardinality file stats)
-    val offsets: Map[(String, String), Long] = matched.map { case (k, ex) =>
-      k -> ex.numValues.getOrElse(
-        ex.binaryFiles.map(b => driverFs.getFileStatus(new Path(outPath, b)).getLen / 8).sum)
-    }
-
-    // matched channels' incoming sample_idx is shifted to continue the
-    // existing value stream — part indices and chunk indices both follow.
-    // Built BEFORE part planning: the plan's part indices must use the
-    // same shifted sample_idx basis the executors key on.
-    val adjusted = if (offsets.isEmpty) samplesKept else {
-      import spark.implicits._
-      val offDf = offsets.toSeq.map { case ((f, c), o) => (f, c, o) }.toDF("file", "channel", "_off")
-      samplesKept.join(broadcast(offDf), Seq("file", "channel"), "left")
-        .withColumn("sample_idx", col("sample_idx") + coalesce(col("_off"), lit(0L)))
-        .drop("_off")
-    }
-    // a nonzero append offset can move samples across a maxSamplesPerFile
-    // boundary (and split one planned part into two), so matched channels'
-    // part sets are re-derived from the shifted sample_idx; unmatched
-    // channels have offset 0 and keep their first-pass parts
-    val chanInfo: Map[(String, String), (Seq[Long], Double, String)] =
-      if (offsets.isEmpty || maxSamplesPerFile == Long.MaxValue) chanInfo0
-      else {
-        import spark.implicits._
-        val matchedKeys = offsets.keys.toSeq.toDF("file", "channel")
-        val shiftedParts = adjusted.join(broadcast(matchedKeys), Seq("file", "channel"))
-          .select(col("file"), col("channel"), partIdx.as("part"))
-          .distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-          .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).sorted.toSeq }
-        chanInfo0.map { case (k, (parts, rate, unit)) =>
-          k -> (shiftedParts.getOrElse(k, parts), rate, unit)
-        }
-      }
 
     // (file, channel, part) -> final binary name. New channels follow the
     // overwrite naming; matched channels continue as generation part
     // files after the existing binaries (never overwriting them).
     val nameMap: Map[(String, String, Long), String] = keys.flatMap { k =>
-      val parts = chanInfo(k)._1
+      val parts = byKey(k).parts.map(_._1).sorted
       matched.get(k) match {
         case Some(ex) =>
           val base = ex.binaryFiles.headOption.getOrElse(binName(k._1, k._2, multiFile = false))
@@ -617,287 +1009,17 @@ object EdfSink {
     require(clash.isEmpty, s"append mode: planned binaries collide with committed ones: $clash " +
       "(an unmatched incoming channel shares a sanitized name with an existing channel — rename it)")
 
-    // pre-clean. Overwrite: planned destinations, any other part layout
-    // of the same base names, old manifests, orphaned temp dirs. Append:
-    // only this run's planned NEW files, REWRITTEN manifests (matched +
-    // new ordinals), and temp dirs — committed binaries and untouched
-    // manifests stay.
-    nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
-    if (mode == "overwrite") {
-      baseNames.values.foreach { base =>
-        driverFs.delete(new Path(outPath, base), false)
-        driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
-          .foreach(s => driverFs.delete(s.getPath, false))
-      }
-      driverFs.globStatus(new Path(outPath, "channel*.json"))
-        .foreach(s => driverFs.delete(s.getPath, false))
-    }
-    driverFs.globStatus(new Path(outPath, "_tmp-*"))
-      .foreach(s => driverFs.delete(s.getPath, true))
-
-    // output-channel plans: existing channels keep their ordinals (and,
-    // if matched, extend binaryFiles / numValues); new channels append
-    // after. Ordinals are the channels.json order.
+    // output ordinals: existing channels keep theirs, new channels
+    // append after, in sorted (file, channel) order — channels.json order
     val newOrdBase = existing.size
-    val plans: Seq[ChannelPlan] =
-      existing.map { ex =>
-        val hit = matched.find(_._2.ord == ex.ord).map(_._1)
-        val newParts = hit.toSeq.flatMap(k => chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))))
-        ChannelPlan(ex.ord, ex.name, ex.unit, ex.rate, ex.chanType,
-          ex.binaryFiles ++ newParts,
-          hit.map(offsets).getOrElse(0L),
-          Some(ex.start), Some(ex.end),
-          if (hit.isDefined) replayTag else ex.appendTag)
-      } ++ newKeys.zipWithIndex.map { case (k, i) =>
-        ChannelPlan(newOrdBase + i, k._2, chanInfo(k)._3, chanInfo(k)._2, "CONTINUOUS",
-          chanInfo(k)._1.map(p => nameMap((k._1, k._2, p))), 0L, None, None, replayTag)
-      }
-    // incoming key -> output ordinal (drives chunk routing)
     val keyOrd: Map[(String, String), Int] =
       matched.map { case (k, ex) => k -> ex.ord } ++
         newKeys.zipWithIndex.map { case (k, i) => k -> (newOrdBase + i) }
 
-    val bPlans = spark.sparkContext.broadcast(plans.map(p => p.ord -> p).toMap)
-    val outDirStr = outPath.toString
-
-    // 1. distributed binary dump, FUSED with chunk-boundary detection:
-    // streams keyed by (file, channel, part) — a channel label repeated
-    // across input files never interleaves, and oversized channels split
-    // into independently-written parts. Each task streams its sorted
-    // bins to their binary files AND emits the contiguous-run SEGMENT
-    // rows it observed (chunk-cardinality — segments never buffer in
-    // memory, they yield lazily between writes). This is the sink's ONLY
-    // pass over sample volume: one shuffle, no lag self-join, no second
-    // source scan for chunk stats.
-    //
-    // RECORD-PACKED shuffle (r16; the r15-measured ceiling): per-sample
-    // rows through the sorted exchange were the sink's bottleneck —
-    // 134M (int, long, long, double) UnsafeRows cost ~40 B each to
-    // shuffle and, worse, 134M comparisons to sort (and the r15 design's
-    // per-sample broadcast routing join cost another ~10 s of string
-    // hashing + re-projection on the 4 GiB probe). The map side now
-    // PACKS samples into blocks of up to `PackBlock` per (bin) straight
-    // off the scan — routing resolved inside the pack loop from a
-    // broadcast key map with a last-run cache (see [[packedBlocks]]) —
-    // so the sorted exchange moves ~256-4096x fewer rows (~16-24
-    // B/sample of array payload instead of 40 B of row) and the
-    // reduce-side sort is over block-cardinality keys. Dense sample_idx
-    // runs (the unfiltered common case) drop their idx array entirely
-    // (null = idx(i) == first_idx + i). Blocks are flushed sorted
-    // (arrival order is already ascending for the EDF reader's output;
-    // anything else sorts the 4096-bounded block at flush), so the
-    // reduce side restores exact per-sample order by merging blocks
-    // ordered on (bin, first_idx) — a heap merge that degenerates to
-    // plain block streaming whenever consecutive blocks don't overlap,
-    // which is always outside adversarially interleaved input.
-    val binIds: Seq[((String, String, Long), Int)] = nameMap.keys.toSeq.sorted.zipWithIndex
-    // bin id -> (binary name, output ordinal, gap threshold µs)
-    val bBinMeta = spark.sparkContext.broadcast(
-      binIds.map { case (k@(f, c, _), i) =>
-        i -> ((nameMap(k), keyOrd((f, c)), (2e6 / chanInfo((f, c))._2).toLong))
-      }.toMap)
-    val bKeyToId = spark.sparkContext.broadcast(binIds.toMap)
-    phase("plan_names")
-    val dumpDf = packedDump(
-      adjusted.select(col("file"), col("channel"), col("sample_idx"), col("ts_us"), col("value")),
-      bKeyToId, maxSamplesPerFile)
-    phase("dump_plan")
-    // Reduce side: unpack blocks in (bin, first_idx) order, stream values
-    // to the bin files through a 64 KiB little-endian buffer, and emit
-    // the contiguous-run SEGMENT rows observed — identical bytes and
-    // segments to the per-sample formulation, per-block instead.
-    val segRows: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-      dumpDf.queryExecution.toRdd.mapPartitions { it0 =>
-        val tc = TaskContext.get()
-        // Binary SAMPLE bytes bypass the local ChecksumFileSystem layer
-        // (same rationale as EdfFile.openSeekable, write side): Hadoop's
-        // FSOutputSummer pushes every byte through 512-B checksum chunks
-        // and writes a .crc sidecar — measurable drag at GB/s output
-        // rates, and the read path already handles crc-less binaries.
-        // Cluster filesystems (HDFS, object stores) are not
-        // ChecksumFileSystems and pass through untouched. Manifests keep
-        // the checksummed path (tiny, and append-mode re-READS them
-        // through the checksum layer).
-        val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries)) match {
-          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-          case other => other
-        }
-        val attemptDir = new Path(outDirStr,
-          s"_tmp-${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
-        // failure cleanup: the iterator below cannot use try/finally
-        // around consumption (the downstream shuffle writer drives it)
-        tc.addTaskCompletionListener[Unit] { _ =>
-          try fs.delete(attemptDir, true) catch { case _: Exception => () }
-        }
-        // a block cursor mid-merge (overlapping blocks only)
-        final class Cursor(val first: Long, val idxA: Array[Long],
-                           val tsA: Array[Long], val valA: Array[Double]) {
-          var pos = 0
-          def curIdx: Long = if (idxA == null) first + pos else idxA(pos)
-          def len: Int = valA.length
-        }
-        new Iterator[org.apache.spark.sql.Row] {
-          private val meta = bBinMeta.value
-          private val buf = ByteBuffer.allocate(1 << 16).order(ByteOrder.LITTLE_ENDIAN)
-          private val pending = new scala.collection.mutable.ArrayDeque[org.apache.spark.sql.Row](4)
-          private var current = -1
-          private var ord = -1
-          private var gapUs = 0L
-          private var tmp: Path = null
-          private var out: java.io.OutputStream = null
-          private var segStartIdx = 0L; private var segStartTs = 0L
-          private var segGapBefore = false; private var segN = 0L
-          private var prevTs = 0L
-          private var binFresh = false
-          private var drained = false
-
-          // one-block lookahead: the sort's output iterator REUSES its
-          // UnsafeRow, so a peeked block materializes its arrays at once
-          private var peeked = false
-          private var nBin = -1; private var nFirst = 0L
-          private var nIdx: Array[Long] = null
-          private var nTs: Array[Long] = null
-          private var nVal: Array[Double] = null
-          private def peek(): Boolean = peeked || {
-            if (it0.hasNext) {
-              val r = it0.next()
-              nBin = r.getInt(0); nFirst = r.getLong(1)
-              nIdx = if (r.isNullAt(2)) null else r.getArray(2).toLongArray()
-              nTs = r.getArray(3).toLongArray()
-              nVal = r.getArray(4).toDoubleArray()
-              peeked = true
-            }
-            peeked
-          }
-          private val heap = new java.util.PriorityQueue[Cursor](4,
-            new java.util.Comparator[Cursor] {
-              override def compare(a: Cursor, b: Cursor): Int =
-                java.lang.Long.compare(a.curIdx, b.curIdx)
-            })
-
-          private def flushBuf(): Unit = if (buf.position() > 0) {
-            out.write(buf.array(), 0, buf.position()); buf.clear()
-          }
-          private def emitSeg(): Unit = if (segN > 0) {
-            pending.append(org.apache.spark.sql.Row(
-              ord, segStartIdx, segStartTs, prevTs, segN, true, segGapBefore))
-            segN = 0
-          }
-          private def closeBin(): Unit = if (out != null) {
-            flushBuf(); out.close(); out = null
-            commit(fs, tmp, new Path(outDirStr, meta(current)._1))
-          }
-          private def openBin(id: Int): Unit = {
-            current = id
-            val (nm, o, g) = meta(id)
-            ord = o; gapUs = g
-            tmp = new Path(attemptDir, nm)
-            out = fs.create(tmp, true)
-            binFresh = true
-          }
-          private def consume(idx: Long, ts: Long, v: Double): Unit = {
-            if (binFresh) {
-              segStartIdx = idx; segStartTs = ts; segGapBefore = false
-              binFresh = false
-            } else if (ts - prevTs > gapUs) {
-              emitSeg()
-              segStartIdx = idx; segStartTs = ts; segGapBefore = true
-            }
-            prevTs = ts
-            segN += 1
-            if (buf.remaining() < 8) flushBuf()
-            buf.putDouble(v)
-          }
-          // heap merge for overlapping same-bin blocks: admits every
-          // block whose first_idx precedes the frontier, so the emitted
-          // sample order equals the old full sort's whatever the
-          // cross-partition interleaving. RESUMABLE (one sample per
-          // step-loop iteration, like the pre-packed per-row writer):
-          // a merge group spanning a gap-heavy bin must hand its
-          // segment rows to the consumer as they arise, never buffer
-          // them for the whole group (review r16). Memory is bounded by
-          // MaxMergeCursors open blocks — the packed path trades the
-          // old spillable sort's tolerance of UNBOUNDED disorder for a
-          // ~4M-sample interleaving window; input more disordered than
-          // that is refused loudly with the remedy named.
-          private val MaxMergeCursors = 1024
-          private var merging = false
-          private def mergeStep(): Unit = {
-            while (pending.isEmpty && !heap.isEmpty) {
-              while (peek() && nBin == current && nFirst <= heap.peek().curIdx) {
-                if (heap.size() >= MaxMergeCursors)
-                  throw new IllegalStateException(
-                    s"packed sink merge window exceeded ($MaxMergeCursors overlapping blocks in one " +
-                      "channel bin) — the input is pathologically disordered across partitions; " +
-                      "sortWithinPartitions(file, channel, sample_idx) (or repartition by channel) " +
-                      "before EdfSink.write")
-                heap.add(new Cursor(nFirst, nIdx, nTs, nVal)); peeked = false
-              }
-              val c = heap.poll()
-              consume(c.curIdx, c.tsA(c.pos), c.valA(c.pos))
-              c.pos += 1
-              if (c.pos < c.len) heap.add(c)
-            }
-            if (heap.isEmpty) merging = false
-          }
-          private def pump(): Unit = {
-            while (pending.isEmpty && (merging || peek())) {
-              if (merging) mergeStep()
-              else {
-                val (bin, first, idxA, tsA, valA) = (nBin, nFirst, nIdx, nTs, nVal)
-                peeked = false
-                if (bin != current) { emitSeg(); closeBin(); openBin(bin) }
-                val n = valA.length
-                val lastIdx = if (idxA == null) first + n - 1 else idxA(n - 1)
-                if (peek() && nBin == bin && nFirst <= lastIdx) {
-                  heap.add(new Cursor(first, idxA, tsA, valA))
-                  merging = true
-                } else {
-                  var i = 0
-                  if (idxA == null) {
-                    while (i < n) { consume(first + i, tsA(i), valA(i)); i += 1 }
-                  } else {
-                    while (i < n) { consume(idxA(i), tsA(i), valA(i)); i += 1 }
-                  }
-                }
-              }
-            }
-            if (pending.isEmpty && !drained) {
-              drained = true
-              emitSeg(); closeBin()
-              fs.delete(attemptDir, true)
-            }
-          }
-          override def hasNext: Boolean = { if (pending.isEmpty) pump(); pending.nonEmpty }
-          override def next(): org.apache.spark.sql.Row = {
-            if (!hasNext) throw new NoSuchElementException
-            pending.removeHead()
-          }
-        }
-      }
-
-    // 2. distributed manifest assembly: every output channel's segment
-    // rows land in one partition (hash on ordinal) pre-sorted by
-    // start_index; the owning task MERGES part-seam segments (a part's
-    // first segment with no time gap to its predecessor continues the
-    // predecessor's chunk), streams the chunk array to a temp file
-    // (never holding it in memory), then composes the final manifest —
-    // header fields are only known once the stream ends — by header +
-    // chunk-array copy + footer, and commits it by rename. Because the
-    // segments are the dump's map-side output, this stage is the reduce
-    // side of the dump's own shuffle: the whole sink is ONE job, one
-    // pass over sample volume. In append mode the matched channels'
-    // EXISTING chunks are parsed from their old manifest files
-    // executor-side and unioned in front of the new ones (their indices
-    // are value-stream positions, always below the appended offset, so
-    // the index sort interleaves correctly).
-    val rewriteOrds: Set[Int] =
-      if (mode == "overwrite") plans.map(_.ord).toSet
-      else (matched.values.map(_.ord) ++ newKeys.map(keyOrd)).toSet
     // stage matched channels' manifests out of the way (driver rename):
-    // the assembly reads their chunk arrays from the _prev copies while
-    // the merged manifests commit to the now-free destinations — immune
-    // to stage retries re-reading a half-overwritten file, and
+    // the commit tasks read their chunk arrays from the _prev copies
+    // while the merged manifests commit to the now-free destinations —
+    // immune to task retries re-reading a half-overwritten file, and
     // recoverable (see the _prev sweep above) if this run dies mid-way
     def prevName(o: Int): String = f"staged-manifest-$o%05d.json"
     val matchedOrds = matched.values.map(_.ord).toSeq.sorted
@@ -907,167 +1029,131 @@ object EdfSink {
       require(driverFs.rename(new Path(outPath, manifestName(o)), dest),
         s"failed to stage existing manifest ${manifestName(o)}")
     }
-    // a NEW ordinal's destination can only hold stale output from a
-    // crashed run beyond the contiguous manifest sequence — pre-clean it
-    // so the executor-side commit rename can't silently lose to it
-    if (mode == "append")
+    // pre-clean final destinations so the commit job's renames can never
+    // silently lose to a previous run's files. Overwrite: planned
+    // destinations, any other part layout of the same base names, old
+    // manifests. Append: only this run's planned NEW files and the NEW
+    // ordinals' manifest slots (stale output from a crashed run).
+    nameMap.values.foreach(n => driverFs.delete(new Path(outPath, n), false))
+    if (mode == "overwrite") {
+      baseNames.values.foreach { base =>
+        driverFs.delete(new Path(outPath, base), false)
+        driverFs.globStatus(new Path(outPath, base.replaceAll("\\.ts\\.bin$", "-part*.ts.bin")))
+          .foreach(s => driverFs.delete(s.getPath, false))
+      }
+      driverFs.globStatus(new Path(outPath, "channel*.json"))
+        .foreach(s => driverFs.delete(s.getPath, false))
+    } else {
       newKeys.foreach(k => driverFs.delete(new Path(outPath, manifestName(keyOrd(k))), false))
-    val newChunks = spark.createDataFrame(segRows, segSchema)
-    val exChunks: Option[DataFrame] = {
-      if (matchedOrds.isEmpty) None
-      else {
-        val paths = matchedOrds.map(o => new Path(outPath, prevName(o)).toString)
-        val byName = matchedOrds.map(o => prevName(o) -> o).toMap
-        val nameToOrd = typedLit(byName)
-        Some(spark.read.schema(chunkArraySchema).option("multiLine", true).json(paths: _*)
-          .withColumn("ord", element_at(nameToOrd,
-            element_at(split(input_file_name(), "/"), -1)))
-          .select(col("ord"), explode(col("contiguousChunks")).as("c"))
-          .select(col("ord"), col("c.index").as("start_index"), col("c.start").as("start_ts"),
-            lit(null).cast("long").as("end_ts"), lit(null).cast("long").as("n"),
-            lit(false).as("is_new"), lit(true).as("gap_before")))
+    }
+
+    val commitTasks: Seq[CommitTask] = keys.map { k =>
+      val d = byKey(k)
+      val partsSorted = d.parts.sortBy(_._1)
+      val binRenames = partsSorted.map { case (p, tmpN) => (tmpN, nameMap((k._1, k._2, p))) }
+      val newBins = binRenames.map(_._2)
+      matched.get(k) match {
+        case Some(ex) =>
+          CommitTask(ex.ord, ex.name, ex.unit, ex.rate, ex.chanType,
+            binRenames, ex.binaryFiles ++ newBins,
+            exOffsets(ex.ord), Some(ex.start), Some(ex.end), replayTag,
+            Some(prevName(ex.ord)), chunkTmpName(k._1, k._2),
+            d.start, d.end, d.newValues, d.nChunks)
+        case None =>
+          CommitTask(keyOrd(k), k._2, d.unit, d.rate, "CONTINUOUS",
+            binRenames, newBins, 0L, None, None, replayTag,
+            None, chunkTmpName(k._1, k._2),
+            d.start, d.end, d.newValues, d.nChunks)
       }
     }
-    val allChunks = exChunks.map(newChunks.unionByName(_)).getOrElse(newChunks)
-    // incoming-rate gap thresholds per output ordinal, for part-seam
-    // continuity checks in the assembly (channel-cardinality)
-    val bOrdGap = spark.sparkContext.broadcast(
-      keys.map(k => keyOrd(k) -> (2e6 / chanInfo(k)._2).toLong).toMap)
+    phase("reconcile")
 
-    phase("plan_build")
-    allChunks
-      .repartition(col("ord"))
-      .sortWithinPartitions(col("ord"), col("start_index"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    // ---- commit job: channel-cardinality renames + manifest compose ----
+    if (commitTasks.nonEmpty) {
+      val slices = math.min(commitTasks.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(commitTasks, slices).foreach { t =>
         val tc = TaskContext.get()
         val fs = new Path(outDirStr).getFileSystem(EdfFile.confFromEntries(confEntries))
-        val attemptDir = new Path(outDirStr,
-          s"_tmp-m${tc.stageId()}-${tc.partitionId()}-attempt-${tc.taskAttemptId()}")
-        var ord = -1
-        var start = Long.MaxValue; var end = Long.MinValue
-        var prevEnd = Long.MinValue; var nChunks = 0L; var newValues = 0L
-        var gapUs = Long.MaxValue
-        // chunk 'index' is the chunk's position within the STORED value
-        // stream (reference base.py:336-342) — appendOffset + running sum
-        // of emitted values. Identical to sample_idx for dense input;
-        // reference-correct (and within the binary's bounds) for
-        // filtered/non-dense input where sample_idx has holes.
-        var storedPos = 0L
-        // pending NEW chunk being extended across part seams
-        var havePend = false
-        var pendStartTs = 0L; var pendEndTs = 0L; var pendN = 0L
-        var chunkTmp: Path = null
-        var chunkOut: BufferedOutputStream = null
-        def writeChunkEntry(idx: Long, startTs: Long): Unit = {
-          if (nChunks > 0) chunkOut.write(", ".getBytes(StandardCharsets.UTF_8))
-          chunkOut.write(s"""{"index": $idx, "start": $startTs}"""
-            .getBytes(StandardCharsets.UTF_8))
-          nChunks += 1
-        }
-        def flushPend(): Unit = if (havePend) {
-          writeChunkEntry(storedPos, pendStartTs)
-          storedPos += pendN
-          newValues += pendN
-          if (pendStartTs < start) start = pendStartTs
-          if (pendEndTs > end) end = pendEndTs
-          havePend = false
-        }
-        def finishChannel(): Unit = if (ord >= 0) {
-          flushPend()
-          chunkOut.write(']'.toInt); chunkOut.close(); chunkOut = null
-          val plan = bPlans.value(ord)
-          val bins = plan.binaryFiles.map(jsonStr).mkString("[", ", ", "]")
-          val chStart = math.min(start, plan.exStart.getOrElse(Long.MaxValue))
-          val chEnd = math.max(end, plan.exEnd.getOrElse(Long.MinValue))
-          val nValues = plan.exNumValues + newValues
+        val attemptDir = new Path(jobTmpStr, s"attempt-c-${tc.partitionId()}-${tc.taskAttemptId()}")
+        try {
+          // binaries: job-temp -> final. commit() makes retries and
+          // speculative duplicates idempotent (both attempts rename the
+          // SAME job-temp source; the loser sees the committed dest).
+          t.binRenames.foreach { case (tmpN, dest) =>
+            commit(fs, new Path(jobTmpStr, tmpN), new Path(outDirStr, dest))
+          }
+          // manifest: header + existing chunks (from the staged original,
+          // streamed — never materialized) + new chunks + footer; commit
+          // by rename. Header fields were computed at reconcile.
+          val bins = t.binaryFiles.map(jsonStr).mkString("[", ", ", "]")
+          val chStart = math.min(t.newStart, t.exStart.getOrElse(Long.MaxValue))
+          val chEnd = math.max(t.newEnd, t.exEnd.getOrElse(Long.MinValue))
+          val nValues = t.exNumValues + t.newValues
           val head =
-            s"""{"name": ${jsonStr(plan.name)}, "start": $chStart, "end": $chEnd, "unit": ${jsonStr(plan.unit)},
-               | "rate": ${plan.rate}, "type": "${plan.chanType}", "group": "default", "lastAnnotation": 0,
+            s"""{"name": ${jsonStr(t.name)}, "start": $chStart, "end": $chEnd, "unit": ${jsonStr(t.unit)},
+               | "rate": ${t.rate}, "type": "${t.chanType}", "group": "default", "lastAnnotation": 0,
                | "contiguousChunks": """.stripMargin
-          // the replay-provenance tag commits atomically WITH the merged
-          // manifest (same rename): a replayed tagged append can prove
-          // per channel whether this batch's merge already happened
-          val tagProp = plan.appendTag
-            .map(t => s""",\n               {"key": "appendTag", "value": ${jsonStr(t)}}""")
+          val tagProp = t.appendTag
+            .map(tag => s""",\n               {"key": "appendTag", "value": ${jsonStr(tag)}}""")
             .getOrElse("")
           val foot =
             s""",
-               | "properties": [{"key": "binaryFile", "value": ${jsonStr(plan.binaryFiles.head)}},
+               | "properties": [{"key": "binaryFile", "value": ${jsonStr(t.binaryFiles.head)}},
                |                {"key": "binaryFiles", "value": $bins},
                |                {"key": "numValues", "value": "$nValues"}$tagProp]}""".stripMargin
-          val tmp = new Path(attemptDir, f"manifest-$ord%05d")
+          val tmp = new Path(attemptDir, f"manifest-${t.ord}%05d")
           val out = new BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           out.write(head.getBytes(StandardCharsets.UTF_8))
-          copyInto(fs, chunkTmp, out)
-          out.write(foot.getBytes(StandardCharsets.UTF_8))
-          out.close()
-          commit(fs, tmp, new Path(outDirStr, manifestName(ord)))
-          ord = -1
-        }
-        try {
-          rows.foreach { r =>
-            val o = r.getInt(0)
-            if (o != ord) {
-              finishChannel()
-              ord = o
-              start = Long.MaxValue; end = Long.MinValue
-              prevEnd = bPlans.value(ord).exEnd.getOrElse(Long.MinValue)
-              gapUs = bOrdGap.value.getOrElse(ord, Long.MaxValue)
-              nChunks = 0L; newValues = 0L
-              storedPos = bPlans.value(ord).exNumValues
-              chunkTmp = new Path(attemptDir, "chunks")
-              chunkOut = new BufferedOutputStream(fs.create(chunkTmp, true), 1 << 16)
-              chunkOut.write('['.toInt)
-            }
-            val startIdx = r.getLong(1); val startTs = r.getLong(2)
-            val isNew = r.getBoolean(5)
-            if (!isNew) {
-              // existing chunks sort below the appended offset — emitted
-              // verbatim, never merged with (pending is always empty here)
-              flushPend()
-              writeChunkEntry(startIdx, startTs)
-            } else {
-              val endTs = r.getLong(3)
-              // non-overlap invariant (reference base.py:87-95): appended
-              // chunks start strictly after everything already committed
-              require(startTs > prevEnd,
-                s"overlapping chunks in channel ${bPlans.value(ord).name}")
-              prevEnd = endTs
-              if (havePend && !r.getBoolean(6) && startTs - pendEndTs <= gapUs) {
-                // part-seam continuation: the segment's part began with
-                // no time gap to the previous part's tail — same chunk
-                pendEndTs = endTs; pendN += r.getLong(4)
-              } else {
-                flushPend()
-                havePend = true
-                pendStartTs = startTs
-                pendEndTs = endTs; pendN = r.getLong(4)
-              }
+          out.write('['.toInt)
+          var wrote = 0L
+          t.stagedManifest.foreach { sm =>
+            streamExistingChunks(fs, new Path(outDirStr, sm)) { (idx, st) =>
+              if (wrote > 0) out.write(", ".getBytes(StandardCharsets.UTF_8))
+              out.write(s"""{"index": $idx, "start": $st}""".getBytes(StandardCharsets.UTF_8))
+              wrote += 1
             }
           }
-          finishChannel()
+          if (t.nChunksNew > 0) {
+            if (wrote > 0) out.write(", ".getBytes(StandardCharsets.UTF_8))
+            // copy WITHOUT deleting: a task retry must find it again
+            val in = fs.open(new Path(jobTmpStr, t.chunkTmp))
+            try {
+              val cbuf = new Array[Byte](1 << 16)
+              var n = in.read(cbuf)
+              while (n >= 0) { if (n > 0) out.write(cbuf, 0, n); n = in.read(cbuf) }
+            } finally in.close()
+          }
+          out.write(']'.toInt)
+          out.write(foot.getBytes(StandardCharsets.UTF_8))
+          out.close()
+          commit(fs, tmp, new Path(outDirStr, manifestName(t.ord)))
         } finally {
-          if (chunkOut != null) chunkOut.close()
-          fs.delete(attemptDir, true)
+          try fs.delete(attemptDir, true) catch { case _: Exception => () }
         }
       }
+    }
+    phase("commit_job")
 
-    phase("main_job")
     // in append mode a matched-but-empty incoming channel can't occur
-    // (chanInfo only lists channels holding rows), but an UNTOUCHED
-    // existing channel writes no manifest above — its old file stands.
+    // (discovery only lists channels holding rows), but an UNTOUCHED
+    // existing channel keeps its old manifest — nothing rewrites it.
+    val rewriteOrds: Set[Int] = keys.map(keyOrd).toSet
     require(rewriteOrds.forall(o => driverFs.exists(new Path(outPath, manifestName(o)))),
       "manifest assembly incomplete")
     matchedOrds.foreach(o => driverFs.delete(new Path(outPath, prevName(o)), false))
+    driverFs.delete(jobTmp, true)
 
     // 3. driver-side index: stream-concatenate the committed per-channel
     // manifests into channels.json — a bounded-buffer copy, never a
     // parse or a collect
+    val allOrds = (existing.map(_.ord) ++ keys.map(keyOrd)).distinct.sorted
     val idxPath = new Path(outPath, "channels.json")
-    concatIndex(driverFs, idxPath, plans.map(_.ord).sorted.map(o => new Path(outPath, manifestName(o))))
+    concatIndex(driverFs, idxPath, allOrds.map(o => new Path(outPath, manifestName(o))))
     phase("index")
     idxPath.toString
   }
+
 
   private def concatIndex(fs: FileSystem, idxPath: Path, parts: Seq[Path]): Unit = {
     val idxOut = new BufferedOutputStream(fs.create(idxPath, true), 1 << 16)

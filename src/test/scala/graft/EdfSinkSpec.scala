@@ -283,6 +283,78 @@ class EdfSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("merge window overflow spills to sorted runs instead of failing (>1024 overlapping blocks)") {
+    // a relation round-robin repartitioned >1024 ways scatters one
+    // channel across every map partition, so every partition's block
+    // spans the full sample_idx range and >1024 cursors overlap at the
+    // reduce-side merge frontier — pre-r17 this threw; now the open
+    // cursors merge-drain to an executor-local sorted run and the write
+    // completes byte-identically to the ordered run (review r16 ADVICE)
+    import org.apache.spark.sql.Row
+    val n = 2200
+    val base = 1577836800000000L
+    val rows = (0 until n).map(i =>
+      Row("f.edf", 0, "NC", "uV", 4.0, 0L, i.toLong, base + i * 250000L, i.toDouble))
+    val ordered = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), EdfFile.sampleSchema)
+    // RDD-level repartition: AQE would coalesce a DataFrame-level
+    // round-robin exchange of this little data back to a few partitions
+    // and never build the >1024-block overlap this test exists to hit
+    val scattered = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1).repartition(1100), EdfFile.sampleSchema)
+    val tmp = Files.createTempDirectory("edfspill")
+    val outA = s"$tmp/ordered"; val outB = s"$tmp/scattered"
+    EdfSink.write(ordered, outA)
+    val spillsBefore = EdfSink.mergeSpills.get()
+    EdfSink.write(scattered, outB)
+    assert(EdfSink.mergeSpills.get() > spillsBefore,
+      "the merge-window spill path was actually exercised")
+    Seq("NC.ts.bin", "channel.json", "channels.json").foreach { f =>
+      assert(Files.readAllBytes(Paths.get(s"$outA/$f")).toSeq ==
+        Files.readAllBytes(Paths.get(s"$outB/$f")).toSeq, s"$f: scattered == ordered")
+    }
+    val m = new String(Files.readAllBytes(Paths.get(s"$outB/channel.json")))
+    assert(m.contains(s""""numValues", "value": "$n""""), s"all $n values through the spill: $m")
+  }
+
+  test("append shift across a part boundary works at maxSamplesPerFile = MaxValue (negative idx)") {
+    // review r16 ADVICE: a matched append whose raw sample_idx is
+    // negative shifts to a DIFFERENT floorDiv part than the raw plan
+    // computed, and the pre-r17 shifted-part re-derivation skipped the
+    // maxSamplesPerFile == Long.MaxValue case entirely. Part discovery
+    // now happens exclusively on the shifted idx inside the pack, so the
+    // plan cannot disagree with the executors by construction.
+    import org.apache.spark.sql.Row
+    val base = 1577836800000000L
+    def mk(idxs: Seq[Long], tsBase: Long) = spark.createDataFrame(
+      spark.sparkContext.parallelize(idxs.map(i =>
+        Row("f.edf", 0, "NC", "uV", 4.0, 0L, i, tsBase + (i - idxs.min) * 250000L, i.toDouble)), 2),
+      EdfFile.sampleSchema)
+    val outDir = Files.createTempDirectory("edfnegappend").toString
+    EdfSink.write(mk(0L to 11L, base), outDir)
+    // raw idx -20..3; offset = 12 existing values -> shifted -8..15,
+    // spanning floorDiv parts {-1, 0} even at the MaxValue part size
+    EdfSink.write(mk(-20L to 3L, base + 3600L * 1000000L), outDir, mode = "append")
+    val m = new String(Files.readAllBytes(Paths.get(s"$outDir/channel.json")))
+    val bins = "\"binaryFiles\", \"value\": \\[([^\\]]+)\\]".r
+      .findFirstMatchIn(m).get.group(1)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    assert(bins.length == 3, s"original + 2 shifted parts: $bins")
+    val sizes = bins.map(b => Files.size(Paths.get(s"$outDir/$b")))
+    assert(sizes == Seq(12L * 8, 8L * 8, 16L * 8), s"part sizes follow the shifted split: $sizes")
+    // concatenating the listed binaries reproduces both sessions in idx order
+    val gotBytes = bins.flatMap(b => Files.readAllBytes(Paths.get(s"$outDir/$b")).toSeq).toArray
+    val bb = ByteBuffer.wrap(gotBytes).order(ByteOrder.LITTLE_ENDIAN)
+    val got = (0 until gotBytes.length / 8).map(_ => bb.getDouble)
+    assert(got == (0L to 11L).map(_.toDouble) ++ (-20L to 3L).map(_.toDouble),
+      "concatenated stream = session1 ++ session2 in sample order")
+    assert(m.contains("\"numValues\", \"value\": \"36\""), s"36 total values: $m")
+    // the 250 ms seam between the shifted parts is NOT a gap (4 Hz):
+    // the appended session stays one chunk, indices continue the stream
+    val idxs = "\\{\"index\": (\\d+)".r.findAllMatchIn(m).map(_.group(1).toLong).toSeq
+    assert(idxs == Seq(0L, 12L), s"one appended chunk continuing the value stream: $m")
+  }
+
   test("negative sample_idx routes consistently: plan floorDiv == pack floorDiv") {
     // write() accepts arbitrary sample relations; SQL `div` truncates
     // toward zero while the pack loop floor-divides — review r16 found

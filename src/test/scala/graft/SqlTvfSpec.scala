@@ -139,6 +139,87 @@ class SqlTvfSpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq, "idempotent re-run over a drained watch dir")
   }
 
+  test("graft_edf_ingest defers the drain to execution: EXPLAIN and schema are side-effect free") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("tvfdefer")
+    val watch = Files.createDirectory(tmp.resolve("watch"))
+    val out = tmp.resolve("out").toString
+    EdfDFixtures.makeEdfC(s"$tmp/s1.edf", "00.00.00", Seq("C3"))
+    Files.copy(Paths.get(s"$tmp/s1.edf"), watch.resolve("s1.edf"))
+
+    // analysis-only touchpoints (r16 ADVICE: these used to RUN the drain)
+    val stmt = s"SELECT * FROM graft_edf_ingest('$watch', '$out')"
+    val plan = spark.sql(s"EXPLAIN $stmt").collect().map(_.getString(0)).mkString
+    assert(plan.contains("EdfIngest"), s"plan shows the deferred node: $plan")
+    val schema = spark.sql(stmt).schema // analyzes, does not execute
+    assert(schema.fieldNames.toSeq == Seq("name", "start", "end", "unit", "rate", "type"))
+    assert(!Files.exists(Paths.get(s"$out/channels.json")),
+      "EXPLAIN / schema inspection must not ingest")
+
+    // execution runs the drain exactly as before
+    val rows = spark.sql(stmt).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("C3"), "executing the statement ingests")
+    assert(Files.exists(Paths.get(s"$out/channels.json")))
+  }
+
+  test("two concurrent graft_edf_ingest calls run isolated (child-session-per-drain)") {
+    import java.nio.file.{Files, Paths}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tmp = Files.createTempDirectory("tvfconc")
+    val runs = Seq("a", "b").map { tag =>
+      val watch = Files.createDirectory(tmp.resolve(s"watch$tag"))
+      EdfDFixtures.makeEdfC(s"$tmp/s$tag.edf", "00.00.00",
+        if (tag == "a") Seq("C3", "C4") else Seq("EMG"))
+      Files.copy(Paths.get(s"$tmp/s$tag.edf"), watch.resolve(s"s$tag.edf"))
+      (tag, watch, tmp.resolve(s"out$tag").toString)
+    }
+    val futs = runs.map { case (tag, watch, out) =>
+      Future {
+        spark.sql(s"SELECT name FROM graft_edf_ingest('$watch', '$out') ORDER BY name")
+          .collect().map(_.getString(0)).toSeq
+      }.map(tag -> _)
+    }
+    val got = Await.result(Future.sequence(futs), 120.seconds).toMap
+    assert(got("a") == Seq("C3", "C4"), s"run a: ${got("a")}")
+    assert(got("b") == Seq("EMG"), s"run b: ${got("b")}")
+    runs.foreach { case (_, _, out) =>
+      assert(Files.exists(Paths.get(s"$out/channels.json")), s"$out committed")
+    }
+  }
+
+  test("two stream lineages appending into one outDir via the TVF never collide replay tags") {
+    // the silent-loss bug class the r16 self-review caught lives here:
+    // lineage B's batch 0 must not be skipped because lineage A's batch 0
+    // already stamped the shared outDir — the replay tag is keyed by the
+    // checkpoint's persisted query id, not the batch number
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("tvflineage")
+    val out = tmp.resolve("out").toString
+    val watchA = Files.createDirectory(tmp.resolve("watchA"))
+    val watchB = Files.createDirectory(tmp.resolve("watchB"))
+    EdfDFixtures.makeEdfC(s"$tmp/sA.edf", "00.00.00", Seq("C3", "C4"))
+    EdfDFixtures.makeEdfC(s"$tmp/sB.edf", "02.00.00", Seq("C3", "C4")) // 2h later, same channels
+    Files.copy(Paths.get(s"$tmp/sA.edf"), watchA.resolve("sA.edf"))
+    Files.copy(Paths.get(s"$tmp/sB.edf"), watchB.resolve("sB.edf"))
+
+    // distinct lineages: distinct watch dirs AND distinct checkpoints,
+    // one shared output — the reference's sessions-accumulate workflow
+    spark.sql(s"SELECT * FROM graft_edf_ingest('$watchA', '$out', '$tmp/ckptA')").collect()
+    spark.sql(s"SELECT * FROM graft_edf_ingest('$watchB', '$out', '$tmp/ckptB')").collect()
+
+    val c3 = new String(Files.readAllBytes(Paths.get(s"$out/channel.json")))
+    assert(c3.contains("\"numValues\", \"value\": \"24\""),
+      s"both lineages' sessions merged (12 + 12 values): $c3")
+    assert("\\{\"index\": ".r.findAllIn(c3).size == 2, s"one chunk per session: $c3")
+    // and an exact REPLAY of lineage B (same checkpoint, drained watch)
+    // stays a no-op rather than double-appending
+    spark.sql(s"SELECT * FROM graft_edf_ingest('$watchB', '$out', '$tmp/ckptB')").collect()
+    val again = new String(Files.readAllBytes(Paths.get(s"$out/channel.json")))
+    assert(again == c3, "drained-lineage replay changed nothing")
+  }
+
   test("non-literal TVF args fail analysis loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft_curate(concat('a', 'b'))").collect()
