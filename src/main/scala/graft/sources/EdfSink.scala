@@ -450,11 +450,17 @@ object EdfSink {
       start: Long, end: Long, newValues: Long, nChunks: Long,
       parts: Seq[(Long, String)]) // (part, temp binary name under jobTmp)
 
-  /** Test observability: merge-window spills performed in this JVM
-    * (local-mode executors share it, so specs can assert the spill path
-    * was actually exercised, not merely that output stayed correct).
+  /** Test observability: merge-window spills, counted through a Spark
+    * accumulator so executor-JVM spills aggregate back to the driver
+    * under ANY master (local[n] and local-cluster alike) — specs assert
+    * the spill path was actually exercised, not merely that output
+    * stayed correct. Reassigned per write() call; reads are last-write.
     */
-  private[graft] val mergeSpills = new java.util.concurrent.atomic.AtomicLong
+  @volatile private[graft] var mergeSpillAcc: org.apache.spark.util.LongAccumulator = _
+  private[graft] def mergeSpillCount: Long = {
+    val a = mergeSpillAcc
+    if (a == null) 0L else a.value
+  }
 
   private def sha1Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-1")
@@ -562,6 +568,8 @@ object EdfSink {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append, got $mode")
     require(replayTag.isEmpty || mode == "append", "replayTag only applies to append mode")
     val spark = samples.sparkSession
+    val spillAcc = spark.sparkContext.longAccumulator("graft.sink.mergeSpills")
+    mergeSpillAcc = spillAcc
     val confEntries = EdfFile.captureConfEntries(spark)
     val outPath = new Path(outDir)
     val driverFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -792,7 +800,7 @@ object EdfSink {
           private val MaxMergeCursors = 1024
           private var merging = false
           private def spillHeap(): Unit = {
-            mergeSpills.incrementAndGet()
+            spillAcc.add(1L)
             val f = java.io.File.createTempFile("graft-sink-spill-", ".run")
             spillFiles += f
             val sOut = new java.io.DataOutputStream(

@@ -8,7 +8,7 @@
 # Env:   SPARK_DRIVER_MEM (default 8g), SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+CP="$PWD/target/scala-2.13/classes:/opt/spark/jars/*"
 # JDK17 module opens Spark needs outside spark-submit (same list as build.sbt)
 OPENS="java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
 java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
