@@ -483,11 +483,13 @@ object PlanAudit {
           !p.contains("BroadcastNestedLoopJoin") &&
           (p.contains("ReusedExchange") || p.contains("BroadcastHashJoin")),
         "interval join: cell-keyed hash join, never a cross product"),
-      // B34: per-round votes combine map-side, the argmax is a struct-min
-      // partial aggregate (no window), census is a bounded take
+      // B34: the declared query's rounds are materialized checkpoints, so
+      // the census plan is checked here (bounded take, window-free) and
+      // the per-round vote + struct-min shape is asserted on the kernel
+      // itself in lib:lpa_round below
       ("graph_lpa", p => !p.contains("CartesianProduct") && !p.contains("Window") &&
-          p.contains("partial_min") && p.contains("TakeOrderedAndProject"),
-        "LPA: map-side votes + struct-min pick, window-free, bounded census"),
+          p.contains("partial_count") && p.contains("TakeOrderedAndProject"),
+        "LPA census: map-side counts, window-free, bounded take"),
       // C67d scan floor: the whole match is array-side in one narrow scan
       ("phrase_search", p => p.contains("TakeOrderedAndProject") &&
           !p.contains("Join") && !p.contains("Exchange hashpartitioning"),
@@ -519,6 +521,8 @@ object PlanAudit {
     // expensive stage of an otherwise exchange-free plan. The narrow
     // scan-shaped operators must in fact plan with ZERO exchanges.
     val t = Tables(spark, sfDir)
+    def lpaRoundPlan(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      operators.Analytics.lpaLabels(e, 1, materializeAll = false)
     def libPlan(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
       df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
@@ -549,6 +553,17 @@ object PlanAudit {
       ("lib:refresh_incremental",
         !libPlan(operators.TextAnalysis.refreshIncremental(t)).contains("rangepartitioning"),
         "incremental refresh carries no global sort (delta join + semi-joined compute)"),
+      ("lib:lpa_round", {
+        import org.apache.spark.sql.functions.col
+        // one LPA round with the last round left lazy: the vote count
+        // must combine map-side and the argmax must be a struct-min
+        // partial aggregate, never a window
+        val e = t.lineitem.limit(64)
+          .select((col("l_partkey") % 8L).as("a"), (col("l_suppkey") % 8L + 8L).as("b"))
+          .distinct()
+        val plan = libPlan(lpaRoundPlan(e))
+        plan.contains("partial_min") && !plan.contains("Window")
+      }, "LPA round: map-side votes + struct-min pick, window-free (kernel plan)"),
       ("lib:neardup_incremental", {
         import org.apache.spark.sql.functions.col
         val docs = t.documents.select(col("doc_id"), col("text"))

@@ -387,48 +387,67 @@ object Analytics {
     */
   def graphPagerank(t: Tables, iters: Int = 5, k: Int = 20): DataFrame = {
     val scale = 1000000000000L // 1e12: rank units of 1/SCALE
+    // node ids are LONGS inside the loop (customer c → 2c, supplier s →
+    // 2s+1, disjoint and bijective with the "c123"/"s45" output labels):
+    // every per-iteration exchange hashes/compares an 8-byte long instead
+    // of a string — the guide's narrow-the-shuffle-key rule — and the
+    // output boundary reconstructs the exact public label.
     val edgesCS = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey").cast("long") * 2L).as("src"),
+        (col("l_suppkey").cast("long") * 2L + 1L).as("dst"))
       .distinct()
     // cache the edges ALREADY hash-partitioned on the join key: the
-    // cached InMemoryRelation then reports hashpartitioning(src), so
-    // every iteration's rank⋈edges join exchanges only the node-sized
-    // rank relation, not the 2|E|-row edge side. Measured at 60M
-    // lineitem rows (100M directed edges): 195 → 169 s for the full
-    // warm+2-pass bench — the remaining cost is the per-iteration
-    // contribution sum keyed by dst, which IS PageRank's irreducible
-    // shuffle (map-side partial sums bound it at edge cardinality).
+    // cached InMemoryRelation reports hashpartitioning(src) (a
+    // localCheckpoint would NOT — LogicalRDD surfaces
+    // UnknownPartitioning, and the 2|E|-row edge side would re-exchange
+    // every iteration), so each iteration's rank⋈edges join exchanges
+    // only the node-sized rank relation. Measured at 60M lineitem rows
+    // (100M directed edges): 195 → 169 s for the full warm+2-pass bench
+    // — the remaining cost is the per-iteration contribution sum keyed
+    // by dst, which IS PageRank's irreducible shuffle (map-side partial
+    // sums bound it at edge cardinality).
     val edges = edgesCS.unionAll(edgesCS.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.select(count(lit(1)).as("n"))
+    // localCheckpoint (the starComponents discipline) instead of
+    // persist+count: it materializes eagerly AND truncates lineage, so
+    // iteration i+1 plans against a flat LogicalRDD with measured-size
+    // stats. The old persist chain kept the full join lineage in every
+    // plan — each iteration referenced the previous ranks twice, so the
+    // analyzed tree (and its join-size estimates) grew 2x per iteration:
+    // by iteration 5 the optimizer was planning a 2^5-copy tree with
+    // 1e28-byte stats, forcing SortMergeJoin and megabyte explain dumps
+    // (plans/r17/graph_pagerank_before.txt: 24.8 MB, 271 nodes).
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), col("deg"), col("n"),
         expr(s"${scale}L div n").as("rank"))
-      .persist()
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val contrib = ranks.withColumn("contrib", expr("rank div deg"))
         .join(edges, col("node") === col("src"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      val next = ranks.drop("rank")
+      ranks = ranks.drop("rank")
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), col("deg"), col("n"),
           (expr(s"(${scale}L * 15 div 100) div n") +
             expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
-        .persist()
-      next.count() // materialize so the lineage does not re-run prior iterations
-      ranks.unpersist(false)
-      ranks = next
+        .localCheckpoint() // eager: materialize + flatten lineage per iteration
     }
-    // the loop's count() left the FINAL ranks materialized in cache
-    // (node-sized — it stays resident for the caller's consumption);
-    // the edge cache is corpus-pair-sized and can be released now
+    // every iteration is materialized (node-sized final ranks stay
+    // resident for the caller); the corpus-pair-sized edge cache can go
     edges.unpersist(false)
-    ranks.select(col("node"), col("deg"), col("rank"))
+    // output boundary: reconstruct the public "c<custkey>"/"s<suppkey>"
+    // labels from the internal long ids; ordering is on the LABEL string,
+    // exactly as the pre-rewrite operator ordered
+    ranks
+      .select(
+        when(col("node") % 2L === 0L, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+        col("deg"), col("rank"))
       .orderBy(col("rank").desc, col("node"))
       .limit(k)
   }
@@ -483,31 +502,68 @@ object Analytics {
         "or raise maxBasket deliberately for a corpus known to be this dense")
   }
 
+  /** Within-order co-purchase pair stream (a < b, per-order distinct) —
+    * the shared edge/pair generator for B23/B29/B31/B34. Baskets collapse
+    * to one sorted distinct-item array per order (collect_set partial-
+    * aggregates map-side), and pairs assemble ARRAY-SIDE from the sorted
+    * array (every element with each later element), so the whole
+    * Σ C(basket, 2) stream needs ONE exchange (hash(ok)) — where the old
+    * self-join-on-o_orderkey form paid the distinct's exchange PLUS the
+    * join, and materialized Σ basket² join-probe work. Identical pair
+    * set by construction: sort_array(collect_set) enumerates exactly the
+    * distinct items, and (earlier, later) over a sorted array is exactly
+    * the a < b canonical form.
+    */
+  private def basketPairs(li: DataFrame): DataFrame = {
+    val arr = sort_array(collect_set(col("s")))
+    li.groupBy(col("ok")).agg(arr.as("items"))
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
   private[graft] def coPurchaseOriented(t: Tables, maxBasket: Int = 4096): (DataFrame, DataFrame, DataFrame) = {
     val li = t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
     requireBasketBound(li.withColumnRenamed("s", "item"), maxBasket, "triangleCount")
-    // undirected co-supply edges (a < b as canonical form), deduplicated
-    val e = li.join(li.withColumnRenamed("s", "s2"), Seq("ok"))
-      .filter(col("s") < col("s2"))
-      .select(col("s").as("a"), col("s2").as("b"))
-      .distinct()
+    // undirected co-supply edges (a < b as canonical form), deduplicated.
+    // localCheckpoint: every consumer reads the edge relation at least
+    // twice (B23: degrees + orientation + census; B34: both union
+    // directions), so materializing the distinct ONCE replaces repeated
+    // basket-explode recomputes; blocks are GC-reclaimed with the result.
+    val e = basketPairs(li).distinct().localCheckpoint()
     // total degree per node (graph is undirected)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient each edge from the lower (degree, id) endpoint to the higher
+    (e, deg, orientEdges(e, deg))
+  }
+
+  /** Orient each edge from the lower (degree, id) endpoint to the higher —
+    * the one definition shared by [[coPurchaseOriented]] and the
+    * degree-materializing path in [[triangleCount]], so the operator and
+    * the sf10 wedge probe can never drift.
+    */
+  private def orientEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     val da = deg.select(col("n").as("a"), col("d").as("da"))
     val db = deg.select(col("n").as("b"), col("d").as("db"))
-    val oriented = e.join(da, Seq("a")).join(db, Seq("b"))
+    e.join(da, Seq("a")).join(db, Seq("b"))
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
-    (e, deg, oriented)
   }
 
   def triangleCount(t: Tables, maxBasket: Int = 4096): DataFrame = {
-    val (e, deg, oriented) = coPurchaseOriented(t, maxBasket)
+    val (e, degLazy, _) = coPurchaseOriented(t, maxBasket)
+    // degrees feed both orientation joins AND the node census: one
+    // node-sized materialization instead of three aggregations over e
+    val deg = degLazy.localCheckpoint()
+    // the oriented relation feeds the adjacency build AND the closure
+    // probe: materialize it once instead of re-running the two degree
+    // joins per consumer
+    val oriented = orientEdges(e, deg).localCheckpoint()
     // edge-iterator closure over COMPRESSED adjacency: a triangle under
     // the orientation is an edge (u, v) plus a common out-neighbor w, so
     // n_triangles = Σ over oriented edges of |N⁺(u) ∩ N⁺(v)|. The wedge
@@ -524,10 +580,12 @@ object Analytics {
       .join(adj.select(col("src").as("ju"), col("nbrs").as("nu")), col("src") === col("ju"))
       .join(adj.select(col("src").as("jv"), col("nbrs").as("nv")), col("dst") === col("jv"))
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+    // census as literals: e and deg are already-materialized checkpoints,
+    // so their cardinalities are shuffle-free RDD counts — the two
+    // broadcast-subquery aggregation jobs the crossJoins planned are gone
+    val (nEdges, nNodes) = (e.count(), deg.count())
     closed.agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-      .crossJoin(broadcast(deg.agg(count(lit(1)).cast("long").as("n_nodes"))))
-      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+      .select(lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"), col("n_triangles"))
   }
 
   /** B29: market-basket association rules — support / confidence / lift
@@ -555,14 +613,25 @@ object Analytics {
     requireBasketBound(
       t.lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item")),
       maxBasket, "assocRules")
-    val items = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-      .distinct()
-    val nb = items.agg(countDistinct(col("ok")).as("nb"))
-    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
-    val pairs = items.join(items.withColumnRenamed("item", "item_b"), Seq("ok"))
-      .filter(col("item") < col("item_b"))
-      .groupBy(col("item"), col("item_b"))
+    // one sorted distinct-item array per order, checkpointed: baskets
+    // feed three consumers (pair counts, item supports, basket total) —
+    // localCheckpoint materializes the collect_set aggregation once
+    // instead of re-running the scan+exchange per consumer, and pair
+    // generation is the shared array-side [[basketPairs]] shape (one
+    // exchange, no self-join)
+    val baskets = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("s"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("s"))).as("items"))
+      .localCheckpoint()
+    val nb = baskets.agg(count(lit(1)).as("nb"))
+    val supp = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("supp"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (x, i) -> " +
+          "transform(slice(items, i + 2, size(items) - i - 1), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("item"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minPairSupport)
     val rules = pairs
@@ -651,8 +720,11 @@ object Analytics {
   def graphCC(t: Tables, k: Int = 20, maxIter: Int = 20,
               maxBasket: Int = 4096): DataFrame = {
     val (e, _, _) = coPurchaseOriented(t, maxBasket)
+    // preDeduped: the co-purchase edge set is distinct with a < b strict
+    // (checkpointed in coPurchaseOriented)
     val (labels, iters) = Dedup.starComponents(
-      e.select(col("a").as("id_a"), col("b").as("id_b")), maxIter)
+      e.select(col("a").as("id_a"), col("b").as("id_b")), maxIter,
+      preDeduped = true)
     graft.IterationLog.record("graph_cc", iters)
     labels.groupBy(col("cluster").as("component"))
       .agg(count(lit(1)).cast("long").as("n_nodes"))
@@ -695,15 +767,26 @@ object Analytics {
     * does not vote, per the original formulation). Isolated nodes cannot
     * occur (every node comes from an edge).
     */
-  private[graft] def lpaLabels(e: DataFrame, iters: Int): DataFrame = {
+  private[graft] def lpaLabels(e: DataFrame, iters: Int,
+                               materializeAll: Boolean = true): DataFrame = {
+    // label rounds localCheckpoint (the starComponents discipline), not
+    // persist+count: eager materialization PLUS lineage truncation, so
+    // each round plans a flat LogicalRDD instead of the whole join chain
+    // (the old label relation appeared in its successor's plan, growing
+    // the analyzed tree and its size estimates every round — see the
+    // graphPagerank comment; before-evidence plans/r17/graph_lpa_before.txt
+    // is a 937 KB dump for 5 rounds). The EDGES stay a persist()ed
+    // InMemoryRelation: the cache reports hashpartitioning(a) so each
+    // round's labels⋈edges join exchanges only the node-sized label
+    // relation — a checkpointed LogicalRDD would surface
+    // UnknownPartitioning and re-exchange the 2|E| edge rows every round.
     val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
       .persist()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .persist()
-    labels.count()
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    for (i <- 1 to iters) {
       val votes = labels.join(edges, col("node") === col("a"))
         .groupBy(col("b"), col("lbl"))
         .agg(count(lit(1)).as("c"))
@@ -711,12 +794,12 @@ object Analytics {
         .groupBy(col("b"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
         .select(col("b").as("node"), col("w").getField("l").as("lbl"))
-        .persist()
-      next.count() // materialize so lineage never re-runs prior rounds
-      labels.unpersist(false)
-      labels = next
+      // materializeAll = false (plan-audit hook): the last round stays
+      // lazy so the vote + struct-min round shape is inspectable — the
+      // edge cache is then deliberately left for the session to evict
+      labels = if (materializeAll || i < iters) next.localCheckpoint() else next
     }
-    edges.unpersist(false)
+    if (materializeAll) edges.unpersist(false)
     labels
   }
 

@@ -116,12 +116,27 @@ object Bpe {
     * round (the C17/C18 iteration hygiene). Nothing corpus-sized is
     * ever touched after the initial dictionary scan.
     */
-  def bpeTrain(t: Tables, nMerges: Int = 16): DataFrame = {
+  def bpeTrain(t: Tables, nMerges: Int = 16,
+               maxLocalDict: Long = 262144L): DataFrame = {
     val spark = t.documents.sparkSession
     require(nMerges > 0 && nMerges <= 4096, s"nMerges must be in (0, 4096], got $nMerges")
     var dict = wordDict(t)
       .select(symString(col("word")).as("s"), col("freq"))
       .localCheckpoint()
+    // gate-checked driver-local sub-path (the starComponents/localUnionFind
+    // precedent): the dictionary is DISTINCT-WORD-sized — Zipf keeps it
+    // orders of magnitude below corpus rows — and when it fits the gate,
+    // 16 merge rounds as driver string folds beat 32 distributed jobs
+    // whose per-job fixed cost dwarfs the actual work. Above the gate the
+    // distributed loop below is untouched (the 100 TB path). Asserted
+    // merge-for-merge interchangeable with the distributed loop in
+    // BpeSpec (maxLocalDict = 0 forces the distributed path).
+    val dictN = dict.count()
+    if (dictN <= maxLocalDict) {
+      import spark.implicits._
+      return bpeTrainLocal(dict.select(col("s"), col("freq"))
+        .as[(String, Long)].collect(), nMerges).toDF("rank", "x", "y", "cnt")
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var stop = false
     var rank = 0
@@ -143,6 +158,63 @@ object Bpe {
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "x", "y", "cnt")
+  }
+
+  /** Driver-side twin of the distributed training loop, byte-exact:
+    * symTokens ≡ split-on-Sep minus the boundary empties, the pair
+    * argmax breaks ties by UNSIGNED UTF-8 byte order (what Spark's
+    * string ordering compares — Java's compareTo differs on
+    * supplementary characters), and merge application is the same
+    * two-pass leftmost-non-overlapping replace (Java String.replace
+    * shares Spark replace()'s all-occurrences-leftmost semantics).
+    */
+  private[graft] def bpeTrainLocal(rows0: Array[(String, Long)],
+                                   nMerges: Int): Seq[(Int, String, String, Long)] = {
+    def utf8Less(a: String, b: String): Boolean = {
+      val (ba, bb) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      val n = math.min(ba.length, bb.length)
+      while (i < n) {
+        val d = (ba(i) & 0xff) - (bb(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      ba.length < bb.length
+    }
+    var rows = rows0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var stop = false
+    var rank = 0
+    while (rank < nMerges && !stop) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      rows.foreach { case (s, f) =>
+        // split keeps trailing empties (Spark split limit -1 semantics);
+        // symTokens drops exactly the first and last boundary empties
+        val parts = s.split(Sep, -1)
+        var j = 1
+        while (j < parts.length - 2) {
+          val k = (parts(j), parts(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      val top = counts.reduceOption[((String, String), Long)] { case (a, b) =>
+        if (a._2 != b._2) { if (a._2 > b._2) a else b }
+        else if (a._1._1 != b._1._1) { if (utf8Less(a._1._1, b._1._1)) a else b }
+        else if (utf8Less(a._1._2, b._1._2)) a else b
+      }
+      top match {
+        case Some(((x, y), cnt)) if cnt >= 2L =>
+          merges += ((rank, x, y, cnt))
+          val pat = Sep + x + Sep + y + Sep
+          val rep = Sep + x + y + Sep
+          rows = rows.map { case (s, f) => (s.replace(pat, rep).replace(pat, rep), f) }
+          rank += 1
+        case _ => stop = true
+      }
+    }
+    merges.toSeq
   }
 
   /** C47c: encode the corpus with a FROZEN merge table — the shape a

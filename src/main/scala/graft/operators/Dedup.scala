@@ -314,7 +314,8 @@ object Dedup {
     * evidence runs entirely on it.
     */
   private[graft] def starComponents(pairs: DataFrame, maxIter: Int,
-                                    maxLocalEdges: Long = 100000L): (DataFrame, Int) = {
+                                    maxLocalEdges: Long = 100000L,
+                                    preDeduped: Boolean = false): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val n = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = n.groupBy(col("src")).agg(min(col("dst")).as("mn"))
@@ -338,22 +339,35 @@ object Dedup {
         .filter(col("src") =!= col("dst"))
         .distinct()
     }
-    var e = pairs
+    // preDeduped: the caller guarantees pairs are already DISTINCT with
+    // id_a ≠ id_b (e.g. graphCC's checkpointed canonical edge set, or
+    // ngramJaccard output which is distinct by its groupBy construction)
+    // — the orientation swap preserves distinctness, so the extra
+    // edge-sized dedup exchange is skipped
+    val canon = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+    var e = (if (preDeduped) canon else canon.distinct())
       .localCheckpoint()
     val nEdges = e.count()
     if (nEdges <= maxLocalEdges) return (localUnionFind(e), -1)
     var iter = 0
     var converged = nEdges == 0L
+    var eCnt = nEdges
     while (!converged && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixpoint test in ONE job: symmetric difference of two distinct
-      // edge sets is empty ⇔ the sets are equal
-      converged = next.except(e).unionAll(e.except(next)).isEmpty
+      // two-tier fixpoint test: both relations are DISTINCT edge sets, so
+      // equal cardinality plus next ⊆ e ⇔ equality. The count on the
+      // just-checkpointed relation is shuffle-free, and a round that
+      // changed the edge count (the common case mid-contraction) skips
+      // the except entirely — where the old symmetric-difference job
+      // shuffled BOTH relations TWICE every round. Exactness is
+      // unchanged: the except still confirms any count-equal round.
+      val nextCnt = next.count()
+      converged = nextCnt == eCnt && next.except(e).isEmpty
       e = next
+      eCnt = nextCnt
       iter += 1
     }
     // partially-merged clusters must never be returned silently
@@ -430,7 +444,9 @@ object Dedup {
   def dedupClusters(t: Tables, k: Int = 3, jaccardThreshold: Double = 0.8,
                     maxIter: Int = 20): DataFrame = {
     val pairs = ngramJaccard(t, k, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
-    val (labels, iters) = starComponents(pairs, maxIter)
+    // preDeduped: ngramJaccard pairs are distinct by construction
+    // (groupBy(id_a, id_b) aggregate) with id_a < id_b strict
+    val (labels, iters) = starComponents(pairs, maxIter, preDeduped = true)
     graft.IterationLog.record("dedup_clusters", iters)
     val sized = t.documents.select(col("doc_id"))
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -607,9 +623,18 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("dfh"), col("h"))))
-    val prefix = ranked
+    // when a gate below will run (the default), materialize the prefix
+    // relation ONCE: the gate's aggregation job and the candidate join
+    // both read the checkpointed blocks instead of each re-running the
+    // tokenize → df-join → two-window prefix pipeline from the parquet
+    // scan (the before-plan, plans/r17/jaccard_join_exact_before.txt,
+    // shows the documents scan 24×). Plan-only callers (gates = 0) keep
+    // the fully lazy form.
+    val gated = maxPrefixBucket > 0 || maxCandidates > 0
+    val prefixRaw = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1L))
       .select(col("doc_id"), col("h"))
+    val prefix = if (gated) prefixRaw.localCheckpoint() else prefixRaw
     // BOTH gates — hot-bucket and total candidate volume — in ONE fused
     // aggregation job over the bucket-count relation (they read the same
     // groupBy; r14 ADVICE flagged the two-job form recomputing the prefix
@@ -622,7 +647,7 @@ object Dedup {
     // eagerly and can throw here; that is the contract (refuse before
     // cost, loudly). Plan-only callers (explain/audit) pass
     // maxPrefixBucket = 0 AND maxCandidates = 0 to skip the job.
-    if (maxPrefixBucket > 0 || maxCandidates > 0) {
+    if (gated) {
       val g = prefix.groupBy(col("h")).agg(count(lit(1)).as("pn"))
         .agg(coalesce(max(col("pn")), lit(0L)).as("hot"),
           coalesce(max_by(col("h"), col("pn")), lit(-1L)).as("hot_h"),
@@ -646,8 +671,13 @@ object Dedup {
     val parted = prefix.repartition(col("h"))
     val a = parted.select(col("h"), col("doc_id").as("id_a"))
     val b = parted.select(col("h").as("hb"), col("doc_id").as("id_b"))
-    val cands = a.join(b, col("h") === col("hb") && col("id_a") < col("id_b"))
+    val candsRaw = a.join(b, col("h") === col("hb") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+    // the verify stage reads the candidate relation two-to-three times
+    // (endpoint restriction, the intersection join, the final left join);
+    // when the gate job has already paid for the prefix pipeline,
+    // materialize the candidates once too (pair-count-sized rows)
+    val cands = if (gated) candsRaw.localCheckpoint() else candsRaw
     verifyJaccard(cands, docs, k, threshold)
   }
 
@@ -771,7 +801,11 @@ object Dedup {
     */
   def containment(t: Tables, l: Int = 24, w: Int = 8,
                   minContain: Double = 0.5, maxDocsPerFp: Long = 1000L): DataFrame = {
-    val fps = substringFingerprints(t, l, w)
+    // persist: the fingerprint relation feeds the hot-fp census, both
+    // sides of the pair join and the per-doc size count — four reads of
+    // one winnow-kernel scan. Corpus-fingerprint-sized (≈ 2/(w+1) of the
+    // character volume as 16-byte rows), LRU-evictable.
+    val fps = substringFingerprints(t, l, w).persist()
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocsPerFp).select(col("fp"))
     val cool = fps.join(hot, Seq("fp"), "left_anti")
@@ -789,7 +823,9 @@ object Dedup {
 
   def substringDedup(t: Tables, l: Int = 24, w: Int = 8,
                      maxDocsPerFp: Long = 1000L): DataFrame = {
-    val fps = substringFingerprints(t, l, w)
+    // persist: hot-fp census + both pair-join sides read the winnow scan
+    // (see containment)
+    val fps = substringFingerprints(t, l, w).persist()
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocsPerFp).select(col("fp"))
     val cool = fps.join(hot, Seq("fp"), "left_anti")

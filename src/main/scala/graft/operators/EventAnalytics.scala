@@ -84,6 +84,11 @@ object EventAnalytics {
             lit(s"$na>$nb").as("transition"),
             (col("t_to") - col("t_from")).as("lat_us"))
     }.reduce(_.unionAll(_))
+      // persist: the transition-latency relation feeds the mean rollup
+      // AND both scans of the quantile kernel (three reads of the full
+      // per-stage join chain otherwise). User-cardinality × 3 narrow
+      // columns, LRU-evictable.
+      .persist()
     val stats = lat.groupBy(col("stage"), col("transition"))
       .agg(count(lit(1)).as("n_users"), sum(col("lat_us")).as("sum_lat"))
       .select(col("stage"), col("transition"), col("n_users"),

@@ -241,7 +241,11 @@ object Sampling {
     */
   def budgetSelect(t: Tables, budgetTokens: Long = 500L,
                    maxDistinct: Long = 1L << 20): DataFrame = {
-    val scored = graft.operators.TextAnalysis.qualityScored(t)
+    // persist: the scored relation feeds the cutoff histogram here AND
+    // both branches of the returned union (full bands + boundary band) —
+    // without the cache the stopword/quality kernel scan re-runs three
+    // times. Doc-cardinality × 4 narrow columns, LRU-evictable.
+    val scored = graft.operators.TextAnalysis.qualityScored(t).persist()
     val hist = scored.groupBy(col("source"), col("quality"))
       .agg(sum(col("n_tokens")).as("toks")).collect()
     require(hist.length <= maxDistinct,

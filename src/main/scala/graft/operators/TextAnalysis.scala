@@ -806,7 +806,14 @@ object TextAnalysis {
     val cond = words.zipWithIndex
       .map { case (w, j) => s"element_at(toks, i + $j) = '$w'" }
       .mkString(" AND ")
+    // cheap conjunctive prefilter BEFORE the tokenize: a doc containing
+    // the phrase necessarily contains every word as a substring of
+    // lower(text) (tokens are substrings of the text), so contains() is
+    // a strict superset test — docs failing it skip the tokenizer and
+    // the offset scan entirely. Pure per-row substring search, still one
+    // zero-shuffle narrow scan.
     docs
+      .filter(words.map(w => lower(col("text")).contains(lit(w))).reduce(_ && _))
       .withColumn("toks", wsTokens(lower(col("text"))))
       .withColumn("n_hits",
         when(size(col("toks")) >= n,
@@ -1462,7 +1469,11 @@ object TextAnalysis {
     */
   def ngramLm(t: Tables, vocabSize: Int = 256, k: Double = 0.5): DataFrame = {
     val pairs = lmPairs(t, vocabSize)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    // persist: the bigram-count relation is (V+1)²-BOUNDED (≤ 66k rows at
+    // V=256) but feeds two consumers (the context rollup and the join) —
+    // without the cache each consumer re-runs the corpus-sized pair
+    // explode + vocabulary joins. Tiny entry, saves a full corpus pass.
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist()
     val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     big.join(ctx, Seq("w1"))
       .select(col("w1"), col("w2"), col("cnt"), col("ctx"),
@@ -1489,7 +1500,9 @@ object TextAnalysis {
     */
   def lmScore(t: Tables, vocabSize: Int = 256, k: Double = 0.5): DataFrame = {
     val pairs = lmPairs(t, vocabSize)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    // persist: (V+1)²-bounded LM relation, two consumers (see ngramLm) —
+    // saves one full corpus pair pass
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist()
     val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     val vTerm = lit(k * (vocabSize + 1))
     val lp = when(col("cnt").isNotNull,
@@ -1525,7 +1538,8 @@ object TextAnalysis {
   def pplBucket(t: Tables, nBands: Int = 3, vocabSize: Int = 256, k: Double = 0.5,
                 maxDistinct: Long = 1L << 20): DataFrame = {
     val pairs = lmPairs(t, vocabSize)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    // persist: (V+1)²-bounded LM relation, two consumers (see ngramLm)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt")).persist()
     val ctx = big.groupBy("w1").agg(sum(col("cnt")).as("ctx"))
     val vTerm = lit(k * (vocabSize + 1))
     val lp = when(col("cnt").isNotNull,
@@ -1536,7 +1550,15 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg((sum(col("lp")) / count(lit(1))).as("avg_raw"))
       .select(col("doc_id"), roundHalfUp(exp(-col("avg_raw")), 2).as("ppl"))
+    // persist: the scored-and-labeled relation feeds TWO passes — the
+    // cutoff histogram below and the returned band assignment — and
+    // without the cache the second pass re-runs the whole LM scoring
+    // pipeline (pair explode + vocabulary joins + doc aggregation) from
+    // the parquet scan. The entry is doc-cardinality × 3 narrow columns
+    // (the same weight class as the operator's own output) and is
+    // LRU-evictable MEMORY_AND_DISK.
     val dl = ds.join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .persist()
     // gate BEFORE materializing: limit(gate+1) bounds the driver at
     // O(gate) rows even on a degenerate corpus, so the remedy below can
     // actually print instead of the collect OOMing first
@@ -1775,13 +1797,18 @@ object TextAnalysis {
         .getField("score") + lit(bias)
       val resid = (lit(1.0) / (lit(1.0) + exp(-z)) - y).as("resid")
       val scored = t.documents.select(dsirFeats(b).as("feats"), resid)
+      // ONE corpus pass per iteration: a sentinel bucket −1 appended to
+      // every doc's feature list carries the bias gradient (Σ resid, one
+      // addend per document) through the same explode→aggregate job that
+      // sums the per-bucket gradients — the old second full scan for
+      // biasGrad is gone (8 GD iterations: 16 corpus scans → 8)
       val grads = scored
-        .select(explode(col("feats")).as("bk"), col("resid"))
+        .select(explode(concat(col("feats"), array(lit(-1L)))).as("bk"), col("resid"))
         .groupBy("bk").agg(sum(col("resid")).as("g"))
         .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
-      val biasGrad = scored.agg(sum(col("resid"))).collect()(0).getDouble(0)
+      val biasGrad = grads.collectFirst { case (-1, g) => g }.getOrElse(0.0)
       val w2 = w.clone()
-      grads.foreach { case (bk, g) => w2(bk) -= lr * g / n }
+      grads.foreach { case (bk, g) => if (bk >= 0) w2(bk) -= lr * g / n }
       w = w2
       bias -= lr * biasGrad / n
     }

@@ -113,4 +113,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got(0L) == ((0L, 0L, None)))
     assert(got(1L) == ((1L, 1L, Some("x"))))
   }
+
+  test("driver-local training path is merge-for-merge identical to the distributed loop") {
+    // ties (two pairs at the same count — broken by pair order), a
+    // multi-byte character (UTF-8 byte order vs Java char order), a
+    // self-pair run, and an early-stop tail all in one corpus
+    val text = (Seq.fill(6)("hug") ++ Seq.fill(6)("pug") ++ Seq.fill(4)("pun") ++
+      Seq.fill(3)("béé") ++ Seq.fill(2)("aaaa") ++ Seq("zq")).mkString(" ")
+    val t = docs(Seq((0L, text)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = rows(Bpe.bpeTrain(t, nMerges = 8)) // dict far below the gate
+    val dist = rows(Bpe.bpeTrain(t, nMerges = 8, maxLocalDict = 0L)) // force distributed
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.nonEmpty)
+  }
 }
