@@ -36,6 +36,14 @@ object Bench {
           false
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene, OUTSIDE the timed region: operators may persist()
+      // a multi-consumer intermediate for their own invocation. Spark's
+      // CacheManager substitutes ANY later plan that canonically matches a
+      // cached fragment, so a leaked entry would let pass 2 (or an
+      // alphabetically-later query sharing the subtree) read pass 1's warm
+      // blocks — the r17 bench over-reported exactly this way. Every timed
+      // pass must rebuild from the parquet scans.
+      try spark.catalog.clearCache() catch { case _: Throwable => }
       // scratch hygiene, OUTSIDE the timed region: a finished pass's
       // shuffle files are reclaimed by ContextCleaner only after the JVM
       // GC notices the dereferenced ShuffleDependencies — which on a

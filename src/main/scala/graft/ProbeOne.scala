@@ -1,16 +1,30 @@
 package graft
+/** Dev scratch harness: repeatedly run one declared query in a warm JVM
+  * and print per-pass seconds — the isolation probe for separating a
+  * query's steady-state compute from bench fixed costs.
+  * Usage: ProbeOne <query> [sfDir] [passes]
+  */
 object ProbeOne {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    val name = args(0)
+    val sfDir = args.lift(1).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val passes = args.lift(2).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    SparkEntry.queries("jaccard_join_exact")(spark, "/tmp/sf1_r14")
-      .write.mode("overwrite").format("noop").save()
-    println(f"[probe] jaccard_join_exact sf1 (50k docs) cold: ${(System.nanoTime()-t0)/1e9}%.2f s")
-    val t1 = System.nanoTime()
-    SparkEntry.queries("jaccard_join_exact")(spark, "/tmp/sf1_r14")
-      .write.mode("overwrite").format("noop").save()
-    println(f"[probe] warm: ${(System.nanoTime()-t1)/1e9}%.2f s")
+    try Tables.register(spark, sfDir, db = "graft_bench")
+    catch { case e: Throwable =>
+      System.err.println(s"[probe] stats registration skipped: ${e.getMessage}")
+    }
+    val fn = SparkEntry.queries(name)
+    for (i <- 1 to passes) {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"[probe] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      try spark.catalog.clearCache() catch { case _: Throwable => }
+      System.gc()
+    }
     spark.stop()
   }
 }
