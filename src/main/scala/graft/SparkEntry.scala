@@ -348,7 +348,7 @@ object SparkEntry {
     "pq_encode"       -> q(Similarity.pqEncode(_)),
     "ann_pq"          -> q(Similarity.annPq(_)),
     "ann_ivf_pq"      -> q(Similarity.annIvfPq(_)),
-    "quality_classifier" -> q(TextAnalysis.qualityClassifier(_)),  // rows-only: GD float-sum order has no SQL oracle
+    "quality_classifier" -> q(TextAnalysis.qualityClassifier(_)),  // oracle: SQL-unrolled GD (float32-rounded per-iteration weights)
     "classifier_score"   -> q(TextAnalysis.classifierScore(_)),
     "canonical_select"   -> q(TextAnalysis.canonicalSelect(_)),
     "boilerplate_segs"   -> q(TextAnalysis.boilerplateSegs(_)),
@@ -451,6 +451,61 @@ object SparkEntry {
        FROM embeddings e JOIN asgF a USING (vec_id) JOIN cent$iters c ON a.cell_id = c.cell_id
        ORDER BY e.vec_id"""
 
+  /** SQL-UNROLLED logistic-regression GD (the kmeans precedent, r17
+    * verdict #8): classifierTrain is deterministic once each iteration's
+    * updated weights/bias are float32-rounded — zero init, fixed
+    * iteration count, the C44b feature hash and in-feature-order score
+    * fold both engines already mirror bit-exactly (classifier_score),
+    * integer-exact n. The REAL cast per iteration absorbs the two
+    * engines' gradient summation-order and exp() last-ulp differences,
+    * so each iteration unrolls into CTEs (score → resid → per-bucket
+    * gradient list → updated weight list) and the final logits compare
+    * hash-exact. Buckets never touched by a gradient row keep their
+    * previous (already float32) value — coalesce(g, 0) reproduces that.
+    */
+  private def qualityClassifierOracle(b: Int, iters: Int, lr: Double): String = {
+    val featCtes =
+      """tok0 AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0) AS ws
+           FROM documents),
+         ft AS MATERIALIZED (SELECT doc_id, list_transform(
+             ws || list_transform(generate_series(1, greatest(len(ws) - 1, 0)), i -> ws[i] || ' ' || ws[i+1]),
+             s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(s, ''), x -> CAST(ascii(x) AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) % """ + b + """) AS feats
+           FROM tok0),
+         lbl AS MATERIALIZED (SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y FROM documents),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         w0 AS (SELECT list_transform(generate_series(1, """ + b + """), x -> CAST(0.0 AS REAL)) AS wl,
+                       CAST(0.0 AS REAL) AS bias)"""
+    def zCte(alias: String, wi: Int): String =
+      s"""$alias AS MATERIALIZED (SELECT f.doc_id, l.y,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(f.feats, bk -> CAST(w.wl[CAST(bk AS INT) + 1] AS DOUBLE))),
+             (a, c) -> a + c) + CAST(w.bias AS DOUBLE) AS z
+         FROM ft f JOIN lbl l USING (doc_id) CROSS JOIN w$wi w)"""
+    val steps = (1 to iters).map { it =>
+      s"""${zCte(s"z$it", it - 1)},
+         r$it AS MATERIALIZED (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS resid FROM z$it),
+         g$it AS (SELECT bk, sum(resid) AS g FROM (
+             SELECT unnest(f.feats) AS bk, r.resid FROM ft f JOIN r$it r USING (doc_id)) GROUP BY bk),
+         gl$it AS (SELECT list(coalesce(g.g, 0.0) ORDER BY gs.bk) AS gl FROM
+             (SELECT unnest(generate_series(0, ${b - 1})) AS bk) gs LEFT JOIN g$it g USING (bk)),
+         gb$it AS (SELECT coalesce(sum(resid), 0.0) AS gb FROM r$it),
+         w$it AS MATERIALIZED (SELECT
+             list_transform(generate_series(0, ${b - 1}), bk ->
+               CAST(CAST(w.wl[CAST(bk AS INT) + 1] AS DOUBLE) - $lr * gl.gl[CAST(bk AS INT) + 1] / nn.n AS REAL)) AS wl,
+             CAST(CAST(w.bias AS DOUBLE) - $lr * gb.gb / nn.n AS REAL) AS bias
+           FROM w${it - 1} w, gl$it gl, gb$it gb, nn)"""
+    }
+    s"""WITH $featCtes,
+       ${steps.mkString(",\n       ")},
+       ${zCte("zF", iters)}
+       SELECT z.doc_id, CAST(lang = 'en' AS BIGINT) AS label,
+         floor(z.z * 10000.0 + 0.5) / 10000.0 AS logit, z.z >= 0 AS keep
+       FROM zF z JOIN documents USING (doc_id) ORDER BY z.doc_id"""
+  }
+
   private def annIvfKmeansOracle(nCells: Int, iters: Int, nProbe: Int, k: Int): String =
     s"""WITH ${kmeansCentroidCtes(nCells, iters)},
        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -470,6 +525,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "kmeans" -> kmeansOracle(k = 8, iters = 5),
+    "quality_classifier" -> qualityClassifierOracle(b = 1024, iters = 8, lr = 0.5),
     "ann_ivf_kmeans" -> annIvfKmeansOracle(nCells = 16, iters = 3, nProbe = 4, k = 10),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1066,6 +1066,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[HllAgg].getName, "graft_hll"),
       (es: Seq[Expression]) => HllAgg(es(0), litInt(es(1), "p"))))
+    ext.injectFunction((FunctionIdentifier("graft_moments"),
+      new ExpressionInfo(classOf[MomentsAgg].getName, "graft_moments"),
+      (es: Seq[Expression]) => MomentsAgg(es.head)))
     ext.injectFunction((FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowHashes].getName, "graft_winnow"),
       (es: Seq[Expression]) => WinnowHashes(es(0), litInt(es(1), "l"), litInt(es(2), "w"))))

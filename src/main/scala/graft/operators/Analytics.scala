@@ -514,13 +514,20 @@ object Analytics {
     * distinct items, and (earlier, later) over a sorted array is exactly
     * the a < b canonical form.
     */
+  /** Array-side (earlier, later) pair expansion over a sorted
+    * distinct-item array column — the ONE definition [[basketPairs]]
+    * and [[assocRules]] both explode, so the B23/B29/B31/B34 edge
+    * stream and the B29 pair stream can never drift (review r17
+    * ADVICE). 1-based SQL slice: element i pairs with i+2..size.
+    */
+  private def pairExpansionExpr(itemsCol: String): String =
+    s"flatten(transform($itemsCol, (x, i) -> " +
+      s"transform(slice($itemsCol, i + 2, size($itemsCol) - i - 1), y -> struct(x AS a, y AS b))))"
+
   private def basketPairs(li: DataFrame): DataFrame = {
     val arr = sort_array(collect_set(col("s")))
     li.groupBy(col("ok")).agg(arr.as("items"))
-      .select(explode(expr(
-        "flatten(transform(items, (x, i) -> " +
-          "transform(slice(items, i + 2, size(items) - i - 1), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
+      .select(explode(expr(pairExpansionExpr("items"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
@@ -627,10 +634,7 @@ object Analytics {
     val supp = baskets.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("supp"))
     val pairs = baskets
-      .select(explode(expr(
-        "flatten(transform(items, (x, i) -> " +
-          "transform(slice(items, i + 2, size(items) - i - 1), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
+      .select(explode(expr(pairExpansionExpr("items"))).as("p"))
       .groupBy(col("p.a").as("item"), col("p.b").as("item_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minPairSupport)
@@ -780,23 +784,32 @@ object Analytics {
     // round's labels⋈edges join exchanges only the node-sized label
     // relation — a checkpointed LogicalRDD would surface
     // UnknownPartitioning and re-exchange the 2|E| edge rows every round.
-    val edges = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val edgesRaw = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("a"))
-      .persist()
+    // materializeAll = false (plan-audit hook): edges stay LAZY — the
+    // hook only explains the one-round plan, so a persist would leak an
+    // un-unpersistable cache entry into the audit session (review r17
+    // ADVICE); the round-shape check does not need the cache node
+    val edges = if (materializeAll) edgesRaw.persist() else edgesRaw
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      val votes = labels.join(edges, col("node") === col("a"))
-        .groupBy(col("b"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val next = votes
+      // vote count + argmax FUSED into one mode() aggregation (guide
+      // §2.4): mode() WITHIN GROUP (ORDER BY lbl) is exactly "most
+      // frequent label, smallest label on ties" — integer votes, so the
+      // result is bit-identical to the former two-aggregate round
+      // (groupBy(b, lbl).count → min(struct(−c, lbl))) while paying ONE
+      // node-keyed exchange per round instead of two: the partial_mode
+      // buffers combine map-side (per-b label→count maps, the same
+      // compression the (b, lbl) partial count bought) and the argmax
+      // happens inside the same aggregation.
+      val next = labels.join(edges, col("node") === col("a"))
         .groupBy(col("b"))
-        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
-        .select(col("b").as("node"), col("w").getField("l").as("lbl"))
-      // materializeAll = false (plan-audit hook): the last round stays
-      // lazy so the vote + struct-min round shape is inspectable — the
-      // edge cache is then deliberately left for the session to evict
+        .agg(expr("mode() WITHIN GROUP (ORDER BY lbl)").as("lbl"))
+        .select(col("b").as("node"), col("lbl"))
+      // the last audit-hook round stays lazy so the round shape is
+      // inspectable; declared-query rounds all materialize
       labels = if (materializeAll || i < iters) next.localCheckpoint() else next
     }
     if (materializeAll) edges.unpersist(false)

@@ -718,6 +718,13 @@ object Dedup {
       prevBands: DataFrame, prevPairs: DataFrame,
       k: Int = 3, nBands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.0): DataFrame = {
+    // bandState stays LAZY deliberately (measured r18): although four
+    // consumers read it, the two unchanged-endpoint semi joins below
+    // prune to (doc_id, src) — no band math runs for them — and the
+    // candidate join's two sides share the exchange. Materializing it
+    // (localCheckpoint) forced the FULL band computation + row
+    // materialization once for every column and benched ~10 % slower
+    // than the pruned lazy reads at sf0.1.
     val bandState = TextAnalysis.refreshIncremental(cur, prev, prevBands)(
       minhashBands(_, k, nBands, rowsPerBand))
     val expl = bandState.select(col("doc_id"), col("src"),
@@ -726,12 +733,16 @@ object Dedup {
       .select(col("band_idx"), col("band_hash"), col("doc_id").as("id_d"))
     val all = expl.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
       col("doc_id").as("id_o"))
+    // candidate pairs materialized once too: the verify stage reads the
+    // candidate relation two-to-three times (endpoint restriction,
+    // intersection join, final left join) — pair-count-sized rows
     val cands = dirty.join(all,
         col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
           col("id_d") =!= col("id_o"))
       .select(least(col("id_d"), col("id_o")).as("id_a"),
         greatest(col("id_d"), col("id_o")).as("id_b"))
       .distinct()
+      .localCheckpoint()
     val fresh = verifyJaccard(cands, cur, k, threshold)
       .withColumn("src", lit("fresh"))
     // unchanged set read off the refreshed band state itself (src =

@@ -1175,38 +1175,46 @@ object Similarity {
     */
   private[graft] def whitenRotation(t: Tables, outDims: Int,
                                     minVariance: Double): (Array[Double], Seq[Seq[Double]]) = {
-    val x = t.embeddings
-      .select(posexplode(col("embedding")).as(Seq("i0", "xf")), col("embedding").as("e"))
-      .select(col("i0").as("i"), col("xf").cast("double").as("xi"),
-        expr("slice(e, cast(i0 + 1 as int), size(e) - i0)").as("rest"))
-    val pairs = x
-      .select(col("i"), col("xi"), posexplode(col("rest")).as(Seq("j0", "yf")))
-      .select(col("i"), (col("i") + col("j0")).as("j"),
-        col("xi"), col("yf").cast("double").as("xj"))
-    val mom = pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"), sum(col("xi") * col("xj")).as("sxy"))
-      .collect()
-    require(mom.nonEmpty, "embedWhiten: empty embeddings relation")
-    val d = mom.map(_.getInt(1)).max + 1
-    // n must come from a DIAGONAL group, and every diagonal group must
-    // agree: on a ragged corpus (embeddings of mixed dimension) the
-    // per-pair counts differ and the means/covariances would be silently
-    // wrong — fail loudly instead (review r15 ADVICE)
-    val diagCounts = mom.filter(r => r.getInt(0) == r.getInt(1))
-      .map(r => r.getInt(0) -> r.getLong(2)).sortBy(_._1)
-    require(diagCounts.map(_._1).toSeq == (0 until d),
-      s"embedWhiten: missing diagonal moment groups (got dims ${diagCounts.map(_._1).toSeq})")
-    require(diagCounts.map(_._2).distinct.length == 1,
-      "embedWhiten: ragged embedding dimensions — per-dimension counts differ " +
-        s"(${diagCounts.map(_._2).distinct.toSeq}); fix the corpus to a uniform size(embedding)")
-    val n = diagCounts.head._2.toDouble
+    // single-buffer moment pass (graft_moments, guide §2.3): count, sums
+    // and the d(d+1)/2 cross-product sums accumulate in ONE primitive
+    // buffer per task — the previous shape double-posexploded every row
+    // into its 2080 (i, j) pairs (at d=64) and hash-aggregated the pair
+    // stream, which was the whole cost of this job. The ragged-corpus
+    // guard (review r15 ADVICE) lives inside the aggregate: mixed
+    // embedding dimensions fail loudly at update/merge time.
+    val mom = try {
+      t.embeddings
+        .agg(expr("graft_moments(embedding)").as("m"))
+        .head().getSeq[Double](0).toArray
+    } catch {
+      // the ragged-dimension require fires inside the task; unwrap the
+      // documented loud IllegalArgumentException from Spark's wrapper
+      case e: Throwable =>
+        val cause = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .find(c => c.getMessage != null && c.getMessage.contains("ragged embedding dimensions"))
+        cause match {
+          case Some(c) => throw new IllegalArgumentException(c.getMessage, e)
+          case None => throw e
+        }
+    }
+    require(mom.length > 2 && mom(1) > 0.0, "embedWhiten: empty embeddings relation")
+    val d = mom(0).toInt
+    val n = mom(1)
     val mu = new Array[Double](d)
-    mom.foreach(r => if (r.getInt(0) == r.getInt(1)) mu(r.getInt(0)) = r.getDouble(3) / n)
+    var i = 0
+    while (i < d) { mu(i) = mom(2 + i) / n; i += 1 }
     val cov = Array.ofDim[Double](d, d)
-    mom.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      val c = r.getDouble(4) / n - mu(i) * mu(j)
-      cov(i)(j) = c; cov(j)(i) = c
+    var idx = 2 + d
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = mom(idx) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        idx += 1
+        j += 1
+      }
+      i += 1
     }
     val (eigVals, eigVecs) = jacobiEigen(cov)
     // eigenpairs by descending variance; deterministic sign

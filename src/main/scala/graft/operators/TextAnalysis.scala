@@ -1430,7 +1430,12 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(vocabSize)
       .select("token")
-    val arr = lmTokenArr
+    // tokens NAMED before the generator (the ngramCounts finding): a
+    // generator expression gets no subexpression elimination, and the
+    // inline form re-ran the tokenizer for each of the ~4 references
+    // (the empty guard, zip_with's current side, the shifted slice and
+    // its bound) per row — per pair-stream consumer
+    val arr = col("toks")
     // prev array [null, a0 .. a_{n-2}]: zip_with pairs each token with
     // its predecessor; the n==0 guard avoids zip_with null-padding the
     // empty token array against [null]
@@ -1440,6 +1445,7 @@ object TextAnalysis {
       .otherwise(zip_with(prev, arr,
         (p, c) => struct(p.as("w1raw"), c.as("w2raw"))))
     val raw = t.documents
+      .select(col("doc_id"), lmTokenArr.as("toks"))
       .select(col("doc_id"), explode(prs).as("pr"))
       .select(col("doc_id"), col("pr.w1raw").as("w1raw"), col("pr.w2raw").as("w2raw"))
     val v1 = broadcast(vocab.withColumnRenamed("token", "w1raw").withColumn("in1", lit(1)))
@@ -1807,10 +1813,17 @@ object TextAnalysis {
         .groupBy("bk").agg(sum(col("resid")).as("g"))
         .collect().map(r => (r.getLong(0).toInt, r.getDouble(1)))
       val biasGrad = grads.collectFirst { case (-1, g) => g }.getOrElse(0.0)
+      // float32-round the updated weights per iteration (the kmeans
+      // oracle precedent, r17): gradient sums are float-order-sensitive
+      // (partition order here, scan order in an oracle engine) to ~ulp;
+      // rounding each iteration's weights to REAL absorbs that and the
+      // engines' exp() last-ulp differences, making the whole GD
+      // trajectory — and therefore the final logits — bit-reproducible
+      // and SQL-oracle-checkable (quality_classifier was rows-only).
       val w2 = w.clone()
-      grads.foreach { case (bk, g) => if (bk >= 0) w2(bk) -= lr * g / n }
+      grads.foreach { case (bk, g) => if (bk >= 0) w2(bk) = (w2(bk) - lr * g / n).toFloat.toDouble }
       w = w2
-      bias -= lr * biasGrad / n
+      bias = (bias - lr * biasGrad / n).toFloat.toDouble
     }
     (w, bias)
   }
@@ -2013,7 +2026,12 @@ object TextAnalysis {
   def chunkText(t: Tables, window: Int = 64, stride: Int = 48): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"chunkText needs 0 < stride <= window, got window=$window stride=$stride")
-    val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    // tokens NAMED before the generator: a generator expression gets no
+    // subexpression elimination, and `arr` is referenced by size twice
+    // and by the slice INSIDE the per-chunk lambda — the inline form
+    // re-ran the regex tokenizer per chunk per row (the ngramCounts
+    // finding; guide §1.2 step 2)
+    val arr = col("toks")
     val n = size(arr)
     // chunk starts: 0, stride, 2·stride, ... < n  (ceil(n/stride) chunks;
     // Column `/` is true division — cast truncates, exact for n ≥ 1)
@@ -2024,6 +2042,8 @@ object TextAnalysis {
         struct(i.cast("int").as("cid"),
           slice(arr, i * lit(stride) + 1, lit(window)).as("toks"))))
     t.documents
+      .select(col("doc_id"),
+        filter(wsTokens(lower(col("text"))), tk => length(tk) > 0).as("toks"))
       .select(col("doc_id"), explode(chunks).as("c"))
       .select(col("doc_id"), col("c.cid").cast("long").as("chunk_id"),
         size(col("c.toks")).cast("long").as("n_tokens"),
@@ -2048,7 +2068,10 @@ object TextAnalysis {
     * pair), so the cut is deterministic cross-engine.
     */
   def pmiTop(t: Tables, minCount: Long = 5L, k: Int = 50): DataFrame = {
-    val arr = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    // tokens NAMED before the generator (the ngramCounts finding): the
+    // inline form re-ran the tokenizer for each of the ~5 references
+    // (size + both slices and their bounds) per row
+    val arr = col("toks")
     val prs = when(size(arr) < 2,
         array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(zip_with(
@@ -2056,6 +2079,7 @@ object TextAnalysis {
         slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
     val pc = t.documents
+      .select(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0).as("toks"))
       .select(explode(prs).as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
@@ -2238,14 +2262,22 @@ object TextAnalysis {
     * shuffle carries one row per distinct gram — the same weight class
     * as any corpus count — and df's distinct-rewrite shuffles
     * (gram, doc_id) pairs exactly like C26.
+    *
+    * The token array is NAMED (a projected column, not an inline
+    * expression): a generator expression gets NO subexpression
+    * elimination, so the previous inline form re-ran the regex
+    * tokenizer for every reference inside the gram CASE — size, the
+    * short-doc join, the sequence bound and the slice, 4-5 evaluations
+    * per row; measured 3x of this query's wall (guide §1.2 step 2).
     */
   def ngramCounts(t: Tables, n: Int = 3, topK: Int = 20,
                   maxDistinctGrams: Long = 50000000L): DataFrame = {
-    val toks = wsTokens(lower(col("text")))
+    val toks = col("toks")
     val grams = when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
     val exploded = t.documents
+      .select(col("doc_id"), wsTokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .filter(length(col("gram")) > 0)
     gateDistinctVolume(exploded, "gram", maxDistinctGrams, "ngramCounts",
@@ -2360,13 +2392,19 @@ object TextAnalysis {
     * at the boundary.
     */
   def ngramDiversity(t: Tables): DataFrame = {
-    val toks = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    // tokens NAMED before the generator (the ngramCounts finding): the
+    // inline form re-ran the tokenizer for each of the ~6 references
+    // (unigram transform + size/slice bounds of the bigram zip) per row
+    val toks = col("toks")
     val bi = when(size(toks) < 2, array().cast("array<string>"))
       .otherwise(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat_ws(" ", a, b)))
-    val grams = t.documents.select(col("source"),
+    val grams = t.documents
+      .select(col("source"),
+        filter(wsTokens(lower(col("text"))), tk => length(tk) > 0).as("toks"))
+      .select(col("source"),
         explode(concat(
           transform(toks, tk => struct(lit(1).as("n"), tk.as("gram"))),
           transform(bi, g => struct(lit(2).as("n"), g.as("gram"))))).as("g"))
@@ -2399,7 +2437,9 @@ object TextAnalysis {
       @annotation.tailrec def gcd(x: Long, y: Long): Long = if (y == 0) x else gcd(y, x % y)
       a / gcd(a, d.toLong) * d
     }
-    val toks = filter(wsTokens(lower(col("text"))), tk => length(tk) > 0)
+    // tokens NAMED before the generator (the ngramCounts finding): the
+    // inline form re-ran the tokenizer ~5 times per row per offset
+    val toks = col("toks")
     val pairs = (1 to window).map { d =>
       when(size(toks) <= d, array().cast("array<struct<w1:string,w2:string,u:bigint>>"))
         .otherwise(zip_with(
@@ -2408,6 +2448,7 @@ object TextAnalysis {
           (a, b) => struct(a.as("w1"), b.as("w2"), lit(L / d).as("u"))))
     }
     t.documents
+      .select(filter(wsTokens(lower(col("text"))), tk => length(tk) > 0).as("toks"))
       .select(explode(concat(pairs: _*)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.u").as("u"))
       .groupBy(col("w1"), col("w2"))

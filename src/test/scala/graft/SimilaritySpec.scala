@@ -299,6 +299,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w1.size == 1, s"outDims=1 -> 1 component, got ${w1.size}")
   }
 
+  test("graft_moments matches hand-computed count/sums/cross-products (single-pass whiten moments)") {
+    // exact small-integer floats: no summation-order ambiguity, so the
+    // single-buffer aggregate must reproduce the moments bit-for-bit
+    val t = embeddings(Seq(
+      (0L, Seq(1f, 2f, 3f), "x"), (1L, Seq(4f, 5f, 6f), "x"),
+      (2L, Seq(7f, 8f, 9f), "x"), (3L, Seq(0f, 1f, 0f), "x")))
+    val m = t.embeddings
+      .agg(org.apache.spark.sql.functions.expr("graft_moments(embedding)"))
+      .head().getSeq[Double](0).toArray
+    val vs = Seq(Seq(1d, 2d, 3d), Seq(4d, 5d, 6d), Seq(7d, 8d, 9d), Seq(0d, 1d, 0d))
+    assert(m(0) == 3.0 && m(1) == 4.0, s"d=3, n=4: got ${m.toSeq.take(2)}")
+    for (i <- 0 until 3)
+      assert(m(2 + i) == vs.map(_(i)).sum, s"sx($i)")
+    var idx = 5
+    for (i <- 0 until 3; j <- i until 3) {
+      assert(m(idx) == vs.map(v => v(i) * v(j)).sum, s"sxy($i,$j)")
+      idx += 1
+    }
+  }
+
   test("embedWhiten refuses a ragged corpus loudly (mixed embedding dimensions)") {
     // a short vector contributes to fewer diagonal moment groups, so the
     // per-dimension counts disagree — silently-wrong covariances before
