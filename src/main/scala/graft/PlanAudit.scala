@@ -555,16 +555,16 @@ object PlanAudit {
         "incremental refresh carries no global sort (delta join + semi-joined compute)"),
       ("lib:lpa_round", {
         import org.apache.spark.sql.functions.col
-        // one LPA round with the last round left lazy: vote count and
-        // argmax are FUSED into one mode() aggregation whose partial
-        // buffers combine map-side (one node-keyed exchange per round,
-        // not two), never a window
+        // one LPA round with the last round left lazy: the vote count
+        // must combine map-side and the argmax must be a struct-min
+        // partial aggregate, never a window (a fused mode() round was
+        // measured ~20 % slower at sf1 — see Analytics.lpaLabels)
         val e = t.lineitem.limit(64)
           .select((col("l_partkey") % 8L).as("a"), (col("l_suppkey") % 8L + 8L).as("b"))
           .distinct()
         val plan = libPlan(lpaRoundPlan(e))
-        plan.contains("partial_mode") && !plan.contains("Window")
-      }, "LPA round: fused map-side mode() vote+pick, one exchange, window-free (kernel plan)"),
+        plan.contains("partial_min") && !plan.contains("Window")
+      }, "LPA round: map-side votes + struct-min pick, window-free (kernel plan)"),
       ("lib:neardup_incremental", {
         import org.apache.spark.sql.functions.col
         val docs = t.documents.select(col("doc_id"), col("text"))

@@ -17,6 +17,21 @@ object ProbeOne {
     catch { case e: Throwable =>
       System.err.println(s"[probe] stats registration skipped: ${e.getMessage}")
     }
+    // optional per-job breakdown (PROBE_JOBS=1): prints every job's wall
+    // seconds so a multi-job query's fixed-cost structure is visible
+    if (sys.env.contains("PROBE_JOBS")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null)
+            println(f"[probe-job] job ${je.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%7.3f s  ${s._2}")
+        }
+      })
+    }
     val fn = SparkEntry.queries(name)
     for (i <- 1 to passes) {
       val t0 = System.nanoTime()

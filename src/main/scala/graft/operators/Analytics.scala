@@ -795,19 +795,23 @@ object Analytics {
       .withColumn("lbl", col("node"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      // vote count + argmax FUSED into one mode() aggregation (guide
-      // §2.4): mode() WITHIN GROUP (ORDER BY lbl) is exactly "most
-      // frequent label, smallest label on ties" — integer votes, so the
-      // result is bit-identical to the former two-aggregate round
-      // (groupBy(b, lbl).count → min(struct(−c, lbl))) while paying ONE
-      // node-keyed exchange per round instead of two: the partial_mode
-      // buffers combine map-side (per-b label→count maps, the same
-      // compression the (b, lbl) partial count bought) and the argmax
-      // happens inside the same aggregation.
-      val next = labels.join(edges, col("node") === col("a"))
+      // NOTE (r18, measured rejection): fusing vote count + argmax into
+      // one `mode() WITHIN GROUP (ORDER BY lbl)` aggregation is
+      // bit-identical (most frequent, smallest label on ties — oracle
+      // verified) and halves the exchanges per round, but benched ~20 %
+      // SLOWER at sf1 (15.1→19.3 s warm) and a wash at sf0.1: mode's
+      // ObjectHashAggregate pays a per-group OpenHashMap build, map
+      // serialization across the exchange, and the 128-key sort-based
+      // fallback — more than the second node-keyed exchange of
+      // partially-combined counts costs. The two-aggregate codegen'd
+      // HashAggregate round stays.
+      val votes = labels.join(edges, col("node") === col("a"))
+        .groupBy(col("b"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes
         .groupBy(col("b"))
-        .agg(expr("mode() WITHIN GROUP (ORDER BY lbl)").as("lbl"))
-        .select(col("b").as("node"), col("lbl"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("b").as("node"), col("w").getField("l").as("lbl"))
       // the last audit-hook round stays lazy so the round shape is
       // inspectable; declared-query rounds all materialize
       labels = if (materializeAll || i < iters) next.localCheckpoint() else next
