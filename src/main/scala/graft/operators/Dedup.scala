@@ -553,24 +553,27 @@ object Dedup {
           .unionAll(cands.select(col("id_b").as("doc_id"))).distinct()
         docs.join(candIds, Seq("doc_id"), "left_semi")
       }
-    val shingles = cdocs
-      .withColumn("hs", expr(shingleHashExpr(k)))
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-    // per-doc distinct-shingle count is just the hs array size — a narrow
-    // projection, not an aggregate over the exploded shingle stream
-    val counts = cdocs
-      .select(col("doc_id"), size(expr(shingleHashExpr(k))).cast("long").as("nh"))
-    val common = cands
-      .join(shingles.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
-      .join(shingles.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("common"))
+    // intersection ARRAY-SIDE (r18; the triangle_count adjacency
+    // pattern): `hs` is the per-doc DISTINCT shingle-hash array, so
+    // |A ∩ B| = size(array_intersect(hs_a, hs_b)) exactly — the
+    // former shape exploded the shingle stream and pushed a
+    // pair×shingle row stream through a second (id_b, h) shuffle join
+    // plus a (id_a, id_b) count aggregation plus two more per-side
+    // size joins. Now the candidate relation makes exactly TWO
+    // doc_id-keyed joins to pick up each side's array (the same bytes
+    // the exploded rows carried, in far fewer rows), and the
+    // intersection + both sizes compute row-local with no further
+    // exchange: 4 joins + 1 aggregation + the exploded shuffle → 2
+    // joins. Measured 208 s → see OPTIMIZATION_r18.md (sf1, where the
+    // pair×shingle stream was the single most expensive relation in
+    // the whole bench).
+    val sh = cdocs.select(col("doc_id"), expr(shingleHashExpr(k)).as("hs"))
     cands
-      .join(common, Seq("id_a", "id_b"), "left")
-      .withColumn("common", coalesce(col("common"), lit(0L)))
-      .join(counts.select(col("doc_id").as("id_a"), col("nh").as("nh_a")), Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("nh").as("nh_b")), Seq("id_b"))
-      .withColumn("jac", col("common").cast("double") / (col("nh_a") + col("nh_b") - col("common")))
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("hs_a")).cast("long") + size(col("hs_b")).cast("long") - col("common")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), roundHalfUp(col("jac"), 4).as("jaccard"))
   }
